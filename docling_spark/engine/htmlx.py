@@ -1,0 +1,1206 @@
+"""HTML → item-table extraction (the core operator).
+
+A from-scratch, pure-Python re-expression of the reference HTML backend's
+semantics (yzkee/docling docling/backend/html_backend.py:505-579 convert,
+1600-1817 _walk, 2623-2780 block dispatch, 1467-1598 table grid,
+4536-4566 get_text, 4569-4606 _clean_unicode), built on a forgiving
+tree-builder over stdlib ``html.parser`` (bs4 is not available, and this
+must run with zero non-baked dependencies inside Arrow-batched pandas UDFs).
+
+Output model: a flat list of ``Item`` dicts
+  (item_idx, parent_idx, label, level, text, content_layer, span_start, span_end)
+— docling's RefItem tree flattened to parent pointers in depth-first order
+(SURVEY.md §1.2). ``span_start/span_end`` are char offsets of each BODY
+item's text inside the serialized ``extracted_text``.
+
+Semantics pinned by tests against the reference's own groundtruth exports
+(tests/data/html/groundtruth/*.md in the reference checkout).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from docling_spark.functions.textnorm import clean_unicode
+
+# U+E000 private-use sentinel for <br>, mirroring html_backend.py:83
+BR_SENTINEL = ""
+
+VOID_TAGS = frozenset(
+    "br img hr meta link input area base col embed source track wbr param".split()
+)
+
+# html_backend.py:186-211 inline set (subset relevant to text payloads)
+INLINE_TAGS = frozenset(
+    "a abbr acronym b bdi bdo big cite code data dfn em font i kbd mark q s samp "
+    "small span strike strong sub sup time tt u var wbr del ins label".split()
+)
+
+BLOCK_IMPLIES_P_CLOSE = frozenset(
+    "address article aside blockquote details dialog dd div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu "
+    "nav ol p pre section table ul li".split()
+)
+
+HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+FORMAT_TAGS = {
+    "b": "bold",
+    "strong": "bold",
+    "i": "italic",
+    "em": "italic",
+    "var": "italic",
+    "u": "underline",
+    "ins": "underline",
+    "s": "strike",
+    "strike": "strike",
+    "del": "strike",
+    "code": "code",
+    "kbd": "code",
+    "samp": "code",
+    "sub": "sub",
+    "sup": "sup",
+}
+
+SKIP_TAGS = frozenset("script noscript style svg".split())
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []
+        self.parent = parent
+
+    def find_all(self, names: frozenset | set) -> list["Element"]:
+        """All descendant elements with a tag in ``names``, document order."""
+        out: list[Element] = []
+
+        def rec(node: "Element") -> None:
+            for ch in node.children:
+                if isinstance(ch, Element):
+                    if ch.tag in names:
+                        out.append(ch)
+                    rec(ch)
+
+        rec(self)
+        return out
+
+    def has_ancestor(self, name: str) -> bool:
+        node = self.parent
+        while node is not None:
+            if node.tag == name:
+                return True
+            node = node.parent
+        return False
+
+
+class _TreeBuilder(HTMLParser):
+    """Forgiving tree builder: implied end tags for p/li/td/th/tr/dt/dd,
+    void elements, mismatched end tags ignored or popped-to-match — the
+    lenient behavior html_backend relies on bs4 for (and that
+    _fix_invalid_paragraph_structure, html_backend.py:1285-1360, patches:
+    block content illegally nested in <p> re-parents to after the <p>)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]")
+        self.stack = [self.root]
+
+    # -- forgiveness rules -------------------------------------------------
+    def _implied_close(self, tag: str) -> None:
+        open_tags = [e.tag for e in self.stack]
+        if tag in BLOCK_IMPLIES_P_CLOSE and "p" in open_tags:
+            # close the innermost <p> (browsers' implied </p>)
+            while self.stack[-1].tag != "p":
+                if self.stack[-1] is self.root:
+                    return
+                self.stack.pop()
+            self.stack.pop()
+        if tag == "li":
+            # an open <li> is closed by a sibling <li> (not by nested lists)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in ("ul", "ol", "menu"):
+                    break
+                if t == "li":
+                    del self.stack[i:]
+                    break
+        if tag in ("dt", "dd"):
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "dl":
+                    break
+                if t in ("dt", "dd"):
+                    del self.stack[i:]
+                    break
+        if tag in ("td", "th"):
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "tr":
+                    break
+                if t in ("td", "th"):
+                    del self.stack[i:]
+                    break
+        if tag == "tr":
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in ("table", "thead", "tbody", "tfoot"):
+                    break
+                if t == "tr":
+                    del self.stack[i:]
+                    break
+
+    # -- parser callbacks --------------------------------------------------
+    # Depth cap: pathological nesting (e.g. 10^4 unclosed <div>s in crawled
+    # HTML) must not blow Python's recursion limit in the walker; elements
+    # beyond the cap attach as children of the capped ancestor.
+    MAX_DEPTH = 200
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._implied_close(tag)
+        el = Element(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(el)
+        if tag not in VOID_TAGS and len(self.stack) < self.MAX_DEPTH:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._implied_close(tag)
+        el = Element(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(payload: str) -> Element:
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Items + walker
+# ---------------------------------------------------------------------------
+
+_CODE_LANG_HINTS: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"^\s*(def |class |import |from \w+ import)", re.M), "python"),
+    (re.compile(r"^\s*(function |const |let |var |=>)", re.M), "javascript"),
+    (re.compile(r"^\s*(SELECT|INSERT|CREATE TABLE)\b", re.I | re.M), "sql"),
+    (re.compile(r"^\s*[$] ", re.M), "shell"),
+    (re.compile(r"^\s*[{\[]", re.M), "json"),
+)
+
+
+def detect_code_language(text: str, class_attr: str = "") -> str:
+    """Heuristic language detection (analog of docling/utils/code_language.py:
+    class-attribute hint first, then content heuristics)."""
+    m = re.search(r"(?:language|lang)-([\w+#-]+)", class_attr)
+    if m:
+        return m.group(1).lower()
+    for pat, lang in _CODE_LANG_HINTS:
+        if pat.search(text):
+            return lang
+    return "unknown"
+
+
+class Item(dict):
+    pass
+
+
+def _mk_item(
+    items: list, parent_idx: int, label: str, level: int, text: str, layer: str
+) -> int:
+    idx = len(items)
+    items.append(
+        Item(
+            item_idx=idx,
+            parent_idx=parent_idx,
+            label=label,
+            level=level,
+            text=text,
+            content_layer=layer,
+            span_start=-1,
+            span_end=-1,
+        )
+    )
+    return idx
+
+
+_BARE_URL_RE = re.compile(r"^[a-z][a-z0-9+.-]*://[^/]+$")
+
+
+def _norm_href(href: str) -> str:
+    """Bare scheme://host URLs gain a trailing slash (pydantic AnyUrl
+    normalization the reference relies on, tests/test_backend_html.py:80-119)."""
+    if _BARE_URL_RE.match(href):
+        return href + "/"
+    return href
+
+
+class _Run:
+    __slots__ = ("text", "fmt", "href", "tag")
+
+    def __init__(self, text: str, fmt: frozenset, href: str | None, tag: str | None = None):
+        self.text = text
+        self.fmt = fmt
+        self.href = href
+        self.tag = tag
+
+
+_PARA_SPLIT_RE = re.compile(BR_SENTINEL + r"(?:\s*" + BR_SENTINEL + r")+")
+
+
+class HtmlExtractor:
+    """Single-document walker. Stateless across documents; cheap to construct
+    (one per payload inside the pandas UDF batch loop)."""
+
+    def __init__(self, infer_furniture: bool = True):
+        self.infer_furniture = infer_furniture
+
+    # -- public ------------------------------------------------------------
+    def extract(self, payload: str) -> list[Item]:
+        root = parse_html(payload)
+        self.items: list[Item] = []
+        _mk_item(self.items, -1, "unspecified", 0, "_root_", "body")
+
+        # title → furniture title item (html_backend.py:532-541)
+        titles = root.find_all(frozenset(["title"]))
+        if titles:
+            ttext = clean_unicode(" ".join(self._plain_text(titles[0]).split()))
+            if ttext:
+                _mk_item(self.items, 0, "title", 1, ttext, "furniture")
+
+        # prune script/style/hidden (html_backend.py:542-547)
+        self._prune(root)
+
+        body = self._find_first(root, "body") or root
+
+        # <br> → sentinel (html_backend.py:553-558)
+        self._replace_br(body)
+
+        # furniture-before-first-heading rule (html_backend.py:560-574)
+        headers = [h for h in body.find_all(HEADINGS) if not h.has_ancestor("table")]
+        self.layer = (
+            "furniture" if (self.infer_furniture and headers) else "body"
+        )
+        self.first_header = headers[0] if headers else None
+        self.seen_first_header = False
+
+        self.buffer: list[_Run] = []
+        self.fmt: list[str] = []
+        self.href: str | None = None
+        self.preserve = False  # inside <pre>
+        self._pending_imgs: list[Element] = []
+        self._walk(body, parent_idx=0, level=1)
+        self._flush(0, 1)
+        return self.items
+
+    # -- tree utilities ------------------------------------------------------
+    @staticmethod
+    def _find_first(root: Element, tag: str) -> Element | None:
+        found = root.find_all(frozenset([tag]))
+        return found[0] if found else None
+
+    @staticmethod
+    def _prune(root: Element) -> None:
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            kept = []
+            for ch in node.children:
+                if isinstance(ch, Element):
+                    if ch.tag in SKIP_TAGS or "hidden" in ch.attrs:
+                        continue
+                    style = (ch.attrs.get("style") or "").replace(" ", "").lower()
+                    if "display:none" in style:
+                        continue
+                    stack.append(ch)
+                kept.append(ch)
+            node.children = kept
+
+    @staticmethod
+    def _replace_br(root: Element) -> None:
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            for i, ch in enumerate(node.children):
+                if isinstance(ch, Element):
+                    if ch.tag == "br":
+                        node.children[i] = BR_SENTINEL
+                    else:
+                        stack.append(ch)
+                elif BR_SENTINEL in ch:
+                    # strip sentinel chars present in source text
+                    node.children[i] = ch.replace(BR_SENTINEL, "")
+
+    def _plain_text(self, node: Element) -> str:
+        """get_text analog (html_backend.py:4536-4566): recursive concat,
+        trailing space after p/li/th/td, sentinel → newline."""
+        parts: list[str] = []
+
+        def rec(n):
+            if isinstance(n, str):
+                parts.append(n.replace(BR_SENTINEL, "\n"))
+                return
+            for ch in n.children:
+                rec(ch)
+            if n.tag in ("p", "li", "th", "td"):
+                parts.append(" ")
+
+        rec(node)
+        return "".join(parts)
+
+    # -- inline buffering ----------------------------------------------------
+    def _add_text(self, data: str) -> None:
+        if not data and not self.preserve:
+            return
+        self.buffer.append(
+            _Run(data, frozenset(self.fmt), self.href, getattr(self, "_cur_tag", None))
+        )
+
+    def _runs_to_text(self, runs: list[_Run], markdown: bool = True,
+                      escape: bool = True) -> str:
+        """Serialize buffered inline runs: merge adjacent runs with identical
+        annotations (html_backend.py:331-379 simplify_text_elements), collapse
+        whitespace, join distinct runs with single spaces, emit md-style
+        markers for formatting/hyperlinks."""
+        merged: list[_Run] = []
+        for r in runs:
+            if (merged and merged[-1].fmt == r.fmt and merged[-1].href == r.href
+                    and merged[-1].tag == r.tag):
+                merged[-1] = _Run(merged[-1].text + r.text, r.fmt, r.href, r.tag)
+            else:
+                merged.append(_Run(r.text, r.fmt, r.href, r.tag))
+        def fmt_one(r: _Run) -> str:
+            txt = " ".join(r.text.split())
+            if not txt:
+                return ""
+            txt = clean_unicode(txt)
+            if markdown:
+                if "code" in r.fmt:
+                    txt = "`" + txt + "`"
+                else:
+                    if escape:
+                        txt = txt.replace("&", "&amp;").replace("_", "\\_")
+                    if "bold" in r.fmt:
+                        txt = "**" + txt + "**"
+                    if "italic" in r.fmt:
+                        txt = "*" + txt + "*"
+                    if "strike" in r.fmt:
+                        txt = "~~" + txt + "~~"
+            return txt
+
+        # consecutive runs sharing a hyperlink render as ONE link whose text
+        # is the space-joined formatted runs (docling inline-group semantics)
+        out: list[str] = []
+        i = 0
+        while i < len(merged):
+            r = merged[i]
+            if markdown and r.href:
+                j = i
+                parts: list[str] = []
+                while j < len(merged) and merged[j].href == r.href:
+                    t = fmt_one(merged[j])
+                    if t:
+                        parts.append(t)
+                    j += 1
+                if parts:
+                    out.append("[" + " ".join(parts) + "](" + _norm_href(r.href) + ")")
+                i = j
+            else:
+                t = fmt_one(r)
+                if t:
+                    out.append(t)
+                i += 1
+        return " ".join(out)
+
+    def _flush(self, parent_idx: int, level: int, label: str = "text") -> list[int]:
+        """Flush the inline buffer into text items; the <br> sentinel splits:
+        2+ consecutive → separate items (paragraph split), single → '\\n' with
+        surrounding spaces stripped (html_backend.py:381-416). Images met in
+        inline context emit AFTER the text block (docling defers them)."""
+        created = self._flush_text(parent_idx, level, label)
+        if self._pending_imgs and getattr(self, "_img_ctx_block", True):
+            self._drain_imgs_now(parent_idx, level)
+        return created
+
+    def _drain_imgs_now(self, parent_idx: int, level: int) -> None:
+        imgs, self._pending_imgs = self._pending_imgs, []
+        for el in imgs:
+            alt = clean_unicode(" ".join((el.attrs.get("alt") or "").split()))
+            if alt:
+                _mk_item(self.items, parent_idx, "caption", level, alt, self.layer)
+            _mk_item(self.items, parent_idx, "picture", level, "", self.layer)
+
+    def _flush_text(self, parent_idx: int, level: int, label: str = "text") -> list[int]:
+        runs, self.buffer = self.buffer, []
+        if not runs:
+            return []
+        raw = "\x00".join(r.text for r in runs)  # probe for sentinel presence
+        created: list[int] = []
+        if BR_SENTINEL not in raw:
+            text = self._runs_to_text(runs)
+            if text:
+                created.append(_mk_item(self.items, parent_idx, label, level, text, self.layer))
+            return created
+        # re-split runs on sentinels, preserving annotations
+        para_runs: list[list[_Run]] = [[]]
+        for r in runs:
+            pieces = _PARA_SPLIT_RE.split(r.text)
+            for i, piece in enumerate(pieces):
+                if i > 0:
+                    para_runs.append([])
+                if piece:
+                    para_runs[-1].append(_Run(piece, r.fmt, r.href, r.tag))
+        for para in para_runs:
+            # single sentinels inside a paragraph → newline join
+            line_texts: list[str] = []
+            line: list[_Run] = []
+            for r in para:
+                segs = r.text.split(BR_SENTINEL)
+                for i, seg in enumerate(segs):
+                    if i > 0:
+                        line_texts.append(self._runs_to_text(line))
+                        line = []
+                    if seg:
+                        line.append(_Run(seg, r.fmt, r.href, r.tag))
+            line_texts.append(self._runs_to_text(line))
+            text = "\n".join(t for t in line_texts).strip("\n")
+            text = "\n".join(part for part in text.split("\n"))
+            # drop empty lines produced by stray sentinels
+            text = "\n".join([p for p in text.split("\n") if p != ""])
+            if text:
+                created.append(_mk_item(self.items, parent_idx, label, level, text, self.layer))
+        return created
+
+    def _walk_inline(self, node: Element) -> None:
+        tag = node.tag
+        tag_saved = getattr(self, "_cur_tag", None)
+        self._cur_tag = tag
+        pushed = None
+        if tag in FORMAT_TAGS:
+            pushed = FORMAT_TAGS[tag]
+            self.fmt.append(pushed)
+        href_saved = self.href
+        if tag == "a":
+            href = node.attrs.get("href") or None
+            if href:
+                self.href = href
+        for ch in node.children:
+            if isinstance(ch, str):
+                self._add_text(ch)
+            elif ch.tag in INLINE_TAGS:
+                self._walk_inline(ch)
+            elif ch.tag == "pre":
+                # rare: pre inside inline context — treat as code run
+                self.fmt.append("code")
+                self._add_text(self._plain_text(ch))
+                self.fmt.pop()
+            elif ch.tag == "img":
+                # collected by the enclosing block context (picture item)
+                self._pending_imgs.append(ch)
+            elif ch.tag == "input":
+                itype = str(ch.attrs.get("type") or "").lower()
+                if itype == "checkbox":
+                    mark = "x" if "checked" in ch.attrs else " "
+                    self._add_text(f"- [{mark}] ")
+            else:
+                # block inside inline: recurse as inline (text only)
+                self._walk_inline(ch)
+        if tag == "a":
+            self.href = href_saved
+        if pushed:
+            self.fmt.pop()
+        self._cur_tag = tag_saved
+
+    def _walk_inline_only(self, node: Element) -> None:
+        """Walk a block whose content we treat as pure inline (p, caption)."""
+        for ch in node.children:
+            if isinstance(ch, str):
+                self._add_text(ch)
+            elif ch.tag in INLINE_TAGS:
+                self._walk_inline(ch)
+            elif ch.tag == "pre":
+                self.fmt.append("code")
+                self._add_text(self._plain_text(ch).strip())
+                self.fmt.pop()
+            else:
+                self._walk_inline(ch)
+
+    # -- block handlers ---------------------------------------------------------
+    def _heading_parent(self, hlevel: int) -> tuple[int, int]:
+        """Maintain the heading parent stack (html_backend.py:2157-2228):
+        each heading nests under the nearest shallower heading."""
+        if not hasattr(self, "_hstack"):
+            self._hstack: list[tuple[int, int, int]] = []  # (hlevel, item_idx, level)
+        while self._hstack and self._hstack[-1][0] >= hlevel:
+            self._hstack.pop()
+        if self._hstack:
+            return self._hstack[-1][1], self._hstack[-1][2] + 1
+        return 0, 1
+
+    def _handle_heading(self, node: Element) -> None:
+        hlevel = int(node.tag[1])
+        if node is self.first_header or not self.seen_first_header:
+            if self.infer_furniture and self.first_header is not None:
+                self.layer = "body"
+            self.seen_first_header = True
+        parent_idx, level = self._heading_parent(hlevel)
+        self._flush(parent_idx, level)
+        saved_buf, self.buffer = self.buffer, []
+        self._walk_inline_only(node)
+        runs, self.buffer = self.buffer, saved_buf
+        text = self._runs_to_text(runs, markdown=True)
+        if not text:
+            return
+        label = "title" if hlevel == 1 else "section_header"
+        idx = _mk_item(self.items, parent_idx, label, level, text, self.layer)
+        self.items[idx]["_hlevel"] = hlevel
+        self._hstack.append((hlevel, idx, level))
+        # subsequent siblings become children of this heading
+        self._current_parent = idx
+
+    def _walk(self, node: Element, parent_idx: int, level: int) -> None:  # noqa: F811
+        """Override of the generic recursion that routes content following a
+        heading under that heading (document-order sectioning)."""
+        for ch in node.children:
+            if isinstance(ch, str):
+                self._add_text(ch)
+                continue
+            # content after a heading nests under it
+            if getattr(self, "_hstack", None) and node.tag in (
+                "body", "div", "section", "article", "main", "[document]", "html",
+            ):
+                parent_eff = self._hstack[-1][1]
+                level_eff = self._hstack[-1][2] + 1
+            else:
+                parent_eff, level_eff = parent_idx, level
+            tag = ch.tag
+            if tag in INLINE_TAGS:
+                self._walk_inline(ch)
+            elif tag in HEADINGS:
+                self._flush(parent_eff, level_eff)
+                self._handle_heading(ch)
+            elif tag == "p":
+                self._flush(parent_eff, level_eff)
+                self._walk_inline_only(ch)
+                self._flush(parent_eff, level_eff)
+            elif tag in ("ul", "ol", "menu"):
+                self._flush(parent_eff, level_eff)
+                self._handle_list(ch, parent_eff, level_eff, ordered=(tag == "ol"))
+            elif tag == "dl":
+                self._flush(parent_eff, level_eff)
+                self._handle_dl(ch, parent_eff, level_eff)
+            elif tag == "table":
+                self._flush(parent_eff, level_eff)
+                self._handle_table(ch, parent_eff, level_eff)
+            elif tag == "pre":
+                self._flush(parent_eff, level_eff)
+                self._handle_pre(ch, parent_eff, level_eff)
+            elif tag == "footer":
+                # footer subtree is furniture (html_backend.py:2094-2120)
+                self._flush(parent_eff, level_eff)
+                saved = self.layer
+                self.layer = "furniture"
+                self._walk(ch, parent_eff, level_eff)
+                self._flush(parent_eff, level_eff)
+                self.layer = saved
+            elif tag == "details":
+                self._flush(parent_eff, level_eff)
+                gidx = _mk_item(self.items, parent_eff, "section", level_eff, "details", self.layer)
+                self._walk(ch, gidx, level_eff + 1)
+                self._flush(gidx, level_eff + 1)
+            elif tag == "figure":
+                self._flush(parent_eff, level_eff)
+                self._handle_figure(ch, parent_eff, level_eff)
+            elif tag == "img":
+                self._flush(parent_eff, level_eff)
+                alt = clean_unicode(" ".join((ch.attrs.get("alt") or "").split()))
+                if alt:
+                    _mk_item(self.items, parent_eff, "caption", level_eff, alt, self.layer)
+                _mk_item(self.items, parent_eff, "picture", level_eff, "", self.layer)
+            elif tag == "blockquote":
+                self._flush(parent_eff, level_eff)
+                self._walk(ch, parent_eff, level_eff)
+                self._flush(parent_eff, level_eff)
+            elif tag in ("caption", "summary"):
+                self._flush(parent_eff, level_eff)
+                self._walk_inline_only(ch)
+                self._flush(parent_eff, level_eff)
+            elif tag == "input":
+                itype = str(ch.attrs.get("type") or "").lower()
+                if itype == "checkbox":
+                    mark = "x" if "checked" in ch.attrs else " "
+                    self._add_text(f"- [{mark}] ")
+            elif tag in ("hr", "head", "meta", "link", "base", "title", "form",
+                         "iframe", "object", "canvas", "map", "audio", "video"):
+                continue
+            else:
+                self._flush(parent_eff, level_eff)
+                self._walk(ch, parent_eff, level_eff)
+                self._flush(parent_eff, level_eff)
+
+    def _handle_list(self, node: Element, parent_idx: int, level: int, ordered: bool) -> None:
+        name = "ordered list" if ordered else "list"
+        gidx = _mk_item(self.items, parent_idx, "list", level, name, self.layer)
+        if ordered:
+            start_attr = str(node.attrs.get("start") or "1")
+            try:
+                self.items[gidx]["_start"] = int(start_attr)
+            except ValueError:
+                self.items[gidx]["_start"] = 1
+        for ch in node.children:
+            if isinstance(ch, Element) and ch.tag == "li":
+                self._handle_li(ch, gidx, level + 1)
+            elif isinstance(ch, Element) and ch.tag in ("ul", "ol"):
+                # list directly nested in list (malformed but common)
+                self._handle_list(ch, gidx, level + 1, ordered=(ch.tag == "ol"))
+
+    def _handle_li(self, node: Element, parent_idx: int, level: int) -> None:
+        # split li content into inline text and nested block children;
+        # generic containers (div etc.) are scanned transparently so
+        # DITA-style ul-in-div-in-li still nests (reference groundtruth
+        # html_nested_block_in_list_item.html.md)
+        saved_buf, self.buffer = self.buffer, []
+        nested: list[tuple[str, Element]] = []
+
+        def scan(n: Element) -> None:
+            for ch in n.children:
+                if isinstance(ch, str):
+                    self._add_text(ch)
+                elif ch.tag in INLINE_TAGS:
+                    self._walk_inline(ch)
+                elif ch.tag == "pre":
+                    # docling folds pre-inside-li into the item text as code
+                    self.fmt.append("code")
+                    self._add_text(" ".join(self._plain_text(ch).split()))
+                    self.fmt.pop()
+                elif ch.tag in ("ul", "ol", "dl", "table"):
+                    nested.append(("block", ch))
+                elif ch.tag == "img":
+                    nested.append(("img", ch))
+                elif ch.tag == "p":
+                    self._add_text(" ")
+                    self._walk_inline_only(ch)
+                    self._add_text(" ")
+                else:
+                    scan(ch)
+
+        self._img_ctx_block = False
+        try:
+            scan(node)
+        finally:
+            self._img_ctx_block = True
+        for el in self._pending_imgs:
+            nested.append(("img", el))
+        self._pending_imgs = []
+        runs, self.buffer = self.buffer, saved_buf
+        text = self._runs_to_text(runs)
+        idx = _mk_item(self.items, parent_idx, "list_item", level, text, self.layer)
+        for kind, blk in nested:
+            if kind == "img":
+                alt = clean_unicode(" ".join((blk.attrs.get("alt") or "").split()))
+                if alt:
+                    _mk_item(self.items, idx, "caption", level + 1, alt, self.layer)
+                _mk_item(self.items, idx, "picture", level + 1, "", self.layer)
+            elif blk.tag in ("ul", "ol"):
+                self._handle_list(blk, idx, level + 1, ordered=(blk.tag == "ol"))
+            elif blk.tag == "dl":
+                self._handle_dl(blk, idx, level + 1)
+            else:
+                self._handle_table(blk, idx, level + 1)
+
+    def _handle_dl(self, node: Element, parent_idx: int, level: int) -> None:
+        """Description list: <dt> becomes a bold list item, following <dd>
+        entries nest as a sub-list under it (matches reference groundtruth
+        html_description_list.html.md)."""
+        gidx = _mk_item(self.items, parent_idx, "list", level, "list", self.layer)
+        cur_dt: int | None = None
+        cur_sub: int | None = None
+        for ch in node.children:
+            if not (isinstance(ch, Element) and ch.tag in ("dt", "dd")):
+                continue
+            # split into inline content + nested block lists (dd may hold a dl)
+            saved_buf, self.buffer = self.buffer, []
+            nested: list[Element] = []
+            if ch.tag == "dt":
+                self.fmt.append("bold")
+            for sub in ch.children:
+                if isinstance(sub, str):
+                    self._add_text(sub)
+                elif sub.tag in INLINE_TAGS:
+                    self._walk_inline(sub)
+                elif sub.tag in ("dl", "ul", "ol"):
+                    nested.append(sub)
+                else:
+                    self._walk_inline(sub)
+            if ch.tag == "dt":
+                self.fmt.pop()
+            runs, self.buffer = self.buffer, saved_buf
+            text = self._runs_to_text(runs)
+            if ch.tag == "dt":
+                if text or nested:
+                    cur_dt = _mk_item(self.items, gidx, "list_item", level + 1, text, self.layer)
+                    cur_sub = None
+                target = cur_dt if cur_dt is not None else gidx
+            else:
+                if cur_dt is None:
+                    target = _mk_item(self.items, gidx, "list_item", level + 1, text, self.layer) if text else gidx
+                elif not text and nested:
+                    # dd holding only nested lists: attach directly under the dt
+                    target = cur_dt
+                    cur_sub = None  # later text dds start a fresh sub-list after it
+                else:
+                    if cur_sub is None:
+                        cur_sub = _mk_item(self.items, cur_dt, "list", level + 2, "list", self.layer)
+                    target = _mk_item(self.items, cur_sub, "list_item", level + 3, text, self.layer) if text else cur_sub
+            for blk in nested:
+                if blk.tag == "dl":
+                    self._handle_dl(blk, target, level + 2)
+                else:
+                    self._handle_list(blk, target, level + 2, ordered=(blk.tag == "ol"))
+
+    def _handle_pre(self, node: Element, parent_idx: int, level: int) -> None:
+        raw = self._plain_text(node)
+        # preserve internal newlines; strip leading/trailing blank lines
+        text = raw.strip("\n").rstrip()
+        text = "\n".join(line.rstrip() for line in text.split("\n"))
+        class_attr = node.attrs.get("class") or ""
+        inner_code = self._find_first(node, "code")
+        if inner_code is not None:
+            class_attr = class_attr + " " + (inner_code.attrs.get("class") or "")
+        lang = detect_code_language(text, class_attr)
+        idx = _mk_item(self.items, parent_idx, "code", level, text, self.layer)
+        self.items[idx]["code_language"] = lang  # extra key; dropped in schema projection
+
+    def _handle_figure(self, node: Element, parent_idx: int, level: int) -> None:
+        # figures without an <img> (e.g. <video>) emit nothing (reference
+        # _handle_block: only img children produce pictures)
+        if not node.find_all(frozenset(["img"])):
+            return
+        caption = ""
+        for ch in node.children:
+            if isinstance(ch, Element) and ch.tag == "figcaption":
+                saved_buf, self.buffer = self.buffer, []
+                self._walk_inline_only(ch)
+                runs, self.buffer = self.buffer, saved_buf
+                caption = self._runs_to_text(runs, markdown=False)
+        if caption:
+            _mk_item(self.items, parent_idx, "caption", level, caption, self.layer)
+        _mk_item(self.items, parent_idx, "picture", level, "", self.layer)
+
+    # -- tables -----------------------------------------------------------------
+    def _handle_table(self, node: Element, parent_idx: int, level: int) -> None:
+        """Occupancy-grid table parse with rowspan/colspan
+        (html_backend.py:1467-1598, spans 4608-4633, dims 2599-2622).
+        Spanned cells repeat their text in every covered grid slot — exactly
+        the reference's md export behavior (groundtruth example_04)."""
+        # caption first (document order: docling emits caption above table)
+        for ch in node.children:
+            if isinstance(ch, Element) and ch.tag == "caption":
+                saved_buf, self.buffer = self.buffer, []
+                self._walk_inline_only(ch)
+                runs, self.buffer = self.buffer, saved_buf
+                cap = self._runs_to_text(runs)
+                if cap:
+                    # table captions become items but are NOT rendered in the
+                    # md export (matches reference groundtruth html_rich_table_cells)
+                    cidx = _mk_item(self.items, parent_idx, "caption", level, cap, self.layer)
+                    self.items[cidx]["_table_caption"] = True
+
+        rows: list[Element] = []
+
+        def collect_rows(n: Element):
+            for ch in n.children:
+                if not isinstance(ch, Element):
+                    continue
+                if ch.tag == "tr":
+                    rows.append(ch)
+                elif ch.tag in ("thead", "tbody", "tfoot"):
+                    collect_rows(ch)
+
+        collect_rows(node)
+
+        # fixed grid dims (html_backend.py:2598-2620 get_html_table_row_col):
+        # row-header-only rows don't count; cols = max sum of colspans per row
+        num_rows = 0
+        num_cols = 0
+        for tr in rows:
+            col_count = 0
+            is_row_header = True
+            cells0 = [c for c in tr.children if isinstance(c, Element) and c.tag in ("td", "th")]
+            if not cells0:
+                is_row_header = False
+            for cell in cells0:
+                cspan, rspan = _cell_spans(cell)
+                col_count += cspan
+                if cell.tag == "td" or rspan == 1:
+                    is_row_header = False
+            num_cols = max(num_cols, col_count)
+            if not is_row_header:
+                num_rows += 1
+
+        grid: list[list[str | None]] = [[None] * num_cols for _ in range(num_rows)]
+
+        # Row-header rule (html_backend.py:1495-1512): a row whose cells are
+        # all <th> with rowspan>1 does not advance the row index; it opens a
+        # span block (start_row_span) and its cells' rowspan shrinks by one.
+        row_idx = -1
+        start_row_span = 0
+        for tr in rows:
+            cells = [c for c in tr.children if isinstance(c, Element) and c.tag in ("td", "th")]
+            row_header = bool(cells)
+            for cell in cells:
+                _, rspan = _cell_spans(cell)
+                if cell.tag == "td" or rspan == 1:
+                    row_header = False
+                    break
+            if not row_header:
+                row_idx += 1
+                start_row_span = 0
+            else:
+                start_row_span += 1
+            ci = 0
+            for cell in cells:
+                colspan, rowspan = _cell_spans(cell)
+                if row_header:
+                    rowspan -= 1
+                r0 = row_idx + start_row_span
+                if 0 <= r0 < num_rows:
+                    while ci < num_cols and grid[r0][ci] is not None:
+                        ci += 1
+                self._last_cell_rich = False
+                text = self._cell_text(cell)
+                rich = self._last_cell_rich
+                for dr in range(start_row_span, start_row_span + rowspan):
+                    for dc in range(colspan):
+                        if 0 <= row_idx + dr < num_rows and ci + dc < num_cols:
+                            if rich and not (dr == start_row_span and dc == 0):
+                                grid[row_idx + dr][ci + dc] = ""
+                            else:
+                                grid[row_idx + dr][ci + dc] = text
+                ci += colspan
+        ncols = num_cols
+        md_lines: list[str] = []
+        for ri, r in enumerate(grid):
+            md_lines.append("| " + " | ".join((c or "") for c in r) + " |")
+            if ri == 0 and ncols:
+                md_lines.append("| " + " | ".join("-" for _ in range(ncols)) + " |")
+        text = "\n".join(md_lines)
+        idx = _mk_item(self.items, parent_idx, "table", level, text, self.layer)
+        self.items[idx]["num_rows"] = len(grid)
+        self.items[idx]["num_cols"] = ncols
+
+    def _cell_text(self, cell: Element) -> str:
+        """Rich-cell flattening (html_backend.py:1404-1465 + docling-core md
+        serialization of RichTableCell children): block-level sub-items join
+        with TWO spaces; in-item newlines (from <br>) become single spaces;
+        nested lists render inline '-'/'N.' markers; nested tables flatten;
+        images render alt-caption + '<!-- image -->'."""
+        blocks: list[str] = []
+        block_kinds: list[str] = []
+
+        def flush_runs(runs: list[_Run], kind: str = "text") -> None:
+            runs = [_Run(r.text.replace(BR_SENTINEL, " "), r.fmt, r.href, r.tag) for r in runs]
+            txt = self._runs_to_text(runs, markdown=True, escape=False).replace("\n", " ")
+            if txt:
+                blocks.append(txt)
+                block_kinds.append(kind)
+
+        def walk_blocks(node: Element, runs: list[_Run]) -> list[_Run]:
+            for ch in node.children:
+                if isinstance(ch, str):
+                    runs.append(_Run(ch, frozenset(self.fmt), self.href))
+                elif ch.tag in INLINE_TAGS:
+                    saved, self.buffer = self.buffer, []
+                    self._walk_inline(ch)
+                    runs.extend(self.buffer)
+                    self.buffer = saved
+                    if self._pending_imgs:
+                        flush_runs(runs)
+                        runs = []
+                        imgs, self._pending_imgs = self._pending_imgs, []
+                        for el in imgs:
+                            alt = (el.attrs.get("alt") or "").strip()
+                            if alt:
+                                blocks.append(clean_unicode(" ".join(alt.split())))
+                                block_kinds.append("caption")
+                            blocks.append("<!-- image -->")
+                            block_kinds.append("picture")
+                elif ch.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    flush_runs(runs)
+                    hruns = walk_blocks(ch, [_Run("#" * int(ch.tag[1]) + " ", frozenset(), None)])
+                    flush_runs(hruns, kind="heading")
+                    runs = []
+                elif ch.tag in ("p", "div", "blockquote", "summary", "dt", "dd"):
+                    flush_runs(runs)
+                    bruns = walk_blocks(ch, [])
+                    # a block whose content is purely <code> runs becomes a
+                    # code item → fenced form in the cell (GT inline_group)
+                    nonempty = [r for r in bruns if r.text.strip()]
+                    if nonempty and all("code" in r.fmt and not r.href for r in nonempty):
+                        code = " ".join(" ".join(r.text.split()) for r in nonempty)
+                        blocks.append("``` " + code + " ```")
+                        block_kinds.append("code")
+                    else:
+                        flush_runs(bruns)
+                    runs = []
+                elif ch.tag in ("ul", "ol", "menu"):
+                    flush_runs(runs)
+                    runs = []
+                    lruns: list[_Run] = []
+                    n = 0
+                    for li in ch.children:
+                        if isinstance(li, Element) and li.tag == "li":
+                            n += 1
+                            marker = f"{n}." if ch.tag == "ol" else "-"
+                            lruns.append(_Run(f" {marker} ", frozenset(), None))
+                            lruns = walk_blocks(li, lruns)
+                    flush_runs(lruns)
+                elif ch.tag == "table":
+                    flush_runs(runs)
+                    runs = []
+                    truns: list[_Run] = []
+                    for sub in ch.find_all(frozenset(["td", "th"])):
+                        truns.append(_Run(" " + self._plain_text(sub), frozenset(), None))
+                    flush_runs(truns)
+                elif ch.tag == "pre":
+                    if ch.find_all(frozenset(["a"])):
+                        # links inside pre keep per-run code markup
+                        flush_runs(runs)
+                        self.fmt.append("code")
+                        saved, self.buffer = self.buffer, []
+                        self._walk_inline_only(ch)
+                        pruns, self.buffer = self.buffer, saved
+                        self.fmt.pop()
+                        flush_runs(pruns)
+                        runs = []
+                    else:
+                        flush_runs(runs)
+                        runs = []
+                        code = " ".join(self._plain_text(ch).split())
+                        if code:
+                            blocks.append("``` " + code + " ```")
+                            block_kinds.append("code")
+                elif ch.tag == "img":
+                    flush_runs(runs)
+                    runs = []
+                    alt = (ch.attrs.get("alt") or "").strip()
+                    if alt:
+                        blocks.append(clean_unicode(" ".join(alt.split())))
+                    blocks.append("<!-- image -->")
+                else:
+                    runs = walk_blocks(ch, runs)
+            return runs
+
+        self._img_ctx_block = False
+        try:
+            rest = walk_blocks(cell, [])
+            flush_runs(rest)
+        finally:
+            self._img_ctx_block = True
+        if len(blocks) == 1 and block_kinds[0] == "heading":
+            return re.sub(r"^#+ ", "", blocks[0])
+        self._last_cell_rich = (
+            len(blocks) > 1
+            or any(k in ("picture", "caption", "code", "heading") for k in block_kinds)
+            or any(("`" in b or "**" in b or "](" in b or "*" in b) for b in blocks)
+        )
+        return "  ".join(blocks)
+
+
+def _cell_spans(cell: Element) -> tuple[int, int]:
+    """colspan/rowspan parse: leading-digit regex, default 1
+    (html_backend.py:4608-4633)."""
+
+    def num(s) -> int:
+        s = str(s or "1")
+        if s and s[0].isnumeric():
+            m = re.search(r"\d+", s)
+            if m:
+                return int(m.group())
+        return 1
+
+    return num(cell.attrs.get("colspan", "1")), num(cell.attrs.get("rowspan", "1"))
+
+
+# ---------------------------------------------------------------------------
+# Serialization: items → markdown-style extracted text with span assignment
+# ---------------------------------------------------------------------------
+
+
+def serialize_items(items: list[Item], layer: str = "body") -> str:
+    """Render the BODY layer to docling-markdown-style text and assign
+    span_start/span_end offsets into the result for every rendered item
+    (docling's save_as_markdown analog; separator: blank line between blocks,
+    4-space indents for nested lists, '#'*level headings, pipe tables)."""
+    out: list[str] = []
+    pos = 0
+    by_parent: dict[int, list[Item]] = {}
+    for it in items:
+        by_parent.setdefault(it["parent_idx"], []).append(it)
+
+    def emit(text: str, it: Item | None):
+        nonlocal pos
+        if out:
+            pos += 2  # "\n\n" separator
+        if it is not None:
+            it["span_start"] = pos
+            it["span_end"] = pos + len(text)
+        out.append(text)
+        pos += len(text)
+
+    def list_depth(it: Item) -> int:
+        depth = 0
+        cur = it
+        while cur["parent_idx"] >= 0:
+            parent = items[cur["parent_idx"]]
+            if parent["label"] == "list":
+                if parent["text"] != cur.get("_x", object()):
+                    pass
+                depth += 1 if items[cur["parent_idx"]]["label"] == "list" else 0
+            cur = parent
+        return depth
+
+    def render_list(group: Item, indent: int, buf: list[str], counters: bool):
+        n = group.get("_start", 1) - 1
+        for ch in by_parent.get(group["item_idx"], []):
+            if ch["content_layer"] != layer:
+                continue
+            if ch["label"] == "list_item":
+                child_indent = indent + 1
+                if ch["text"]:
+                    n += 1
+                    marker = f"{n}." if counters else "-"
+                    line = "    " * indent + f"{marker} " + ch["text"]
+                    buf.append(line)
+                    ch["_line_ref"] = len(buf) - 1
+                for sub in by_parent.get(ch["item_idx"], []):
+                    if sub["label"] == "list":
+                        render_list(sub, child_indent, buf,
+                                    counters=(sub["text"] == "ordered list"))
+                    elif sub["label"] == "caption":
+                        buf.append(sub["text"])
+                    elif sub["label"] == "picture":
+                        buf.append("<!-- image -->")
+            elif ch["label"] == "list":
+                render_list(ch, indent + 1, buf, counters=(ch["text"] == "ordered list"))
+
+    def walk(idx: int):
+        for it in by_parent.get(idx, []):
+            if it["content_layer"] != layer and it["label"] != "unspecified":
+                # furniture subtrees still walked: children may be body
+                walk(it["item_idx"])
+                continue
+            label = it["label"]
+            if label == "unspecified":
+                walk(it["item_idx"])
+            elif label in ("title", "section_header"):
+                hashes = "#" * _heading_rank(items, it)
+                emit(hashes + " " + it["text"], it)
+                walk(it["item_idx"])
+            elif label == "text":
+                emit(it["text"], it)
+                walk(it["item_idx"])
+            elif label == "list":
+                buf: list[str] = []
+                render_list(it, 0, buf, counters=(it["text"] == "ordered list"))
+                if buf:
+                    block = "\n".join(buf)
+                    emit(block, it)
+                    # fix up per-line spans for list items
+                    off = it["span_start"]
+                    for line in buf:
+                        pass
+                    _assign_list_spans(items, it, by_parent, block, off)
+            elif label == "code":
+                emit("```\n" + it["text"] + "\n```", it)
+            elif label == "table":
+                emit(it["text"], it)
+            elif label == "caption":
+                if not it.get("_table_caption"):
+                    emit(it["text"], it)
+            elif label == "picture":
+                emit("<!-- image -->", it)
+            elif label == "section":
+                walk(it["item_idx"])
+            else:
+                if it["text"]:
+                    emit(it["text"], it)
+                walk(it["item_idx"])
+
+    walk(0)
+    # also walk children of root-level furniture? handled above via recursion
+    return "\n\n".join(out)
+
+
+def _assign_list_spans(items, group, by_parent, block, off):
+    cursor = off
+    for line in block.split("\n"):
+        cursor_end = cursor + len(line)
+        cursor = cursor_end + 1
+    # per-item spans: locate each list_item line by its recorded order
+    cursor = off
+    def rec(g):
+        nonlocal cursor
+        for ch in by_parent.get(g["item_idx"], []):
+            if ch["label"] == "list_item" and "_line_ref" in ch:
+                # the line content = indent + marker + space + text
+                pass
+    # simple approach: sequential scan
+    lines = block.split("\n")
+    line_starts = []
+    c = off
+    for ln in lines:
+        line_starts.append(c)
+        c += len(ln) + 1
+
+    li_items = []
+    def gather(g):
+        for ch in by_parent.get(g["item_idx"], []):
+            if ch["label"] == "list_item":
+                li_items.append(ch)
+                for sub in by_parent.get(ch["item_idx"], []):
+                    if sub["label"] == "list":
+                        gather(sub)
+            elif ch["label"] == "list":
+                gather(ch)
+    gather(group)
+    for ch, ln, st in zip(li_items, lines, line_starts):
+        stripped = ln.lstrip()
+        indent = len(ln) - len(stripped)
+        marker_len = stripped.find(" ") + 1 if " " in stripped else 0
+        ch["span_start"] = st + indent + marker_len
+        ch["span_end"] = st + len(ln)
+
+
+def _heading_rank(items: list[Item], it: Item) -> int:
+    """Markdown heading depth mirrors the source hN tag (docling-core md
+    serializer: title → '#', section_header hN → '#'*N)."""
+    if it["label"] == "title":
+        return 1
+    return min(6, max(2, it.get("_hlevel", 2)))
+
+
+def extract_html(payload: str) -> tuple[str, list[Item]]:
+    """payload → (extracted_text, items). The single-document entry point
+    used by the pandas-UDF operator."""
+    ex = HtmlExtractor()
+    items = ex.extract(payload)
+    text = serialize_items(items, layer="body")
+    return text, items
