@@ -1,0 +1,204 @@
+"""Per-turn extraction: format routing + error containment.
+
+The single-document entry point of the engine, mirroring the reference
+conversion lifecycle (docling/document_converter.py:441-503 →
+pipeline/base_pipeline.py:65-98) with its invariants:
+
+- format detection by hint then content sniffing
+  (docling/datamodel/document.py:763-1100)
+- size limits → SKIPPED status (docling/datamodel/settings.py:23-26,
+  document.py:290-298)
+- failures NEVER propagate: malformed payloads produce a FAILURE result row
+  with structured errors (base_pipeline.py:84-94 raises_on_error=False path,
+  ErrorItem/FailureCategory base_models.py:287-327)
+- every input turn yields exactly one result (missing-page placeholder rule,
+  standard_pdf_pipeline.py:1139-1175)
+
+Pure Python; the Spark operator wraps :func:`extract_payload` in a
+mapInPandas batch loop.
+"""
+
+from __future__ import annotations
+
+import re
+
+from docling_spark.engine import csvx, htmlx, layoutx, mdx
+from docling_spark.functions.textnorm import normalize_plain, rate_text_quality
+
+STATUS_SUCCESS = "success"
+STATUS_PARTIAL = "partial_success"
+STATUS_FAILURE = "failure"
+STATUS_SKIPPED = "skipped"
+
+# DocumentLimits.max_file_size analog (settings.py:23-26); payloads above
+# this are skipped, not parsed.
+DEFAULT_MAX_BYTES = 8 * 1024 * 1024
+
+KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "plain")
+
+_HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])")
+_HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
+_PDFISH_RE = re.compile(r'^\s*\{.*"bbox"\s*:', re.S)
+_MD_CUES_RE = re.compile(r"(?m)^(#{1,6}\s|\s*[-*+]\s+\S|\s*\d+\.\s+\S|```)")
+
+
+def detect_format(text: str, tool: str = "") -> str:
+    """Extension/MIME routing analog (base_models.py:143-263): the ``tool``
+    column is the format hint; content sniffing is the fallback
+    (document.py:1014 HTML detection, 1058 CSV dialect detection)."""
+    hint = (tool or "").strip().lower()
+    if hint in ("html", "md", "csv", "pdfish", "code"):
+        return hint
+    if not text or not text.strip():
+        return "plain"
+    if _PDFISH_RE.match(text):
+        return "pdfish"
+    if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text[:4096]):
+        return "html"
+    if _MD_CUES_RE.search(text[:4096]):
+        return "md"
+    head = [ln for ln in text.splitlines()[:5] if ln.strip()]
+    if len(head) >= 2:
+        for d in (",", ";", "\t", "|"):
+            counts = [ln.count(d) for ln in head]
+            if min(counts) >= 1 and len(set(counts)) == 1:
+                return "csv"
+    return "plain"
+
+
+_EMPTY_METRICS = {
+    "pages_parsed": 0,
+    "parse_score": 0.0,
+    "boilerplate_ratio": 0.0,
+    "n_items": 0,
+}
+
+
+def _plain_result(text: str) -> tuple[str, list[dict], dict]:
+    norm = normalize_plain(text)
+    items = [
+        dict(item_idx=0, parent_idx=-1, label="unspecified", level=0,
+             text="_root_", content_layer="body", span_start=-1, span_end=-1),
+    ]
+    if norm:
+        items.append(
+            dict(item_idx=1, parent_idx=0, label="text", level=1, text=norm,
+                 content_layer="body", span_start=0, span_end=len(norm))
+        )
+    metrics = {
+        "pages_parsed": 1,
+        "parse_score": rate_text_quality(norm),
+        "boilerplate_ratio": 0.0,
+        "n_items": len(items) - 1,
+    }
+    return norm, items, metrics
+
+
+def _code_result(text: str) -> tuple[str, list[dict], dict]:
+    """Tool-output blobs pass through newline-preserving as code items
+    (html_backend.py:2740-2771 pre semantics)."""
+    body = text.strip("\n").rstrip()
+    rendered = "```\n" + body + "\n```"
+    items = [
+        dict(item_idx=0, parent_idx=-1, label="unspecified", level=0,
+             text="_root_", content_layer="body", span_start=-1, span_end=-1),
+        dict(item_idx=1, parent_idx=0, label="code", level=1, text=body,
+             content_layer="body", span_start=0, span_end=len(rendered)),
+    ]
+    lang = htmlx.detect_code_language(body)
+    items[1]["code_language"] = lang
+    metrics = {
+        "pages_parsed": 1,
+        "parse_score": rate_text_quality(body),
+        "boilerplate_ratio": 0.0,
+        "n_items": 1,
+    }
+    return rendered, items, metrics
+
+
+def _html_result(text: str) -> tuple[str, list[dict], dict]:
+    extracted, items = htmlx.extract_html(text)
+    n_body = sum(1 for it in items[1:] if it["content_layer"] == "body")
+    n_all = max(len(items) - 1, 1)
+    metrics = {
+        "pages_parsed": 1,
+        "parse_score": 1.0,
+        "boilerplate_ratio": 1.0 - n_body / n_all,
+        "n_items": len(items) - 1,
+    }
+    return extracted, items, metrics
+
+
+def extract_payload(
+    text: str | None,
+    tool: str = "",
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> dict:
+    """One turn in → one result dict out; never raises.
+
+    Returns ``{status, format, extracted_text, items, errors, metrics}``.
+    """
+    errors: list[dict] = []
+    if text is None:
+        return {
+            "status": STATUS_FAILURE,
+            "format": "plain",
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": "input", "message": "null payload",
+                        "category": "input_error"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
+    if len(text.encode("utf-8", errors="replace")) > max_bytes:
+        return {
+            "status": STATUS_SKIPPED,
+            "format": "plain",
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": "limits",
+                        "message": f"payload exceeds {max_bytes} bytes",
+                        "category": "size_limit"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
+    fmt = detect_format(text, tool)
+    try:
+        if fmt == "html":
+            extracted, items, metrics = _html_result(text)
+        elif fmt == "md":
+            extracted, items, metrics = mdx.extract_markdown(text)
+        elif fmt == "csv":
+            extracted, items, metrics = csvx.extract_csv(text)
+        elif fmt == "pdfish":
+            extracted, items, metrics = layoutx.extract_layout(text)
+        elif fmt == "code":
+            extracted, items, metrics = _code_result(text)
+        else:
+            extracted, items, metrics = _plain_result(text)
+    except Exception as exc:  # containment: ErrorItem row, not a task error
+        return {
+            "status": STATUS_FAILURE,
+            "format": fmt,
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": f"engine.{fmt}", "message": str(exc)[:500],
+                        "category": "parse_error"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
+    status = STATUS_SUCCESS
+    if metrics.get("parse_score", 1.0) == 0.0 and extracted:
+        status = STATUS_PARTIAL
+        errors.append({"module": f"engine.{fmt}",
+                       "message": "low parse quality", "category": "quality"})
+    return {
+        "status": status,
+        "format": fmt,
+        "extracted_text": extracted,
+        "items": [
+            {k: it.get(k) for k in ("item_idx", "parent_idx", "label", "level",
+                                    "text", "content_layer", "span_start",
+                                    "span_end")}
+            for it in items
+        ],
+        "errors": errors,
+        "metrics": metrics,
+    }

@@ -1,0 +1,390 @@
+"""Pseudo-PDF layout parsing: geometry cells → reading-ordered items.
+
+Re-expression of the reference's rule-based PDF layout path over structured
+``pdfish`` payloads (JSON lines of ``{page_no, bbox:[l,t,r,b], text, conf,
+label}`` cells — FIXTURES.md §2), porting the *rules* of:
+
+- confidence-threshold + empty-cluster filtering
+  (docling/utils/layout_postprocessor.py:172-190, 259-284)
+- overlap dedup keeping the better cluster (layout_postprocessor.py:505-560)
+- reading-order reconstruction: column detection then top-to-bottom
+  (docling/models/stages/reading_order/readingorder_model.py:44-79)
+- cross-line hyphenation merge (readingorder_model.py:589-621 via
+  sanitize_lines, page_assemble_model.py:112-157)
+- garbage-cell scoring (page_preprocessing_model.py:126-151)
+- header/footer furniture labeling (ContentLayer semantics)
+- table grid reconstruction from cell geometry (docling table structure
+  assembly, re-expressed from bbox clustering)
+
+Pure Python; runs inside the extraction pandas UDF.
+"""
+
+from __future__ import annotations
+
+import json
+
+from docling_spark.functions.textnorm import (
+    fix_stx,
+    rate_text_quality,
+    sanitize_lines,
+)
+
+# per-label confidence thresholds (layout_postprocessor.py:172-190 analog)
+CONF_THRESHOLDS: dict[str, float] = {
+    "title": 0.40,
+    "section_header": 0.45,
+    "text": 0.50,
+    "list_item": 0.50,
+    "table_cell": 0.50,
+    "page_header": 0.50,
+    "page_footer": 0.50,
+    "caption": 0.50,
+    "formula": 0.30,
+}
+DEFAULT_CONF_THRESHOLD = 0.50
+
+FURNITURE_LABELS = frozenset(["page_header", "page_footer"])
+
+
+class LayoutError(ValueError):
+    pass
+
+
+def _iou_over_self(a: tuple, b: tuple) -> float:
+    """intersection area / area(a) — layout_postprocessor.py:602-634 metric."""
+    il = max(a[0], b[0])
+    it = max(a[1], b[1])
+    ir = min(a[2], b[2])
+    ib = min(a[3], b[3])
+    if ir <= il or ib <= it:
+        return 0.0
+    inter = (ir - il) * (ib - it)
+    area = max((a[2] - a[0]) * (a[3] - a[1]), 1e-9)
+    return inter / area
+
+
+def parse_cells(payload: str) -> list[dict]:
+    """JSON-lines → validated cell dicts. Raises LayoutError on bad payload."""
+    cells = []
+    for ln, line in enumerate(payload.splitlines()):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError as exc:
+            raise LayoutError(f"line {ln}: invalid JSON cell: {exc}") from exc
+        if not isinstance(obj, dict) or "bbox" not in obj or "text" not in obj:
+            raise LayoutError(f"line {ln}: cell missing bbox/text")
+        bbox = obj["bbox"]
+        if not (isinstance(bbox, (list, tuple)) and len(bbox) == 4):
+            raise LayoutError(f"line {ln}: bbox must be [l,t,r,b]")
+        cells.append(
+            {
+                "page_no": int(obj.get("page_no", 1)),
+                "bbox": tuple(float(v) for v in bbox),
+                "text": str(obj["text"]),
+                "conf": float(obj.get("conf", 1.0)),
+                "label": str(obj.get("label", "text")),
+            }
+        )
+    return cells
+
+
+def filter_cells(cells: list[dict]) -> list[dict]:
+    """Confidence + garbage + empty filtering (layout_postprocessor.py:259-284,
+    page_preprocessing quality gate)."""
+    kept = []
+    for c in cells:
+        thr = CONF_THRESHOLDS.get(c["label"], DEFAULT_CONF_THRESHOLD)
+        if c["conf"] < thr:
+            continue
+        text = fix_stx(c["text"]).strip()
+        if not text and c["label"] != "formula":
+            continue
+        if rate_text_quality(text) == 0.0:
+            continue
+        c = dict(c, text=text)
+        kept.append(c)
+    return kept
+
+
+def dedup_cells(cells: list[dict]) -> list[dict]:
+    """Overlap dedup: same page, intersection_over_self > 0.8 either way →
+    keep higher conf, then larger area, then earlier index
+    (layout_postprocessor.py:505-560 best-of-group)."""
+    out: list[dict] = []
+    removed = [False] * len(cells)
+    for i, a in enumerate(cells):
+        if removed[i]:
+            continue
+        for j in range(i + 1, len(cells)):
+            if removed[j]:
+                continue
+            b = cells[j]
+            if a["page_no"] != b["page_no"]:
+                continue
+            if (
+                _iou_over_self(a["bbox"], b["bbox"]) > 0.8
+                or _iou_over_self(b["bbox"], a["bbox"]) > 0.8
+            ):
+                area_a = (a["bbox"][2] - a["bbox"][0]) * (a["bbox"][3] - a["bbox"][1])
+                area_b = (b["bbox"][2] - b["bbox"][0]) * (b["bbox"][3] - b["bbox"][1])
+                if (b["conf"], area_b) > (a["conf"], area_a):
+                    removed[i] = True
+                    break
+                removed[j] = True
+        if not removed[i]:
+            out.append(a)
+    return out
+
+
+def _detect_columns(cells: list[dict], page_width: float) -> float | None:
+    """Two-column split detection: a vertical gap around the page midline
+    that no body cell crosses → column boundary x, else None."""
+    # full-width elements (titles, section headers, tables) legitimately span
+    # both columns; only running text/list lines vote on the split
+    body = [c for c in cells if c["label"] in ("text", "list_item")]
+    if len(body) < 4:
+        return None
+    mid = page_width / 2.0
+    crossers = sum(1 for c in body if c["bbox"][0] < mid < c["bbox"][2])
+    left = sum(1 for c in body if c["bbox"][2] <= mid)
+    right = sum(1 for c in body if c["bbox"][0] >= mid)
+    if crossers == 0 and left >= 2 and right >= 2:
+        return mid
+    return None
+
+
+def reading_order(cells: list[dict]) -> list[dict]:
+    """Order cells per page: furniture headers first, then body in column-major
+    (left column top→bottom, then right), then footers — the rule-based
+    reading order of readingorder_model.py re-expressed geometrically."""
+    pages: dict[int, list[dict]] = {}
+    for c in cells:
+        pages.setdefault(c["page_no"], []).append(c)
+    ordered: list[dict] = []
+    for page_no in sorted(pages):
+        pc = pages[page_no]
+        width = max((c["bbox"][2] for c in pc), default=0.0)
+        split = _detect_columns(pc, width)
+        headers = [c for c in pc if c["label"] == "page_header"]
+        footers = [c for c in pc if c["label"] == "page_footer"]
+        body = [c for c in pc if c["label"] not in FURNITURE_LABELS]
+        headers.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+        footers.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+        if split is None:
+            body.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+            ordered.extend(headers + body + footers)
+            continue
+        # band segmentation: full-width cells (crossing the split) separate
+        # vertical bands; within a band, left column reads before right
+        body.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+        bands: list[list[dict]] = [[]]
+        for c in body:
+            if c["bbox"][0] < split < c["bbox"][2]:
+                bands.append([c])
+                bands.append([])
+            else:
+                bands[-1].append(c)
+        ordered.extend(headers)
+        for band in bands:
+            band.sort(
+                key=lambda c: (
+                    0 if c["bbox"][0] < split else 1,
+                    c["bbox"][1],
+                    c["bbox"][0],
+                )
+            )
+            ordered.extend(band)
+        ordered.extend(footers)
+    return ordered
+
+
+def _assemble_tables(ordered: list[dict]) -> list[dict]:
+    """Group consecutive table_cell runs per page into one table pseudo-cell
+    whose text is a markdown grid; rows clustered by top coordinate, columns
+    by left coordinate."""
+    out: list[dict] = []
+    i = 0
+    while i < len(ordered):
+        c = ordered[i]
+        if c["label"] != "table_cell":
+            out.append(c)
+            i += 1
+            continue
+        j = i
+        tcells = []
+        while j < len(ordered) and ordered[j]["label"] == "table_cell" \
+                and ordered[j]["page_no"] == c["page_no"]:
+            tcells.append(ordered[j])
+            j += 1
+        # cluster rows by top coordinate (tolerance = half median height)
+        heights = sorted(cell["bbox"][3] - cell["bbox"][1] for cell in tcells)
+        tol = max(heights[len(heights) // 2] / 2.0, 1e-6)
+        rows: list[list[dict]] = []
+        for cell in sorted(tcells, key=lambda x: (x["bbox"][1], x["bbox"][0])):
+            if rows and abs(cell["bbox"][1] - rows[-1][0]["bbox"][1]) <= tol:
+                rows[-1].append(cell)
+            else:
+                rows.append([cell])
+        # columns by sorted left edges of the widest row
+        col_lefts = sorted({round(cell["bbox"][0], 1) for cell in tcells})
+        grid = [["" for _ in col_lefts] for _ in rows]
+        for ri, row in enumerate(rows):
+            for cell in row:
+                ci = min(
+                    range(len(col_lefts)),
+                    key=lambda k: abs(col_lefts[k] - cell["bbox"][0]),
+                )
+                grid[ri][ci] = cell["text"]
+        md_lines = []
+        for ri, row in enumerate(grid):
+            md_lines.append("| " + " | ".join(row) + " |")
+            if ri == 0:
+                md_lines.append("| " + " | ".join("-" for _ in row) + " |")
+        out.append(
+            {
+                "page_no": c["page_no"],
+                "bbox": (
+                    min(x["bbox"][0] for x in tcells),
+                    min(x["bbox"][1] for x in tcells),
+                    max(x["bbox"][2] for x in tcells),
+                    max(x["bbox"][3] for x in tcells),
+                ),
+                "text": "\n".join(md_lines),
+                "conf": min(x["conf"] for x in tcells),
+                "label": "table",
+                "num_rows": len(rows),
+                "num_cols": len(col_lefts),
+            }
+        )
+        i = j
+    return out
+
+
+def _merge_text_blocks(ordered: list[dict]) -> list[dict]:
+    """Merge consecutive same-label text lines within a column into blocks,
+    joining lines with sanitize_lines (de-hyphenation + ligatures —
+    page_assemble_model.py:112-157)."""
+    blocks: list[dict] = []
+    run: list[dict] = []
+
+    def flush():
+        if not run:
+            return
+        text = sanitize_lines([c["text"] for c in run])
+        first = run[0]
+        blocks.append(dict(first, text=text))
+        run.clear()
+
+    prev = None
+    for c in ordered:
+        if c["label"] in ("text", "list_item"):
+            mergeable = (
+                prev is not None
+                and prev["label"] == c["label"]
+                and prev["page_no"] == c["page_no"]
+                # same column: horizontal overlap of line boxes
+                and min(prev["bbox"][2], c["bbox"][2])
+                > max(prev["bbox"][0], c["bbox"][0])
+                # vertical adjacency: gap below one line height
+                and 0
+                <= c["bbox"][1] - prev["bbox"][3]
+                <= (prev["bbox"][3] - prev["bbox"][1])
+                # list items merge only continuation lines (no bullet grammar here)
+                and c["label"] == "text"
+            )
+            if mergeable:
+                run.append(c)
+            else:
+                flush()
+                run.append(c)
+            prev = c
+        else:
+            flush()
+            blocks.append(c)
+            prev = c
+    flush()
+    return blocks
+
+
+def extract_layout(payload: str) -> tuple[str, list[dict], dict]:
+    """pdfish payload → (extracted_text, items, metrics).
+
+    Items use the same flat schema as the HTML engine. Metrics carry
+    pages_parsed / parse_score (10%-quantile of cell quality, mirroring
+    page_preprocessing_model.py:81-89) / boilerplate ratio.
+    """
+    raw = parse_cells(payload)
+    scores = sorted(rate_text_quality(c["text"]) for c in raw)
+    parse_score = (
+        scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
+    )
+    cells = filter_cells(raw)
+    cells = dedup_cells(cells)
+    ordered = reading_order(cells)
+    ordered = _assemble_tables(ordered)
+    blocks = _merge_text_blocks(ordered)
+
+    items: list[dict] = [
+        dict(
+            item_idx=0, parent_idx=-1, label="unspecified", level=0,
+            text="_root_", content_layer="body", span_start=-1, span_end=-1,
+        )
+    ]
+    out_parts: list[str] = []
+    pos = 0
+    heading_idx = 0
+    for b in blocks:
+        layer = "furniture" if b["label"] in FURNITURE_LABELS else "body"
+        label = {
+            "page_header": "text",
+            "page_footer": "text",
+            "section_header": "section_header",
+            "title": "title",
+            "list_item": "list_item",
+            "table": "table",
+            "text": "text",
+            "caption": "caption",
+            "formula": "formula",
+        }.get(b["label"], "text")
+        parent = heading_idx if label not in ("title", "section_header") else 0
+        text = b["text"]
+        rendered = text
+        if layer == "body":
+            if label == "title":
+                rendered = "# " + text
+            elif label == "section_header":
+                rendered = "## " + text
+            elif label == "list_item":
+                rendered = "- " + text
+            if out_parts:
+                pos += 2
+            span_start, span_end = pos, pos + len(rendered)
+            out_parts.append(rendered)
+            pos = span_end
+        else:
+            span_start = span_end = -1
+        idx = len(items)
+        items.append(
+            dict(
+                item_idx=idx, parent_idx=parent, label=label,
+                level=1 if parent == 0 else 2, text=text,
+                content_layer=layer, span_start=span_start, span_end=span_end,
+            )
+        )
+        if label in ("title", "section_header"):
+            heading_idx = idx
+
+    pages = {c["page_no"] for c in raw} or {0}
+    n_body = sum(1 for it in items[1:] if it["content_layer"] == "body")
+    metrics = {
+        "pages_parsed": len(pages),
+        "parse_score": float(parse_score),
+        "boilerplate_ratio": (
+            1.0 - n_body / max(len(items) - 1, 1) if len(items) > 1 else 0.0
+        ),
+        "n_items": len(items) - 1,
+    }
+    return "\n\n".join(out_parts), items, metrics

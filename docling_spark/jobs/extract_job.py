@@ -1,0 +1,170 @@
+"""End-to-end extraction job: read → salt → extract → ordered write →
+metrics sidecar → checkpointed resume.
+
+The spark-submit entry point required by the north rule. Design notes for
+the 10^12-turn / 1000-executor regime:
+
+- **Partitioning**: output is written partitioned by ``conv_bucket =
+  pmod(xxhash64(conv_id), n_buckets)`` — the parquet stand-in for Iceberg's
+  ``bucket(N, conv_id)`` transform (this sandbox has no Iceberg runtime; the
+  write path is isolated here so the table format can swap in).
+- **Skew/salting**: extraction itself is per-row, so long conversations are
+  spread with ``repartition(salt)`` where ``salt = xxhash64(conv_id,
+  turn_idx) % parallelism`` — no conversation-level hotspot no matter how
+  skewed turn counts are (SURVEY.md §7.4.5: salting must not affect
+  correctness, and cannot, because extraction is conversation-agnostic;
+  ordering is re-established by window rank on the unsalted key).
+- **Resume**: completed buckets are recorded in a state table; a rerun
+  anti-joins input buckets against completed ones and processes only the
+  remainder (ConversionAssets save/load analog,
+  docling/datamodel/document.py:431-584). Bucket writes are idempotent
+  (dynamic partition overwrite).
+- **Metrics sidecar**: per-partition counters aggregated with one narrow
+  groupBy over ``spark_partition_id()`` (FIXTURES.md §4; the reference's
+  ProfilingItem/ConfidenceReport analog).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from docling_spark.operators.extract_ops import extract_turns
+from docling_spark.schema import EXTRACTED_SCHEMA
+
+DEFAULT_BUCKETS = 64
+
+# output schema incl. the physical partition column (explicit schema on
+# read-back: no inference listing, and empty outputs stay readable)
+OUTPUT_SCHEMA = T.StructType(
+    list(EXTRACTED_SCHEMA.fields)
+    + [T.StructField("conv_bucket", T.IntegerType(), True)]
+)
+
+
+def bucket_col(n_buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def salt_skew(df: DataFrame, parallelism: int) -> DataFrame:
+    """Row-level salting: spread every conversation's turns uniformly across
+    ``parallelism`` partitions. Long (10^6-turn) conversations cannot
+    hotspot a task because the partitioner never sees conv_id alone."""
+    return df.repartition(
+        parallelism,
+        F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(parallelism)),
+    )
+
+
+def sidecar_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-physical-partition lineage counters (one narrow agg, no extra
+    pass over payloads)."""
+    return (
+        extracted.select(
+            F.spark_partition_id().alias("partition_id"),
+            "status",
+            F.col("metrics.pages_parsed").alias("pages_parsed"),
+            F.col("metrics.boilerplate_ratio").alias("boilerplate_ratio"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("status") == "success").cast("long")).alias("n_success"),
+            F.sum((F.col("status") == "partial_success").cast("long")).alias("n_partial"),
+            F.sum((F.col("status") == "failure").cast("long")).alias("n_failure"),
+            F.sum((F.col("status") == "skipped").cast("long")).alias("n_skipped"),
+            F.sum(F.coalesce(F.col("pages_parsed"), F.lit(0)).cast("long")).alias("pages_parsed"),
+            F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_ms", F.lit(0).cast("long"))
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    run_id: str = "run0",
+    n_buckets: int = DEFAULT_BUCKETS,
+    parallelism: int | None = None,
+    state_path: str | None = None,
+    metrics_path: str | None = None,
+) -> dict:
+    """Execute the pipeline; returns summary counters.
+
+    With ``state_path`` set, completed conv-buckets from previous runs are
+    skipped (anti-join) and newly completed buckets are appended — the
+    exactly-once resume protocol (bucket-level idempotent overwrite).
+    """
+    t0 = time.time()
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+
+    df = transcripts.withColumn("conv_bucket", bucket_col(n_buckets))
+
+    done_buckets: set[int] = set()
+    if state_path:
+        try:
+            state = spark.read.parquet(state_path)
+            done_buckets = {
+                r["conv_bucket"]
+                for r in state.filter(F.col("status") == "done")
+                .select("conv_bucket").distinct().collect()
+            }
+        except Exception:
+            done_buckets = set()
+        if done_buckets:
+            df = df.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
+
+    df = salt_skew(df, parallelism)
+    extracted = extract_turns(df.drop("conv_bucket"))
+    extracted = extracted.withColumn("conv_bucket", bucket_col(n_buckets))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extracted
+        .repartition(F.col("conv_bucket"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("conv_bucket")
+        .parquet(output_path)
+    )
+
+    out = spark.read.schema(OUTPUT_SCHEMA).parquet(output_path)
+    if done_buckets:
+        out = out.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
+    counts = {
+        r["status"]: r["n"]
+        for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+
+    if metrics_path:
+        sidecar_metrics(spark.read.schema(OUTPUT_SCHEMA).parquet(output_path), run_id) \
+            .write.mode("append").parquet(metrics_path)
+
+    if state_path:
+        all_buckets = [
+            r["conv_bucket"]
+            for r in spark.read.schema(OUTPUT_SCHEMA).parquet(output_path)
+            .select("conv_bucket").distinct().collect()
+        ]
+        state_rows = [(run_id, int(b), "done") for b in all_buckets]
+        spark.createDataFrame(
+            state_rows, "run_id string, conv_bucket int, status string"
+        ).withColumn("ts", F.current_timestamp()) \
+            .write.mode("overwrite").parquet(state_path)
+
+    wall = time.time() - t0
+    total = sum(counts.values())
+    return {
+        "counts": counts,
+        "total": total,
+        "wall_s": wall,
+        "turns_per_s": total / wall if wall > 0 else 0.0,
+        "skipped_buckets": len(done_buckets),
+    }

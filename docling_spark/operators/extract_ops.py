@@ -1,0 +1,112 @@
+"""The extraction operator: one Arrow-batched pass over transcript turns.
+
+Spark-first design (SURVEY.md §7.2 step 4): the whole per-document pipeline
+of the reference (format detect → backend convert → assemble → serialize,
+docling/pipeline/base_pipeline.py:65-98) collapses into ONE ``mapInPandas``
+pass — a single Python-worker hop per partition, Arrow both ways, no
+row-at-a-time Python at the Spark API level. Inter-document parallelism is
+Spark partitions (the reference uses a thread pool,
+document_converter.py:685-692).
+
+Scale notes:
+- extraction is per-row (embarrassingly parallel): no shuffle is introduced
+  by this operator; partition pruning and column pruning pass through
+  (mapInPandas declares the needed input columns only).
+- per-turn wall-clock guard mirrors the reference's document timeout →
+  PARTIAL/FAILURE rows instead of task failures
+  (base_pipeline.py:301-320).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_spark.engine.extract import DEFAULT_MAX_BYTES, extract_payload
+from docling_spark.schema import EXTRACTED_SCHEMA
+
+_PASSTHROUGH = ("conv_id", "turn_idx", "role", "ts")
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame],
+    max_bytes: int,
+    timeout_s: float | None,
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        t_deadline = time.monotonic() + timeout_s if timeout_s else None
+        out: dict[str, list] = {
+            "conv_id": pdf["conv_id"].tolist(),
+            "turn_idx": pdf["turn_idx"].tolist(),
+            "role": pdf.get("role", pd.Series([None] * len(pdf))).tolist(),
+            "ts": pdf.get("ts", pd.Series([None] * len(pdf))).tolist(),
+            "status": [],
+            "format": [],
+            "extracted_text": [],
+            "items": [],
+            "errors": [],
+            "metrics": [],
+        }
+        texts = pdf["text"].tolist()
+        tools = pdf["tool"].tolist() if "tool" in pdf else [""] * len(pdf)
+        for text, tool in zip(texts, tools):
+            if t_deadline is not None and time.monotonic() > t_deadline:
+                res = {
+                    "status": "failure",
+                    "format": "plain",
+                    "extracted_text": "",
+                    "items": [],
+                    "errors": [
+                        {"module": "operator", "message": "batch time budget exceeded",
+                         "category": "timeout"}
+                    ],
+                    "metrics": {"pages_parsed": 0, "boilerplate_ratio": 0.0,
+                                "parse_score": 0.0, "n_items": 0},
+                }
+            else:
+                res = extract_payload(
+                    text if text is None or isinstance(text, str) else str(text),
+                    tool or "",
+                    max_bytes=max_bytes,
+                )
+            out["status"].append(res["status"])
+            out["format"].append(res["format"])
+            out["extracted_text"].append(res["extracted_text"])
+            out["items"].append(res["items"])
+            out["errors"].append(res["errors"])
+            out["metrics"].append(res["metrics"])
+        yield pd.DataFrame(out)
+
+
+def extract_turns(
+    df: DataFrame,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    timeout_s: float | None = None,
+) -> DataFrame:
+    """transcripts DataFrame → extracted DataFrame (one row per input turn).
+
+    Column-prunes the input to the five needed columns before the Python
+    boundary so the parquet scan reads only what the UDF consumes.
+    """
+    cols = [c for c in ("conv_id", "turn_idx", "role", "ts", "text", "tool")
+            if c in df.columns]
+    pruned = df.select(*cols)
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(it, max_bytes, timeout_s),
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def with_turn_rank(df: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering witness: row_number over the
+    per-conversation window (north rule; SURVEY.md §2.e). Never rely on
+    physical order after a shuffle (standard_pdf_pipeline.py:982-991
+    reorders explicitly for the same reason)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w) - F.lit(1))

@@ -1,0 +1,119 @@
+"""Pipeline verification queries (FIXTURES.md §6): completeness, stable
+ordering, failure containment, resume idempotence, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark.jobs.extract_job import run_extract
+from docling_spark.operators.extract_ops import extract_turns, with_turn_rank
+from docling_spark.sources.transcripts import gen_conversation, transcripts_df
+
+N_CONVS = 40
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_df(spark, N_CONVS, partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts):
+    return extract_turns(transcripts).cache()
+
+
+def test_generator_deterministic_and_partition_invariant(spark):
+    a = transcripts_df(spark, 10, partitions=2).orderBy("conv_id", "turn_idx").collect()
+    b = transcripts_df(spark, 10, partitions=7).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    # matches the pure-python generator row-for-row
+    rows = [r.asDict() for r in a if r["conv_id"] == "conv00000003"]
+    pure = gen_conversation(3)
+    assert len(rows) == len(pure)
+    assert [r["text"] for r in rows] == [p["text"] for p in pure]
+
+
+def test_completeness_one_row_per_turn(transcripts, extracted):
+    # missing-page placeholder rule: every input turn yields exactly one row
+    n_in = transcripts.count()
+    n_out = extracted.count()
+    assert n_in == n_out
+    both = transcripts.select("conv_id", "turn_idx").exceptAll(
+        extracted.select("conv_id", "turn_idx")
+    )
+    assert both.count() == 0
+
+
+def test_stable_ordering_under_shuffle(extracted):
+    ranked = with_turn_rank(extracted.repartition(37))
+    bad = ranked.filter(F.col("turn_rank") != F.col("turn_idx")).count()
+    assert bad == 0
+
+
+def test_failure_containment(extracted):
+    failures = extracted.filter(F.col("status") == "failure")
+    assert failures.count() > 0  # the corpus plants malformed payloads
+    with_err = failures.filter(F.size("errors") > 0).count()
+    assert with_err == failures.count()
+    # and no extraction exception ever killed a task (we got here)
+
+
+def test_statuses_and_formats(extracted):
+    statuses = {r["status"] for r in extracted.select("status").distinct().collect()}
+    assert statuses <= {"success", "partial_success", "failure", "skipped"}
+    fmts = {r["format"] for r in extracted.select("format").distinct().collect()}
+    assert {"html", "md", "csv", "pdfish", "code", "plain"} <= fmts
+
+
+def test_extraction_deterministic_across_runs(spark, transcripts):
+    a = (
+        extract_turns(transcripts)
+        .select("conv_id", "turn_idx", "extracted_text", "status")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    b = (
+        extract_turns(transcripts.repartition(13))
+        .select("conv_id", "turn_idx", "extracted_text", "status")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert a == b
+
+
+def test_spans_consistent(extracted):
+    rows = (
+        extracted.filter(F.col("status") == "success")
+        .select("extracted_text", F.explode("items").alias("it"))
+        .filter(F.col("it.span_start") >= 0)
+        .select("extracted_text", "it.span_start", "it.span_end")
+        .limit(200)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["span_start"] <= r["span_end"] <= len(r["extracted_text"])
+
+
+def test_resume_idempotence(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    # run on half the buckets only (simulate partial completion)
+    from docling_spark.jobs.extract_job import bucket_col
+
+    half = transcripts.withColumn("b", bucket_col(8)).filter(F.col("b") < 4).drop("b")
+    run_extract(spark, half, out, run_id="r1", n_buckets=8, state_path=state)
+    partial_count = spark.read.parquet(out).count()
+    # full rerun resumes: only missing buckets processed, no duplicates
+    res = run_extract(spark, transcripts, out, run_id="r2", n_buckets=8,
+                      state_path=state)
+    assert res["skipped_buckets"] > 0
+    final = spark.read.parquet(out)
+    assert final.count() == transcripts.count()
+    assert final.count() > partial_count
+    dupes = (
+        final.groupBy("conv_id", "turn_idx").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert dupes == 0
