@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data curation at corpus scale.
+
+Spark-first designs with their 100 TB rationale:
+
+- **exact_dedup** — hash-groupBy on a fingerprint; one shuffle on a short
+  key, AQE handles skew. Never a pairwise comparison.
+- **shingles / minhash** — shingling EXPLODES then aggregates map-side; the
+  minhash signature is K independent mins computed in one groupBy (partial
+  aggregation makes the shuffle carry only K longs per doc, not the shingle
+  stream).
+- **LSH banding** — band signatures bucket-join candidates: the only
+  pairwise work happens inside a bucket, which is tiny by construction.
+  Scales as sum(bucket²) instead of n².
+- **simhash** — bit-vote aggregation (explode token-bits → groupBy), again
+  partial-agg friendly; Hamming-near pairs then join on band keys.
+- **embedding near-dup** — cosine over an LSH/bucketed candidate set at
+  scale (see similarity.py); the sf-size oracle variant is the n² join.
+
+Hash family: md5 (hex) so the DuckDB oracle reproduces every signature
+bit-for-bit — ``conv(substr(md5(x),1,15),16,10)`` yields the same 60-bit
+integer in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from docling_spark.operators.textstats import norm_text
+
+
+def hash60(col) -> "F.Column":
+    """60-bit integer hash from md5 hex — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the smallest doc_id per normalized-text fingerprint.
+    One shuffle on the 32-char fingerprint; map-side partial min."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (doc_id, shingle).
+
+    Built with JVM-side array ops (transform over a sliced token array) —
+    no Python worker in the path.
+    """
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{K-1}): min over shingles of seeded md5-int hashes.
+    One groupBy; partial aggregation keeps the shuffle at K longs per doc."""
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (rows of ``band_size`` hashes → md5 bucket key),
+    self-join per band bucket → distinct candidate pairs (a < b).
+
+    At scale this is the whole point: the join key is (band_id, bucket) so
+    only docs agreeing on a band ever meet in the shuffle.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.bucket").alias("bucket")
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets: |A∩B| / (|A|+|B|-|A∩B|).
+
+    With ``candidates`` given (LSH output), intersections are computed only
+    for candidate pairs — the scale path. Without it, the shingle equi-join
+    enumerates all co-shingled pairs (oracle-friendly at sf sizes; the join
+    is still on the shingle key, never a cross join).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document simhash: majority vote of token-hash bits.
+
+    explode(token × bit) → groupBy(doc, bit) is deliberately avoided; the
+    vote is computed as a sum over tokens of per-bit signs with the bit loop
+    unrolled into ``bits`` aggregate expressions — one shuffle of ``bits``
+    longs per doc, all JVM-side.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).withColumn("h", hash60(F.col("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v_{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+             * F.lit(2 ** b)).cast("long")
+            for b in range(bits)
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
+                       bits: int = 32) -> DataFrame:
+    """Hamming-near pairs via bit_count(xor) — at corpus scale the join is
+    pre-bucketed on simhash bytes (pigeonhole: ≤3 differing bits over 4
+    8-bit chunks → at least one chunk equal), keeping it out of n² land."""
+    chunks = 4
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    banded = sim.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.chunk_id", "bd.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata.
+
+The decode/feature-extraction kernels are STUBBED (no image/audio libs in
+this container — see ``decode_image``); everything Spark-side is real and
+tested: schema, batch shape, partitioning, and the mapInPandas plumbing that
+a real decoder would drop into. Mirrors the reference's ASR/frame-sampling
+surface (docling/pipeline/asr_pipeline.py, docling/utils/
+video_frame_sampling.py) as API shape only (SURVEY.md §2.a: out of scope
+for model inference).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB: real image decode needs PIL/libvips (not in this container).
+
+    The deterministic fake derives a plausible (width, height) from the
+    payload hash so the downstream plumbing (schema, batching, joins) is
+    exercised with stable values. Swap body for ``PIL.Image.open`` in a
+    real deployment.
+    """
+    h = hashlib.sha1(payload or b"").digest()
+    return 64 + h[0] % 1920, 64 + h[1] % 1080
+
+
+def feature_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """STUB embedding: hash-derived unit-free floats, deterministic."""
+    h = hashlib.sha1(payload or b"").digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads — the real
+    Spark plumbing a production decoder plugs into (mapInPandas, bounded
+    batch memory via maxRecordsPerBatch, no driver collect)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"].tolist(),
+                "kind": pdf["kind"].tolist(),
+                "n_bytes": [], "sha1": [], "width": [], "height": [],
+                "feature": [],
+            }
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                out["n_bytes"].append(len(b))
+                out["sha1"].append(hashlib.sha1(b).hexdigest())
+                if kind == "image":
+                    w, h = decode_image(b)
+                else:
+                    w, h = None, None
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feature_stub(b, feature_dim))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (binary payloads derived from ids)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 7)
+        rows.append(
+            (i, kinds[i % 3], bytearray(payload), f"application/x-{kinds[i % 3]}",
+             {"src": f"synthetic://{i}"})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, fps: float = 0.5,
+                      duration_key: str = "duration_s") -> DataFrame:
+    """Video frame-sampling *plan* (docling video_frame_sampling analog):
+    pure column math producing (media_id, frame_ts) rows to feed a decoder —
+    the explode is JVM-side; no decode happens here."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), duration_key).cast("double"), F.lit(10.0)
+    )
+    n_frames = F.greatest((dur * F.lit(fps)).cast("int"), F.lit(1))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: F.round(i / F.lit(fps), 3),
+                )
+            ).alias("frame_ts"),
+        )
+    )

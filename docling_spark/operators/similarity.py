@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k** — the correctness baseline: one narrow
+  projection computing the score with JVM-side higher-order functions
+  (zip_with + aggregate — no Python), then a top-k. At sf sizes this is
+  also the oracle path (DuckDB list_cosine_similarity).
+- **cosine near-dup pairs** — all pairs above a threshold; at sf sizes an
+  n² block join, at scale gated behind LSH candidates.
+- **sign-LSH buckets (scale path)** — random-hyperplane signs derived from
+  the md5 hash family (deterministic, no RNG state): each vector gets a
+  ``n_planes``-bit bucket; ANN probes only its bucket. Recall is validated
+  against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_cosine(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine against a constant query vector.
+    Scores rounded to 6 decimals; ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a<b) pairs with cosine ≥ threshold. The sf-size oracle variant
+    (n² block-nested join). Scale path: restrict with lsh_buckets first."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _plane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from the md5 hash family."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane:{plane_id}:{i}".encode()).digest()
+        v = int.from_bytes(h[:8], "big") / 2**63 - 1.0  # ~U(-1,1)
+        out.append(v)
+    return out
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit b = sign(v · plane_b).
+    JVM-side dot products against broadcast constant planes."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = sum(
+        (
+            F.when(
+                _dot(v, F.array(*[F.lit(x) for x in _plane(dim, b)])) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            * F.lit(2 ** b)
+        ).cast("long")
+        for b in range(n_planes)
+    )
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket. At corpus scale the
+    bucket column is the partition key — the probe touches a handful of
+    partitions instead of the full table."""
+    import hashlib as _h  # noqa: F401 (documented determinism dependency)
+
+    # query bucket computed driver-side with the same planes
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qbits = 0
+    for b in range(n_planes):
+        if dot(query_vec, _plane(dim, b)) > 0:
+            qbits |= 1 << b
+    buckets = lsh_buckets(emb, n_planes, dim, vec_col, id_col)
+    probe = buckets.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbits))) <= multiprobe_hamming
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = probe.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

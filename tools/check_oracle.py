@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at the given sf dir; compare row
+count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(_norm_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.md5()
+    for row in canon:
+        h.update(repr(row).encode())
+    return h.hexdigest()
+
+
+def _norm_cell(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"create view {t} as select * from '{path}'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"WEAK  {name}: rows={len(srows)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            res = con.sql(sql)
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            print(f"FAIL  {name}: columns {scols} vs {ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            n_fail += 1
+            continue
+        sh = value_hash(scols, srows)
+        oh = value_hash(ocols, orows)
+        if sh != oh:
+            print(f"FAIL  {name}: value hash mismatch ({len(srows)} rows)")
+            # show a small diff sample
+            sset = {tuple(_norm_cell(v) for v in r) for r in srows}
+            oset = {tuple(_norm_cell(v) for v in r) for r in orows}
+            for x in list(sset - oset)[:3]:
+                print("   spark-only:", x)
+            for x in list(oset - sset)[:3]:
+                print("   duck-only :", x)
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(srows)} rows")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
