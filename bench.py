@@ -1,0 +1,108 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Runs the flagship extraction pipeline over a deterministic synthetic
+transcripts corpus sized to the scale factor, plus representative operator
+queries from ``__spark_entry__``, on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>, "extract_turns_per_s": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS",
+                                 str(max(int(100_000 * sf), 200))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("docling-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # bound Arrow batch memory: the corpus plants multi-MB oversize
+        # payloads (size-limit coverage), so batches stay small
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from docling_spark.operators.extract_ops import extract_turns
+    from docling_spark.sources.transcripts import transcripts_df
+
+    timings: dict[str, float] = {}
+
+    # headline: extraction throughput over the synthetic transcripts corpus
+    tr = transcripts_df(spark, n_convs, partitions=CPUS * 2)
+    t0 = time.time()
+    n_turns = extract_turns(tr).select(
+        "status"
+    ).groupBy("status").count().collect()
+    extract_wall = time.time() - t0
+    total_turns = sum(r["count"] for r in n_turns)
+    timings["extract_pipeline"] = round(extract_wall, 3)
+
+    qmap = entry.queries()
+    bench_queries = [
+        "extract_html_heading",
+        "doc_stats",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "simhash",
+        "embed_knn_of_zero",
+        "agg_pricing_summary",
+        "window_order_rank",
+        "broadcast_brand_revenue",
+        "sessionize_events",
+        "events_hourly",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+operator suite wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_turns": total_turns,
+        "extract_turns_per_s": round(total_turns / extract_wall, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

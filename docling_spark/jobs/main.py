@@ -1,0 +1,79 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+    spark-submit --py-files docling_spark.zip docling_spark/jobs/main.py \
+        --input-table /path/transcripts --output-table /path/extracted \
+        --state-table /path/state --metrics-table /path/metrics \
+        --buckets 1024 --run-id run42
+
+On a real cluster the paths are Iceberg table identifiers; in this sandbox
+they are parquet paths (the write path isolates the difference —
+extract_job.py module docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="docling-spark extraction job")
+    p.add_argument("--input-table", required=True)
+    p.add_argument("--output-table", required=True)
+    p.add_argument("--state-table", default=None)
+    p.add_argument("--metrics-table", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--synthetic-convs", type=int, default=None,
+                   help="generate a synthetic corpus instead of reading input")
+    p.add_argument("--streaming", action="store_true",
+                   help="run as a Structured Streaming catch-up job")
+    p.add_argument("--checkpoint", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("docling-spark-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        .getOrCreate()
+    )
+
+    if args.streaming:
+        from docling_spark.streaming.stream_extract import run_stream
+
+        q = run_stream(spark, args.input_table, args.output_table,
+                       args.checkpoint or args.output_table + "_ckpt")
+        q.awaitTermination()
+        print(json.dumps({"status": "stream_done"}))
+        return 0
+
+    if args.synthetic_convs:
+        from docling_spark.sources.transcripts import transcripts_df
+
+        transcripts = transcripts_df(spark, args.synthetic_convs)
+    else:
+        transcripts = spark.read.parquet(args.input_table)
+
+    from docling_spark.jobs.extract_job import run_extract
+
+    summary = run_extract(
+        spark, transcripts, args.output_table,
+        run_id=args.run_id, n_buckets=args.buckets,
+        parallelism=args.parallelism,
+        state_path=args.state_table, metrics_path=args.metrics_table,
+    )
+    print(json.dumps(summary))
+    # job exit code reflects hard failure only; failure ROWS are data
+    # (ProcessingResult semantics, standard_pdf_pipeline.py:129-152)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Structured Streaming wrapper over the extraction operator.
+
+The reference has no streaming runtime (SURVEY.md §2.i); its nearest analog
+is the bounded-queue threaded pipeline (standard_pdf_pipeline.py:155-311)
+with catch-up batch polling. Here the same extraction operator lifts to
+Structured Streaming unchanged because it is stateless per row:
+``readStream → extract_turns → writeStream`` with event-time watermarking
+on ``ts`` for the windowed metrics aggregation (late turns tolerated up to
+the watermark; WebVTT cue timings, webvtt_backend.py:164-178, are the
+reference's event-time analog).
+
+Checkpointing: Spark's streaming checkpoint replaces the batch job's state
+table — exactly-once sink semantics per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_spark.operators.extract_ops import extract_turns
+from docling_spark.schema import TRANSCRIPTS_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (an Iceberg streaming
+    read swaps in behind the same schema)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_extract(transcripts: DataFrame) -> DataFrame:
+    """The streaming plan: identical operator, streaming semantics free."""
+    return extract_turns(transcripts)
+
+
+def stream_metrics(
+    transcripts: DataFrame, watermark: str = "1 hour", window: str = "5 minutes"
+) -> DataFrame:
+    """Windowed extraction metrics with late-data handling: per (window,
+    status) counts under a 1-hour watermark (north-rule sidecar, streaming
+    flavor)."""
+    ext = extract_turns(transcripts.withWatermark("ts", watermark))
+    return (
+        ext.groupBy(F.window("ts", window), "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "status", "n",
+        )
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Launch the extraction stream (availableNow=True → catch-up batch
+    semantics, the reference's batch-polling analog)."""
+    src = read_transcript_stream(spark, input_path)
+    out = stream_extract(src)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
