@@ -720,6 +720,456 @@ from events group by 1, 2
 
 
 # ---------------------------------------------------------------------------
+# pdfish layout family (reading order / hyphen merge / spans — the
+# north-star "PDF layout parse" path, engine end-to-end)
+# ---------------------------------------------------------------------------
+
+def _tok(i: int):
+    return F.element_at(F.split(F.trim(F.col("text")), r"\s+"), i)
+
+
+def _jcell(bbox: str, text_col, conf: str, label: str) -> "F.Column":
+    return F.concat(
+        F.lit('{"page_no": 1, "bbox": [' + bbox + '], "text": "'),
+        text_col,
+        F.lit(f'", "conf": {conf}, "label": "{label}"}}'),
+    )
+
+
+def _pdfish_two_col_payload():
+    """Scrambled-order two-column page: title spans both columns, body
+    lines interleaved right-before-left, plus a low-confidence noise cell
+    (filtered), an overlapping duplicate (deduped), and header/footer
+    furniture. Correct output requires column detection + reading order
+    + block merge — physical input order is adversarial."""
+    t = _tok
+    lines = [
+        _jcell("110, 120, 190, 130", F.concat(t(7), F.lit(" "), t(8)), "0.9", "text"),
+        _jcell("10, 280, 190, 290", F.lit("Page 1"), "0.95", "page_footer"),
+        _jcell("10, 100, 90, 110",
+               F.concat(t(1), F.lit(" "), t(2), F.lit(" dup")), "0.8", "text"),
+        _jcell("10, 150, 90, 160", F.lit("zzz"), "0.2", "text"),
+        _jcell("10, 40, 190, 60",
+               F.concat(F.lit("Title "), F.col("doc_id").cast("string")),
+               "0.98", "title"),
+        _jcell("10, 100, 90, 110", F.concat(t(1), F.lit(" "), t(2)), "0.9", "text"),
+        _jcell("10, 10, 190, 20", F.lit("Conf Proc"), "0.95", "page_header"),
+        _jcell("110, 100, 190, 110", F.concat(t(5), F.lit(" "), t(6)), "0.9", "text"),
+        _jcell("10, 120, 90, 130", F.concat(t(3), F.lit(" "), t(4)), "0.9", "text"),
+    ]
+    return F.concat_ws("\n", *lines)
+
+
+def q_extract_pdfish_reading_order(spark, sf_dir):
+    return _extract_docs(spark, sf_dir, _pdfish_two_col_payload(), "pdfish")
+
+
+ORACLE_PDFISH_READING_ORDER = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '# Title ' || doc_id || chr(10) || chr(10)
+        || toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]
+        || chr(10) || chr(10)
+        || toks[5] || ' ' || toks[6] || ' ' || toks[7] || ' ' || toks[8]
+        as extracted_text
+from t
+"""
+
+
+def q_extract_pdfish_hyphen_merge(spark, sf_dir):
+    t = _tok
+    payload = F.concat_ws(
+        "\n",
+        _jcell("10, 40, 190, 60",
+               F.concat(F.lit("Heading "), F.col("doc_id").cast("string")),
+               "0.98", "section_header"),
+        _jcell("10, 100, 190, 110", F.concat(t(1), F.lit(" exam-")), "0.9", "text"),
+        _jcell("10, 120, 190, 130", F.concat(F.lit("ple "), t(2)), "0.9", "text"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "pdfish")
+
+
+ORACLE_PDFISH_HYPHEN = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '## Heading ' || doc_id || chr(10) || chr(10)
+        || toks[1] || ' example ' || toks[2] as extracted_text
+from t
+"""
+
+
+def q_extract_items_spans(spark, sf_dir):
+    """The flattened item table with span offsets (ProvenanceItem.charspan
+    analog): explode(items) of the two-column pdfish extraction."""
+    from docling_spark.operators.extract_ops import extract_turns
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        _pdfish_two_col_payload().alias("text"),
+        F.lit("pdfish").alias("tool"),
+    )
+    out = extract_turns(d)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.explode("items").alias("it"),
+    ).select(
+        "doc_id",
+        F.col("it.item_idx").alias("item_idx"),
+        F.col("it.parent_idx").alias("parent_idx"),
+        F.col("it.label").alias("label"),
+        F.col("it.level").alias("level"),
+        F.col("it.content_layer").alias("content_layer"),
+        F.col("it.span_start").alias("span_start"),
+        F.col("it.span_end").alias("span_end"),
+        F.col("it.text").alias("item_text"),
+    )
+
+
+# span arithmetic: title = '# Title <id>' at 0; block1 at title_end+2 with
+# text 't1 t2 t3 t4'; block2 follows at +2. Furniture spans are -1.
+ORACLE_ITEMS_SPANS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks,
+         8 + length(doc_id::varchar) as title_end
+  from documents
+),
+b as (
+  select doc_id, toks, title_end,
+         toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4] as blk1,
+         toks[5] || ' ' || toks[6] || ' ' || toks[7] || ' ' || toks[8] as blk2
+  from t
+)
+select doc_id, u.* from b,
+lateral (
+  select * from (values
+    (0, -1, 'unspecified', 0, 'body', -1, -1, '_root_'),
+    (1, 0, 'text', 1, 'furniture', -1, -1, 'Conf Proc'),
+    (2, 0, 'title', 1, 'body', 0, title_end, 'Title ' || doc_id),
+    (3, 2, 'text', 2, 'body', title_end + 2,
+     title_end + 2 + length(blk1), blk1),
+    (4, 2, 'text', 2, 'body', title_end + 4 + length(blk1),
+     title_end + 4 + length(blk1) + length(blk2), blk2),
+    (5, 2, 'text', 2, 'furniture', -1, -1, 'Page 1')
+  ) v(item_idx, parent_idx, label, level, content_layer,
+      span_start, span_end, item_text)
+) u
+"""
+
+
+def q_extract_vtt_dialogue(spark, sf_dir):
+    """WebVTT payload (cue ≈ turn, voice ≈ role): two cues, the second with
+    an italic formatting run — md equality pinned by the reference's
+    webvtt groundtruth semantics."""
+    t = _tok
+    payload = F.concat(
+        F.lit("WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n<v User>"),
+        t(1), F.lit(" "), t(2),
+        F.lit("\n\n00:00:02.000 --> 00:00:03.500\n<v Agent><i>"),
+        t(3), F.lit("</i> "), t(4),
+    )
+    return _extract_docs(spark, sf_dir, payload, "vtt")
+
+
+ORACLE_VTT_DIALOGUE = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       toks[1] || ' ' || toks[2] || chr(10) || chr(10)
+        || '*' || toks[3] || '*' || '  ' || toks[4] as extracted_text
+from t
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunker family (UDTF shape: array<struct> + explode)
+# ---------------------------------------------------------------------------
+
+def q_chunk_fixed_tokens(spark, sf_dir):
+    from docling_spark.operators.chunker import fixed_token_chunks
+
+    return fixed_token_chunks(_docs(spark, sf_dir), chunk_tokens=4)
+
+
+ORACLE_CHUNK_FIXED = """
+with t as (
+  select doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
+  from documents
+  where trim(text) != ''
+),
+n as (select doc_id, toks, cast(ceil(len(toks) / 4.0) as int) as n_chunks from t),
+e as (select doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) as i
+      from n where n_chunks > 0)
+select doc_id, cast(i as int) as chunk_idx,
+       array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 4), ' ') as chunk_text,
+       cast(len(list_slice(toks, i * 4 + 1, i * 4 + 4)) as int) as n_tokens
+from e
+"""
+
+
+def q_chunk_heading_context(spark, sf_dir):
+    """Hierarchical chunking with heading context over the item table of
+    the pdfish extraction: the nearest preceding heading is a window
+    last(ignorenulls), not a per-doc loop."""
+    from docling_spark.operators.chunker import heading_contextual_chunks
+
+    items = q_extract_items_spans(spark, sf_dir).withColumnRenamed(
+        "item_text", "text"
+    )
+    return heading_contextual_chunks(items)
+
+
+ORACLE_CHUNK_HEADING = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, cast(u.chunk_idx as int) as chunk_idx,
+       'Title ' || doc_id as heading, u.chunk_text
+from t,
+lateral (
+  select * from (values
+    (0, toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]),
+    (1, toks[5] || ' ' || toks[6] || ' ' || toks[7] || ' ' || toks[8])
+  ) v(chunk_idx, chunk_text)
+) u
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: sign-LSH bucketed cosine (approximate by construction,
+# deterministic — the oracle reproduces the same buckets bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_ANN_PLANES = 4
+_ANN_DIM = 64
+
+
+def q_ann_bucket_pairs(spark, sf_dir):
+    from docling_spark.operators.similarity import cosine, lsh_buckets
+
+    b = lsh_buckets(_emb(spark, sf_dir), n_planes=_ANN_PLANES, dim=_ANN_DIM)
+    a = b.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("va"),
+                 F.col("bucket"))
+    c = b.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").cast("array<double>").alias("vb"),
+                 F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(c, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.2)
+        .select("id_a", "id_b", F.col("bucket").cast("long").alias("bucket"), "cos")
+    )
+
+
+def _ann_oracle() -> str:
+    from docling_spark.operators.similarity import _plane
+
+    plane_sql = []
+    for b in range(_ANN_PLANES):
+        consts = ", ".join(repr(v) for v in _plane(_ANN_DIM, b))
+        plane_sql.append(
+            f"case when list_dot_product(embedding::double[], [{consts}]) > 0 "
+            f"then {2 ** b} else 0 end"
+        )
+    bucket = " + ".join(plane_sql)
+    return f"""
+with b as (
+  select vec_id, embedding, cast({bucket} as bigint) as bucket from embeddings
+)
+select a.vec_id as id_a, c.vec_id as id_b, a.bucket,
+       round(list_cosine_similarity(a.embedding::double[],
+                                    c.embedding::double[]), 6) as cos
+from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+where round(list_cosine_similarity(a.embedding::double[],
+                                   c.embedding::double[]), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal family (binary columns + typed metadata; decode is a
+# deterministic sha256 stub — the Spark plumbing is real)
+# ---------------------------------------------------------------------------
+
+def _media_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.concat(F.lit("media:"), F.col("doc_id").cast("string")),
+                 "utf-8").alias("payload"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.create_map(
+            F.lit("duration_s"), (F.col("doc_id") % 25 + 5).cast("string")
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from docling_spark.operators.multimodal import extract_media_features
+
+    return extract_media_features(_media_df(spark, sf_dir), feature_dim=4)
+
+
+ORACLE_MEDIA_FEATURES = """
+with m as (
+  select doc_id as media_id,
+         ['image','audio','video'][cast(doc_id % 3 + 1 as int)] as kind,
+         'media:' || doc_id as payload
+  from documents
+),
+h as (select media_id, kind, octet_length(encode(payload)) as n_bytes,
+             sha256(payload) as digest from m)
+select media_id, kind, cast(n_bytes as int) as n_bytes, digest,
+       case when kind = 'image'
+            then cast(64 + ('0x' || substr(digest, 1, 2))::int % 1920 as int) end
+         as width,
+       case when kind = 'image'
+            then cast(64 + ('0x' || substr(digest, 3, 2))::int % 1080 as int) end
+         as height,
+       [round(('0x' || substr(digest, 1, 2))::int / 255.0, 6),
+        round(('0x' || substr(digest, 3, 2))::int / 255.0, 6),
+        round(('0x' || substr(digest, 5, 2))::int / 255.0, 6),
+        round(('0x' || substr(digest, 7, 2))::int / 255.0, 6)]::float[] as feature
+from h
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    from docling_spark.operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_df(spark, sf_dir), fps=0.5)
+
+
+ORACLE_FRAME_SAMPLE = """
+with v as (
+  select doc_id as media_id, doc_id % 25 + 5 as dur
+  from documents where doc_id % 3 = 2
+),
+n as (select media_id, greatest(cast(floor(dur * 0.5) as int), 1) as n_frames from v),
+e as (select media_id, unnest(generate_series(0, n_frames - 1)) as i from n)
+select media_id, round(i * 2.0, 3) as frame_ts from e
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineage / metrics sidecar + simhash near-pairs
+# ---------------------------------------------------------------------------
+
+def q_extract_metrics_by_format(spark, sf_dir):
+    """The metrics sidecar rolled up by format: every extraction row
+    carries per-turn metrics (pages parsed, boilerplate ratio, item
+    count); the sidecar aggregation is a plain groupBy over them."""
+    from docling_spark.operators.extract_ops import extract_turns
+
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><body><div>boilerplate nav</div><h1>Document "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p><footer>fine print</footer></body></html>")))
+        .when(m == 1, F.concat(
+            F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n\n"),
+            F.col("text"), F.lit("\n\n- "), _tok(1), F.lit("\n- "), _tok(2)))
+        .when(m == 2, F.concat(
+            F.lit("k;v\n"), _tok(1), F.lit(";"), _tok(2), F.lit("\n"),
+            _tok(3), F.lit(";"), _tok(4)))
+        .otherwise(F.col("text"))
+    )
+    tool = (
+        F.when(m == 0, F.lit("html")).when(m == 1, F.lit("md"))
+        .when(m == 2, F.lit("csv")).otherwise(F.lit(""))
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), tool.alias("tool"),
+    )
+    out = extract_turns(d)
+    return out.groupBy("format").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("metrics.n_items")).alias("total_items"),
+        F.round(F.avg(F.col("metrics.boilerplate_ratio")), 6)
+        .alias("avg_boilerplate"),
+        F.sum(F.col("metrics.pages_parsed")).alias("pages_parsed"),
+        F.sum(F.when(F.col("status") != "success", 1).otherwise(0))
+        .alias("failures"),
+    )
+
+
+# engine-derived constants per format (asserted in tests/test_extract_job):
+# html heading payload → 4 items, boilerplate 0.5; md → 5 items; csv/plain → 1
+ORACLE_METRICS_BY_FORMAT = """
+with f as (
+  select doc_id,
+         case cast(doc_id % 4 as int) when 0 then 'html' when 1 then 'md'
+              when 2 then 'csv' else 'plain' end as format
+  from documents
+)
+select format, count(*) as n_docs,
+       sum(case format when 'html' then 4 when 'md' then 5 else 1 end)
+         as total_items,
+       round(avg(case format when 'html' then 0.5 else 0.0 end), 6)
+         as avg_boilerplate,
+       count(*) as pages_parsed,
+       0 as failures
+from f group by format
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Near-duplicate detection by simhash Hamming distance ≤ 7, exact via
+    pigeonhole banding (8 chunks of 4 bits) — never an n² join."""
+    from docling_spark.operators.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(
+        simhash(_docs(spark, sf_dir), bits=32), max_hamming=7, chunks=8
+    )
+
+
+ORACLE_SIMHASH_NEAR = """
+with toks as (
+  select doc_id,
+         unnest(list_distinct(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+         )) as tok
+  from documents
+),
+h as (select doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint as h from toks),
+votes as (
+  select doc_id, b,
+         sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as v
+  from h, generate_series(0, 31) t(b)
+  group by 1, 2
+),
+sh as (
+  select doc_id,
+         sum(case when v > 0 then (1::bigint << b) else 0 end)::bigint as simhash
+  from votes group by 1
+)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+from sh a join sh b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 7
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -734,6 +1184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_md_doc": q_extract_md_doc,
         "extract_status_counts": q_extract_status_counts,
         "turn_ordering": q_turn_ordering,
+        # pdfish layout path
+        "extract_pdfish_reading_order": q_extract_pdfish_reading_order,
+        "extract_pdfish_hyphen_merge": q_extract_pdfish_hyphen_merge,
+        "extract_items_spans": q_extract_items_spans,
+        "extract_vtt_dialogue": q_extract_vtt_dialogue,
+        # chunkers
+        "chunk_fixed_tokens": q_chunk_fixed_tokens,
+        "chunk_heading_context": q_chunk_heading_context,
+        # multimodal
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        # metrics sidecar
+        "extract_metrics_by_format": q_extract_metrics_by_format,
         # text analysis
         "doc_stats": q_doc_stats,
         # dedup
@@ -742,9 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         # similarity
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "embed_knn_of_zero": q_embed_knn_of_zero,
+        "ann_bucket_pairs": q_ann_bucket_pairs,
         # relational operator classes
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_order_rank": q_window_order_rank,
@@ -766,14 +1231,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_md_doc": ORACLE_MD,
         "extract_status_counts": ORACLE_STATUS_COUNTS,
         "turn_ordering": ORACLE_TURN_ORDERING,
+        "extract_pdfish_reading_order": ORACLE_PDFISH_READING_ORDER,
+        "extract_pdfish_hyphen_merge": ORACLE_PDFISH_HYPHEN,
+        "extract_items_spans": ORACLE_ITEMS_SPANS,
+        "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
+        "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
+        "chunk_heading_context": ORACLE_CHUNK_HEADING,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
+        "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "doc_stats": ORACLE_DOC_STATS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_signatures": ORACLE_MINHASH,
         "dedup_jaccard": ORACLE_JACCARD,
         "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
         "simhash": ORACLE_SIMHASH,
+        "simhash_near_pairs": ORACLE_SIMHASH_NEAR,
         "embed_cosine_pairs": ORACLE_COSINE_PAIRS,
         "embed_knn_of_zero": ORACLE_KNN_ZERO,
+        "ann_bucket_pairs": _ann_oracle(),
         "agg_pricing_summary": ORACLE_PRICING,
         "window_order_rank": ORACLE_WINDOW_RANK,
         "anti_join_no_orders": ORACLE_ANTI_JOIN,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from docling_spark.engine import csvx, htmlx, layoutx, mdx
+from docling_spark.engine import csvx, htmlx, layoutx, mdx, vttx
 from docling_spark.functions.textnorm import normalize_plain, rate_text_quality
 
 STATUS_SUCCESS = "success"
@@ -34,7 +34,7 @@ STATUS_SKIPPED = "skipped"
 # this are skipped, not parsed.
 DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 
-KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "plain")
+KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "plain")
 
 _HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])")
 _HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
@@ -47,10 +47,12 @@ def detect_format(text: str, tool: str = "") -> str:
     column is the format hint; content sniffing is the fallback
     (document.py:1014 HTML detection, 1058 CSV dialect detection)."""
     hint = (tool or "").strip().lower()
-    if hint in ("html", "md", "csv", "pdfish", "code"):
+    if hint in ("html", "md", "csv", "pdfish", "code", "vtt"):
         return hint
     if not text or not text.strip():
         return "plain"
+    if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
+        return "vtt"
     if _PDFISH_RE.match(text):
         return "pdfish"
     if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text[:4096]):
@@ -170,6 +172,8 @@ def extract_payload(
             extracted, items, metrics = csvx.extract_csv(text)
         elif fmt == "pdfish":
             extracted, items, metrics = layoutx.extract_layout(text)
+        elif fmt == "vtt":
+            extracted, items, metrics = vttx.extract_vtt(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

@@ -1,0 +1,113 @@
+"""Chunking operators — the reference's chunker surface (HybridChunker /
+HierarchicalChunker, docling/chunking/__init__.py:7-13; CLI chunked-JSONL
+sink docling/cli/main.py:594-622) re-expressed as table-generating
+DataFrame ops: build an ``array<struct>`` of chunks per document JVM-side,
+then ``explode`` — the Spark UDTF shape, no Python in the path.
+
+Scale notes: chunking is per-row (no shuffle); the explode multiplies rows
+before any downstream shuffle, so chunk early only if the next op needs
+chunk granularity — otherwise chunk after filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_spark.operators.textstats import norm_text
+
+
+def fixed_token_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    overlap: int = 0,
+) -> DataFrame:
+    """Fixed-size token-window chunks: (doc_id, chunk_idx, chunk_text,
+    n_tokens). Tokenization = whitespace on normalized text (the same
+    splitter as textstats token counting); windows advance by
+    ``chunk_tokens - overlap``.
+
+    All JVM-side: one split, one sequence/transform, one explode.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    norm = norm_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - F.lit(overlap) + F.lit(step) - 1) / F.lit(step)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * step + 1, chunk_tokens)
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array())
+    out = docs.select("doc_id", F.explode(chunks).alias("ch")).select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
+def heading_contextual_chunks(
+    items: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Hierarchical chunking over the flattened item table: one chunk per
+    body text-bearing item, contextualized with the nearest preceding
+    heading (the HybridChunker "headings prefix" contract).
+
+    Input: items table (doc, item_idx, label, text, content_layer).
+    Output: (doc, chunk_idx, heading, chunk_text).
+
+    Spark-first: the "nearest preceding heading" is ``last(heading_text,
+    ignorenulls) OVER (PARTITION BY doc ORDER BY item_idx)`` — a window,
+    not a per-document loop (SURVEY.md §2.e heading-stack analog).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(doc_col).orderBy("item_idx")
+    heading = F.when(
+        F.col("label").isin("title", "section_header"), F.col("text")
+    )
+    enriched = items.withColumn(
+        "heading", F.last(heading, ignorenulls=True).over(w)
+    )
+    body = enriched.filter(
+        (F.col("content_layer") == "body")
+        & F.col("label").isin("text", "list_item", "code", "caption")
+        & (F.length("text") > 0)
+    )
+    w2 = Window.partitionBy(doc_col).orderBy("item_idx")
+    return body.select(
+        F.col(doc_col),
+        (F.row_number().over(w2) - 1).alias("chunk_idx"),
+        F.coalesce(F.col("heading"), F.lit("")).alias("heading"),
+        F.col("text").alias("chunk_text"),
+    )
+
+
+def chunk_char_spans(chunks: DataFrame, text_col: str = "chunk_text") -> Column:
+    """Length accounting for chunk provenance: cumulative char offset per
+    doc — window sum, mirrors ProvenanceItem.charspan bookkeeping."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return F.coalesce(F.sum(F.length(text_col) + 1).over(w), F.lit(0))

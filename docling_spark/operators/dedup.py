@@ -124,11 +124,48 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle sets: |A∩B| / (|A|+|B|-|A∩B|).
 
-    With ``candidates`` given (LSH output), intersections are computed only
-    for candidate pairs — the scale path. Without it, the shingle equi-join
-    enumerates all co-shingled pairs (oracle-friendly at sf sizes; the join
-    is still on the shingle key, never a cross join).
+    With ``candidates`` given (LSH output), ALL work is confined to the
+    candidate set: shingle streams are semi-joined down to candidate docs,
+    per-doc shingle sets are assembled once (one groupBy), and the
+    intersection is ``array_intersect`` per candidate pair — two doc_id
+    equi-joins, zero pair enumeration. Cost is O(|candidates|·set_size),
+    independent of how popular any single shingle is; this is what survives
+    a corpus where "of the and" appears in every document.
+
+    Without ``candidates`` the shingle equi-join enumerates all co-shingled
+    pairs (oracle-friendly at sf sizes; the join is still on the shingle
+    key, never a cross join — but a hot shingle shared by m docs costs
+    m², so at scale always pass the LSH candidates).
     """
+    if candidates is not None:
+        in_play = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            sh.join(in_play, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shset"))
+        )
+        return (
+            candidates
+            .join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("shset").alias("set_a")), "doc_a")
+            .join(sets.select(F.col("doc_id").alias("doc_b"),
+                              F.col("shset").alias("set_b")), "doc_b")
+            .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,8 +175,6 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"])
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -194,11 +229,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
-                       bits: int = 32) -> DataFrame:
+                       bits: int = 32, chunks: int = 4) -> DataFrame:
     """Hamming-near pairs via bit_count(xor) — at corpus scale the join is
-    pre-bucketed on simhash bytes (pigeonhole: ≤3 differing bits over 4
-    8-bit chunks → at least one chunk equal), keeping it out of n² land."""
-    chunks = 4
+    pre-bucketed on simhash chunks (pigeonhole: < ``chunks`` differing bits
+    → at least one chunk equal), keeping it out of n² land. Requires
+    ``max_hamming < chunks`` for exactness."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole exactness needs max_hamming < chunks")
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     banded = sim.select(

@@ -35,7 +35,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
-        T.StructField("sha1", T.StringType(), False),
+        T.StructField("digest", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
@@ -47,17 +47,17 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """STUB: real image decode needs PIL/libvips (not in this container).
 
     The deterministic fake derives a plausible (width, height) from the
-    payload hash so the downstream plumbing (schema, batching, joins) is
-    exercised with stable values. Swap body for ``PIL.Image.open`` in a
-    real deployment.
+    payload's sha256 so the downstream plumbing (schema, batching, joins)
+    is exercised with stable, cross-engine-reproducible values. Swap body
+    for ``PIL.Image.open`` in a real deployment.
     """
-    h = hashlib.sha1(payload or b"").digest()
+    h = hashlib.sha256(payload or b"").digest()
     return 64 + h[0] % 1920, 64 + h[1] % 1080
 
 
 def feature_stub(payload: bytes, dim: int = 8) -> list[float]:
     """STUB embedding: hash-derived unit-free floats, deterministic."""
-    h = hashlib.sha1(payload or b"").digest()
+    h = hashlib.sha256(payload or b"").digest()
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
@@ -71,13 +71,13 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             out = {
                 "media_id": pdf["media_id"].tolist(),
                 "kind": pdf["kind"].tolist(),
-                "n_bytes": [], "sha1": [], "width": [], "height": [],
+                "n_bytes": [], "digest": [], "width": [], "height": [],
                 "feature": [],
             }
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
                 out["n_bytes"].append(len(b))
-                out["sha1"].append(hashlib.sha1(b).hexdigest())
+                out["digest"].append(hashlib.sha256(b).hexdigest())
                 if kind == "image":
                     w, h = decode_image(b)
                 else:

@@ -1,0 +1,166 @@
+"""Unit tests for the training-data operators added on top of the
+extraction engine: chunkers, multimodal plumbing, candidate-confined
+jaccard, simhash banding guarantees, and ANN bucket recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark.operators.chunker import (
+    fixed_token_chunks,
+    heading_contextual_chunks,
+)
+from docling_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from docling_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synth_media_df,
+)
+from docling_spark.operators.similarity import ann_topk_lsh, topk_cosine
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "one two three"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fixed_token_chunks(docs):
+    out = fixed_token_chunks(docs, chunk_tokens=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [c.chunk_text for c in sorted(by_doc[0], key=lambda r: r.chunk_idx)] == [
+        "alpha beta gamma", "delta epsilon zeta", "eta theta",
+    ]
+    assert [c.n_tokens for c in sorted(by_doc[0], key=lambda r: r.chunk_idx)] == [3, 3, 2]
+    assert by_doc[2][0].chunk_text == "one two three"
+    assert 3 not in by_doc  # empty text -> no chunks
+
+
+def test_fixed_token_chunks_overlap(docs):
+    out = fixed_token_chunks(docs.filter("doc_id = 0"), chunk_tokens=4,
+                             overlap=2).collect()
+    texts = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_idx)]
+    assert texts[0] == "alpha beta gamma delta"
+    assert texts[1] == "gamma delta epsilon zeta"
+    # windows advance by 2 until tokens are exhausted
+    assert all(t for t in texts)
+
+
+def test_heading_contextual_chunks(spark):
+    items = spark.createDataFrame(
+        [
+            (1, 0, "unspecified", "_root_", "body"),
+            (1, 1, "title", "Intro", "body"),
+            (1, 2, "text", "first para", "body"),
+            (1, 3, "section_header", "Methods", "body"),
+            (1, 4, "text", "second para", "body"),
+            (1, 5, "text", "footer junk", "furniture"),
+        ],
+        "doc_id long, item_idx int, label string, text string, content_layer string",
+    )
+    out = heading_contextual_chunks(items).collect()
+    got = [(r.chunk_idx, r.heading, r.chunk_text) for r in
+           sorted(out, key=lambda r: r.chunk_idx)]
+    assert got == [(0, "Intro", "first para"), (1, "Methods", "second para")]
+
+
+def test_jaccard_candidate_path_matches_full(docs, spark):
+    sh = shingles(docs.filter("doc_id < 3"))
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sh, threshold=0.1).collect()
+    }
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    confined = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sh, threshold=0.1, candidates=cands).collect()
+    }
+    # candidate path must agree with the full path on every pair it emits,
+    # and docs 0/1 (7 of 9 shingles shared) must be found
+    assert (0, 1) in confined
+    for pair, j in confined.items():
+        assert full[pair] == j
+
+
+def test_simhash_near_pairs_guard(docs):
+    sim = simhash(docs)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(sim, max_hamming=4, chunks=4)
+
+
+def test_simhash_banding_exact(spark):
+    # identical docs -> hamming 0 pair must be found by the banded join
+    rows = [(i, "the quick brown fox jumps") for i in range(2)] + [
+        (2, "totally different content here now")
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_pairs(simhash(d), max_hamming=3, chunks=4).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_media_features_schema_and_determinism(spark):
+    media = synth_media_df(spark, n=12)
+    out = extract_media_features(media, feature_dim=4)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+    img = next(r for r in rows.values() if r.kind == "image")
+    assert 64 <= img.width < 64 + 1920
+    assert len(img.feature) == 4
+    aud = next(r for r in rows.values() if r.kind == "audio")
+    assert aud.width is None
+    # deterministic: second run identical
+    again = {r.media_id: r for r in out.collect()}
+    assert all(rows[k].digest == again[k].digest for k in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media_df(spark, n=9).withColumn(
+        "meta", F.create_map(F.lit("duration_s"), F.lit("8"))
+    )
+    out = frame_sample_plan(media, fps=0.5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts)
+    # videos are ids 2,5,8; 8s at 0.5fps -> frames at 0.0 and 2.0... int(8*0.5)=4
+    assert set(by_id) == {2, 5, 8}
+    assert sorted(by_id[2]) == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+
+    def jitter(eps):
+        v = [b + rng.gauss(0, eps) for b in base]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, jitter(0.05)) for i in range(20)] + [
+        (100 + i, jitter(10.0)) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = jitter(0.0)
+    exact = [r.vec_id for r in topk_cosine(emb, q, k=5).collect()]
+    approx = [r.vec_id for r in
+              ann_topk_lsh(emb, q, k=5, n_planes=6, dim=dim,
+                           multiprobe_hamming=2).collect()]
+    # near-cluster ids dominate both; require >= 4/5 agreement
+    assert len(set(exact) & set(approx)) >= 4
