@@ -1065,6 +1065,82 @@ select media_id, round(i * 2.0, 3) as frame_ts from e
 """
 
 
+def q_extract_email(spark, sf_dir):
+    """RFC-822 payload: Subject→title, From/To/Date header items (date
+    ISO-8601), blank-line body paragraphs (email_backend.py semantics)."""
+    t = _tok
+    payload = F.concat(
+        F.lit("From: Alice Example <alice@example.com>\n"),
+        F.lit("To: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com\nSubject: Report "), t(1),
+        F.lit("\nDate: Mon, 17 Aug 2026 10:30:00 +0000\n\n"),
+        t(2), F.lit(" "), t(3), F.lit(" first paragraph.\n\nSecond one "),
+        t(4), F.lit("."),
+    )
+    return _extract_docs(spark, sf_dir, payload, "email")
+
+
+ORACLE_EMAIL = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '# Report ' || toks[1] || chr(10) || chr(10)
+        || 'From: Alice Example <alice@example.com>' || chr(10) || chr(10)
+        || 'To: user' || doc_id || '@example.com' || chr(10) || chr(10)
+        || 'Date: 2026-08-17T10:30:00+00:00' || chr(10) || chr(10)
+        || toks[2] || ' ' || toks[3] || ' first paragraph.' || chr(10) || chr(10)
+        || 'Second one ' || toks[4] || '.' as extracted_text
+from t
+"""
+
+
+# ---------------------------------------------------------------------------
+# export sinks (doctags / itxt — OutputFormat surface)
+# ---------------------------------------------------------------------------
+
+def q_export_doctags(spark, sf_dir):
+    """DocTags export over the html list+table payload: title, list group
+    (one item per line), OTSL table tokens — grammar pinned by the
+    reference's own doctags groundtruth corpus."""
+    from docling_spark.operators.export import export_items
+    from docling_spark.operators.extract_ops import extract_turns
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    payload = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<ul><li>"), w(1), F.lit("</li><li>"), w(2), F.lit("</li></ul>"),
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>"), w(3),
+        F.lit("</td><td>"), w(4), F.lit("</td></tr></table>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+    out = export_items(extract_turns(d), "doctags")
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "doctags"
+    )
+
+
+ORACLE_EXPORT_DOCTAGS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id,
+       '<doctag><title>Doc ' || doc_id || '</title>' || chr(10)
+        || '<unordered_list><list_item>' || toks[1] || '</list_item>' || chr(10)
+        || '<list_item>' || toks[2] || '</list_item>' || chr(10)
+        || '</unordered_list>' || chr(10)
+        || '<otsl><ched>k<ched>v<nl><fcel>' || toks[3] || '<fcel>' || toks[4]
+        || '<nl></otsl>' || chr(10) || '</doctag>' as doctags
+from t
+"""
+
+
 # ---------------------------------------------------------------------------
 # lineage / metrics sidecar + simhash near-pairs
 # ---------------------------------------------------------------------------
@@ -1189,12 +1265,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdfish_hyphen_merge": q_extract_pdfish_hyphen_merge,
         "extract_items_spans": q_extract_items_spans,
         "extract_vtt_dialogue": q_extract_vtt_dialogue,
+        "extract_email": q_extract_email,
         # chunkers
         "chunk_fixed_tokens": q_chunk_fixed_tokens,
         "chunk_heading_context": q_chunk_heading_context,
         # multimodal
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        # export sinks
+        "export_doctags": q_export_doctags,
         # metrics sidecar
         "extract_metrics_by_format": q_extract_metrics_by_format,
         # text analysis
@@ -1235,10 +1314,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_hyphen_merge": ORACLE_PDFISH_HYPHEN,
         "extract_items_spans": ORACLE_ITEMS_SPANS,
         "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
+        "extract_email": ORACLE_EMAIL,
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
         "media_features": ORACLE_MEDIA_FEATURES,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "doc_stats": ORACLE_DOC_STATS,
         "dedup_exact": ORACLE_DEDUP_EXACT,

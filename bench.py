@@ -73,11 +73,16 @@ def main() -> None:
     qmap = entry.queries()
     bench_queries = [
         "extract_html_heading",
+        "extract_pdfish_reading_order",
+        "extract_vtt_dialogue",
         "doc_stats",
+        "chunk_fixed_tokens",
         "dedup_exact",
         "dedup_minhash_lsh",
         "simhash",
         "embed_knn_of_zero",
+        "ann_bucket_pairs",
+        "media_features",
         "agg_pricing_summary",
         "window_order_rank",
         "broadcast_brand_revenue",

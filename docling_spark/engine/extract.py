@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from docling_spark.engine import csvx, htmlx, layoutx, mdx, vttx
+from docling_spark.engine import csvx, emailx, htmlx, layoutx, mdx, vttx
 from docling_spark.functions.textnorm import normalize_plain, rate_text_quality
 
 STATUS_SUCCESS = "success"
@@ -34,7 +34,7 @@ STATUS_SKIPPED = "skipped"
 # this are skipped, not parsed.
 DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 
-KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "plain")
+KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email", "plain")
 
 _HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])")
 _HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
@@ -47,12 +47,14 @@ def detect_format(text: str, tool: str = "") -> str:
     column is the format hint; content sniffing is the fallback
     (document.py:1014 HTML detection, 1058 CSV dialect detection)."""
     hint = (tool or "").strip().lower()
-    if hint in ("html", "md", "csv", "pdfish", "code", "vtt"):
+    if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email"):
         return hint
     if not text or not text.strip():
         return "plain"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
+    if emailx.looks_like_email(text):
+        return "email"
     if _PDFISH_RE.match(text):
         return "pdfish"
     if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text[:4096]):
@@ -174,6 +176,8 @@ def extract_payload(
             extracted, items, metrics = layoutx.extract_layout(text)
         elif fmt == "vtt":
             extracted, items, metrics = vttx.extract_vtt(text)
+        elif fmt == "email":
+            extracted, items, metrics = emailx.extract_email(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

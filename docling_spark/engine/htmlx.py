@@ -977,6 +977,12 @@ class HtmlExtractor:
                     runs = []
                     truns: list[_Run] = []
                     for sub in ch.find_all(frozenset(["td", "th"])):
+                        # nested-table-in-cell: only LEAF cells contribute
+                        # text (a cell wrapping another table would repeat
+                        # every descendant cell — html_backend.py get_text
+                        # visits each text node exactly once)
+                        if sub.find_all(frozenset(["table"])):
+                            continue
                         truns.append(_Run(" " + self._plain_text(sub), frozenset(), None))
                     flush_runs(truns)
                 elif ch.tag == "pre":

@@ -162,6 +162,46 @@ def _pdfish_payload(key: int) -> str:
     return "\n".join(json.dumps(c) for c in cells)
 
 
+def _vtt_payload(key: int) -> str:
+    """WebVTT transcript slab: cues with voices, occasional italics and a
+    multi-line cue (vtt engine coverage; cue ≈ turn per SURVEY.md §2.a)."""
+    n_cues = 2 + _h(key, "nc") % 4
+    out = ["WEBVTT", ""]
+    t = _h(key, "t0") % 30
+    for i in range(n_cues):
+        dur = 2 + _h(key, "d", i) % 5
+        s_m, s_s = divmod(t, 60)
+        e_m, e_s = divmod(t + dur, 60)
+        out.append(f"{s_m:02d}:{s_s:02d}.000 --> {e_m:02d}:{e_s:02d}.000")
+        speaker = ["Alice", "Bob", "Speaker A"][_h(key, "sp", i) % 3]
+        line = _sentence(_h(key, "cl", i), 6)
+        if _h(key, "it", i) % 4 == 0:
+            w = _words(_h(key, "iw", i), 2)
+            line = f"{line[:-1]} <i>{w}</i>."
+        if _h(key, "ml", i) % 5 == 0:
+            out.append(f"<v {speaker}>{line}")
+            out.append(_sentence(_h(key, "cl2", i), 4))
+        else:
+            out.append(f"<v {speaker}>{line}")
+        out.append("")
+        t += dur
+    return "\n".join(out)
+
+
+def _email_payload(key: int) -> str:
+    subj = _words(_h(key, "sj"), 4).title()
+    user = f"user{_h(key, 'u') % 1000}"
+    body1 = _sentence(_h(key, "b1"), 10)
+    body2 = _sentence(_h(key, "b2"), 8)
+    return (
+        f"From: {_words(_h(key, 'fn'), 1).title()} Example <{user}@example.com>\n"
+        f"To: Ops Team <ops@example.com>\n"
+        f"Subject: {subj}\n"
+        f"Date: Mon, 17 Aug 2026 {(_h(key, 'hh') % 24):02d}:30:00 +0000\n\n"
+        f"{body1}\n\n{body2}\n"
+    )
+
+
 def _code_payload(key: int) -> str:
     kind = _h(key, "k") % 3
     if kind == 0:
@@ -215,16 +255,20 @@ def make_turn(conv_idx: int, turn_idx: int) -> dict:
         # oversize blobs only occasionally (they're expensive to carry)
         if len(text) > 1_000_000 and _h(key, "keep") % 10 != 0:
             text = '{"page_no": bad'
-    elif sel < 40:
+    elif sel < 38:
         tool, text = "", _plain_payload(key)
+    elif sel < 40:
+        tool, text = "email", _email_payload(key)
     elif sel < 60:
         tool, text = "html", _html_payload(key)
     elif sel < 72:
         tool, text = "md", _md_payload(key)
     elif sel < 80:
         tool, text = "csv", _csv_payload(key)
-    elif sel < 90:
+    elif sel < 88:
         tool, text = "pdfish", _pdfish_payload(key)
+    elif sel < 92:
+        tool, text = "vtt", _vtt_payload(key)
     else:
         tool, text = "code", _code_payload(key)
     ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(

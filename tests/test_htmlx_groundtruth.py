@@ -30,6 +30,7 @@ EXPECT_MATCH = [
     "hyperlink_05", "hyperlink_06",
     "table_01", "table_02", "table_03", "table_04", "table_05",
     "table_with_heading_01", "table_with_heading_02",
+    "unit_test_01",
     "wiki_duck",
 ]
 
