@@ -14,7 +14,7 @@ Pure Python; runs inside the extraction pandas UDF.
 from __future__ import annotations
 
 import re
-from email import policy
+from email.header import decode_header
 from email.parser import Parser
 from email.utils import getaddresses, parsedate_to_datetime
 
@@ -64,6 +64,34 @@ def _split_paragraphs(text: str) -> list[str]:
     return [p.strip() for p in _PARA_SPLIT.split(text.strip()) if p.strip()]
 
 
+def _decode_hdr(raw: str | None) -> str:
+    """Raw header → text; RFC-2047 encoded-words decoded only when present
+    (the compat32 policy keeps headers as raw strings — the default policy's
+    header registry costs ~70% of parse time and is unneeded here)."""
+    if not raw:
+        return ""
+    if "=?" not in raw:
+        return raw
+    parts = []
+    for chunk, charset in decode_header(raw):
+        if isinstance(chunk, bytes):
+            chunk = chunk.decode(charset or "utf-8", errors="replace")
+        parts.append(chunk)
+    return "".join(parts)
+
+
+def _part_text(part) -> str | None:
+    payload = part.get_payload(decode=True)
+    if payload is None:
+        raw = part.get_payload()
+        return raw if isinstance(raw, str) else None
+    charset = part.get_content_charset() or "utf-8"
+    try:
+        return payload.decode(charset, errors="replace")
+    except LookupError:
+        return payload.decode("utf-8", errors="replace")
+
+
 def _body_paragraphs(msg) -> list[str]:
     plains: list[str] = []
     htmls: list[str] = []
@@ -77,15 +105,14 @@ def _body_paragraphs(msg) -> list[str]:
         if disp.startswith("attachment") or part.get_filename():
             continue
         ctype = part.get_content_type()
-        try:
-            payload = part.get_content()
-        except Exception:
-            payload = part.get_payload()
-        if not isinstance(payload, str):
-            continue  # attachments stay opaque (binary columns, not text)
+        if ctype not in ("text/plain", "text/html"):
+            continue
+        payload = _part_text(part)
+        if payload is None:
+            continue
         if ctype == "text/plain":
             plains.append(payload)
-        elif ctype == "text/html":
+        else:
             htmls.append(payload)
     if plains:
         out: list[str] = []
@@ -108,11 +135,11 @@ def extract_email(payload: str) -> tuple[str, list[dict], dict]:
     flat item schema."""
     if not looks_like_email(payload):
         raise EmailError("not an RFC-822 message (missing header block)")
-    msg = Parser(policy=policy.default).parsestr(payload)
+    msg = Parser().parsestr(payload)
 
-    subject = (msg.get("Subject") or "").strip()
-    from_text = _format_addresses(msg.get("From"))
-    to_text = _format_addresses(msg.get("To"))
+    subject = _decode_hdr(msg.get("Subject")).strip()
+    from_text = _format_addresses(_decode_hdr(msg.get("From")))
+    to_text = _format_addresses(_decode_hdr(msg.get("To")))
     date_text = _date_text(msg.get("Date"))
     paragraphs = _body_paragraphs(msg)
 
