@@ -1099,6 +1099,34 @@ from t
 # export sinks (doctags / itxt — OutputFormat surface)
 # ---------------------------------------------------------------------------
 
+def q_extract_asciidoc(spark, sf_dir):
+    """AsciiDoc payload: title, section, list, fenced table — the regex
+    line-parser backend end-to-end (asciidoc_backend.py semantics)."""
+    t = _tok
+    payload = F.concat(
+        F.lit("= Guide "), F.col("doc_id").cast("string"),
+        F.lit("\n\nabstract "), t(1), F.lit("\n\n== Usage\n\n* "), t(2),
+        F.lit("\n* "), t(3),
+        F.lit("\n\n|===\n|K |V\n|"), t(4), F.lit(" |"), t(5), F.lit("\n|===\n"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "asciidoc")
+
+
+ORACLE_ASCIIDOC = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '# Guide ' || doc_id || chr(10) || chr(10)
+        || 'abstract ' || toks[1] || chr(10) || chr(10)
+        || '## Usage' || chr(10) || chr(10)
+        || '- ' || toks[2] || chr(10) || '- ' || toks[3] || chr(10) || chr(10)
+        || '| K | V |' || chr(10) || '| - | - |' || chr(10)
+        || '| ' || toks[4] || ' | ' || toks[5] || ' |' as extracted_text
+from t
+"""
+
+
 def q_export_doctags(spark, sf_dir):
     """DocTags export over the html list+table payload: title, list group
     (one item per line), OTSL table tokens — grammar pinned by the
@@ -1266,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_items_spans": q_extract_items_spans,
         "extract_vtt_dialogue": q_extract_vtt_dialogue,
         "extract_email": q_extract_email,
+        "extract_asciidoc": q_extract_asciidoc,
         # chunkers
         "chunk_fixed_tokens": q_chunk_fixed_tokens,
         "chunk_heading_context": q_chunk_heading_context,
@@ -1315,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_items_spans": ORACLE_ITEMS_SPANS,
         "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
         "extract_email": ORACLE_EMAIL,
+        "extract_asciidoc": ORACLE_ASCIIDOC,
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
         "media_features": ORACLE_MEDIA_FEATURES,

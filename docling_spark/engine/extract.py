@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from docling_spark.engine import csvx, emailx, htmlx, layoutx, mdx, vttx
+from docling_spark.engine import asciidocx, csvx, emailx, htmlx, layoutx, mdx, vttx
 from docling_spark.functions.textnorm import normalize_plain, rate_text_quality
 
 STATUS_SUCCESS = "success"
@@ -34,7 +34,10 @@ STATUS_SKIPPED = "skipped"
 # this are skipped, not parsed.
 DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 
-KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email", "plain")
+KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
+                 "asciidoc", "plain")
+
+_ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
 _HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])")
 _HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
@@ -47,7 +50,10 @@ def detect_format(text: str, tool: str = "") -> str:
     column is the format hint; content sniffing is the fallback
     (document.py:1014 HTML detection, 1058 CSV dialect detection)."""
     hint = (tool or "").strip().lower()
-    if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email"):
+    if hint == "adoc":
+        hint = "asciidoc"
+    if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
+                "asciidoc"):
         return hint
     if not text or not text.strip():
         return "plain"
@@ -59,6 +65,8 @@ def detect_format(text: str, tool: str = "") -> str:
         return "pdfish"
     if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text[:4096]):
         return "html"
+    if text.startswith("= ") and _ADOC_SNIFF_RE.match(text[:4096]):
+        return "asciidoc"
     if _MD_CUES_RE.search(text[:4096]):
         return "md"
     head = [ln for ln in text.splitlines()[:5] if ln.strip()]
@@ -178,6 +186,8 @@ def extract_payload(
             extracted, items, metrics = vttx.extract_vtt(text)
         elif fmt == "email":
             extracted, items, metrics = emailx.extract_email(text)
+        elif fmt == "asciidoc":
+            extracted, items, metrics = asciidocx.extract_asciidoc(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

@@ -188,6 +188,18 @@ def _vtt_payload(key: int) -> str:
     return "\n".join(out)
 
 
+def _asciidoc_payload(key: int) -> str:
+    title = _words(_h(key, "at"), 3).title()
+    sec = _words(_h(key, "as"), 3).title()
+    para = _sentence(_h(key, "ap"), 10)
+    lis = "\n".join(f"* {_words(_h(key, 'al', i), 3)}" for i in range(2))
+    return (
+        f"= {title}\n\n{para}\n\n== {sec}\n\n{lis}\n\n"
+        f"|H1|H2|\n|{_WORDS[_h(key, 'c1') % len(_WORDS)]}"
+        f"|{_WORDS[_h(key, 'c2') % len(_WORDS)]}|\n"
+    )
+
+
 def _email_payload(key: int) -> str:
     subj = _words(_h(key, "sj"), 4).title()
     user = f"user{_h(key, 'u') % 1000}"
@@ -255,8 +267,10 @@ def make_turn(conv_idx: int, turn_idx: int) -> dict:
         # oversize blobs only occasionally (they're expensive to carry)
         if len(text) > 1_000_000 and _h(key, "keep") % 10 != 0:
             text = '{"page_no": bad'
-    elif sel < 38:
+    elif sel < 36:
         tool, text = "", _plain_payload(key)
+    elif sel < 38:
+        tool, text = "asciidoc", _asciidoc_payload(key)
     elif sel < 40:
         tool, text = "email", _email_payload(key)
     elif sel < 60:

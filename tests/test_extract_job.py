@@ -63,7 +63,8 @@ def test_statuses_and_formats(extracted):
     statuses = {r["status"] for r in extracted.select("status").distinct().collect()}
     assert statuses <= {"success", "partial_success", "failure", "skipped"}
     fmts = {r["format"] for r in extracted.select("format").distinct().collect()}
-    assert {"html", "md", "csv", "pdfish", "vtt", "email", "code", "plain"} <= fmts
+    assert {"html", "md", "csv", "pdfish", "vtt", "email", "asciidoc",
+            "code", "plain"} <= fmts
 
 
 def test_extraction_deterministic_across_runs(spark, transcripts):
