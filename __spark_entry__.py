@@ -1099,6 +1099,140 @@ from t
 # export sinks (doctags / itxt — OutputFormat surface)
 # ---------------------------------------------------------------------------
 
+def q_heading_hierarchy(spark, sf_dir):
+    """The HTML heading parent stack (html_backend.py:2157-2228): h2 under
+    h1, h3 under h2, a later h2 truncates back to the h1 level — verified
+    on the exploded item tree."""
+    from docling_spark.operators.extract_ops import extract_turns
+
+    t = _tok
+    payload = F.concat(
+        F.lit("<h1>A "), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        t(1), F.lit("</p><h2>B</h2><p>"), t(2),
+        F.lit("</p><h3>C</h3><p>"), t(3),
+        F.lit("</p><h2>D</h2><p>"), t(4), F.lit("</p>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+    return (
+        extract_turns(d)
+        .select(F.col("conv_id").cast("long").alias("doc_id"),
+                F.explode("items").alias("it"))
+        .select(
+            "doc_id",
+            F.col("it.item_idx").alias("item_idx"),
+            F.col("it.parent_idx").alias("parent_idx"),
+            F.col("it.label").alias("label"),
+            F.col("it.level").alias("level"),
+            F.col("it.text").alias("item_text"),
+        )
+    )
+
+
+ORACLE_HEADING_HIERARCHY = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, u.* from t,
+lateral (
+  select * from (values
+    (0, -1, 'unspecified', 0, '_root_'),
+    (1, 0, 'title', 1, 'A ' || doc_id),
+    (2, 1, 'text', 2, toks[1]),
+    (3, 1, 'section_header', 2, 'B'),
+    (4, 3, 'text', 3, toks[2]),
+    (5, 3, 'section_header', 3, 'C'),
+    (6, 5, 'text', 4, toks[3]),
+    (7, 1, 'section_header', 2, 'D'),
+    (8, 7, 'text', 3, toks[4])
+  ) v(item_idx, parent_idx, label, level, item_text)
+) u
+"""
+
+
+def q_chunk_budget(spark, sf_dir):
+    """Token-budget packing (HybridChunker analog): three 4-token
+    paragraphs under one heading, budget 8 → items 1+2 share a chunk,
+    item 3 spills to the next — the bin id is a window cumsum, not a
+    stateful scan."""
+    from docling_spark.operators.chunker import budget_chunks
+    from docling_spark.operators.extract_ops import extract_turns
+
+    t = _tok
+    payload = F.concat(
+        F.lit("<h1>T "), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        t(1), F.lit(" "), t(2), F.lit(" a b</p><p>"),
+        t(3), F.lit(" "), t(4), F.lit(" c d</p><p>"),
+        t(5), F.lit(" "), t(6), F.lit(" e f</p>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+    items = (
+        extract_turns(d)
+        .select(F.col("conv_id").cast("long").alias("doc_id"),
+                F.explode("items").alias("it"))
+        .select("doc_id", F.col("it.item_idx").alias("item_idx"),
+                F.col("it.label").alias("label"),
+                F.col("it.text").alias("text"),
+                F.col("it.content_layer").alias("content_layer"))
+    )
+    return budget_chunks(items, max_tokens=8)
+
+
+ORACLE_CHUNK_BUDGET = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'T ' || doc_id as heading, u.chunk_id, u.chunk_text,
+       u.n_tokens
+from t,
+lateral (
+  select * from (values
+    (0, toks[1] || ' ' || toks[2] || ' a b ' || toks[3] || ' ' || toks[4]
+        || ' c d', cast(8 as bigint)),
+    (1, toks[5] || ' ' || toks[6] || ' e f', cast(4 as bigint))
+  ) v(chunk_id, chunk_text, n_tokens)
+) u
+"""
+
+
+def q_conversation_assembly(spark, sf_dir):
+    """Conversation-level document assembly: three-turn conversations
+    folded into one document per conversation in stable turn order
+    (standard_pdf_pipeline.py:1038-1048 page→document assembly analog)."""
+    from docling_spark.operators.extract_ops import (
+        assemble_conversations,
+        extract_turns,
+    )
+
+    tr = _synth_transcripts(spark, sf_dir)
+    return assemble_conversations(extract_turns(tr))
+
+
+ORACLE_CONVERSATION_ASSEMBLY = """
+with t as (
+  select doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) as norm
+  from documents
+)
+select 'conv' || lpad(doc_id::varchar, 8, '0') as conv_id,
+       norm || chr(10) || chr(10)
+        || '# Document ' || doc_id || chr(10) || chr(10) || norm
+        || chr(10) || chr(10)
+        || '```' || chr(10) || '{"doc": ' || doc_id || ', "status": "ok"}'
+        || chr(10) || '```' as conversation_text,
+       3 as n_turns, cast(3 as bigint) as n_success
+from t
+"""
+
+
 def q_extract_asciidoc(spark, sf_dir):
     """AsciiDoc payload: title, section, list, fenced table — the regex
     line-parser backend end-to-end (asciidoc_backend.py semantics)."""
@@ -1295,6 +1429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_vtt_dialogue": q_extract_vtt_dialogue,
         "extract_email": q_extract_email,
         "extract_asciidoc": q_extract_asciidoc,
+        "heading_hierarchy": q_heading_hierarchy,
+        "chunk_budget": q_chunk_budget,
+        "conversation_assembly": q_conversation_assembly,
         # chunkers
         "chunk_fixed_tokens": q_chunk_fixed_tokens,
         "chunk_heading_context": q_chunk_heading_context,
@@ -1345,6 +1482,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
         "extract_email": ORACLE_EMAIL,
         "extract_asciidoc": ORACLE_ASCIIDOC,
+        "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
+        "chunk_budget": ORACLE_CHUNK_BUDGET,
+        "conversation_assembly": ORACLE_CONVERSATION_ASSEMBLY,
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
         "media_features": ORACLE_MEDIA_FEATURES,

@@ -100,6 +100,62 @@ def heading_contextual_chunks(
     )
 
 
+def budget_chunks(
+    items: DataFrame,
+    max_tokens: int = 24,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """HybridChunker analog: pack consecutive body items (under their
+    heading context) into chunks of at most ``max_tokens`` whitespace
+    tokens, never splitting an item.
+
+    Distributed formulation: the bin id is
+    ``floor(cumsum_tokens_exclusive / max_tokens)`` over the per-(doc,
+    heading) item window — a pure window cumsum, no stateful scan. An item
+    longer than the budget gets its own bin (its exclusive-cumsum start is
+    aligned to a bin edge only approximately; greedy first-fit and
+    cumsum-binning differ only when items straddle edges, a deliberate
+    trade for a shuffle-free, oracle-reproducible plan).
+
+    Input: item table (doc, item_idx, label, text, content_layer).
+    Output: (doc, heading, chunk_id, chunk_text, n_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(doc_col).orderBy("item_idx")
+    heading = F.when(
+        F.col("label").isin("title", "section_header"), F.col("text")
+    )
+    enriched = items.withColumn(
+        "heading", F.coalesce(F.last(heading, ignorenulls=True).over(w), F.lit(""))
+    )
+    body = enriched.filter(
+        (F.col("content_layer") == "body")
+        & F.col("label").isin("text", "list_item", "code", "caption")
+        & (F.length("text") > 0)
+    ).withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    wh = Window.partitionBy(doc_col, "heading").orderBy("item_idx")
+    cum_excl = F.coalesce(
+        F.sum("n_tok").over(wh.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = body.withColumn(
+        "chunk_id", F.floor(cum_excl / F.lit(max_tokens)).cast("int")
+    )
+    return (
+        binned.groupBy(doc_col, "heading", "chunk_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("item_idx"), F.col("text")))
+                ).getField("text"),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
 def chunk_char_spans(chunks: DataFrame, text_col: str = "chunk_text") -> Column:
     """Length accounting for chunk provenance: cumulative char offset per
     doc — window sum, mirrors ProvenanceItem.charspan bookkeeping."""

@@ -101,6 +101,37 @@ def extract_turns(
     )
 
 
+def assemble_conversations(
+    extracted: DataFrame, sep: str = "\n\n"
+) -> DataFrame:
+    """Conversation-level document assembly: per-turn extracted text folded
+    into one document per conversation in stable turn order — the tabular
+    form of the reference's page→document assembly
+    (standard_pdf_pipeline.py:1038-1048 concatenates per-page element
+    lists in page order).
+
+    Order is established by sorting the collected (turn_idx, text) structs,
+    NEVER by relying on input row order (shuffle order is nondeterministic;
+    the reference reorders explicitly for the same reason,
+    standard_pdf_pipeline.py:982-991). One groupBy — the only shuffle.
+    """
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("turn_idx"), F.col("extracted_text"))
+                    )
+                ).getField("extracted_text"),
+                sep,
+            ).alias("conversation_text"),
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("status") == "success").cast("long")).alias("n_success"),
+        )
+    )
+
+
 def with_turn_rank(df: DataFrame) -> DataFrame:
     """Stable (conv_id, turn_idx) ordering witness: row_number over the
     per-conversation window (north rule; SURVEY.md §2.e). Never rely on
