@@ -92,15 +92,59 @@ def fingerprint(col) -> Column:
 
 
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One narrow projection computing all per-document text statistics."""
+    """Per-document text statistics in two narrow projections.
+
+    Staged deliberately: the shared intermediates (token splits, stopword
+    hit counts) are aliased in a first Project and REFERENCED — not
+    re-expanded — in the second. Catalyst's CollapseProject keeps the
+    stages separate because the aliases are non-cheap and multiply
+    referenced; the flat single-select form inlines every split/filter
+    ~15x, ballooning generated code to the point that janino compilation
+    takes tens of seconds per plan. Values are bit-identical to the flat
+    form (same expressions, same rounding) and pinned by the doc_stats
+    oracle.
+    """
     c = F.col(text_col)
-    return docs.select(
+    hit_cols = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    stage1 = docs.select(
         "doc_id",
         token_count(c).alias("n_tokens"),
         char_count(c).alias("n_chars2"),
-        F.round(avg_token_len(c), 6).alias("avg_token_len"),
-        F.round(stopword_ratio(c, "en"), 6).alias("stopword_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
+        F.length(F.regexp_replace(F.trim(c), r"\s+", "")).alias("n_nospace"),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
         fingerprint(c).alias("fingerprint"),
     )
+    n_tok = F.col("n_tokens")
+    atl = F.when(n_tok > 0,
+                 F.col("n_nospace").cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0,
+                      F.col("hits_en").cast("double") / n_tok).otherwise(F.lit(0.0))
+    stage2 = stage1.select(
+        "doc_id", "n_tokens", "n_chars2", "fingerprint",
+        F.round(atl, 6).alias("avg_token_len"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            (
+                F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+                + F.least(sw_ratio * 5.0, F.lit(1.0))
+                + F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+            ) / F.lit(3.0),
+            6,
+        ).alias("quality"),
+        _lang_pred_from_hits().alias("lang_pred"),
+    )
+    return stage2.select(
+        "doc_id", "n_tokens", "n_chars2", "avg_token_len", "stopword_ratio",
+        "quality", "lang_pred", "fingerprint",
+    )
+
+
+def _lang_pred_from_hits() -> Column:
+    """argmax over precomputed hits_<lang> columns, fixed tie order
+    (en > de > fr > es), 'und' when no hits — same semantics as lang_id."""
+    hits = {lang: F.col(f"hits_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in ("es", "fr", "de", "en"):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
