@@ -1,0 +1,72 @@
+"""applyInPandasWithState conversation assembly: turns arriving across
+micro-batches are held in per-conversation state and flushed on idle
+timeout; the flushed text equals the batch assembler's output."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.timeout(600)
+def test_stateful_assembly_matches_batch(spark, tmp_path):
+    from docling_spark.operators.extract_ops import (
+        assemble_conversations,
+        extract_turns,
+    )
+    from docling_spark.sources.transcripts import transcripts_df
+    from docling_spark.streaming.stateful import assemble_conversations_stream
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    tr = transcripts_df(spark, 6, partitions=2, long_every=0)
+    ext = extract_turns(tr).select("conv_id", "turn_idx", "extracted_text",
+                                   "status").cache()
+    # split each conversation's turns across two files → two micro-batches
+    ext.filter(F.col("turn_idx") % 2 == 0).write.parquet(inp + "/p0")
+    ext.filter(F.col("turn_idx") % 2 == 1).write.parquet(inp + "/p1")
+
+    expected = {
+        r["conv_id"]: (r["conversation_text"], r["n_turns"])
+        for r in assemble_conversations(ext).collect()
+    }
+
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, extracted_text string, status string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp + "/p*")
+    )
+    # idle window must exceed worst-case inter-batch latency (first batches
+    # pay python-worker spin-up), or conversations flush partially — which
+    # is correct operator behavior but not what this test compares
+    out = assemble_conversations_stream(src, idle_ms=20_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("assembled")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        got: dict = {}
+        while time.time() < deadline:
+            rows = spark.sql("select * from assembled").collect()
+            got = {r["conv_id"]: (r["conversation_text"], r["n_turns"])
+                   for r in rows}
+            if got == expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+
+    assert set(got) == set(expected)
+    for conv_id, (text, n) in expected.items():
+        assert got[conv_id][1] == n, conv_id
+        assert got[conv_id][0] == text, conv_id
