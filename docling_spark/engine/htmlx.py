@@ -1036,6 +1036,8 @@ def _cell_spans(cell: Element) -> tuple[int, int]:
 
     def num(s) -> int:
         s = str(s or "1")
+        if s == "1":  # default / explicit span of 1 — the common case
+            return 1
         if s and s[0].isnumeric():
             m = re.search(r"\d+", s)
             if m:

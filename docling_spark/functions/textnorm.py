@@ -43,8 +43,18 @@ CLEAN_UNICODE_REPLACEMENTS: tuple[tuple[str, str], ...] = (
 )
 
 
+_CLEAN_SCAN_RE = re.compile(
+    "[" + "".join(raw for raw, _ in CLEAN_UNICODE_REPLACEMENTS) + "]"
+)
+
+
 def clean_unicode(text: str) -> str:
-    """Apply docling's fixed unicode sanitization table."""
+    """Apply docling's fixed unicode sanitization table.
+
+    Fast path: one regex scan skips the 19 str.replace passes for the
+    overwhelmingly common all-ASCII case (same output by construction)."""
+    if not _CLEAN_SCAN_RE.search(text):
+        return text
     for raw, clean in CLEAN_UNICODE_REPLACEMENTS:
         text = text.replace(raw, clean)
     return text
