@@ -1000,6 +1000,33 @@ where round(list_cosine_similarity(a.embedding::double[],
 # deterministic sha256 stub — the Spark plumbing is real)
 # ---------------------------------------------------------------------------
 
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization (deterministic codebook = first 8 vectors):
+    every vector's nearest centroid by cosine — the scale path partitions
+    the corpus by centroid_id so probes touch one list, not the table."""
+    from docling_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
+
+
+ORACLE_IVF_ASSIGN = """
+with c as (
+  select vec_id as centroid_id, embedding as cvec from embeddings where vec_id < 8
+),
+s as (
+  select e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::double[], c.cvec::double[]), 6) as cos
+  from embeddings e cross join c
+),
+r as (
+  select *, row_number() over (partition by vec_id
+                               order by cos desc, centroid_id) as rk
+  from s
+)
+select vec_id, centroid_id, cos from r where rk = 1
+"""
+
+
 def _media_df(spark, sf_dir):
     d = _docs(spark, sf_dir)
     kind = F.element_at(
@@ -1455,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "embed_knn_of_zero": q_embed_knn_of_zero,
         "ann_bucket_pairs": q_ann_bucket_pairs,
+        "ivf_assign": q_ivf_assign,
         # relational operator classes
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_order_rank": q_window_order_rank,
@@ -1501,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_pairs": ORACLE_COSINE_PAIRS,
         "embed_knn_of_zero": ORACLE_KNN_ZERO,
         "ann_bucket_pairs": _ann_oracle(),
+        "ivf_assign": ORACLE_IVF_ASSIGN,
         "agg_pricing_summary": ORACLE_PRICING,
         "window_order_rank": ORACLE_WINDOW_RANK,
         "anti_join_no_orders": ORACLE_ANTI_JOIN,

@@ -97,6 +97,82 @@ def lsh_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: the first
+    ``n_centroids`` vectors (by id) act as the codebook — no RNG, no
+    iterative k-means, so the assignment is reproducible across engines
+    and runs (a trained codebook slots in behind the same signature).
+
+    Each vector joins the broadcast codebook and keeps its best centroid
+    by cosine (ties by centroid id). At corpus scale the output is
+    partitioned by ``centroid_id`` — probes read one partition per probed
+    list instead of the full table.
+    """
+    from pyspark.sql.window import Window
+
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "centroid_id", "cos")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 8, n_probe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: score only vectors assigned to the query's ``n_probe``
+    nearest centroids. Driver-side work is one tiny codebook collect."""
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("cvec"))
+        .collect()
+    )
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def norm(a):
+        return sum(x * x for x in a) ** 0.5
+
+    qn = norm(query_vec)
+    ranked = sorted(
+        cents,
+        key=lambda r: (-(dot(query_vec, r["cvec"])
+                         / (qn * norm(r["cvec"]) or 1.0)), r["centroid_id"]),
+    )
+    probe_ids = [r["centroid_id"] for r in ranked[:n_probe]]
+    assigned = ivf_assign(emb, n_centroids, vec_col, id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        emb.join(assigned.filter(F.col("centroid_id").isin(probe_ids))
+                 .select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     n_planes: int = 8, dim: int = 64,

@@ -22,7 +22,12 @@ from docling_spark.operators.multimodal import (
     frame_sample_plan,
     synth_media_df,
 )
-from docling_spark.operators.similarity import ann_topk_lsh, topk_cosine
+from docling_spark.operators.similarity import (
+    ann_topk_lsh,
+    ivf_assign,
+    ivf_topk,
+    topk_cosine,
+)
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +143,41 @@ def test_frame_sample_plan(spark):
     # videos are ids 2,5,8; 8s at 0.5fps -> frames at 0.0 and 2.0... int(8*0.5)=4
     assert set(by_id) == {2, 5, 8}
     assert sorted(by_id[2]) == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_ivf_assign_and_topk_recall(spark):
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # two well-separated clusters; centroids (ids 0..1) are one from each
+    a = unit([rng.gauss(0, 1) for _ in range(dim)])
+    b = unit([-x for x in a])  # antipodal
+
+    def jitter(base, eps=0.05):
+        return unit([x + rng.gauss(0, eps) for x in base])
+
+    rows = [(0, jitter(a)), (1, jitter(b))] + [
+        (10 + i, jitter(a)) for i in range(20)
+    ] + [(100 + i, jitter(b)) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assigned = {r.vec_id: r.centroid_id
+                for r in ivf_assign(emb, n_centroids=2).collect()}
+    for vid, cid in assigned.items():
+        expect = 0 if (vid == 0 or 10 <= vid < 100) else 1
+        assert cid == expect, (vid, cid)
+
+    exact = [r.vec_id for r in topk_cosine(emb, a, k=5).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(emb, a, k=5, n_centroids=2, n_probe=1).collect()]
+    assert len(set(exact) & set(approx)) >= 4
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
