@@ -1075,6 +1075,64 @@ from h
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plan over decoded image dimensions —
+    JVM-side column math; the (stubbed) decoder supplies width/height."""
+    from docling_spark.operators.multimodal import (
+        extract_media_features,
+        resize_plan,
+    )
+
+    feats = extract_media_features(_media_df(spark, sf_dir), feature_dim=4)
+    return resize_plan(feats, max_side=256)
+
+
+ORACLE_MEDIA_RESIZE = """
+with m as (
+  select doc_id as media_id, sha256('media:' || doc_id) as digest
+  from documents where doc_id % 3 = 0
+),
+wh as (
+  select media_id,
+         cast(64 + ('0x' || substr(digest, 1, 2))::int % 1920 as int) as width,
+         cast(64 + ('0x' || substr(digest, 3, 2))::int % 1080 as int) as height
+  from m
+)
+select media_id, width, height,
+       greatest(cast(floor(width * least(1.0, 256.0 / greatest(width, height)))
+                     as int), 1) as target_w,
+       greatest(cast(floor(height * least(1.0, 256.0 / greatest(width, height)))
+                     as int), 1) as target_h
+from wh
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish regex over
+    word/punctuation pieces) — all JVM-side regexp_count."""
+    from docling_spark.operators.textstats import token_count
+
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(c).alias("n_ws_tokens"),
+        F.regexp_count(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        .alias("n_bpe_tokens"),
+        F.regexp_count(c, F.lit(r"[A-Za-z0-9]+")).alias("n_words"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+select doc_id,
+       case when trim(text) = '' then 0
+            else len(string_split_regex(trim(text), '\\s+')) end as n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+         as n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_words
+from documents
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     from docling_spark.operators.multimodal import frame_sample_plan
 
@@ -1464,7 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_heading_context": q_chunk_heading_context,
         # multimodal
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
+        "token_counts": q_token_counts,
         # export sinks
         "export_doctags": q_export_doctags,
         # metrics sidecar
@@ -1516,7 +1576,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
         "media_features": ORACLE_MEDIA_FEATURES,
+        "media_resize": ORACLE_MEDIA_RESIZE,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "token_counts": ORACLE_TOKEN_COUNTS,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "doc_stats": ORACLE_DOC_STATS,

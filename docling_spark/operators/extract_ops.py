@@ -38,7 +38,9 @@ def _extract_batches(
     timeout_s: float | None,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        t_deadline = time.monotonic() + timeout_s if timeout_s else None
+        t_deadline = (
+            time.monotonic() + timeout_s if timeout_s is not None else None
+        )
         out: dict[str, list] = {
             "conv_id": pdf["conv_id"].tolist(),
             "turn_idx": pdf["turn_idx"].tolist(),

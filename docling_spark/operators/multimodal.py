@@ -105,6 +105,29 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Image resize *plan*: target dimensions computed JVM-side from the
+    decoded (width, height) — aspect-preserving, longest side clamped to
+    ``max_side``, never upscaled. The pixel work is the decoder's
+    (stubbed here); this is the column math a real resizer consumes.
+    Input: features table (media_id, kind, width, height)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side))
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id", "width", "height",
+            F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1))
+            .alias("target_w"),
+            F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1))
+            .alias("target_h"),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, fps: float = 0.5,
                       duration_key: str = "duration_s") -> DataFrame:
     """Video frame-sampling *plan* (docling video_frame_sampling analog):

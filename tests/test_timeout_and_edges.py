@@ -1,0 +1,81 @@
+"""Operator edge cases: per-batch time budget → failure rows (never task
+failures, base_pipeline.py:301-320 analog), empty inputs, null payloads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_spark.operators.extract_ops import extract_turns, with_turn_rank
+from docling_spark.schema import TRANSCRIPTS_SCHEMA
+
+
+def test_time_budget_produces_failure_rows(spark):
+    rows = [("c1", i, "user", None, "<h1>T</h1><p>body %d</p>" % i, "html")
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    ).coalesce(1)
+    out = extract_turns(df, timeout_s=0.0).collect()
+    # budget 0 → every row still comes back, as timeout failures
+    assert len(out) == 50
+    cats = {e["category"] for r in out for e in r["errors"]}
+    assert all(r["status"] == "failure" for r in out)
+    assert cats == {"timeout"}
+
+
+def test_no_timeout_means_success(spark):
+    rows = [("c1", 0, "user", None, "<h1>T</h1><p>b</p>", "html")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    )
+    out = extract_turns(df, timeout_s=None).collect()
+    assert out[0]["status"] == "success"
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    assert extract_turns(df).count() == 0
+    assert with_turn_rank(extract_turns(df)).count() == 0
+
+
+def test_null_payload_rows(spark):
+    rows = [("c1", 0, "user", None, None, None),
+            ("c1", 1, "user", None, "ok text", "")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    )
+    got = {r["turn_idx"]: r for r in extract_turns(df).collect()}
+    assert got[0]["status"] == "failure"
+    assert got[0]["errors"][0]["category"] == "input_error"
+    assert got[1]["status"] == "success"
+    assert got[1]["extracted_text"] == "ok text"
+
+
+def test_oversize_skip(spark):
+    rows = [("c1", 0, "user", None, "x" * 1000, "")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    )
+    out = extract_turns(df, max_bytes=100).collect()
+    assert out[0]["status"] == "skipped"
+    assert out[0]["errors"][0]["category"] == "size_limit"
+
+
+def test_assemble_empty_and_single(spark):
+    from docling_spark.operators.extract_ops import assemble_conversations
+
+    df = spark.createDataFrame(
+        [("c1", 0, "only turn", "success")],
+        "conv_id string, turn_idx int, extracted_text string, status string",
+    )
+    out = assemble_conversations(df).collect()
+    assert out[0]["conversation_text"] == "only turn"
+    assert out[0]["n_turns"] == 1
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, extracted_text string, status string"
+    )
+    assert assemble_conversations(empty).count() == 0
