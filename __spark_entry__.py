@@ -1392,6 +1392,56 @@ from t
 # lineage / metrics sidecar + simhash near-pairs
 # ---------------------------------------------------------------------------
 
+def q_confidence_report(spark, sf_dir):
+    """Per-document confidence: pdfish payloads whose second line carries
+    0/3/6 fragmented-word patterns (by doc_id % 3) → parse_score =
+    10%-quantile of cell quality (page_preprocessing semantics) → quality
+    grade via the reference's thresholds (base_models.py:609-628)."""
+    from docling_spark.operators.extract_ops import extract_turns
+    from docling_spark.operators.textstats import score_to_grade
+
+    frag = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit(" a/b.c/d.e f/g.h/i.j k/l.m/n.o"),
+            F.lit(" a/b.c/d.e f/g.h/i.j k/l.m/n.o p/q.r/s.t u/v.w/x.y z/a.b/c.d"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.concat_ws(
+        "\n",
+        _jcell("10, 40, 190, 60",
+               F.concat(F.lit("Title "), F.col("doc_id").cast("string")),
+               "0.98", "title"),
+        _jcell("10, 100, 190, 110", F.concat(_tok(1), F.lit(" clean line")),
+               "0.9", "text"),
+        _jcell("10, 120, 190, 130", F.concat(_tok(2), frag), "0.9", "text"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("pdfish").alias("tool"),
+    )
+    out = extract_turns(d)
+    score = F.round(F.col("metrics.parse_score"), 6)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        score.alias("parse_score"),
+        score_to_grade(score).alias("grade"),
+    )
+
+
+ORACLE_CONFIDENCE_REPORT = """
+select doc_id,
+       round(case cast(doc_id % 3 as int)
+             when 0 then 1.0 when 1 then 0.7 else 0.4 end, 6) as parse_score,
+       case cast(doc_id % 3 as int)
+            when 0 then 'excellent' when 1 then 'fair' else 'poor' end as grade
+from documents
+"""
+
+
 def q_extract_metrics_by_format(spark, sf_dir):
     """The metrics sidecar rolled up by format: every extraction row
     carries per-turn metrics (pages parsed, boilerplate ratio, item
@@ -1527,8 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         # export sinks
         "export_doctags": q_export_doctags,
-        # metrics sidecar
+        # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
+        "confidence_report": q_confidence_report,
         # text analysis
         "doc_stats": q_doc_stats,
         # dedup
@@ -1581,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": ORACLE_TOKEN_COUNTS,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
+        "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "doc_stats": ORACLE_DOC_STATS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_signatures": ORACLE_MINHASH,

@@ -91,6 +91,18 @@ def fingerprint(col) -> Column:
     return F.md5(norm_text(col))
 
 
+def score_to_grade(c: Column) -> Column:
+    """Quality grade thresholds of the reference's ConfidenceReport
+    (docling/datamodel/base_models.py:609-628): <0.5 poor, <0.8 fair,
+    <0.9 good, ≥0.9 excellent."""
+    return (
+        F.when(c < 0.5, F.lit("poor"))
+        .when(c < 0.8, F.lit("fair"))
+        .when(c < 0.9, F.lit("good"))
+        .otherwise(F.lit("excellent"))
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document text statistics in two narrow projections.
 
