@@ -953,7 +953,7 @@ _ANN_DIM = 64
 
 
 def q_ann_bucket_pairs(spark, sf_dir):
-    from docling_spark.operators.similarity import cosine, lsh_buckets
+    from docling_spark.operators.similarity import cosine_fast, lsh_buckets
 
     b = lsh_buckets(_emb(spark, sf_dir), n_planes=_ANN_PLANES, dim=_ANN_DIM)
     a = b.select(F.col("vec_id").alias("id_a"),
@@ -965,7 +965,7 @@ def q_ann_bucket_pairs(spark, sf_dir):
     return (
         a.join(c, (F.col("bucket") == F.col("bucket_b"))
                & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(cosine_fast(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= 0.2)
         .select("id_a", "id_b", F.col("bucket").cast("long").alias("bucket"), "cos")
     )

@@ -33,6 +33,32 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_fast(a, b):
+    """Arrow-batched numpy cosine for PAIR-scoring hot paths.
+
+    Catalyst higher-order functions (aggregate/zip_with) run interpreted —
+    ~10x slower per evaluation than this vectorized kernel once the pair
+    count is large (LSH/IVF bucket joins). Results agree with ``cosine``
+    to double-precision rounding (both are 64-bit dot/norm; callers round
+    to 6 decimals before comparison, as the oracles do)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _cos(x, y):
+        xa = np.stack(x.to_numpy())
+        ya = np.stack(y.to_numpy())
+        num = np.einsum("ij,ij->i", xa, ya)
+        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+        return pd.Series(num / den)
+
+    # real (non-string) hints: `from __future__ import annotations` would
+    # otherwise stringify them and break pandas_udf signature inference
+    _cos.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, DoubleType())(a, b)
+
+
 def topk_cosine(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -59,7 +85,7 @@ def cosine_pairs(
                    F.col(vec_col).cast("array<double>").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(cosine_fast(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
