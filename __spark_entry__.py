@@ -1392,6 +1392,35 @@ from t
 # lineage / metrics sidecar + simhash near-pairs
 # ---------------------------------------------------------------------------
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    normalized tokens, JVM-side fold."""
+    from docling_spark.operators.textstats import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
+    )
+
+
+ORACLE_ROLLING_FINGERPRINT = """
+with t as (
+  select doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
+  from documents
+),
+h as (
+  select doc_id,
+         list_transform(toks,
+           x -> ('0x' || substr(md5(x), 1, 7))::bigint) as ints
+  from t
+)
+select doc_id,
+       list_reduce(list_prepend(0::bigint, ints),
+                   (a, b) -> (a * 31 + b) % 2147483647) as rfp
+from h
+"""
+
+
 def q_confidence_report(spark, sf_dir):
     """Per-document confidence: pdfish payloads whose second line carries
     0/3/6 fragmented-word patterns (by doc_id % 3) → parse_score =
@@ -1575,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
         # export sinks
         "export_doctags": q_export_doctags,
         # metrics sidecar / confidence
@@ -1630,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": ORACLE_MEDIA_RESIZE,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "token_counts": ORACLE_TOKEN_COUNTS,
+        "rolling_fingerprint": ORACLE_ROLLING_FINGERPRINT,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,

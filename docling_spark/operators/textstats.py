@@ -91,6 +91,25 @@ def fingerprint(col) -> Column:
     return F.md5(norm_text(col))
 
 
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime keeps the fold in bigint range
+
+
+def rolling_fingerprint(col) -> Column:
+    """True polynomial rolling hash over normalized tokens:
+    ``h = (h*31 + tok_int) mod (2^31-1)`` folded left-to-right with a
+    JVM-side ``aggregate`` — order-sensitive (unlike the md5 set-style
+    fingerprint), so shuffled token order changes the value. ``tok_int``
+    is a 28-bit md5 prefix so the token→int map is engine-portable; the
+    accumulator stays < 2^36, no overflow."""
+    toks = F.split(norm_text(col), " ")
+    tok_int = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + tok_int(t), F.lit(ROLLING_MOD)),
+    )
+
+
 def score_to_grade(c: Column) -> Column:
     """Quality grade thresholds of the reference's ConfidenceReport
     (docling/datamodel/base_models.py:609-628): <0.5 poor, <0.8 fair,
