@@ -466,6 +466,52 @@ where inter::double / (sa.sz + sb.sz - inter) >= 0.1
 """
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Signature-agreement Jaccard estimate over LSH candidate pairs —
+    the cheap screen that precedes exact jaccard at corpus scale."""
+    from docling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(shingles(_docs(spark, sf_dir)), 8)
+    cands = lsh_candidate_pairs(sigs, 8, band_size=2)
+    return minhash_jaccard_estimate(sigs, cands, 8)
+
+
+ORACLE_MINHASH_EST = f"""
+with sh as ({_SHINGLE_SQL}),
+sigs as (
+  select doc_id,
+    {", ".join(
+      f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::bigint) as mh_{j}"
+      for j in range(8)
+    )}
+  from sh group by doc_id
+),
+bands as (
+  {" union all ".join(
+    f"select doc_id, {b} as band_id, md5(mh_{2*b} || ',' || mh_{2*b+1}) as bucket from sigs"
+    for b in range(4)
+  )}
+),
+cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+)
+select c.doc_a, c.doc_b,
+       round(({" + ".join(
+         f"case when sa.mh_{j} = sb.mh_{j} then 1 else 0 end" for j in range(8)
+       )}) / 8.0, 6) as jaccard_est
+from cands c
+join sigs sa on sa.doc_id = c.doc_a
+join sigs sb on sb.doc_id = c.doc_b
+"""
+
+
 def q_simhash(spark, sf_dir):
     from docling_spark.operators.dedup import simhash
 
@@ -1392,6 +1438,28 @@ from t
 # lineage / metrics sidecar + simhash near-pairs
 # ---------------------------------------------------------------------------
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-20 by frequency (ties by token) — the
+    explode → partial-agg → global-rank shape."""
+    from docling_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=20)
+
+
+ORACLE_VOCAB_TOPK = """
+with toks as (
+  select unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' ')) as token
+  from documents
+),
+c as (select token, count(*) as n from toks where token != '' group by token),
+r as (select token, n,
+             cast(row_number() over (order by n desc, token) as int) as rank
+      from c)
+select rank, token, n from r where rank <= 20
+"""
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Order-sensitive document fingerprint: polynomial rolling hash over
     normalized tokens, JVM-side fold."""
@@ -1605,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "vocab_topk": q_vocab_topk,
         # export sinks
         "export_doctags": q_export_doctags,
         # metrics sidecar / confidence
@@ -1617,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         # similarity
@@ -1661,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "rolling_fingerprint": ORACLE_ROLLING_FINGERPRINT,
+        "vocab_topk": ORACLE_VOCAB_TOPK,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
@@ -1669,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": ORACLE_MINHASH,
         "dedup_jaccard": ORACLE_JACCARD,
         "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+        "minhash_jaccard_est": ORACLE_MINHASH_EST,
         "simhash": ORACLE_SIMHASH,
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,
         "embed_cosine_pairs": ORACLE_COSINE_PAIRS,

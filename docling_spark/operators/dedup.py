@@ -119,6 +119,31 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    sigs: DataFrame, candidates: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Signature-agreement Jaccard estimator: est = (#matching mins)/K for
+    each candidate pair — two doc_id equi-joins against the signature
+    table, no shingle data touched. The cheap screen before exact
+    ``jaccard_pairs`` at corpus scale."""
+    cols = [f"mh_{j}" for j in range(num_hashes)]
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(c).alias(f"a_{c}") for c in cols])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(c).alias(f"b_{c}") for c in cols])
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in cols
+    )
+    return (
+        candidates.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
 ) -> DataFrame:

@@ -110,6 +110,26 @@ def rolling_fingerprint(col) -> Column:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary top-k: explode normalized tokens → one groupBy
+    (map-side partial counts carry the shuffle) → global rank. Ties break
+    by token for determinism. At corpus scale the only heavy stage is the
+    token shuffle; the final top-k sorts a vocabulary-sized table, not the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n")
+    )
+
+
 def score_to_grade(c: Column) -> Column:
     """Quality grade thresholds of the reference's ConfidenceReport
     (docling/datamodel/base_models.py:609-628): <0.5 poor, <0.8 fair,
