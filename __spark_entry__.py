@@ -298,6 +298,81 @@ from documents
 """
 
 
+def q_training_pairs(spark, sf_dir):
+    """The canonical transcript training-data op: (prompt, response) pairs
+    from consecutive user→assistant turns — a lead() window over the
+    extracted conversation, no self-join."""
+    from pyspark.sql.window import Window
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    ext = extract_turns(_synth_transcripts(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = ext.select(
+        "conv_id", "turn_idx", "role", "extracted_text",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("extracted_text").over(w).alias("next_text"),
+    )
+    return (
+        paired.filter((F.col("role") == "user")
+                      & (F.col("next_role") == "assistant"))
+        .select(
+            "conv_id",
+            F.col("extracted_text").alias("prompt"),
+            F.col("next_text").alias("response"),
+        )
+    )
+
+
+ORACLE_TRAINING_PAIRS = """
+with t as (
+  select doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) as norm
+  from documents
+)
+select 'conv' || lpad(doc_id::varchar, 8, '0') as conv_id,
+       norm as prompt,
+       '# Document ' || doc_id || chr(10) || chr(10) || norm as response
+from t
+"""
+
+
+def q_turn_context(spark, sf_dir):
+    """Per-turn conversational context via lag/lead windows: neighbor
+    roles and previous extracted length — the feature columns a
+    context-window dataset builder consumes."""
+    from pyspark.sql.window import Window
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    ext = extract_turns(_synth_transcripts(spark, sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return ext.select(
+        "conv_id", "turn_idx", "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lead("role").over(w).alias("next_role"),
+        F.coalesce(F.length(F.lag("extracted_text").over(w)), F.lit(-1))
+        .alias("prev_len"),
+    )
+
+
+ORACLE_TURN_CONTEXT = """
+with t as (
+  select doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) as norm
+  from documents
+)
+select 'conv' || lpad(doc_id::varchar, 8, '0') as conv_id, u.*
+from t,
+lateral (
+  select * from (values
+    (0, 'user', cast(null as varchar), 'assistant', -1),
+    (1, 'assistant', 'user', 'tool', length(norm)),
+    (2, 'tool', 'assistant', cast(null as varchar),
+     length('# Document ' || doc_id) + 2 + length(norm))
+  ) v(turn_idx, role, prev_role, next_role, prev_len)
+) u
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 # ---------------------------------------------------------------------------
@@ -1679,6 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
+        # transcript training-data builders
+        "training_pairs": q_training_pairs,
+        "turn_context": q_turn_context,
         # text analysis
         "doc_stats": q_doc_stats,
         # dedup
@@ -1735,6 +1813,8 @@ def oracle_sql() -> dict[str, str]:
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
+        "training_pairs": ORACLE_TRAINING_PAIRS,
+        "turn_context": ORACLE_TURN_CONTEXT,
         "doc_stats": ORACLE_DOC_STATS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "minhash_signatures": ORACLE_MINHASH,
