@@ -541,6 +541,52 @@ where inter::double / (sa.sz + sb.sz - inter) >= 0.1
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation — the distributed UnionFind) over n-gram Jaccard pairs."""
+    from docling_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        shingles,
+    )
+
+    pairs = jaccard_pairs(shingles(_docs(spark, sf_dir)), threshold=0.2)
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+with sh as ({_SHINGLE_SQL}),
+sizes as (select doc_id, count(*) sz from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+p as (
+  select doc_a, doc_b from inter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where inter::double / (sa.sz + sb.sz - inter) >= 0.2
+),
+edges as (
+  select doc_a as src, doc_b as dst from p
+  union
+  select doc_b, doc_a from p
+),
+reach as (
+  with recursive r(src, dst) as (
+    select src, dst from edges
+    union
+    select r.src, e.dst from r join edges e on r.dst = e.src
+  )
+  select * from r
+)
+select src as doc_id,
+       least(src, min(dst)) as component
+from reach group by src
+"""
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """Signature-agreement Jaccard estimate over LSH candidate pairs —
     the cheap screen that precedes exact jaccard at corpus scale."""
@@ -1765,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         # similarity
@@ -1821,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": ORACLE_JACCARD,
         "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
         "minhash_jaccard_est": ORACLE_MINHASH_EST,
+        "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "simhash": ORACLE_SIMHASH,
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,
         "embed_cosine_pairs": ORACLE_COSINE_PAIRS,

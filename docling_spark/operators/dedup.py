@@ -219,6 +219,65 @@ def jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate clusters = connected components over the near-dup pair
+    graph (the distributed form of the reference's UnionFind grouping,
+    layout_postprocessor.py:16-47) via min-label propagation: each node
+    repeatedly takes the minimum label in its neighborhood until fixpoint.
+
+    Iterations are whole-DataFrame joins (no driver-side graph); rounds
+    needed = graph diameter, which for near-dup clusters is tiny. Each
+    round materializes via localCheckpoint to cut the growing lineage —
+    the standard Spark pattern for iterative algorithms.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, component) for every
+    node appearing in a pair, component = min doc_id of its cluster.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-document simhash: majority vote of token-hash bits.
 

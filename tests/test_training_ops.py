@@ -100,6 +100,18 @@ def test_jaccard_candidate_path_matches_full(docs, spark):
         assert full[pair] == j
 
 
+def test_connected_components_chain_and_island(spark):
+    from docling_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3) + island 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_near_pairs_guard(docs):
     sim = simhash(docs)
     with pytest.raises(ValueError):
