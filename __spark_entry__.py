@@ -499,7 +499,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         shingles,
     )
 
-    sh = shingles(_docs(spark, sf_dir))
+    # persist: the shingle explode feeds BOTH the signature agg and the
+    # candidate-confined Jaccard — without it the most expensive stage of
+    # the whole bench ran twice (r1 VERDICT #6)
+    sh = shingles(_docs(spark, sf_dir)).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
     return jaccard_pairs(sh, threshold=0.1, candidates=cands)
 
@@ -664,17 +667,54 @@ from votes group by 1
 # embedding similarity family
 # ---------------------------------------------------------------------------
 
+_PAIR_BANDS = 6
+_PAIR_PPB = 3
+
+
 def q_embed_cosine_pairs(spark, sf_dir):
-    from docling_spark.operators.similarity import cosine_pairs
+    """Near-dup embedding pairs, LSH-gated (r1 shipped the exact n²
+    BroadcastNestedLoopJoin here — the textbook 100 TB scale-killer; the
+    n² variant survives only as the recall test oracle,
+    tests/test_similarity_recall.py). The oracle below expresses the SAME
+    banded gating with literal plane constants, so the comparison is
+    exact, not recall-fuzzy."""
+    from docling_spark.operators.similarity import cosine_pairs_lsh
 
-    return cosine_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return cosine_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.45,
+        n_bands=_PAIR_BANDS, planes_per_band=_PAIR_PPB, dim=_ANN_DIM,
+    )
 
 
-ORACLE_COSINE_PAIRS = """
-select a.vec_id as id_a, b.vec_id as id_b,
-       round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 6) as cos
-from embeddings a join embeddings b on a.vec_id < b.vec_id
-where list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.45
+def _cosine_pairs_oracle() -> str:
+    from docling_spark.operators.similarity import _plane
+
+    band_keys = []
+    for band in range(_PAIR_BANDS):
+        bits = []
+        for i in range(_PAIR_PPB):
+            consts = ", ".join(
+                repr(v) for v in _plane(_ANN_DIM, band * _PAIR_PPB + i)
+            )
+            bits.append(
+                f"case when list_dot_product(embedding::double[], [{consts}]) > 0 "
+                f"then {2 ** i} else 0 end"
+            )
+        band_keys.append(f"cast({' + '.join(bits)} as bigint) as k{band}")
+    keys = ",\n         ".join(band_keys)
+    collide = " or ".join(f"a.k{b} = c.k{b}" for b in range(_PAIR_BANDS))
+    return f"""
+with b as (
+  select vec_id, embedding,
+         {keys}
+  from embeddings
+)
+select a.vec_id as id_a, c.vec_id as id_b,
+       round(list_cosine_similarity(a.embedding::double[],
+                                    c.embedding::double[]), 6) as cos
+from b a join b c on a.vec_id < c.vec_id and ({collide})
+where round(list_cosine_similarity(a.embedding::double[],
+                                   c.embedding::double[]), 6) >= 0.45
 """
 
 
@@ -1213,9 +1253,24 @@ def _media_df(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Contract variant emits the feature vector as a micro-unit CSV string
+    (round(x,6)*1e6 per dim, comma-joined): the driver's canonicalizer
+    sorts/hashes result cells with pandas, and an ``array<float>`` cell is
+    unhashable there (r1 red row). The array form stays available via
+    ``extract_media_features`` directly."""
     from docling_spark.operators.multimodal import extract_media_features
 
-    return extract_media_features(_media_df(spark, sf_dir), feature_dim=4)
+    feats = extract_media_features(_media_df(spark, sf_dir), feature_dim=4)
+    micro = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", "digest",
+        F.coalesce(F.col("width"), F.lit(0)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(0)).alias("height"),
+        F.concat_ws(",", micro).alias("feature_csv"),
+    )
 
 
 ORACLE_MEDIA_FEATURES = """
@@ -1229,15 +1284,17 @@ h as (select media_id, kind, octet_length(encode(payload)) as n_bytes,
              sha256(payload) as digest from m)
 select media_id, kind, cast(n_bytes as int) as n_bytes, digest,
        case when kind = 'image'
-            then cast(64 + ('0x' || substr(digest, 1, 2))::int % 1920 as int) end
-         as width,
+            then cast(64 + ('0x' || substr(digest, 1, 2))::int % 1920 as int)
+            else 0 end as width,
        case when kind = 'image'
-            then cast(64 + ('0x' || substr(digest, 3, 2))::int % 1080 as int) end
-         as height,
-       [round(('0x' || substr(digest, 1, 2))::int / 255.0, 6),
-        round(('0x' || substr(digest, 3, 2))::int / 255.0, 6),
-        round(('0x' || substr(digest, 5, 2))::int / 255.0, 6),
-        round(('0x' || substr(digest, 7, 2))::int / 255.0, 6)]::float[] as feature
+            then cast(64 + ('0x' || substr(digest, 3, 2))::int % 1080 as int)
+            else 0 end as height,
+       array_to_string(
+         [cast(round(round(('0x' || substr(digest, 1, 2))::int / 255.0, 6) * 1000000) as bigint),
+          cast(round(round(('0x' || substr(digest, 3, 2))::int / 255.0, 6) * 1000000) as bigint),
+          cast(round(round(('0x' || substr(digest, 5, 2))::int / 255.0, 6) * 1000000) as bigint),
+          cast(round(round(('0x' || substr(digest, 7, 2))::int / 255.0, 6) * 1000000) as bigint)],
+         ',') as feature_csv
 from h
 """
 
@@ -1443,8 +1500,8 @@ ORACLE_CHUNK_BUDGET = """
 with t as (
   select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
 )
-select doc_id, 'T ' || doc_id as heading, u.chunk_id, u.chunk_text,
-       u.n_tokens
+select doc_id, 'T ' || doc_id as heading, cast(1 as int) as heading_idx,
+       u.chunk_id, u.chunk_text, u.n_tokens
 from t,
 lateral (
   select * from (values
@@ -1693,13 +1750,13 @@ def q_extract_metrics_by_format(spark, sf_dir):
     )
     out = extract_turns(d)
     return out.groupBy("format").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("metrics.n_items")).alias("total_items"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("metrics.n_items")).cast("long").alias("total_items"),
         F.round(F.avg(F.col("metrics.boilerplate_ratio")), 6)
-        .alias("avg_boilerplate"),
-        F.sum(F.col("metrics.pages_parsed")).alias("pages_parsed"),
+        .cast("double").alias("avg_boilerplate"),
+        F.sum(F.col("metrics.pages_parsed")).cast("long").alias("pages_parsed"),
         F.sum(F.when(F.col("status") != "success", 1).otherwise(0))
-        .alias("failures"),
+        .cast("long").alias("failures"),
     )
 
 
@@ -1712,13 +1769,13 @@ with f as (
               when 2 then 'csv' else 'plain' end as format
   from documents
 )
-select format, count(*) as n_docs,
-       sum(case format when 'html' then 4 when 'md' then 5 else 1 end)
-         as total_items,
-       round(avg(case format when 'html' then 0.5 else 0.0 end), 6)
-         as avg_boilerplate,
-       count(*) as pages_parsed,
-       0 as failures
+select format, cast(count(*) as bigint) as n_docs,
+       cast(sum(case format when 'html' then 4 when 'md' then 5 else 1 end)
+            as bigint) as total_items,
+       cast(round(avg(case format when 'html' then 0.5 else 0.0 end), 6)
+            as double) as avg_boilerplate,
+       cast(count(*) as bigint) as pages_parsed,
+       cast(0 as bigint) as failures
 from f group by format
 """
 
@@ -1871,7 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "simhash": ORACLE_SIMHASH,
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,
-        "embed_cosine_pairs": ORACLE_COSINE_PAIRS,
+        "embed_cosine_pairs": _cosine_pairs_oracle(),
         "embed_knn_of_zero": ORACLE_KNN_ZERO,
         "ann_bucket_pairs": _ann_oracle(),
         "ivf_assign": ORACLE_IVF_ASSIGN,

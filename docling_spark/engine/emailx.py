@@ -127,6 +127,14 @@ def _body_paragraphs(msg) -> list[str]:
             md, _items = extract_html(h)
             out.extend(_split_paragraphs(md))
         return out
+    # raw fallback (reference email_backend.py _get_body_paragraphs falls
+    # back to mail.body): a message with no text/plain or text/html part —
+    # e.g. an unlabeled or exotic content type — still yields its decoded
+    # top-level payload rather than losing the body (ADVICE r1)
+    if not msg.is_multipart():
+        raw = _part_text(msg)
+        if raw and raw.strip():
+            return _split_paragraphs(raw)
     return []
 
 

@@ -36,8 +36,14 @@ def fixed_token_chunks(
     norm = norm_text(F.col(text_col))
     toks = F.split(norm, " ")
     n = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    # clamp: a non-empty doc always yields ≥1 chunk — without the
+    # greatest(), 0 < n_tokens <= overlap made n_chunks 0 and silently
+    # dropped the document (ADVICE r1)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((n - F.lit(overlap) + F.lit(step) - 1) / F.lit(step)).cast("int")
+        F.greatest(
+            F.floor((n - F.lit(overlap) + F.lit(step) - 1) / F.lit(step)),
+            F.lit(1),
+        ).cast("int")
     )
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     chunks = F.when(
@@ -117,24 +123,34 @@ def budget_chunks(
     cumsum-binning differ only when items straddle edges, a deliberate
     trade for a shuffle-free, oracle-reproducible plan).
 
+    Sections are keyed by the heading item's ``item_idx``
+    (``heading_idx``), NOT by its text: two sections whose headings read
+    the same pack independently, matching the HybridChunker's
+    consecutive-item semantics (ADVICE r1 — text-keyed grouping
+    interleaved such sections).
+
     Input: item table (doc, item_idx, label, text, content_layer).
-    Output: (doc, heading, chunk_id, chunk_text, n_tokens).
+    Output: (doc, heading, heading_idx, chunk_id, chunk_text, n_tokens).
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(doc_col).orderBy("item_idx")
-    heading = F.when(
-        F.col("label").isin("title", "section_header"), F.col("text")
-    )
+    is_heading = F.col("label").isin("title", "section_header")
+    heading = F.when(is_heading, F.col("text"))
+    heading_idx = F.when(is_heading, F.col("item_idx"))
     enriched = items.withColumn(
         "heading", F.coalesce(F.last(heading, ignorenulls=True).over(w), F.lit(""))
+    ).withColumn(
+        "heading_idx",
+        F.coalesce(F.last(heading_idx, ignorenulls=True).over(w), F.lit(-1))
+        .cast("int"),
     )
     body = enriched.filter(
         (F.col("content_layer") == "body")
         & F.col("label").isin("text", "list_item", "code", "caption")
         & (F.length("text") > 0)
     ).withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
-    wh = Window.partitionBy(doc_col, "heading").orderBy("item_idx")
+    wh = Window.partitionBy(doc_col, "heading_idx").orderBy("item_idx")
     cum_excl = F.coalesce(
         F.sum("n_tok").over(wh.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -143,7 +159,7 @@ def budget_chunks(
         "chunk_id", F.floor(cum_excl / F.lit(max_tokens)).cast("int")
     )
     return (
-        binned.groupBy(doc_col, "heading", "chunk_id")
+        binned.groupBy(doc_col, "heading", "heading_idx", "chunk_id")
         .agg(
             F.array_join(
                 F.array_sort(

@@ -35,8 +35,11 @@ def export_items(extracted: DataFrame, fmt: str = "doctags",
             out[fmt] = rendered
             yield pd.DataFrame(out)
 
+    # keep-column types come from the input schema, not a name heuristic
+    # (ADVICE r1: hardcoding string-only-for-conv_id broke any caller
+    # passing another string column)
+    in_types = {f.name: f.dataType.simpleString() for f in extracted.schema.fields}
     schema = ", ".join(
-        [f"{c} {'string' if c == 'conv_id' else 'int'}" for c in cols]
-        + [f"{fmt} string"]
+        [f"{c} {in_types[c]}" for c in cols] + [f"{fmt} string"]
     )
     return extracted.select(*cols, "items").mapInPandas(run, schema=schema)

@@ -104,7 +104,7 @@ def extract_turns(
 
 
 def assemble_conversations(
-    extracted: DataFrame, sep: str = "\n\n"
+    extracted: DataFrame, sep: str = "\n\n", segment_size: int = 1024
 ) -> DataFrame:
     """Conversation-level document assembly: per-turn extracted text folded
     into one document per conversation in stable turn order — the tabular
@@ -115,22 +115,41 @@ def assemble_conversations(
     Order is established by sorting the collected (turn_idx, text) structs,
     NEVER by relying on input row order (shuffle order is nondeterministic;
     the reference reorders explicitly for the same reason,
-    standard_pdf_pipeline.py:982-991). One groupBy — the only shuffle.
+    standard_pdf_pipeline.py:982-991).
+
+    Memory bound (SURVEY §7.4.5: conversations can run to 10^6 turns): a
+    TWO-LEVEL fold, never one unbounded ``collect_list`` of every turn.
+    Level 1 groups by (conv_id, turn_idx div segment_size) so each
+    collected array holds ≤ ``segment_size`` structs; level 2 concatenates
+    the ordered segment strings — an array of n_turns/segment_size
+    elements. The result is identical to the single-level fold (struct
+    sort within a segment, segment-index sort across segments). The final
+    row still carries the whole conversation text — that is the contract —
+    but no intermediate executor buffer holds per-turn structs beyond one
+    segment.
     """
-    return (
-        extracted.groupBy("conv_id")
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("turn_idx"), F.col("extracted_text"))
-                    )
-                ).getField("extracted_text"),
-                sep,
-            ).alias("conversation_text"),
-            F.count("*").alias("n_turns"),
-            F.sum((F.col("status") == "success").cast("long")).alias("n_success"),
-        )
+    seg = F.floor(F.col("turn_idx") / F.lit(segment_size)).alias("segment")
+    level1 = extracted.groupBy("conv_id", seg).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("turn_idx"), F.col("extracted_text"))
+                )
+            ).getField("extracted_text"),
+            sep,
+        ).alias("segment_text"),
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("status") == "success").cast("long")).alias("n_success"),
+    )
+    return level1.groupBy("conv_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("segment"), F.col("segment_text")))
+            ).getField("segment_text"),
+            sep,
+        ).alias("conversation_text"),
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("n_success").alias("n_success"),
     )
 
 

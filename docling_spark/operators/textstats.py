@@ -112,20 +112,22 @@ def rolling_fingerprint(col) -> Column:
 
 def vocab_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary top-k: explode normalized tokens → one groupBy
-    (map-side partial counts carry the shuffle) → global rank. Ties break
-    by token for determinism. At corpus scale the only heavy stage is the
-    token shuffle; the final top-k sorts a vocabulary-sized table, not the
-    corpus."""
+    (map-side partial counts carry the shuffle) → distributed
+    ``orderBy().limit(k)`` (TakeOrderedAndProject: each task keeps its own
+    top-k heap, the driver merges k-sized heads — never a single-partition
+    global sort of the whole vocabulary, which was the r1 scale-killer).
+    The rank window then runs over k rows only. Ties break by token for
+    determinism."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
 

@@ -100,6 +100,39 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
             n_fail += 1
             continue
+        # Driver-mimicry strictness: the driver canonicalizes with pandas
+        # (sort_values over all columns, then value-hash), which (a) crashes
+        # on unhashable cells (list/array/map/dict — r1 `media_features` red)
+        # and (b) is sensitive to dtype drift (DuckDB hugeint/int32 vs Spark
+        # int64 — r1 `extract_metrics_by_format` red). Surface both here so
+        # local green implies driver green.
+        warn = []
+        sample = srows[0] if srows else ()
+        for i, v in enumerate(sample):
+            if isinstance(v, (list, dict, set, bytearray)):
+                warn.append(f"unhashable cell type {type(v).__name__} in col "
+                            f"{scols[i]!r} (driver canonicalizer will crash)")
+        try:
+            opdf = res.df() if hasattr(res, "df") else None
+        except Exception:
+            opdf = None
+        if opdf is not None and len(opdf):
+            import pandas as _pd
+
+            for c in opdf.columns:
+                if str(opdf[c].dtype) == "object" and len(opdf[c]) and \
+                        isinstance(opdf[c].iloc[0], (list, dict)):
+                    warn.append(f"oracle col {c!r} is a nested pandas object "
+                                "(driver canonicalizer will crash)")
+                if _pd.api.types.is_float_dtype(opdf[c]):
+                    oc = [r for r in ocols]
+                    si = oc.index(c) if c in oc else None
+                    if si is not None and sample and isinstance(
+                            sample[scols.index(c)] if c in scols else None, int):
+                        warn.append(f"dtype drift col {c!r}: oracle float vs "
+                                    "spark int — cast both sides")
+        for w in warn:
+            print(f"WARN  {name}: {w}")
         sh = value_hash(scols, srows)
         oh = value_hash(ocols, orows)
         if sh != oh:
