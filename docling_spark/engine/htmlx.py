@@ -396,7 +396,8 @@ class HtmlExtractor:
                     txt = "`" + txt + "`"
                 else:
                     if escape:
-                        txt = txt.replace("&", "&amp;").replace("_", "\\_")
+                        txt = (txt.replace("&", "&amp;").replace("<", "&lt;")
+                               .replace(">", "&gt;").replace("_", "\\_"))
                     if "bold" in r.fmt:
                         txt = "**" + txt + "**"
                     if "italic" in r.fmt:
@@ -642,6 +643,16 @@ class HtmlExtractor:
                 self._flush(parent_eff, level_eff)
                 self._walk_inline_only(ch)
                 self._flush(parent_eff, level_eff)
+            elif tag in ("signature", "stamp"):
+                # picture placeholder + classification label; the inner
+                # text is NOT emitted (html_backend.py:2720-2738 adds it
+                # as a picture child, which the md serializer skips —
+                # groundtruth md/signature_stamp_01)
+                self._flush(parent_eff, level_eff)
+                _mk_item(self.items, parent_eff, "picture", level_eff, "",
+                         self.layer)
+                _mk_item(self.items, parent_eff, "text", level_eff,
+                         tag.capitalize(), self.layer)
             elif tag == "input":
                 itype = str(ch.attrs.get("type") or "").lower()
                 if itype == "checkbox":
@@ -898,7 +909,12 @@ class HtmlExtractor:
         ncols = num_cols
         md_lines: list[str] = []
         for ri, r in enumerate(grid):
-            md_lines.append("| " + " | ".join((c or "") for c in r) + " |")
+            # literal pipes inside a cell would split the md table — escape
+            # them the docling-core way (md table serializer: | → &#124;)
+            md_lines.append(
+                "| " + " | ".join((c or "").replace("|", "&#124;") for c in r)
+                + " |"
+            )
             if ri == 0 and ncols:
                 md_lines.append("| " + " | ".join("-" for _ in range(ncols)) + " |")
         text = "\n".join(md_lines)
@@ -1095,7 +1111,13 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 if ch["text"]:
                     n += 1
                     marker = f"{n}." if counters else "-"
-                    line = "    " * indent + f"{marker} " + ch["text"]
+                    # docling-core md list serializer protects item text
+                    # that would re-parse as an ordered-list marker
+                    # (groundtruth md/mixed_without_h1: '2\\. strange'
+                    # → '2 . strange')
+                    item_text = re.sub(r"^(\d+)\.(?=\s|$)", r"\1 .",
+                                       ch["text"])
+                    line = "    " * indent + f"{marker} " + item_text
                     buf.append(line)
                     ch["_line_ref"] = len(buf) - 1
                 for sub in by_parent.get(ch["item_idx"], []):
