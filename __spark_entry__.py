@@ -1542,6 +1542,121 @@ from t
 """
 
 
+def q_extract_docling_json(spark, sf_dir):
+    """JSON-Docling round-trip: a DoclingDocument JSON payload (title +
+    paragraph + 2-item list, built JVM-side) deserialized by
+    engine/jsonx.py and re-serialized to markdown — the reference's
+    docling_json_backend surface (docling/backend/json/
+    docling_json_backend.py)."""
+    t = _tok
+
+    def txt(i, label, text_col):
+        return F.concat(
+            F.lit(f'{{"self_ref": "#/texts/{i}", "parent": {{"$ref": "#/body"}}, '
+                  f'"children": [], "content_layer": "body", '
+                  f'"label": "{label}", "text": "'),
+            text_col, F.lit('"}'),
+        )
+
+    payload = F.concat(
+        F.lit('{"schema_name": "DoclingDocument", "version": "1.0", '
+              '"body": {"self_ref": "#/body", "label": "unspecified", '
+              '"name": "_root_", "content_layer": "body", "children": ['
+              '{"$ref": "#/texts/0"}, {"$ref": "#/texts/1"}, '
+              '{"$ref": "#/groups/0"}]}, "texts": ['),
+        txt(0, "title", F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))),
+        F.lit(", "),
+        txt(1, "text", F.col("text")),
+        F.lit(", "),
+        txt(2, "list_item", t(1)),
+        F.lit(", "),
+        txt(3, "list_item", t(2)),
+        F.lit('], "groups": [{"self_ref": "#/groups/0", '
+              '"parent": {"$ref": "#/body"}, "label": "list", "name": "list", '
+              '"content_layer": "body", "children": ['
+              '{"$ref": "#/texts/2"}, {"$ref": "#/texts/3"}]}], '
+              '"tables": [], "pictures": []}'),
+    )
+    return _extract_docs(spark, sf_dir, payload, "docling_json")
+
+
+ORACLE_DOCLING_JSON = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || '- ' || toks[1] || chr(10) || '- ' || toks[2] as extracted_text
+from t
+"""
+
+
+_EPUB_CONTAINER = """<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+  <rootfiles><rootfile full-path="content.opf"
+    media-type="application/oebps-package+xml"/></rootfiles>
+</container>"""
+
+_EPUB_OPF = """<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">
+  <manifest>
+    <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+    <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+  </manifest>
+  <spine><itemref idref="c1"/><itemref idref="c2"/></spine>
+</package>"""
+
+
+def q_extract_epub(spark, sf_dir):
+    """EPUB end-to-end: per-doc zip (container.xml → OPF spine → two XHTML
+    chapters) synthesized in an Arrow-batched UDF, base64'd into the text
+    column, routed through the real extraction operator (tool='epub' →
+    engine/epubx.py spine walk → HTML delegation). The oracle predicts the
+    serialized markdown independently of the zip bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+
+        out = []
+        for i, t in zip(doc_id, text):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("mimetype", "application/epub+zip")
+                z.writestr("META-INF/container.xml", _EPUB_CONTAINER)
+                z.writestr("content.opf", _EPUB_OPF)
+                z.writestr(
+                    "ch1.xhtml",
+                    f"<html><body><h1>Book {i}</h1><p>{t}</p></body></html>",
+                )
+                z.writestr(
+                    "ch2.xhtml",
+                    f"<html><body><h2>Chapter Two</h2>"
+                    f"<p>End of book {i}.</p></body></html>",
+                )
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    epub_b64 = pandas_udf(_mk, "string")
+    payload = epub_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "epub")
+
+
+ORACLE_EXTRACT_EPUB = """
+select doc_id, 'success' as status,
+       '# Book ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || '## Chapter Two' || chr(10) || chr(10)
+       || 'End of book ' || doc_id || '.' as extracted_text
+from documents
+"""
+
+
 def q_extract_asciidoc(spark, sf_dir):
     """AsciiDoc payload: title, section, list, fenced table — the regex
     line-parser backend end-to-end (asciidoc_backend.py semantics)."""
@@ -1839,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_vtt_dialogue": q_extract_vtt_dialogue,
         "extract_email": q_extract_email,
         "extract_asciidoc": q_extract_asciidoc,
+        "extract_epub": q_extract_epub,
+        "extract_docling_json": q_extract_docling_json,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
         "conversation_assembly": q_conversation_assembly,
@@ -1903,6 +2020,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
         "extract_email": ORACLE_EMAIL,
         "extract_asciidoc": ORACLE_ASCIIDOC,
+        "extract_epub": ORACLE_EXTRACT_EPUB,
+        "extract_docling_json": ORACLE_DOCLING_JSON,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,
         "conversation_assembly": ORACLE_CONVERSATION_ASSEMBLY,

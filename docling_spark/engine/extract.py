@@ -53,8 +53,11 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint == "adoc":
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
-                "asciidoc"):
+                "asciidoc", "epub", "docling_json"):
         return hint
+    if text and text.lstrip().startswith("{") and \
+            '"schema_name": "DoclingDocument"' in text[:2048]:
+        return "docling_json"
     if not text or not text.strip():
         return "plain"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
@@ -188,6 +191,19 @@ def extract_payload(
             extracted, items, metrics = emailx.extract_email(text)
         elif fmt == "asciidoc":
             extracted, items, metrics = asciidocx.extract_asciidoc(text)
+        elif fmt == "docling_json":
+            from docling_spark.engine import jsonx
+
+            extracted, items, metrics = jsonx.extract_docling_json(text)
+        elif fmt == "epub":
+            # binary formats travel base64-encoded in the text column
+            import base64
+
+            from docling_spark.engine import epubx
+
+            extracted, items, metrics = epubx.extract_epub(
+                base64.b64decode(text)
+            )
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

@@ -374,20 +374,39 @@ class HtmlExtractor:
         )
 
     def _runs_to_text(self, runs: list[_Run], markdown: bool = True,
-                      escape: bool = True) -> str:
+                      escape: bool = True, keep_newlines: bool = False) -> str:
         """Serialize buffered inline runs: merge adjacent runs with identical
-        annotations (html_backend.py:331-379 simplify_text_elements), collapse
+        annotations (html_backend.py:331-379 simplify_text_elements —
+        annotation equality only, source tags don't block merging), collapse
         whitespace, join distinct runs with single spaces, emit md-style
-        markers for formatting/hyperlinks."""
+        markers for formatting/hyperlinks.
+
+        ``keep_newlines``: newlines INSIDE a run survive (normalized to bare
+        \\n); newlines at run edges strip away — the reference's single-<br>
+        semantics (html_backend.py:381-411 split_by_newline: sentinel → \\n,
+        ' *\\n *' → '\\n', then docling text items strip their ends).
+        Groundtruth epub colophon: a <br> right after an inline element is a
+        soft wrap (space), a <br> mid-sentence after punctuation is a hard
+        line break."""
         merged: list[_Run] = []
+        last_elm = ""
         for r in runs:
-            if (merged and merged[-1].fmt == r.fmt and merged[-1].href == r.href
-                    and merged[-1].tag == r.tag):
-                merged[-1] = _Run(merged[-1].text + r.text, r.fmt, r.href, r.tag)
+            if merged and merged[-1].fmt == r.fmt and merged[-1].href == r.href:
+                # html_backend.py:341-352: adjacent same-annotation elements
+                # join with ONE space unless either side is empty/whitespace
+                # (wiki citation '['+'1'+']' → '[ 1 ]')
+                sep = " " if last_elm.strip() and r.text.strip() else ""
+                merged[-1] = _Run(merged[-1].text + sep + r.text, r.fmt,
+                                  r.href, r.tag)
             else:
                 merged.append(_Run(r.text, r.fmt, r.href, r.tag))
+            last_elm = r.text
         def fmt_one(r: _Run) -> str:
-            txt = " ".join(r.text.split())
+            if keep_newlines:
+                txt = re.sub(r"[ \t\r\f\v]+", " ", r.text)
+                txt = re.sub(r" *\n+ *", "\n", txt).strip()
+            else:
+                txt = " ".join(r.text.split())
             if not txt:
                 return ""
             txt = clean_unicode(txt)
@@ -469,22 +488,18 @@ class HtmlExtractor:
                 if piece:
                     para_runs[-1].append(_Run(piece, r.fmt, r.href, r.tag))
         for para in para_runs:
-            # single sentinels inside a paragraph → newline join
-            line_texts: list[str] = []
-            line: list[_Run] = []
+            # source newlines collapse to spaces FIRST (HTML spec), then
+            # single sentinels become \n INSIDE the run — kept when
+            # internal, stripped at run edges (reference split_by_newline
+            # semantics, html_backend.py:381-411 + NavigableString collapse)
+            nl_runs = []
             for r in para:
-                segs = r.text.split(BR_SENTINEL)
-                for i, seg in enumerate(segs):
-                    if i > 0:
-                        line_texts.append(self._runs_to_text(line))
-                        line = []
-                    if seg:
-                        line.append(_Run(seg, r.fmt, r.href, r.tag))
-            line_texts.append(self._runs_to_text(line))
-            text = "\n".join(t for t in line_texts).strip("\n")
-            text = "\n".join(part for part in text.split("\n"))
-            # drop empty lines produced by stray sentinels
-            text = "\n".join([p for p in text.split("\n") if p != ""])
+                t = " ".join(r.text.replace("\n", " ").replace("\r", " ")
+                             .split())
+                nl_runs.append(
+                    _Run(t.replace(BR_SENTINEL, "\n"), r.fmt, r.href, r.tag))
+            text = self._runs_to_text(nl_runs, keep_newlines=True)
+            text = "\n".join([p for p in text.split("\n") if p.strip() != ""])
             if text:
                 created.append(_mk_item(self.items, parent_idx, label, level, text, self.layer))
         return created
@@ -555,6 +570,41 @@ class HtmlExtractor:
             return self._hstack[-1][1], self._hstack[-1][2] + 1
         return 0, 1
 
+    def _heading_text(self, runs: list[_Run]) -> str:
+        """Headings merge ALL inline runs into ONE annotated element
+        (html_backend.py:2157-2172 via AnnotatedTextList.
+        to_single_text_element, :284-324): stripped run texts join with
+        single spaces; the FIRST non-empty formatting / hyperlink wins for
+        the whole heading (groundtruth epub: 'To the <i>Hibernia</i>' →
+        '*To the Hibernia*')."""
+        text = " ".join(
+            t for t in (" ".join(r.text.split()) for r in runs) if t
+        )
+        text = clean_unicode(text)
+        if not text:
+            return ""
+        fmt: frozenset = frozenset()
+        href = None
+        for r in runs:
+            if r.fmt and not fmt:
+                fmt = r.fmt
+            if r.href and href is None:
+                href = r.href
+        if "code" in fmt:
+            text = "`" + text + "`"
+        else:
+            text = (text.replace("&", "&amp;").replace("<", "&lt;")
+                    .replace(">", "&gt;").replace("_", "\\_"))
+            if "bold" in fmt:
+                text = "**" + text + "**"
+            if "italic" in fmt:
+                text = "*" + text + "*"
+            if "strike" in fmt:
+                text = "~~" + text + "~~"
+        if href:
+            text = "[" + text + "](" + _norm_href(href) + ")"
+        return text
+
     def _handle_heading(self, node: Element) -> None:
         hlevel = int(node.tag[1])
         if node is self.first_header or not self.seen_first_header:
@@ -566,7 +616,7 @@ class HtmlExtractor:
         saved_buf, self.buffer = self.buffer, []
         self._walk_inline_only(node)
         runs, self.buffer = self.buffer, saved_buf
-        text = self._runs_to_text(runs, markdown=True)
+        text = self._heading_text(runs)
         if not text:
             return
         label = "title" if hlevel == 1 else "section_header"
@@ -585,7 +635,8 @@ class HtmlExtractor:
                 continue
             # content after a heading nests under it
             if getattr(self, "_hstack", None) and node.tag in (
-                "body", "div", "section", "article", "main", "[document]", "html",
+                "body", "div", "section", "article", "main", "[document]",
+                "html", "header",
             ):
                 parent_eff = self._hstack[-1][1]
                 level_eff = self._hstack[-1][2] + 1
