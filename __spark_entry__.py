@@ -1542,6 +1542,134 @@ from t
 """
 
 
+def q_export_docling_json(spark, sf_dir):
+    """Lossless JSON export sink + round-trip witness: extract → item
+    table → DoclingDocument JSON (serialize_docling_json) → re-import
+    (jsonx) → markdown. The oracle predicts the markdown, so the hash
+    only matches if export+import preserve the document exactly."""
+    import pandas as pd
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    payload = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+
+    def run(batches):
+        from docling_spark.engine.jsonx import extract_docling_json
+        from docling_spark.engine.serialize import serialize_docling_json
+
+        for pdf in batches:
+            ids, texts = [], []
+            for conv_id, items in zip(pdf["conv_id"], pdf["items"]):
+                its = [dict(it) for it in items]
+                j = serialize_docling_json(its)
+                t2, _items2, _m = extract_docling_json(j)
+                ids.append(int(conv_id))
+                texts.append(t2)
+            yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
+
+    return (
+        extract_turns(d).select("conv_id", "items")
+        .mapInPandas(run, "doc_id long, roundtrip_text string")
+    )
+
+
+ORACLE_EXPORT_DOCLING_JSON = """
+select doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text as roundtrip_text
+from documents
+"""
+
+
+def q_heading_levels(spark, sf_dir):
+    """Numbering-marker heading hierarchy (heading_hierarchy_model.py:
+    87-175): chapter/roman/arabic/dotted/alpha families classified by JVM
+    regexps, single-letter Roman ambiguity resolved doc-wide by a window,
+    levels compressed per doc by dense_rank. 'I. Preface' resolves to
+    Roman because 'II. History' provides unambiguous evidence."""
+    from docling_spark.operators.heading_levels import assign_numbering_levels
+
+    t = _tok
+    texts = F.array(
+        F.concat(F.lit("Chapter "), F.col("doc_id").cast("string")),
+        F.lit("I. Preface"),
+        F.lit("II. History"),
+        F.concat(F.lit("1. Overview "), t(1)),
+        F.lit("1.1 Scope"),
+        F.concat(F.lit("1.2 Terms "), t(2)),
+        F.lit("2. Methods"),
+        F.lit("A. Annex"),
+        F.lit("Closing notes"),
+    )
+    h = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(texts).alias("heading_idx", "text")
+    )
+    out = assign_numbering_levels(h)
+    return out.select("doc_id", "heading_idx", "family", "num_level")
+
+
+ORACLE_HEADING_LEVELS = """
+select doc_id, u.heading_idx, u.family, u.num_level
+from documents,
+lateral (
+  select * from (values
+    (0, 'chapter', 1), (1, 'roman_u', 2), (2, 'roman_u', 2),
+    (3, 'arabic', 3), (4, 'dotted', 4), (5, 'dotted', 4),
+    (6, 'arabic', 3), (7, 'alpha_u', 5), (8, 'none', 0)
+  ) v(heading_idx, family, num_level)
+) u
+"""
+
+
+def q_bookmark_join(spark, sf_dir):
+    """PDF-outline → heading fuzzy join (heading_hierarchy_model.py:
+    278-392): bookmark titles match headings with/without their leading
+    numbering marker (exact → 1.0, containment → 0.92), one claim per
+    side, matched bookmark depths compressed per doc to contiguous
+    levels."""
+    from docling_spark.operators.heading_levels import bookmark_heading_levels
+
+    t = _tok
+    d = _docs(spark, sf_dir)
+    htexts = F.array(
+        F.lit("1. Introduction"),
+        F.concat(F.lit("1.1 Background "), t(1)),
+        F.concat(F.lit("1.2 Conclusion "), t(2)),
+    )
+    headings = d.select(
+        "doc_id", F.posexplode(htexts).alias("heading_idx", "text")
+    )
+    btitles = F.array(
+        F.lit("Introduction"),                       # marker-stripped match
+        F.concat(F.lit("Background "), t(1)),        # stripped-vs-raw match
+        F.concat(F.lit("1.2 Conclusion "), t(2)),    # exact match
+    )
+    outline = d.select(
+        "doc_id", F.posexplode(btitles).alias("bm_idx", "title")
+    ).withColumn(
+        "bm_level",
+        F.when(F.col("bm_idx") == 0, F.lit(0)).otherwise(F.lit(1)),
+    )
+    return bookmark_heading_levels(headings, outline)
+
+
+ORACLE_BOOKMARK_JOIN = """
+select doc_id, u.heading_idx, u.level
+from documents,
+lateral (
+  select * from (values (0, 1), (1, 2), (2, 2)) v(heading_idx, level)
+) u
+"""
+
+
 def q_extract_docling_json(spark, sf_dir):
     """JSON-Docling round-trip: a DoclingDocument JSON payload (title +
     paragraph + 2-item list, built JVM-side) deserialized by
@@ -1956,6 +2084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_asciidoc": q_extract_asciidoc,
         "extract_epub": q_extract_epub,
         "extract_docling_json": q_extract_docling_json,
+        "heading_levels": q_heading_levels,
+        "export_docling_json": q_export_docling_json,
+        "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
         "conversation_assembly": q_conversation_assembly,
@@ -2022,6 +2153,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_asciidoc": ORACLE_ASCIIDOC,
         "extract_epub": ORACLE_EXTRACT_EPUB,
         "extract_docling_json": ORACLE_DOCLING_JSON,
+        "heading_levels": ORACLE_HEADING_LEVELS,
+        "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
+        "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,
         "conversation_assembly": ORACLE_CONVERSATION_ASSEMBLY,

@@ -120,3 +120,163 @@ def serialize_itxt(items: list[dict]) -> str:
                 f'{it["label"]}: {it["text"]}'
             )
     return "\n".join(out)
+
+
+def serialize_docling_json(items: list[dict], name: str = "document") -> str:
+    """Flat item list → DoclingDocument-shaped JSON (the reference's
+    lossless export, its primary groundtruth format —
+    tests/groundtruth_paths.py). Round-trips through
+    engine/jsonx.py.extract_docling_json: deserializing the output and
+    re-serializing to markdown reproduces serialize_items' text
+    (tests/test_serialize.py::test_docling_json_roundtrip).
+
+    Mapping: text-bearing labels → ``texts``; list/inline/section groups →
+    ``groups``; tables (md-grid text re-parsed into TableData cells) →
+    ``tables``; pictures → ``pictures``. ``$ref`` wiring mirrors the
+    reference schema so the reference's own json backend can read it too.
+    """
+    import json as _json
+
+    texts: list[dict] = []
+    groups: list[dict] = []
+    tables: list[dict] = []
+    pictures: list[dict] = []
+    ref_of: dict[int, str] = {0: "#/body"}
+
+    group_labels = {"list": "list", "inline": "inline", "section": "section"}
+
+    def bucket_for(it: dict) -> tuple[list, str, str]:
+        label = it["label"]
+        if label == "table":
+            return tables, "tables", "table"
+        if label == "picture":
+            return pictures, "pictures", "picture"
+        if label in group_labels:
+            return groups, "groups", label
+        return texts, "texts", label
+
+    # assign refs in item order so parents always precede children
+    skipped = {
+        it["item_idx"] for it in items[1:] if it.get("_table_caption")
+    }  # table captions render nowhere in md; keep export/import symmetric
+    items_out = [it for it in items[1:] if it["item_idx"] not in skipped]
+    for it in items_out:
+        arr, kind, _label = bucket_for(it)
+        ref_of[it["item_idx"]] = f"#/{kind}/{len(arr)}"
+        arr.append({})  # placeholder; filled next pass
+
+    by_parent: dict[int, list[dict]] = {}
+    for it in items_out:
+        by_parent.setdefault(it["parent_idx"], []).append(it)
+
+    def node_for(it: dict) -> dict:
+        arr, kind, label = bucket_for(it)
+        node = {
+            "self_ref": ref_of[it["item_idx"]],
+            "parent": {"$ref": ref_of.get(it["parent_idx"], "#/body")},
+            "children": [
+                {"$ref": ref_of[ch["item_idx"]]}
+                for ch in by_parent.get(it["item_idx"], [])
+            ],
+            "content_layer": it.get("content_layer", "body"),
+            "label": label,
+            "prov": [],
+        }
+        if kind == "texts":
+            node["orig"] = it.get("text", "")
+            node["text"] = it.get("text", "")
+            # our flat items hold RENDERED markdown (escapes, backticks,
+            # link syntax baked in); flag it so the deserializer does not
+            # escape a second time. Reference-produced JSON (raw text per
+            # inline element) lacks the flag and takes the escaping path.
+            node["md_rendered"] = True
+            if label == "section_header":
+                node["level"] = max(1, int(it.get("_hlevel", 2)) - 1)
+            if label == "code" and it.get("code_language"):
+                node["code_language"] = it["code_language"]
+            if label == "list_item":
+                node["enumerated"] = False
+                node["marker"] = "-"
+        elif kind == "groups":
+            if label == "list":
+                ordered = it.get("text") == "ordered list"
+                start = it.get("_start")
+                node["name"] = (
+                    f"ordered list start {start}"
+                    if ordered and start and start != 1
+                    else ("ordered list" if ordered else "list")
+                )
+                node["label"] = "list"
+            else:
+                node["name"] = "group"
+        elif kind == "tables":
+            node["data"] = _md_grid_to_tabledata(it.get("text", ""))
+            node["captions"] = []
+        elif kind == "pictures":
+            node["captions"] = []
+        return node
+
+    for it in items_out:
+        arr, kind, _label = bucket_for(it)
+        idx = int(ref_of[it["item_idx"]].rsplit("/", 1)[1])
+        arr[idx] = node_for(it)
+
+    doc = {
+        "schema_name": "DoclingDocument",
+        "version": "1.7.0",
+        "name": name,
+        "furniture": {
+            "self_ref": "#/furniture", "children": [],
+            "content_layer": "furniture", "name": "_root_",
+            "label": "unspecified",
+        },
+        "body": {
+            "self_ref": "#/body",
+            "children": [
+                {"$ref": ref_of[ch["item_idx"]]} for ch in by_parent.get(0, [])
+            ],
+            "content_layer": "body", "name": "_root_",
+            "label": "unspecified",
+        },
+        "groups": groups,
+        "texts": texts,
+        "pictures": pictures,
+        "tables": tables,
+        "key_value_items": [],
+        "form_items": [],
+        "pages": {},
+    }
+    return _json.dumps(doc, ensure_ascii=False)
+
+
+def _md_grid_to_tabledata(md_table: str) -> dict:
+    """Markdown grid (the table item's text) → TableData dict."""
+    rows = [
+        [c.strip() for c in line.strip().strip("|").split("|")]
+        for line in md_table.splitlines()
+        if line.strip()
+    ]
+    body = [r for r in rows if not all(set(c) <= {"-", " ", ""} for c in r)]
+    has_header = len(body) < len(rows)
+    ncols = max((len(r) for r in body), default=0)
+    cells = []
+    grid = []
+    for ri, row in enumerate(body):
+        grow = []
+        for ci in range(ncols):
+            text = row[ci] if ci < len(row) else ""
+            cell = {
+                "row_span": 1, "col_span": 1,
+                "start_row_offset_idx": ri, "end_row_offset_idx": ri + 1,
+                "start_col_offset_idx": ci, "end_col_offset_idx": ci + 1,
+                "text": text.replace("&#124;", "|"),
+                "column_header": bool(has_header and ri == 0),
+                "row_header": False, "row_section": False, "fillable": False,
+            }
+            cells.append(cell)
+            grow.append(cell)
+        grid.append(grow)
+    return {
+        "table_cells": cells, "num_rows": len(body), "num_cols": ncols,
+        "orientation": "horizontal", "grid": grid,
+    }
