@@ -1542,6 +1542,69 @@ from t
 """
 
 
+_DOCX_STYLES = """<?xml version="1.0"?>
+<w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+  <w:style w:type="paragraph" w:styleId="Heading1">
+    <w:name w:val="heading 1"/>
+  </w:style>
+</w:styles>"""
+
+
+def q_extract_docx(spark, sf_dir):
+    """DOCX end-to-end: a per-doc WordprocessingML zip (styles.xml +
+    document.xml with a Heading1 title, a plain run, and a bold run)
+    synthesized in an Arrow-batched UDF, base64'd into the text column,
+    routed through tool='docx' (engine/docxx.py). The oracle predicts the
+    serialized markdown independent of the zip bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split()
+            tok1 = toks[0] if toks else "x"
+            doc = (
+                f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+                f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+                f'<w:r><w:t>Doc {i}</w:t></w:r></w:p>'
+                f'<w:p><w:r><w:t xml:space="preserve">{escape(str(t))} '
+                f'</w:t></w:r>'
+                f'<w:r><w:rPr><w:b/></w:rPr><w:t>{escape(tok1)}</w:t></w:r>'
+                f"</w:p></w:body></w:document>"
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("word/styles.xml", _DOCX_STYLES)
+                z.writestr("word/document.xml", doc)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    docx_b64 = pandas_udf(_mk, "string")
+    payload = docx_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "docx")
+
+
+ORACLE_EXTRACT_DOCX = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '## Doc ' || doc_id || chr(10) || chr(10) || text || ' **' || toks[1]
+       || '**' as extracted_text
+from t
+"""
+
+
 def q_export_docling_json(spark, sf_dir):
     """Lossless JSON export sink + round-trip witness: extract → item
     table → DoclingDocument JSON (serialize_docling_json) → re-import
@@ -2084,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_asciidoc": q_extract_asciidoc,
         "extract_epub": q_extract_epub,
         "extract_docling_json": q_extract_docling_json,
+        "extract_docx": q_extract_docx,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2153,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_asciidoc": ORACLE_ASCIIDOC,
         "extract_epub": ORACLE_EXTRACT_EPUB,
         "extract_docling_json": ORACLE_DOCLING_JSON,
+        "extract_docx": ORACLE_EXTRACT_DOCX,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

@@ -53,7 +53,7 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint == "adoc":
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
-                "asciidoc", "epub", "docling_json"):
+                "asciidoc", "epub", "docling_json", "docx"):
         return hint
     if text and text.lstrip().startswith("{") and \
             '"schema_name": "DoclingDocument"' in text[:2048]:
@@ -202,6 +202,14 @@ def extract_payload(
             from docling_spark.engine import epubx
 
             extracted, items, metrics = epubx.extract_epub(
+                base64.b64decode(text)
+            )
+        elif fmt == "docx":
+            import base64
+
+            from docling_spark.engine import docxx
+
+            extracted, items, metrics = docxx.extract_docx(
                 base64.b64decode(text)
             )
         elif fmt == "code":

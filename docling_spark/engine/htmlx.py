@@ -1161,7 +1161,10 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 child_indent = indent + 1
                 if ch["text"]:
                     n += 1
-                    marker = f"{n}." if counters else "-"
+                    # an explicit marker (docx numbering: '3.', '-') wins
+                    # over the group counter
+                    marker = ch.get("_marker") or (f"{n}." if counters
+                                                   else "-")
                     # docling-core md list serializer protects item text
                     # that would re-parse as an ordered-list marker
                     # (groundtruth md/mixed_without_h1: '2\\. strange'

@@ -140,7 +140,14 @@ def _find_emph_close(s: str, start: int, ch: str, run: int) -> int:
     return -1
 
 
+_INLINE_SPECIAL_RE = re.compile(r"[`*_~&!\[\\\n]")
+
+
 def parse_inline(s: str) -> list:
+    # fast path: no markdown-special characters → one text node (the
+    # overwhelmingly common case for transcript-turn payloads)
+    if not _INLINE_SPECIAL_RE.search(s):
+        return [("text", s)] if s else []
     nodes: list = []
     buf: list[str] = []
     i, n = 0, len(s)
