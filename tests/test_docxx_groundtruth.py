@@ -24,6 +24,7 @@ EXPECT_MATCH = [
     "docx_external_image", "docx_grouped_images", "docx_list_blank_spacer",
     "docx_list_resumed_numbering", "docx_lists",
     "docx_page_header_footer_first_page", "docx_rich_cells",
+    "docx_rich_tables_01",
     "docx_vml_images", "list_after_num_headers", "lorem_ipsum",
     "tablecell", "test_emf_docx", "unit_test_formatting",
     "unit_test_headers", "unit_test_headers_numbered",
