@@ -1542,6 +1542,120 @@ from t
 """
 
 
+def q_extract_xlsx(spark, sf_dir):
+    """XLSX end-to-end: per-doc SpreadsheetML zip (workbook + one sheet
+    with an inline-string header row and two data rows) synthesized in an
+    Arrow-batched UDF, base64'd, routed through tool='xlsx'
+    (engine/xlsxx.py flood-fill table discovery)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        RNS = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+               "relationships")
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = (str(t).split() + ["x", "y"])[:2]
+            wb = (
+                f'<?xml version="1.0"?><workbook xmlns="{NS}" '
+                f'xmlns:r="{RNS}"><sheets>'
+                f'<sheet name="Data" sheetId="1" r:id="rId1"/>'
+                f"</sheets></workbook>"
+            )
+            rels = (
+                '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                '<Relationship Id="rId1" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                'worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+            )
+
+            def cell(ref, val):
+                return (f'<c r="{ref}" t="inlineStr"><is><t>'
+                        f"{escape(str(val))}</t></is></c>")
+
+            def num(ref, val):
+                return f'<c r="{ref}"><v>{val}</v></c>'
+
+            sheet = (
+                f'<?xml version="1.0"?><worksheet xmlns="{NS}"><sheetData>'
+                f'<row r="1">{cell("A1", "k")}{cell("B1", "v")}</row>'
+                f'<row r="2">{cell("A2", toks[0])}{num("B2", int(i))}</row>'
+                f'<row r="3">{cell("A3", toks[1])}{num("B3", int(i) * 2)}'
+                f"</row></sheetData></worksheet>"
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("xl/workbook.xml", wb)
+                z.writestr("xl/_rels/workbook.xml.rels", rels)
+                z.writestr("xl/worksheets/sheet1.xml", sheet)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    xlsx_b64 = pandas_udf(_mk, "string")
+    payload = xlsx_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "xlsx")
+
+
+ORACLE_EXTRACT_XLSX = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '## Data' || chr(10) || chr(10)
+       || '| k | v |' || chr(10) || '| - | - |' || chr(10)
+       || '| ' || toks[1] || ' | ' || doc_id || ' |' || chr(10)
+       || '| ' || toks[2] || ' | ' || (doc_id * 2) || ' |'
+       as extracted_text
+from t
+"""
+
+
+def q_extract_deepseek(spark, sf_dir):
+    """DeepSeek-OCR annotated markdown (VLM grounding tokens,
+    docling/utils/deepseekocr_utils.py): title/text/figure annotations with
+    bbox dets; unannotated content dropped; figure captions attach before
+    the image placeholder."""
+    t = _tok
+    nl = "\n"
+    payload = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[[10, 10, 500, 40]]<|/det|>" + nl
+              + "# Doc "), F.col("doc_id").cast("string"),
+        F.lit(nl + nl
+              + "<|ref|>text<|/ref|><|det|>[[10, 50, 500, 90]]<|/det|>" + nl),
+        F.col("text"),
+        F.lit(nl + nl + "dangling unannotated line" + nl + nl
+              + "<|ref|>figure<|/ref|><|det|>[[10, 100, 200, 200]]<|/det|>"
+              + nl + nl
+              + "<|ref|>figure_caption<|/ref|><|det|>"
+              + "[[10, 210, 200, 230]]<|/det|>" + nl + "Figure 1. "),
+        t(1),
+    )
+    return _extract_docs(spark, sf_dir, payload, "deepseek")
+
+
+ORACLE_EXTRACT_DEEPSEEK = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || 'Figure 1. ' || toks[1] || chr(10) || chr(10) || '<!-- image -->'
+       as extracted_text
+from t
+"""
+
+
 _DOCX_STYLES = """<?xml version="1.0"?>
 <w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
   <w:style w:type="paragraph" w:styleId="Heading1">
@@ -2148,6 +2262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_epub": q_extract_epub,
         "extract_docling_json": q_extract_docling_json,
         "extract_docx": q_extract_docx,
+        "extract_deepseek": q_extract_deepseek,
+        "extract_xlsx": q_extract_xlsx,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2218,6 +2334,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_epub": ORACLE_EXTRACT_EPUB,
         "extract_docling_json": ORACLE_DOCLING_JSON,
         "extract_docx": ORACLE_EXTRACT_DOCX,
+        "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
+        "extract_xlsx": ORACLE_EXTRACT_XLSX,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

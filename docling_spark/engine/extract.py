@@ -53,8 +53,14 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint == "adoc":
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
-                "asciidoc", "epub", "docling_json", "docx"):
+                "asciidoc", "epub", "docling_json", "docx", "deepseek",
+                "xlsx"):
         return hint
+    if text and "<|ref|>" in text[:8192]:
+        from docling_spark.engine import deepseekx
+
+        if deepseekx.looks_like_deepseek(text):
+            return "deepseek"
     if text and text.lstrip().startswith("{") and \
             '"schema_name": "DoclingDocument"' in text[:2048]:
         return "docling_json"
@@ -191,6 +197,10 @@ def extract_payload(
             extracted, items, metrics = emailx.extract_email(text)
         elif fmt == "asciidoc":
             extracted, items, metrics = asciidocx.extract_asciidoc(text)
+        elif fmt == "deepseek":
+            from docling_spark.engine import deepseekx
+
+            extracted, items, metrics = deepseekx.extract_deepseek(text)
         elif fmt == "docling_json":
             from docling_spark.engine import jsonx
 
@@ -210,6 +220,14 @@ def extract_payload(
             from docling_spark.engine import docxx
 
             extracted, items, metrics = docxx.extract_docx(
+                base64.b64decode(text)
+            )
+        elif fmt == "xlsx":
+            import base64
+
+            from docling_spark.engine import xlsxx
+
+            extracted, items, metrics = xlsxx.extract_xlsx(
                 base64.b64decode(text)
             )
         elif fmt == "code":
