@@ -1620,6 +1620,94 @@ from t
 """
 
 
+def q_extract_pptx(spark, sf_dir):
+    """PPTX end-to-end: per-doc PresentationML zip (one slide with a title
+    placeholder and a bulleted body) synthesized in an Arrow-batched UDF,
+    base64'd, routed through tool='pptx' (engine/pptxx.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+        A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+        R = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+             "relationships")
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = (str(t).split() + ["x", "y"])[:2]
+            pres = (
+                f'<?xml version="1.0"?><p:presentation xmlns:p="{P}" '
+                f'xmlns:r="{R}"><p:sldIdLst>'
+                f'<p:sldId id="256" r:id="rId1"/></p:sldIdLst>'
+                f"</p:presentation>"
+            )
+            rels = (
+                '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                '<Relationship Id="rId1" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                'slide" Target="slides/slide1.xml"/></Relationships>'
+            )
+
+            def sp(ph, y, paras):
+                body = "".join(
+                    f"<a:p>{ppr}<a:r><a:t>{escape(tx)}</a:t></a:r></a:p>"
+                    for ppr, tx in paras
+                )
+                pht = f'<p:ph type="{ph}"/>' if ph else "<p:ph idx=\"1\"/>"
+                return (
+                    f"<p:sp><p:nvSpPr><p:cNvPr id=\"1\" name=\"s\"/>"
+                    f"<p:cNvSpPr/><p:nvPr>{pht}</p:nvPr></p:nvSpPr>"
+                    f'<p:spPr><a:xfrm><a:off x="0" y="{y}"/>'
+                    f'<a:ext cx="100" cy="100"/></a:xfrm></p:spPr>'
+                    f"<p:txBody><a:bodyPr/>{body}</p:txBody></p:sp>"
+                )
+
+            slide = (
+                f'<?xml version="1.0"?><p:sld xmlns:p="{P}" xmlns:a="{A}">'
+                f"<p:cSld><p:spTree><p:nvGrpSpPr><p:cNvPr id=\"0\" "
+                f'name="g"/><p:cNvGrpSpPr/><p:nvPr/></p:nvGrpSpPr>'
+                f"<p:grpSpPr/>"
+                + sp("title", 0, [("", f"Deck {i}")])
+                + sp(None, 1000, [
+                    ("<a:pPr><a:buChar char=\"•\"/></a:pPr>", toks[0]),
+                    ("<a:pPr><a:buChar char=\"•\"/></a:pPr>", toks[1]),
+                ])
+                + "</p:spTree></p:cSld></p:sld>"
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("ppt/presentation.xml", pres)
+                z.writestr("ppt/_rels/presentation.xml.rels", rels)
+                z.writestr("ppt/slides/slide1.xml", slide)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    pptx_b64 = pandas_udf(_mk, "string")
+    payload = pptx_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "pptx")
+
+
+ORACLE_EXTRACT_PPTX = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '# Deck ' || doc_id || chr(10) || chr(10)
+       || '- ' || toks[1] || chr(10) || '- ' || toks[2]
+       as extracted_text
+from t
+"""
+
+
 def q_extract_deepseek(spark, sf_dir):
     """DeepSeek-OCR annotated markdown (VLM grounding tokens,
     docling/utils/deepseekocr_utils.py): title/text/figure annotations with
@@ -2264,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx": q_extract_docx,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
+        "extract_pptx": q_extract_pptx,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2336,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docx": ORACLE_EXTRACT_DOCX,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,
+        "extract_pptx": ORACLE_EXTRACT_PPTX,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

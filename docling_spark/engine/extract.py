@@ -54,7 +54,7 @@ def detect_format(text: str, tool: str = "") -> str:
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                "xlsx"):
+                "xlsx", "pptx"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -228,6 +228,14 @@ def extract_payload(
             from docling_spark.engine import xlsxx
 
             extracted, items, metrics = xlsxx.extract_xlsx(
+                base64.b64decode(text)
+            )
+        elif fmt == "pptx":
+            import base64
+
+            from docling_spark.engine import pptxx
+
+            extracted, items, metrics = pptxx.extract_pptx(
                 base64.b64decode(text)
             )
         elif fmt == "code":

@@ -1159,7 +1159,7 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 continue
             if ch["label"] == "list_item":
                 child_indent = indent + 1
-                if ch["text"]:
+                if ch["text"] or ch.get("_marker"):
                     n += 1
                     # an explicit marker (docx numbering: '3.', '-') wins
                     # over the group counter
@@ -1168,9 +1168,11 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                     # docling-core md list serializer protects item text
                     # that would re-parse as an ordered-list marker
                     # (groundtruth md/mixed_without_h1: '2\\. strange'
-                    # → '2 . strange')
-                    item_text = re.sub(r"^(\d+)\.(?=\s|$)", r"\1 .",
-                                       ch["text"])
+                    # → '2 . strange'). Items with explicit markers (docx/
+                    # pptx) keep their text verbatim (pptx groundtruth
+                    # '- 1. Finalize pricing model').
+                    item_text = ch["text"] if ch.get("_marker") else \
+                        re.sub(r"^(\d+)\.(?=\s|$)", r"\1 .", ch["text"])
                     line = "    " * indent + f"{marker} " + item_text
                     buf.append(line)
                     ch["_line_ref"] = len(buf) - 1
