@@ -1708,6 +1708,69 @@ from t
 """
 
 
+def q_extract_ebcdic(spark, sf_dir):
+    """EBCDIC end-to-end: per-doc COBOL fixed-width records (cp037 strings
+    + a zoned decimal) built JVM-side? No — the bytes must be EBCDIC, so
+    an Arrow-batched UDF encodes them; layout + data travel in one JSON
+    payload (engine/ebcdicx.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import json as _json
+
+        layout = {
+            "description": "synthetic transcript ledger",
+            "records": [{
+                "name": "main",
+                "fields": [
+                    {"name": "word", "size": 12},
+                    {"name": "amount", "size": 6, "type": "zoned_decimal",
+                     "scale": 2},
+                ],
+            }],
+        }
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = (str(t).split() + ["x", "y"])[:2]
+            data = b""
+            for k, w in enumerate(toks):
+                data += w[:12].ljust(12).encode("cp037")
+                # zoned decimal: doc_id*100 + k, positive (F zone)
+                digits = f"{int(i) * 100 + k:06d}"
+                zoned = bytes(0xF0 | int(d) for d in digits)
+                data += zoned
+            out.append(_json.dumps({
+                "layout": layout,
+                "data_b64": base64.b64encode(data).decode(),
+            }))
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    ebc = pandas_udf(_mk, "string")
+    payload = ebc(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "ebcdic")
+
+
+ORACLE_EXTRACT_EBCDIC = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       'synthetic transcript ledger' || chr(10) || chr(10)
+       || '| word | amount |' || chr(10) || '| - | - |' || chr(10)
+       || '| ' || substr(toks[1], 1, 12) || ' | '
+       || printf('%.2f', doc_id * 100 * 0.01) || ' |' || chr(10)
+       || '| ' || substr(toks[2], 1, 12) || ' | '
+       || printf('%.2f', (doc_id * 100 + 1) * 0.01) || ' |'
+       as extracted_text
+from t
+"""
+
+
 def q_extract_deepseek(spark, sf_dir):
     """DeepSeek-OCR annotated markdown (VLM grounding tokens,
     docling/utils/deepseekocr_utils.py): title/text/figure annotations with
@@ -2353,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
+        "extract_ebcdic": q_extract_ebcdic,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2426,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,
         "extract_pptx": ORACLE_EXTRACT_PPTX,
+        "extract_ebcdic": ORACLE_EXTRACT_EBCDIC,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

@@ -54,7 +54,7 @@ def detect_format(text: str, tool: str = "") -> str:
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                "xlsx", "pptx"):
+                "xlsx", "pptx", "ebcdic"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -238,6 +238,10 @@ def extract_payload(
             extracted, items, metrics = pptxx.extract_pptx(
                 base64.b64decode(text)
             )
+        elif fmt == "ebcdic":
+            from docling_spark.engine import ebcdicx
+
+            extracted, items, metrics = ebcdicx.extract_ebcdic(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:
