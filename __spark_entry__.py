@@ -1708,6 +1708,43 @@ from t
 """
 
 
+def q_extract_boxnote(spark, sf_dir):
+    """Box Notes (ProseMirror JSON) end-to-end: heading + marked runs +
+    bullet list built as JSON JVM-side (engine/boxnotex.py)."""
+    t = _tok
+    payload = F.concat(
+        F.lit('{"version": 1, "doc": {"type": "doc", "content": ['
+              '{"type": "heading", "attrs": {"level": 1}, "content": '
+              '[{"type": "text", "text": "Note '),
+        F.col("doc_id").cast("string"),
+        F.lit('"}]}, {"type": "paragraph", "content": '
+              '[{"type": "text", "text": "'),
+        F.col("text"),
+        F.lit('"}]}, {"type": "bullet_list", "content": ['
+              '{"type": "list_item", "content": [{"type": "paragraph", '
+              '"content": [{"type": "text", "text": "'),
+        t(1),
+        F.lit('"}]}]}, {"type": "list_item", "content": '
+              '[{"type": "paragraph", "content": [{"type": "text", '
+              '"text": "'),
+        t(2),
+        F.lit('"}]}]}]}]}}'),
+    )
+    return _extract_docs(spark, sf_dir, payload, "boxnote")
+
+
+ORACLE_EXTRACT_BOXNOTE = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '# Note ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || '- ' || toks[1] || chr(10) || '- ' || toks[2] as extracted_text
+from t
+"""
+
+
 def q_extract_ebcdic(spark, sf_dir):
     """EBCDIC end-to-end: per-doc COBOL fixed-width records (cp037 strings
     + a zoned decimal) built JVM-side? No — the bytes must be EBCDIC, so
@@ -2417,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
         "extract_ebcdic": q_extract_ebcdic,
+        "extract_boxnote": q_extract_boxnote,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2491,6 +2529,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_xlsx": ORACLE_EXTRACT_XLSX,
         "extract_pptx": ORACLE_EXTRACT_PPTX,
         "extract_ebcdic": ORACLE_EXTRACT_EBCDIC,
+        "extract_boxnote": ORACLE_EXTRACT_BOXNOTE,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

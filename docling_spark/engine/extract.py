@@ -54,7 +54,7 @@ def detect_format(text: str, tool: str = "") -> str:
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                "xlsx", "pptx", "ebcdic"):
+                "xlsx", "pptx", "ebcdic", "boxnote"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -242,6 +242,10 @@ def extract_payload(
             from docling_spark.engine import ebcdicx
 
             extracted, items, metrics = ebcdicx.extract_ebcdic(text)
+        elif fmt == "boxnote":
+            from docling_spark.engine import boxnotex
+
+            extracted, items, metrics = boxnotex.extract_boxnote(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

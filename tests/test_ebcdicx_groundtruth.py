@@ -55,3 +55,18 @@ def test_packed_and_zoned_decimals() -> None:
                           "data_b64": b64.b64encode(data).decode()})
     text, _i, _m = extract_ebcdic(payload)
     assert "| -12.3 | -123 |" in text
+
+
+def test_boxnote_groundtruth() -> None:
+    import pathlib
+
+    from docling_spark.engine.boxnotex import extract_boxnote
+
+    src = pathlib.Path(
+        "/root/reference/tests/data/boxnote/sources/sample.boxnote")
+    gt = pathlib.Path(
+        "/root/reference/tests/data/boxnote/groundtruth/sample.boxnote.md")
+    if not src.exists():
+        return
+    text, items, _m = extract_boxnote(src.read_text())
+    assert text.strip() == gt.read_text().strip()
