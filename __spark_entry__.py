@@ -1708,6 +1708,37 @@ from t
 """
 
 
+def q_extract_jats(spark, sf_dir):
+    """JATS scientific-article XML end-to-end: front matter (title,
+    author, abstract), a section with a paragraph and an inline tex-math
+    formula, built JVM-side (engine/jatsx.py)."""
+    payload = F.concat(
+        F.lit('<article><front><article-meta><title-group><article-title>'
+              'Study '),
+        F.col("doc_id").cast("string"),
+        F.lit("</article-title></title-group><contrib-group>"
+              '<contrib contrib-type="author"><name>'
+              "<given-names>Alex</given-names><surname>Doe</surname>"
+              "</name></contrib></contrib-group><abstract><p>"),
+        F.col("text"),
+        F.lit("</p></abstract></article-meta></front><body>"
+              "<sec><title>1. Results</title><p>The estimate "
+              "<inline-formula><tex-math>$x^{2}$</tex-math>"
+              "</inline-formula> holds.</p></sec></body></article>"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "jats")
+
+
+ORACLE_EXTRACT_JATS = """
+select doc_id, 'success' as status,
+       '# Study ' || doc_id || chr(10) || chr(10) || 'Alex Doe'
+       || chr(10) || chr(10) || '## Abstract' || chr(10) || chr(10) || text
+       || chr(10) || chr(10) || '## 1. Results' || chr(10) || chr(10)
+       || 'The estimate $x^{2}$ holds.' as extracted_text
+from documents
+"""
+
+
 def q_extract_boxnote(spark, sf_dir):
     """Box Notes (ProseMirror JSON) end-to-end: heading + marked runs +
     bullet list built as JSON JVM-side (engine/boxnotex.py)."""
@@ -2455,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx": q_extract_pptx,
         "extract_ebcdic": q_extract_ebcdic,
         "extract_boxnote": q_extract_boxnote,
+        "extract_jats": q_extract_jats,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2530,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pptx": ORACLE_EXTRACT_PPTX,
         "extract_ebcdic": ORACLE_EXTRACT_EBCDIC,
         "extract_boxnote": ORACLE_EXTRACT_BOXNOTE,
+        "extract_jats": ORACLE_EXTRACT_JATS,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

@@ -54,7 +54,7 @@ def detect_format(text: str, tool: str = "") -> str:
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                "xlsx", "pptx", "ebcdic", "boxnote"):
+                "xlsx", "pptx", "ebcdic", "boxnote", "jats"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -246,6 +246,10 @@ def extract_payload(
             from docling_spark.engine import boxnotex
 
             extracted, items, metrics = boxnotex.extract_boxnote(text)
+        elif fmt == "jats":
+            from docling_spark.engine import jatsx
+
+            extracted, items, metrics = jatsx.extract_jats(text)
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:

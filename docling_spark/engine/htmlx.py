@@ -1223,6 +1223,9 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                     emit(it["text"], it)
             elif label == "picture":
                 emit("<!-- image -->", it)
+            elif label == "formula":
+                # block formula (JATS tex-math): verbatim LaTeX in $$ $$
+                emit("$$" + it["text"] + "$$", it)
             elif label == "section":
                 walk(it["item_idx"])
             else:
