@@ -1708,6 +1708,66 @@ from t
 """
 
 
+def q_extract_odt(spark, sf_dir):
+    """OpenDocument Text end-to-end: per-doc odt zip (heading + styled
+    paragraph) synthesized in an Arrow-batched UDF, base64'd, routed
+    through tool='odt' (engine/odfx.py style resolution)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        S = "urn:oasis:names:tc:opendocument:xmlns:style:1.0"
+        FO = "urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = (str(t).split() + ["x"])[:1]
+            content = (
+                f'<?xml version="1.0"?>'
+                f'<office:document-content xmlns:office="{O}" '
+                f'xmlns:text="{T}" xmlns:style="{S}" xmlns:fo="{FO}">'
+                f"<office:automatic-styles>"
+                f'<style:style style:name="B1" style:family="text">'
+                f'<style:text-properties fo:font-weight="bold"/>'
+                f"</style:style></office:automatic-styles>"
+                f"<office:body><office:text>"
+                f'<text:h text:outline-level="1">Doc {i}</text:h>'
+                f"<text:p>{escape(str(t))} "
+                f'<text:span text:style-name="B1">{escape(toks[0])}'
+                f"</text:span></text:p>"
+                f"</office:text></office:body></office:document-content>"
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("content.xml", content)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    odt_b64 = pandas_udf(_mk, "string")
+    payload = odt_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "odt")
+
+
+ORACLE_EXTRACT_ODT = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '## Doc ' || doc_id || chr(10) || chr(10) || text || '  **' || toks[1]
+       || '**' as extracted_text
+from t
+"""
+
+
 def q_extract_jats(spark, sf_dir):
     """JATS scientific-article XML end-to-end: front matter (title,
     author, abstract), a section with a paragraph and an inline tex-math
@@ -2487,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ebcdic": q_extract_ebcdic,
         "extract_boxnote": q_extract_boxnote,
         "extract_jats": q_extract_jats,
+        "extract_odt": q_extract_odt,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2563,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_ebcdic": ORACLE_EXTRACT_EBCDIC,
         "extract_boxnote": ORACLE_EXTRACT_BOXNOTE,
         "extract_jats": ORACLE_EXTRACT_JATS,
+        "extract_odt": ORACLE_EXTRACT_ODT,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

@@ -54,7 +54,8 @@ def detect_format(text: str, tool: str = "") -> str:
         hint = "asciidoc"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                "xlsx", "pptx", "ebcdic", "boxnote", "jats"):
+                "xlsx", "pptx", "ebcdic", "boxnote", "jats",
+                "odt", "ods", "odp"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -250,6 +251,14 @@ def extract_payload(
             from docling_spark.engine import jatsx
 
             extracted, items, metrics = jatsx.extract_jats(text)
+        elif fmt in ("odt", "ods", "odp"):
+            import base64
+
+            from docling_spark.engine import odfx
+
+            extracted, items, metrics = odfx.extract_odf(
+                base64.b64decode(text), fmt
+            )
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)
         else:
