@@ -1708,6 +1708,41 @@ from t
 """
 
 
+def q_extract_uspto(spark, sf_dir):
+    """USPTO ICE v4.x end-to-end: a minimal patent application (title,
+    abstract, heading, paragraph, one claim) built JVM-side
+    (engine/usptox.py SAX walk)."""
+    payload = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<!DOCTYPE us-patent-application SYSTEM '
+              '"us-patent-application-v44-2014-04-03.dtd" [ ]>\n'
+              "<us-patent-application>"
+              "<invention-title>Patent "),
+        F.col("doc_id").cast("string"),
+        F.lit("</invention-title><abstract><p>"),
+        F.col("text"),
+        F.lit("</p></abstract><description>"
+              '<heading level="1">BACKGROUND</heading>'
+              "<p>The prior art is lacking.</p></description>"
+              "<claims><claim><claim-text>1. A method comprising "
+              "steps.</claim-text></claim></claims>"
+              "</us-patent-application>"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "uspto")
+
+
+ORACLE_EXTRACT_USPTO = """
+select doc_id, 'success' as status,
+       '# Patent ' || doc_id || chr(10) || chr(10)
+       || '### ABSTRACT' || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || '### BACKGROUND' || chr(10) || chr(10)
+       || 'The prior art is lacking.' || chr(10) || chr(10)
+       || '### CLAIMS' || chr(10) || chr(10)
+       || '1. A method comprising steps.' as extracted_text
+from documents
+"""
+
+
 def q_extract_odt(spark, sf_dir):
     """OpenDocument Text end-to-end: per-doc odt zip (heading + styled
     paragraph) synthesized in an Arrow-batched UDF, base64'd, routed
@@ -2548,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boxnote": q_extract_boxnote,
         "extract_jats": q_extract_jats,
         "extract_odt": q_extract_odt,
+        "extract_uspto": q_extract_uspto,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2625,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_boxnote": ORACLE_EXTRACT_BOXNOTE,
         "extract_jats": ORACLE_EXTRACT_JATS,
         "extract_odt": ORACLE_EXTRACT_ODT,
+        "extract_uspto": ORACLE_EXTRACT_USPTO,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

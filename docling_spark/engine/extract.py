@@ -55,7 +55,7 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
-                "odt", "ods", "odp"):
+                "odt", "ods", "odp", "uspto"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -251,6 +251,10 @@ def extract_payload(
             from docling_spark.engine import jatsx
 
             extracted, items, metrics = jatsx.extract_jats(text)
+        elif fmt == "uspto":
+            from docling_spark.engine import usptox
+
+            extracted, items, metrics = usptox.extract_uspto(text)
         elif fmt in ("odt", "ods", "odp"):
             import base64
 

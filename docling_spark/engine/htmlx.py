@@ -1217,7 +1217,8 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
             elif label == "code":
                 emit("```\n" + it["text"] + "\n```", it)
             elif label == "table":
-                emit(it["text"], it)
+                if it["text"]:
+                    emit(it["text"], it)
             elif label == "caption":
                 if not it.get("_table_caption"):
                     emit(it["text"], it)
