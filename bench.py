@@ -44,9 +44,11 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # bound Arrow batch memory: the corpus plants multi-MB oversize
-        # payloads (size-limit coverage), so batches stay small
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        # Arrow batch sizing: 2000 rows ≈ 2-4 MB of typical turns — the
+        # measured sweet spot (500 → 36k turns/s, 2000 → 45k, 8000 → 41k
+        # on this box); the corpus's few multi-MB oversize payloads only
+        # cap the count, not per-row memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.maxResultSize", "4g")

@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = (
         SparkSession.builder.appName("docling-spark-extract")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .getOrCreate()
     )
 

@@ -31,7 +31,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "16g")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from docling_spark.sources.transcripts import transcripts_df
