@@ -1708,6 +1708,29 @@ from t
 """
 
 
+def q_extract_latex(spark, sf_dir):
+    """LaTeX end-to-end (subset engine, engine/latexx.py): section +
+    paragraph with a cite + display math, built JVM-side."""
+    payload = F.concat(
+        F.lit("\\documentclass{article}\n\\begin{document}\n"
+              "\\section{Paper "),
+        F.col("doc_id").cast("string"),
+        F.lit("}\n\n"),
+        F.col("text"),
+        F.lit(" \\cite{src42}.\n\n$$E = mc^2$$\n\n"
+              "\\end{document}\n"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "latex")
+
+
+ORACLE_EXTRACT_LATEX = """
+select doc_id, 'success' as status,
+       '## Paper ' || doc_id || chr(10) || chr(10) || text || ' [src42].'
+       || chr(10) || chr(10) || '$$E = mc^2$$' as extracted_text
+from documents
+"""
+
+
 def q_extract_uspto(spark, sf_dir):
     """USPTO ICE v4.x end-to-end: a minimal patent application (title,
     abstract, heading, paragraph, one claim) built JVM-side
@@ -2584,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_jats": q_extract_jats,
         "extract_odt": q_extract_odt,
         "extract_uspto": q_extract_uspto,
+        "extract_latex": q_extract_latex,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "bookmark_join": q_bookmark_join,
@@ -2662,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_jats": ORACLE_EXTRACT_JATS,
         "extract_odt": ORACLE_EXTRACT_ODT,
         "extract_uspto": ORACLE_EXTRACT_USPTO,
+        "extract_latex": ORACLE_EXTRACT_LATEX,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,

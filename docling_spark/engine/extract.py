@@ -55,7 +55,7 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
-                "odt", "ods", "odp", "uspto"):
+                "odt", "ods", "odp", "uspto", "latex"):
         return hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -255,6 +255,10 @@ def extract_payload(
             from docling_spark.engine import usptox
 
             extracted, items, metrics = usptox.extract_uspto(text)
+        elif fmt == "latex":
+            from docling_spark.engine import latexx
+
+            extracted, items, metrics = latexx.extract_latex(text)
         elif fmt in ("odt", "ods", "odp"):
             import base64
 

@@ -1225,8 +1225,10 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
             elif label == "picture":
                 emit("<!-- image -->", it)
             elif label == "formula":
-                # block formula (JATS tex-math): verbatim LaTeX in $$ $$
-                emit("$$" + it["text"] + "$$", it)
+                # block formula: verbatim LaTeX in $$ $$; formulas lifted
+                # out of running text keep single-$ delimiters
+                d = "$" if it.get("_inline") else "$$"
+                emit(d + it["text"] + d, it)
             elif label == "section":
                 walk(it["item_idx"])
             else:

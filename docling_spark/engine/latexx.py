@@ -1,0 +1,191 @@
+"""LaTeX payload → item table (subset engine).
+
+A deliberately bounded re-expression of the reference LaTeX backend
+(docling/backend/latex/ — a 1.6k-LoC macro-expanding tokenizer): this
+subset covers the structured core exercised by the reference's example
+fixtures (tests/data/latex/sources/example_01.tex, example_02.tex,
+pinned byte-exact): \\title/\\author/\\maketitle, sectioning commands,
+itemize/enumerate, inline ``$..$`` and display ``$$..$$``/equation math
+(both render as formula blocks, as the reference does), tabular with
+``\\\\`` rows and ``\\hline`` separators (the trailing row after the
+last ``\\\\`` stays, reference parity), captions after tables,
+``\\cite``/``\\ref`` → ``[key]``, and \\textbf/\\textit unwrapping with
+the reference's trailing-space quirk. Full arXiv papers (custom macros,
+\\input trees, .sty files) are out of scope — the reference drives a
+real TeX expander for those.
+"""
+
+from __future__ import annotations
+
+import re
+
+from docling_spark.engine.htmlx import Item, _mk_item, serialize_items
+
+
+class LatexError(ValueError):
+    pass
+
+
+_SECTION_RE = re.compile(
+    r"\\(section|subsection|subsubsection)\*?\{([^{}]*)\}")
+_COMMENT_RE = re.compile(r"(?<!\\)%.*$", re.MULTILINE)
+
+
+def _clean_inline(t: str) -> str:
+    # \textbf{X} keeps its following space; \textit{X} swallows it —
+    # reference macro-expansion parity (groundtruth example_01
+    # 'bold and italictext')
+    t = re.sub(r"\\textbf\{([^{}]*)\}", r"\1", t)
+    t = re.sub(r"\\textit\{([^{}]*)\} ?", r"\1", t)
+    t = re.sub(r"\\emph\{([^{}]*)\}", r"\1", t)
+    t = re.sub(r"\\(cite|ref|eqref|label)\{([^{}]*)\}", r"[\2]", t)
+    t = t.replace("~", " ")
+    t = re.sub(r"\\([&%#_$])", r"\1", t)
+    return " ".join(t.split())
+
+
+def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
+    """payload (LaTeX source) → (extracted_text, items, metrics)."""
+    if "\\begin{document}" not in payload:
+        raise LatexError("no \\begin{document} found")
+    m = re.search(r"\\title\{([^{}]*)\}", payload)
+    title = _clean_inline(m.group(1)) if m else None
+    m = re.search(r"\\author\{([^{}]*)\}", payload)
+    author = _clean_inline(m.group(1)) if m else None
+
+    body = payload.split("\\begin{document}", 1)[1]
+    body = body.split("\\end{document}", 1)[0]
+    body = _COMMENT_RE.sub("", body)
+
+    items: list[Item] = []
+    _mk_item(items, -1, "unspecified", 0, "_root_", "body")
+    hstack: list[tuple[int, int]] = []
+
+    def parent() -> int:
+        return hstack[-1][1] if hstack else 0
+
+    def add_heading(level: int, text: str) -> None:
+        while hstack and hstack[-1][0] >= level:
+            hstack.pop()
+        par = hstack[-1][1] if hstack else 0
+        idx = _mk_item(items, par, "section_header", 1, text, "body")
+        items[idx]["_hlevel"] = level + 1
+        hstack.append((level, idx))
+
+    def add_text(text: str) -> None:
+        text = _clean_inline(text)
+        if text:
+            _mk_item(items, parent(), "text", 1, text, "body")
+
+    def add_formula(tex: str, inline: bool = False) -> None:
+        tex = " ".join(tex.split())
+        if tex:
+            idx = _mk_item(items, parent(), "formula", 1, tex, "body")
+            if inline:
+                items[idx]["_inline"] = True
+
+    def add_tabular(content: str, caption: str | None) -> None:
+        content = re.sub(r"\\hline", "", content)
+        rows = [r.strip() for r in content.split("\\\\")]
+        grid = []
+        for r in rows:
+            cells = [_clean_inline(c) for c in r.split("&")]
+            grid.append(cells)
+        if not grid:
+            return
+        ncols = max(len(r) for r in grid)
+        md = []
+        for ri, r in enumerate(grid):
+            cells = [c.replace("|", "&#124;") for c in r]
+            cells += [""] * (ncols - len(cells))
+            md.append("| " + " | ".join(cells) + " |")
+            if ri == 0:
+                md.append("| " + " | ".join("-" for _ in range(ncols)) + " |")
+        idx = _mk_item(items, parent(), "table", 1, "\n".join(md), "body")
+        items[idx]["num_rows"] = len(grid)
+        items[idx]["num_cols"] = ncols
+        if caption:
+            _mk_item(items, parent(), "caption", 1, caption, "body")
+
+    # tokenize the body into blocks
+    pos = 0
+    para: list[str] = []
+
+    def flush_para() -> None:
+        text = " ".join(para)
+        para.clear()
+        # split inline math into its own formula blocks (reference
+        # behavior: '$E = mc^2$' leaves its paragraph)
+        parts = re.split(r"(\$[^$]+\$)", text)
+        for part in parts:
+            if part.startswith("$") and part.endswith("$") and len(part) > 2:
+                add_formula(part[1:-1], inline=True)
+            else:
+                add_text(part)
+
+    token_re = re.compile(
+        r"(\\(?:section|subsection|subsubsection)\*?\{[^{}]*\})"
+        r"|(\\maketitle)"
+        r"|(\$\$.*?\$\$)"
+        r"|(\\begin\{equation\*?\}.*?\\end\{equation\*?\})"
+        r"|(\\begin\{(?:itemize|enumerate)\}.*?"
+        r"\\end\{(?:itemize|enumerate)\})"
+        r"|(\\begin\{table\}.*?\\end\{table\})"
+        r"|(\\begin\{tabular\}.*?\\end\{tabular\})",
+        re.DOTALL,
+    )
+
+    def add_plain_segment(segment: str) -> None:
+        for piece in re.split(r"\n\s*\n", segment):
+            piece = piece.strip()
+            if piece:
+                para.append(piece)
+                flush_para()
+
+    for m in token_re.finditer(body):
+        add_plain_segment(body[pos:m.start()])
+        pos = m.end()
+        tok = m.group(0)
+        if m.group(1):
+            sec = _SECTION_RE.match(tok)
+            if sec:
+                level = {"section": 1, "subsection": 2,
+                         "subsubsection": 3}[sec.group(1)]
+                add_heading(level, _clean_inline(sec.group(2)))
+        elif m.group(2):  # \maketitle
+            if title:
+                idx = _mk_item(items, 0, "title", 1, title, "body")
+                items[idx]["_hlevel"] = 1
+            if author:
+                _mk_item(items, 0, "text", 1, author, "body")
+        elif m.group(3):
+            add_formula(tok[2:-2])
+        elif m.group(4):
+            inner = re.sub(r"\\(?:begin|end)\{equation\*?\}", "", tok)
+            add_formula(inner)
+        elif m.group(5):
+            gidx = _mk_item(items, parent(), "list", 1, "list", "body")
+            inner = re.sub(r"\\(?:begin|end)\{(?:itemize|enumerate)\}", "",
+                           tok)
+            for item_text in inner.split("\\item")[1:]:
+                t = _clean_inline(item_text)
+                if t:
+                    _mk_item(items, gidx, "list_item", 2, t, "body")
+        elif m.group(6) or m.group(7):
+            cap = re.search(r"\\caption\{([^{}]*)\}", tok)
+            tab = re.search(
+                r"\\begin\{tabular\}\{[^{}]*\}(.*?)\\end\{tabular\}",
+                tok, re.DOTALL)
+            if tab:
+                add_tabular(tab.group(1),
+                            _clean_inline(cap.group(1)) if cap else None)
+    add_plain_segment(body[pos:])
+
+    text = serialize_items(items, layer="body")
+    metrics = {
+        "pages_parsed": 1,
+        "parse_score": 1.0,
+        "boilerplate_ratio": 0.0,
+        "n_items": len(items) - 1,
+    }
+    return text, items, metrics

@@ -37,3 +37,18 @@ def test_rejects_unknown_doctype() -> None:
 
     with pytest.raises(UsptoError):
         extract_uspto("<html><body>nope</body></html>")
+
+
+def test_latex_examples_groundtruth() -> None:
+    import pathlib
+
+    from docling_spark.engine.latexx import extract_latex
+
+    base = pathlib.Path("/root/reference/tests/data/latex")
+    if not base.exists():
+        return
+    for name in ("example_01.tex", "example_02.tex"):
+        src = (base / "sources" / name).read_text()
+        gt = (base / "groundtruth" / f"{name}.md").read_text()
+        text, _items, _m = extract_latex(src)
+        assert text.strip() == gt.strip(), name
