@@ -35,7 +35,9 @@ STATUS_SKIPPED = "skipped"
 DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 
 KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
-                 "asciidoc", "plain")
+                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
+                 "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
+                 "odp", "uspto", "latex", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
