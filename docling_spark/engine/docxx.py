@@ -26,6 +26,7 @@ from docling_spark.engine.htmlx import (
     _Run,
     serialize_items,
 )
+from docling_spark.engine.ommlx import paragraph_equations
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -373,6 +374,30 @@ def _para_runs(p, dx: _Docx) -> tuple[list[_Run], int]:
     return runs, has_image
 
 
+def _md_escape_plain(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("_", "\\_"))
+
+
+def _eq_children(frags: list[tuple[str, object]]
+                 ) -> list[tuple[str, str]]:
+    """Normalize paragraph fragments into the inline-group child list
+    (msword_backend.py:2367-2428 _add_inline_equations_to_parent): text
+    fragments merge, the paragraph-level strip trims the outer ends, the
+    final text fragment is fully stripped, empties drop."""
+    merged: list[list] = []
+    for kind, v in frags:
+        if kind == "text" and merged and merged[-1][0] == "text":
+            merged[-1][1] += v
+        else:
+            merged.append([kind, str(v)])
+    if merged and merged[0][0] == "text":
+        merged[0][1] = merged[0][1].lstrip()
+    if merged and merged[-1][0] == "text":
+        merged[-1][1] = merged[-1][1].strip()
+    return [(k, v) for k, v in merged if not (k == "text" and not v)]
+
+
 def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
     """payload (docx zip bytes) → (extracted_text, items, metrics)."""
     dx = _Docx(payload)
@@ -538,6 +563,24 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
         hl = heading_level(style_id)
         np = num_props(p, style_id)
 
+        # OMML equations: trusted only when the non-math runs reconstruct
+        # the paragraph text (msword_backend.py:1938-1946)
+        eqf = paragraph_equations(p)
+        if eqf:
+            wt = "".join(str(v) for k, v in eqf if k == "text")
+            if re.sub(r"\s+", "", wt) != re.sub(r"\s+", "", raw):
+                eqf = []
+
+        def add_eq_children(gidx: int, child_lvl: int) -> None:
+            for k, v in _eq_children(eqf):
+                if k == "eq":
+                    fi = _mk_item(items, gidx, "formula", child_lvl,
+                                  v, "body")
+                    items[fi]["_inline"] = True
+                else:
+                    _mk_item(items, gidx, "text", child_lvl,
+                             _md_escape_plain(v), "body")
+
         if hl is not None:
             flush_mono()
             close_lists()
@@ -624,17 +667,37 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
                 prefix = render_marker(nid, ilvl)
             else:
                 marker, prefix = "-", ""
-            text = _runs_md(runs)
+            text = "" if eqf else _runs_md(runs)
             if prefix:
                 text = f"{prefix} {text}".strip()
-            if text or has_image:
+            if text or has_image or eqf:
                 li = _mk_item(items, list_stack[-1][1], "list_item",
                               lvl + 1, text, "body")
                 items[li]["_marker"] = marker
                 last_li[list_stack[-1][0]] = li
+                if eqf:
+                    # list item with inline equations: an inline group
+                    # child carries the text/formula sequence
+                    # (msword_backend.py:2596-2660)
+                    g = _mk_item(items, li, "inline", lvl + 2, "", "body")
+                    add_eq_children(g, lvl + 3)
                 for _ in range(int(has_image)):
                     _mk_item(items, list_stack[-1][1], "picture", lvl + 1,
                              "", "body")
+            return
+
+        if eqf:
+            flush_mono()
+            close_lists()
+            if not raw.strip():
+                # standalone equation paragraph: one formula block per
+                # oMath (msword_backend.py:2100-2127)
+                for k, v in _eq_children(eqf):
+                    if k == "eq":
+                        _mk_item(items, par, "formula", lvl, v, "body")
+                return
+            g = _mk_item(items, par, "inline", lvl, "", "body")
+            add_eq_children(g, lvl + 1)
             return
 
         if not raw.strip() and not has_image:
@@ -649,7 +712,15 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
 
         flush_mono()
         close_lists()
-        text = _runs_md(runs)
+        groups = _merge_runs(runs)
+        if len(groups) == 1 and not groups[0].fmt and not groups[0].href:
+            # fully plain paragraph: whitespace (internal runs of spaces,
+            # <w:br> newlines) is preserved verbatim — the reference adds
+            # raw run text and its md serializer does not collapse
+            # (groundtruth omml_func_log 'y = l o g(x)  (letters...')
+            text = _md_escape_plain(groups[0].text).strip()
+        else:
+            text = _runs_md(runs)
         for _ in range(int(has_image)):
             _mk_item(items, par, "picture", lvl, "", "body")
         if text:
@@ -658,7 +729,24 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
     def cell_plain_text(tc) -> str:
         """python-docx cell.text analog: every w:t concatenated raw —
         hyperlink text included, formatting markers and links dropped
-        (groundtruth docx_rich_tables_01 link cells)."""
+        (groundtruth docx_rich_tables_01 link cells). Cells holding OMML
+        equations render them inline with single-$ delimiters
+        (groundtruth table_with_equations)."""
+        if any("oMath" in el.tag for el in tc.iter()):
+            blocks = []
+            for pp in tc.findall(W + "p"):
+                frags = paragraph_equations(pp)
+                if frags:
+                    pieces = ["$" + str(v) + "$" if k == "eq" else str(v)
+                              for k, v in _eq_children(frags)]
+                    blocks.append(" ".join(pieces))
+                else:
+                    txts = [el.text or "" for el in pp.iter()
+                            if el.tag == W + "t"]
+                    t = " ".join("".join(txts).split())
+                    if t:
+                        blocks.append(t)
+            return " ".join(blocks)
         parts = []
         for el in tc.iter():
             if el.tag == W + "t":

@@ -1119,6 +1119,20 @@ def _cell_spans(cell: Element) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
+def _inline_group_text(by_parent: dict[int, list[Item]], group: Item
+                       ) -> str:
+    """Inline-group markdown: children join with single spaces, formula
+    children render with single-$ delimiters (docling-core inline-group
+    serialization; groundtruth docx equations.docx.md spacing)."""
+    parts = []
+    for ch in by_parent.get(group["item_idx"], []):
+        if ch["label"] == "formula":
+            parts.append("$" + ch["text"] + "$")
+        else:
+            parts.append(ch["text"])
+    return " ".join(parts)
+
+
 def serialize_items(items: list[Item], layer: str = "body") -> str:
     """Render the BODY layer to docling-markdown-style text and assign
     span_start/span_end offsets into the result for every rendered item
@@ -1173,6 +1187,11 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                     # '- 1. Finalize pricing model').
                     item_text = ch["text"] if ch.get("_marker") else \
                         re.sub(r"^(\d+)\.(?=\s|$)", r"\1 .", ch["text"])
+                    for sub in by_parent.get(ch["item_idx"], []):
+                        if sub["label"] == "inline":
+                            inline_txt = _inline_group_text(by_parent, sub)
+                            item_text = (f"{item_text} {inline_txt}"
+                                         if item_text else inline_txt)
                     line = "    " * indent + f"{marker} " + item_text
                     buf.append(line)
                     ch["_line_ref"] = len(buf) - 1
@@ -1229,6 +1248,17 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 # out of running text keep single-$ delimiters
                 d = "$" if it.get("_inline") else "$$"
                 emit(d + it["text"] + d, it)
+            elif label == "inline":
+                block = _inline_group_text(by_parent, it)
+                if block:
+                    emit(block, it)
+                    off = it["span_start"]
+                    for ch in by_parent.get(it["item_idx"], []):
+                        part = ("$" + ch["text"] + "$"
+                                if ch["label"] == "formula" else ch["text"])
+                        ch["span_start"] = off
+                        ch["span_end"] = off + len(part)
+                        off += len(part) + 1
             elif label == "section":
                 walk(it["item_idx"])
             else:

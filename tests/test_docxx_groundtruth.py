@@ -2,10 +2,8 @@
 (tests/data/docx/{sources,groundtruth}) — exact text equality.
 
 Exclusions (documented in engine/docxx.py):
-- OMML equations (equations, omml_*, table_with_equations): the reference
-  ships a dedicated 1.2k-LoC OMML→LaTeX converter with its own quirks
-- textbox / drawingml: floating-shape anchoring and DrawingML text-body
-  ordering
+- textbox / drawingml: floating-shape anchoring, DrawingML text-body
+  ordering, and embedded chart parts
 """
 
 from __future__ import annotations
@@ -25,7 +23,11 @@ EXPECT_MATCH = [
     "docx_list_resumed_numbering", "docx_lists",
     "docx_page_header_footer_first_page", "docx_rich_cells",
     "docx_rich_tables_01",
-    "docx_vml_images", "list_after_num_headers", "lorem_ipsum",
+    "docx_vml_images", "equations", "list_after_num_headers",
+    "lorem_ipsum",
+    "omml_frac_superscript", "omml_func_log",
+    "omml_multi_equation_paragraph", "omml_text_escapes_in_math",
+    "table_with_equations",
     "tablecell", "test_emf_docx", "unit_test_formatting",
     "unit_test_headers", "unit_test_headers_numbered",
     "word_image_anchors", "word_sample", "word_tables",
