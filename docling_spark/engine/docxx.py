@@ -31,6 +31,31 @@ from docling_spark.engine.ommlx import paragraph_equations
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+CNS = "{http://schemas.openxmlformats.org/drawingml/2006/chart}"
+A_BLIP = "{http://schemas.openxmlformats.org/drawingml/2006/main}blip"
+V_IMG = "{urn:schemas-microsoft-com:vml}imagedata"
+
+# subtrees whose w:t text never belongs to the paragraph's own runs:
+# floating shapes/textboxes (handled by the textbox pass), legacy VML,
+# and OMML math (handled by the equation pass)
+_TEXT_PRUNE = frozenset({
+    W + "drawing", W + "pict",
+    "{http://schemas.openxmlformats.org/officeDocument/2006/math}oMath",
+    "{http://schemas.openxmlformats.org/officeDocument/2006/math}oMathPara",
+})
+
+
+def _iter_pruned(el, prune=_TEXT_PRUNE):
+    """Document-order iteration skipping pruned subtrees."""
+    stack = list(reversed(list(el)))
+    yield el
+    while stack:
+        cur = stack.pop()
+        if cur.tag in prune:
+            continue
+        yield cur
+        stack.extend(reversed(list(cur)))
 
 
 class DocxError(ValueError):
@@ -176,7 +201,7 @@ class _Docx:
 
 def _run_text(r) -> str:
     parts = []
-    for el in r.iter():
+    for el in _iter_pruned(r):
         tag = el.tag
         if tag == W + "t":
             parts.append(el.text or "")
@@ -307,22 +332,27 @@ def _heading_md(runs: list[_Run]) -> str:
 
 
 def _para_runs(p, dx: _Docx) -> tuple[list[_Run], int]:
-    """Paragraph → (inline runs, n_images). Hyperlinks resolve via rels."""
+    """Paragraph → (inline runs, n_images). Hyperlinks resolve via rels.
+    Content inside floating textboxes (w:txbxContent) belongs to the
+    textbox pass, never to the paragraph's own runs/images."""
     runs: list[_Run] = []
     has_image = 0
 
-    A_BLIP = ("{http://schemas.openxmlformats.org/drawingml/2006/main}"
-              "blip")
-    V_IMG = "{urn:schemas-microsoft-com:vml}imagedata"
     R_EMBED = R + "embed"
     R_LINK = R + "link"
     R_ID = R + "id"
     seen_imgs: set = set()
+    in_txbx: set[int] = set()
+    for tb in p.iter(W + "txbxContent"):
+        for e in tb.iter():
+            in_txbx.add(id(e))
 
     def emit(r, href):
         nonlocal has_image
         n = 0
         for el in r.iter(A_BLIP):
+            if id(el) in in_txbx:
+                continue
             rid = el.attrib.get(R_EMBED) or el.attrib.get(R_LINK)
             # mc:AlternateContent repeats the same image in Choice and
             # Fallback (under different rIds) — dedupe by TARGET
@@ -331,6 +361,8 @@ def _para_runs(p, dx: _Docx) -> tuple[list[_Run], int]:
                 seen_imgs.add(key)
                 n += 1
         for el in r.iter(V_IMG):
+            if id(el) in in_txbx:
+                continue
             rid = el.attrib.get(R_ID)
             key = dx.rels.get(rid, rid) if rid else id(el)
             if key not in seen_imgs:
@@ -377,6 +409,17 @@ def _para_runs(p, dx: _Docx) -> tuple[list[_Run], int]:
 def _md_escape_plain(s: str) -> str:
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace("_", "\\_"))
+
+
+def _para_text_md(runs: list[_Run]) -> str:
+    """Paragraph body text: a fully plain paragraph preserves whitespace
+    (internal space runs, <w:br> newlines) verbatim — python-docx run
+    text is raw and the reference's serializer does not collapse;
+    formatted paragraphs go through the md run formatter."""
+    groups = _merge_runs(runs)
+    if len(groups) == 1 and not groups[0].fmt and not groups[0].href:
+        return _md_escape_plain(groups[0].text).strip()
+    return _runs_md(runs)
 
 
 def _eq_children(frags: list[tuple[str, object]]
@@ -553,12 +596,89 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
                 return True
         return False
 
+    def emit_chart(chd) -> None:
+        """Native chart drawing → caption (title), picture placeholder,
+        chart-kind text, and the plotted numbers as a tabulate-style
+        table (msword_backend.py:3432-3500 without rasterization; table
+        style shared with the XLSX engine's chart path)."""
+        from docling_spark.engine.xlsxx import _chart_table_md, _parse_chart
+
+        rid = None
+        for e in chd.iter(CNS + "chart"):
+            rid = e.attrib.get(R + "id")
+            break
+        parsed = None
+        target = dx.rels.get(rid or "")
+        if target:
+            path = target if target.startswith("word/") else \
+                "word/" + target.lstrip("/")
+            try:
+                parsed = _parse_chart(dx.zf.read(path))
+            except (KeyError, ET.ParseError):
+                parsed = None
+        if not parsed:
+            _mk_item(items, parent(), "picture", depth(), "", "body")
+            return
+        ckind, title, header, rows = parsed
+        if title:
+            _mk_item(items, parent(), "caption", depth(), title, "body")
+        _mk_item(items, parent(), "picture", depth(), "", "body")
+        _mk_item(items, parent(), "text", depth(), ckind, "body")
+        tmd = _chart_table_md(header, rows)
+        tidx = _mk_item(items, parent(), "table", depth(), tmd, "body")
+        items[tidx]["num_rows"] = len(rows) + 1
+        items[tidx]["num_cols"] = len(header)
+
     def handle_paragraph(p, par_override=None, lvl_override=None) -> None:
         style_id = para_style(p)
         runs, has_image = _para_runs(p, dx)
         raw = "".join(r.text for r in runs)
         par = par_override if par_override is not None else parent()
         lvl = lvl_override if lvl_override is not None else depth()
+
+        # floating textboxes: their content renders before anything else
+        # from this paragraph (msword_backend.py:716-778 textbox pass,
+        # 1798-1881 _handle_textbox_content). Containers keep document
+        # order; paragraphs dedupe by exact text within this pass.
+        tbs = [el for el in p.iter() if el.tag == W + "txbxContent"]
+        in_txbx: set[int] = set()
+        for tb in tbs:
+            for e in tb.iter():
+                in_txbx.add(id(e))
+        if tbs:
+            flush_mono()
+            close_lists()
+            seen_tb: set[str] = set()
+            for tb in tbs:
+                for tp in tb.iter(W + "p"):
+                    probe = "".join((e.text or "") for e in tp.iter()
+                                    if e.tag == W + "t")
+                    if probe.strip():
+                        if probe in seen_tb:
+                            continue
+                        seen_tb.add(probe)
+                    handle_paragraph(tp)
+            close_lists()
+
+        # anchored DrawingML outside textboxes: native charts parse into
+        # caption/picture/kind/data items (msword_backend.py:3432-3500);
+        # other shapes collapse to ONE rasterized picture per paragraph
+        # (:815-847 single _handle_drawingml call). A paragraph with
+        # inline blips keeps the existing picture path instead (:776-799
+        # elif chain).
+        drawings = [el for el in p.iter()
+                    if el.tag == W + "drawing" and id(el) not in in_txbx]
+        has_blip_out = any(el.tag in (A_BLIP, V_IMG)
+                           and id(el) not in in_txbx for el in p.iter())
+        if drawings and not has_blip_out:
+            flush_mono()
+            close_lists()
+            charts = [d for d in drawings
+                      if any(e.tag == CNS + "chart" for e in d.iter())]
+            for chd in charts:
+                emit_chart(chd)
+            if len(charts) < len(drawings):
+                _mk_item(items, parent(), "picture", depth(), "", "body")
 
         hl = heading_level(style_id)
         np = num_props(p, style_id)
@@ -667,7 +787,7 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
                 prefix = render_marker(nid, ilvl)
             else:
                 marker, prefix = "-", ""
-            text = "" if eqf else _runs_md(runs)
+            text = "" if eqf else _para_text_md(runs)
             if prefix:
                 text = f"{prefix} {text}".strip()
             if text or has_image or eqf:
@@ -712,15 +832,7 @@ def extract_docx(payload: bytes) -> tuple[str, list[Item], dict]:
 
         flush_mono()
         close_lists()
-        groups = _merge_runs(runs)
-        if len(groups) == 1 and not groups[0].fmt and not groups[0].href:
-            # fully plain paragraph: whitespace (internal runs of spaces,
-            # <w:br> newlines) is preserved verbatim — the reference adds
-            # raw run text and its md serializer does not collapse
-            # (groundtruth omml_func_log 'y = l o g(x)  (letters...')
-            text = _md_escape_plain(groups[0].text).strip()
-        else:
-            text = _runs_md(runs)
+        text = _para_text_md(runs)
         for _ in range(int(has_image)):
             _mk_item(items, par, "picture", lvl, "", "body")
         if text:
