@@ -2003,9 +2003,10 @@ _DOCX_STYLES = """<?xml version="1.0"?>
 
 def q_extract_docx(spark, sf_dir):
     """DOCX end-to-end: a per-doc WordprocessingML zip (styles.xml +
-    document.xml with a Heading1 title, a plain run, and a bold run)
-    synthesized in an Arrow-batched UDF, base64'd into the text column,
-    routed through tool='docx' (engine/docxx.py). The oracle predicts the
+    document.xml with a Heading1 title, a plain run, a bold run, and a
+    standalone OMML equation x_{id}^{2}) synthesized in an Arrow-batched
+    UDF, base64'd into the text column, routed through tool='docx'
+    (engine/docxx.py + engine/ommlx.py). The oracle predicts the
     serialized markdown independent of the zip bytes."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -2017,6 +2018,7 @@ def q_extract_docx(spark, sf_dir):
         from xml.sax.saxutils import escape
 
         W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        M = "http://schemas.openxmlformats.org/officeDocument/2006/math"
         out = []
         for i, t in zip(doc_id, text):
             toks = str(t).split()
@@ -2028,7 +2030,14 @@ def q_extract_docx(spark, sf_dir):
                 f'<w:p><w:r><w:t xml:space="preserve">{escape(str(t))} '
                 f'</w:t></w:r>'
                 f'<w:r><w:rPr><w:b/></w:rPr><w:t>{escape(tok1)}</w:t></w:r>'
-                f"</w:p></w:body></w:document>"
+                f"</w:p>"
+                # standalone OMML equation → $$x_{id}^{2}$$ formula block
+                f'<w:p><m:oMath xmlns:m="{M}"><m:sSubSup>'
+                f"<m:e><m:r><m:t>x</m:t></m:r></m:e>"
+                f"<m:sub><m:r><m:t>{i}</m:t></m:r></m:sub>"
+                f"<m:sup><m:r><m:t>2</m:t></m:r></m:sup>"
+                f"</m:sSubSup></m:oMath></w:p>"
+                f"</w:body></w:document>"
             )
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w") as z:
@@ -2051,7 +2060,8 @@ with t as (
 )
 select doc_id, 'success' as status,
        '## Doc ' || doc_id || chr(10) || chr(10) || text || ' **' || toks[1]
-       || '**' as extracted_text
+       || '**' || chr(10) || chr(10) || '$$x_{' || doc_id || '}^{2}$$'
+       as extracted_text
 from t
 """
 
@@ -2099,6 +2109,57 @@ def q_export_docling_json(spark, sf_dir):
 ORACLE_EXPORT_DOCLING_JSON = """
 select doc_id,
        '# Doc ' || doc_id || chr(10) || chr(10) || text as roundtrip_text
+from documents
+"""
+
+
+def q_export_html(spark, sf_dir):
+    """HTML export sink + round-trip witness: extract → item table →
+    standalone HTML (serialize_html) → re-extract with the HTML engine →
+    markdown. The oracle predicts the markdown, so the hash only matches
+    if the export is structurally faithful (headings, paragraphs, lists
+    survive the html→items→html→items cycle)."""
+    import pandas as pd
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    payload = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>first</li><li>second</li></ul>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+
+    def run(batches):
+        from docling_spark.engine.htmlx import extract_html
+        from docling_spark.engine.serialize import serialize_html
+
+        for pdf in batches:
+            ids, texts = [], []
+            for conv_id, items in zip(pdf["conv_id"], pdf["items"]):
+                its = [dict(it) for it in items]
+                html = serialize_html(its)
+                t2, _items2 = extract_html(html)
+                ids.append(int(conv_id))
+                texts.append(t2)
+            yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
+
+    return (
+        extract_turns(d).select("conv_id", "items")
+        .mapInPandas(run, "doc_id long, roundtrip_text string")
+    )
+
+
+ORACLE_EXPORT_HTML = """
+select doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text
+       || chr(10) || chr(10) || '- first' || chr(10) || '- second'
+       as roundtrip_text
 from documents
 """
 
@@ -2610,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_latex": q_extract_latex,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
+        "export_html": q_export_html,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -2689,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_latex": ORACLE_EXTRACT_LATEX,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
+        "export_html": ORACLE_EXPORT_HTML,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -1076,7 +1076,9 @@ class HtmlExtractor:
                     alt = (ch.attrs.get("alt") or "").strip()
                     if alt:
                         blocks.append(clean_unicode(" ".join(alt.split())))
+                        block_kinds.append("caption")
                     blocks.append("<!-- image -->")
+                    block_kinds.append("picture")
                 else:
                     runs = walk_blocks(ch, runs)
             return runs

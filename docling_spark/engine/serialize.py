@@ -122,6 +122,185 @@ def serialize_itxt(items: list[dict]) -> str:
     return "\n".join(out)
 
 
+import re as _re
+
+_CODE_SPAN_RE = _re.compile(r"(`[^`]*`)")
+_HREF_PAT = r"(?:[^()\s]|\([^()\s]*\))*"  # one balanced-paren level
+_LTXT_PAT = r"(?:[^\[\]]|\[[^\[\]]*\])*"  # one balanced-bracket level
+_MD_LINK_RE = _re.compile(r"(\[" + _LTXT_PAT + r"\]\(" + _HREF_PAT + r"\))")
+_MD_LINK_PARTS = _re.compile(
+    r"\[(" + _LTXT_PAT + r")\]\((" + _HREF_PAT + r")\)")
+
+
+def _code_esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _html_text(md_text: str) -> str:
+    """Item md text → HTML text content.
+
+    Item texts store RENDERED markdown: ``&amp;``/``&lt;``/``&gt;`` are
+    already valid HTML entities (kept); ``[text](href)`` links become
+    real anchors and backtick spans real ``<code>`` elements (so
+    re-extraction does not md-escape their interiors); the md underscore
+    escape is undone (re-extraction re-applies it); newlines become
+    ``<br/>`` (the single-<br> rule restores them). ``**`` emphasis
+    markers pass through as literal text — markdown output round-trips
+    even though run structure flattens.
+    """
+
+    def convert_spans(s: str) -> str:
+        out = []
+        for i, part in enumerate(_CODE_SPAN_RE.split(s)):
+            if i % 2 == 1:
+                out.append(f"<code>{_code_esc(part[1:-1])}</code>")
+            else:
+                out.append(part.replace("\\_", "_")
+                           .replace("\n", "<br/>"))
+        return "".join(out)
+
+    out = []
+    for i, part in enumerate(_MD_LINK_RE.split(md_text)):
+        if i % 2 == 1:
+            m = _MD_LINK_PARTS.match(part)
+            out.append(f'<a href="{m.group(2)}">'
+                       f"{convert_spans(m.group(1))}</a>")
+        else:
+            out.append(convert_spans(part))
+    return "".join(out)
+
+
+def serialize_html(items: list[dict], layer: str = "body",
+                   title: str = "document") -> str:
+    """Flat item list → standalone HTML document (the reference's HTML
+    export surface, docling/datamodel/base_models.py OutputFormat.HTML).
+
+    Designed as the md serializer's structural twin: re-extracting the
+    output with engine/htmlx.py and serializing to markdown reproduces
+    serialize_items' text byte-exactly
+    (tests/test_serialize.py::test_html_roundtrip). Tables re-parse the
+    item's md grid; list groups emit <ul>/<ol start=N>; formulas emit
+    their $$..$$ text inside a dedicated block."""
+    by_parent = _children_map(items)
+    out: list[str] = []
+
+    def esc_cell(c: str) -> str:
+        # cell text stores BLOCKS joined with two spaces (the rich-cell
+        # md rule); re-emit each block as its own element so
+        # re-extraction rebuilds the same join: image markers → <img/>,
+        # fenced ``` code ``` → <pre>, other blocks → <p>
+        c = c.replace("&#124;", "|")
+        blocks = [b for b in c.split("  ")]
+        if len(blocks) == 1 and "<!-- image -->" not in c:
+            m = _re.fullmatch(r"``` (.*) ```", c)
+            if m:
+                return f"<pre>{_code_esc(m.group(1))}</pre>"
+            return _html_text(c)
+        parts = []
+        for b in blocks:
+            b = b.strip()
+            if not b:
+                continue
+            if b == "<!-- image -->":
+                parts.append("<img/>")
+            elif b.startswith("``` ") and b.endswith(" ```"):
+                parts.append(f"<pre>{_code_esc(b[4:-4])}</pre>")
+            else:
+                parts.append(f"<p>{_html_text(b)}</p>")
+        return "".join(parts)
+
+    def table_html(md_table: str) -> str:
+        rows = [
+            [c.strip() for c in line.strip().strip("|").split("|")]
+            for line in md_table.splitlines()
+            if line.strip()
+        ]
+        body = [r for r in rows
+                if not all(set(c) <= {"-", " ", ""} for c in r)]
+        parts = ["<table>"]
+        for row in body:
+            parts.append("<tr>" + "".join(
+                f"<td>{esc_cell(c)}</td>" for c in row) + "</tr>")
+        parts.append("</table>")
+        return "".join(parts)
+
+    def heading_rank(it: dict) -> int:
+        if it["label"] == "title":
+            return 1
+        return min(6, max(2, int(it.get("_hlevel", 2))))
+
+    def list_html(group: dict) -> str:
+        ordered = group.get("text") == "ordered list"
+        start = group.get("_start", 1)
+        open_tag = "<ol>" if ordered and start in (1, None) else (
+            f'<ol start="{start}">' if ordered else "<ul>")
+        parts = [open_tag]
+        for ch in by_parent.get(group["item_idx"], []):
+            if ch["content_layer"] != layer:
+                continue
+            if ch["label"] == "list_item":
+                inner = _html_text(ch["text"])
+                for sub in by_parent.get(ch["item_idx"], []):
+                    if sub["label"] == "list":
+                        inner += list_html(sub)
+                    elif sub["label"] == "picture":
+                        inner += "<img/>"
+                    elif sub["label"] == "caption":
+                        inner += f"<p>{_html_text(sub['text'])}</p>"
+                parts.append(f"<li>{inner}</li>")
+            elif ch["label"] == "list":
+                parts.append(list_html(ch))
+            elif ch["label"] == "picture":
+                parts.append("<li><img/></li>")
+        parts.append("</ol>" if ordered else "</ul>")
+        return "".join(parts)
+
+    def walk(idx: int) -> None:
+        for it in by_parent.get(idx, []):
+            if it["content_layer"] != layer and \
+                    it["label"] != "unspecified":
+                walk(it["item_idx"])
+                continue
+            label = it["label"]
+            if label in ("title", "section_header"):
+                n = heading_rank(it)
+                out.append(f"<h{n}>{_html_text(it['text'])}</h{n}>")
+                walk(it["item_idx"])
+            elif label == "text":
+                out.append(f"<p>{_html_text(it['text'])}</p>")
+                walk(it["item_idx"])
+            elif label == "list":
+                out.append(list_html(it))
+            elif label == "code":
+                code = (it["text"].replace("&", "&amp;")
+                        .replace("<", "&lt;").replace(">", "&gt;"))
+                out.append(f"<pre><code>{code}</code></pre>")
+            elif label == "table":
+                if it["text"]:
+                    out.append(table_html(it["text"]))
+            elif label == "caption":
+                if not it.get("_table_caption"):
+                    out.append(f"<p>{_html_text(it['text'])}</p>")
+            elif label == "picture":
+                out.append("<img/>")
+            elif label == "formula":
+                d = "$" if it.get("_inline") else "$$"
+                out.append(f"<p>{d}{it['text']}{d}</p>")
+            elif label in _GROUP_LABELS or label == "section":
+                walk(it["item_idx"])
+            else:
+                if it["text"]:
+                    out.append(f"<p>{_html_text(it['text'])}</p>")
+                walk(it["item_idx"])
+
+    walk(0)
+    body = "\n".join(out)
+    return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\">"
+            f"<title>{title}</title></head>\n<body>\n{body}\n"
+            "</body>\n</html>\n")
+
+
 def serialize_docling_json(items: list[dict], name: str = "document") -> str:
     """Flat item list → DoclingDocument-shaped JSON (the reference's
     lossless export, its primary groundtruth format —

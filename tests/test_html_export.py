@@ -1,0 +1,81 @@
+"""HTML export sink round-trip: items → serialize_html → extract_html
+→ serialize_items must reproduce the original markdown byte-exactly.
+
+The HTML corpus round-trips fully. The markdown corpus round-trips
+except where the HTML pipeline's own (reference-faithful) semantics
+intervene:
+- content before the first heading classifies as furniture on
+  (re-)extraction of HTML, but stays body for markdown sources
+  (blocks, duck, mixed_without_h1);
+- the HTML engine applies ``_clean_unicode`` (curly quotes/dashes →
+  ASCII) and collapses multi-space runs; the md engine preserves them
+  (duck, wiki);
+- headings merge all runs into one annotated element, so a heading
+  mixing code spans with plain text flattens (inline_and_formatting).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from docling_spark.engine.htmlx import extract_html
+from docling_spark.engine.mdx import extract_markdown
+from docling_spark.engine.serialize import serialize_html
+
+HTML_SRC = pathlib.Path("/root/reference/tests/data/html/sources")
+MD_SRC = pathlib.Path("/root/reference/tests/data/md/sources")
+
+MD_EXCLUDED = {"blocks", "duck", "inline_and_formatting",
+               "mixed_without_h1", "wiki"}
+
+pytestmark = pytest.mark.skipif(
+    not HTML_SRC.exists(), reason="reference checkout not available"
+)
+
+
+def _html_names():
+    return sorted(p.stem for p in HTML_SRC.glob("*.html"))
+
+
+def _md_names():
+    return sorted(p.stem for p in MD_SRC.glob("*.md")
+                  if p.stem not in MD_EXCLUDED)
+
+
+@pytest.mark.parametrize("name", _html_names())
+def test_roundtrip_html_corpus(name: str) -> None:
+    text1, items1 = extract_html(
+        (HTML_SRC / f"{name}.html").read_text(errors="replace"))
+    text2, _ = extract_html(serialize_html(items1))
+    assert text2 == text1
+
+
+@pytest.mark.parametrize("name", _md_names())
+def test_roundtrip_md_corpus(name: str) -> None:
+    text1, items1, _m = extract_markdown(
+        (MD_SRC / f"{name}.md").read_text(errors="replace"))
+    text2, _ = extract_html(serialize_html(items1))
+    assert text2 == text1
+
+
+def test_html_document_shape() -> None:
+    _t, items = extract_html("<h1>T</h1><p>a &amp; b</p>")
+    html = serialize_html(items, title="t")
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<h1>T</h1>" in html and "<p>a &amp; b</p>" in html
+    assert html.rstrip().endswith("</html>")
+
+
+def test_formula_items_export() -> None:
+    items = [
+        {"item_idx": 0, "parent_idx": -1, "label": "unspecified",
+         "level": 0, "text": "_root_", "content_layer": "body"},
+        {"item_idx": 1, "parent_idx": 0, "label": "formula", "level": 1,
+         "text": "x_{1}^{2}", "content_layer": "body"},
+    ]
+    html = serialize_html(items)
+    assert "$$x_{1}^{2}$$" in html
+    text2, _ = extract_html(html)
+    assert text2 == "$$x\\_{1}^{2}$$" or text2 == "$$x_{1}^{2}$$"
