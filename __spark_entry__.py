@@ -2113,6 +2113,34 @@ from documents
 """
 
 
+def q_extract_doclang(spark, sf_dir):
+    """DocLang end-to-end: a per-doc <doclang> XML payload (heading,
+    text, 2x2 table in the fcel/nl cell grammar) routed through
+    tool='doclang' (engine/doclangx.py). The oracle predicts the
+    serialized markdown."""
+    payload = F.concat(
+        F.lit("<doclang><heading>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</heading><text>"), F.col("text"), F.lit("</text>"),
+        F.lit("<table><fcel/><text>id</text><fcel/><text>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</text><nl/><fcel/><text>lang</text><fcel/><text>"),
+        F.col("lang"),
+        F.lit("</text><nl/></table></doclang>"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "doclang")
+
+
+ORACLE_EXTRACT_DOCLANG = """
+select doc_id, 'success' as status,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) ||
+       chr(10) ||
+       '| id | ' || doc_id || ' |' || chr(10) ||
+       '| - | - |' || chr(10) ||
+       '| lang | ' || lang || ' |' as extracted_text
+from documents
+"""
+
+
 def q_export_html(spark, sf_dir):
     """HTML export sink + round-trip witness: extract → item table →
     standalone HTML (serialize_html) → re-extract with the HTML engine →
@@ -2672,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "export_html": q_export_html,
+        "extract_doclang": q_extract_doclang,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -2752,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "export_html": ORACLE_EXPORT_HTML,
+        "extract_doclang": ORACLE_EXTRACT_DOCLANG,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -37,7 +37,7 @@ DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
-                 "odp", "uspto", "latex", "plain")
+                 "odp", "uspto", "latex", "doclang", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -57,8 +57,8 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
-                "odt", "ods", "odp", "uspto", "latex"):
-        return hint
+                "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx"):
+        return "doclang" if hint == "dclx" else hint
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
 
@@ -67,6 +67,8 @@ def detect_format(text: str, tool: str = "") -> str:
     if text and text.lstrip().startswith("{") and \
             '"schema_name": "DoclingDocument"' in text[:2048]:
         return "docling_json"
+    if text and text.lstrip().startswith("<doclang"):
+        return "doclang"
     if not text or not text.strip():
         return "plain"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
@@ -261,6 +263,15 @@ def extract_payload(
             from docling_spark.engine import latexx
 
             extracted, items, metrics = latexx.extract_latex(text)
+        elif fmt == "doclang":
+            from docling_spark.engine import doclangx
+
+            raw: bytes | str = text
+            if not text.lstrip().startswith("<"):
+                import base64
+
+                raw = base64.b64decode(text)  # .dclx archive travels b64
+            extracted, items, metrics = doclangx.extract_doclang(raw)
         elif fmt in ("odt", "ods", "odp"):
             import base64
 
