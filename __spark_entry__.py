@@ -2113,6 +2113,41 @@ from documents
 """
 
 
+def q_export_vtt(spark, sf_dir):
+    """Transcript-native VTT sink: the synthetic 3-turn conversations run
+    through the extraction pipeline, then conversations_to_vtt folds the
+    per-turn extracted text into one WEBVTT document per conversation
+    (cue per turn, <v role> voice spans). The oracle predicts the full
+    VTT string."""
+    from docling_spark.operators.export import conversations_to_vtt
+    from docling_spark.operators.extract_ops import extract_turns
+
+    ext = extract_turns(_synth_transcripts(spark, sf_dir))
+    return conversations_to_vtt(
+        ext.select("conv_id", "turn_idx", "role",
+                   F.col("extracted_text").alias("text")))
+
+
+ORACLE_EXPORT_VTT = """
+with t as (
+  select doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) as norm
+  from documents
+)
+select 'conv' || lpad(doc_id::varchar, 8, '0') as conv_id,
+       'WEBVTT' || chr(10) || chr(10) ||
+       '00:00:00.000 --> 00:00:05.000' || chr(10) ||
+       '<v user>' || norm || chr(10) || chr(10) ||
+       '00:00:05.000 --> 00:00:10.000' || chr(10) ||
+       '<v assistant># Document ' || doc_id || '  ' || norm
+       || chr(10) || chr(10) ||
+       '00:00:10.000 --> 00:00:15.000' || chr(10) ||
+       '<v tool>``` {"doc": ' || doc_id || ', "status": "ok"} ```'
+       as vtt_text,
+       cast(3 as bigint) as n_cues
+from t
+"""
+
+
 def q_extract_doclang(spark, sf_dir):
     """DocLang end-to-end: a per-doc <doclang> XML payload (heading,
     text, 2x2 table in the fcel/nl cell grammar) routed through
@@ -2700,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "export_html": q_export_html,
+        "export_vtt": q_export_vtt,
         "extract_doclang": q_extract_doclang,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
@@ -2781,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "export_html": ORACLE_EXPORT_HTML,
+        "export_vtt": ORACLE_EXPORT_VTT,
         "extract_doclang": ORACLE_EXTRACT_DOCLANG,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,

@@ -14,9 +14,55 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from docling_spark.engine.serialize import serialize_doctags, serialize_itxt
+from docling_spark.engine.serialize import (
+    serialize_docling_json,
+    serialize_doctags,
+    serialize_html,
+    serialize_itxt,
+)
 
-_SERIALIZERS = {"doctags": serialize_doctags, "itxt": serialize_itxt}
+
+def _serialize_yaml(items: list[dict]) -> str:
+    """OutputFormat.YAML: the DoclingDocument JSON re-emitted as YAML
+    (same tree, yaml.safe_load(yaml) == json.loads(json))."""
+    import json
+
+    import yaml
+
+    return yaml.safe_dump(json.loads(serialize_docling_json(items)),
+                          sort_keys=False, allow_unicode=True)
+
+
+def _serialize_doclang(items: list[dict]) -> str:
+    from docling_spark.engine.doclangx import serialize_doclang
+
+    return serialize_doclang(items)
+
+
+def _serialize_dclx_b64(items: list[dict]) -> str:
+    """OutputFormat.DCLX: zip archive holding the .dclg, base64'd so it
+    travels in a string column (binary payload convention)."""
+    import base64
+    import io
+    import zipfile
+
+    from docling_spark.engine.doclangx import serialize_doclang
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("document.dclg", serialize_doclang(items))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+_SERIALIZERS = {
+    "doctags": serialize_doctags,
+    "itxt": serialize_itxt,
+    "html": serialize_html,
+    "json": serialize_docling_json,
+    "yaml": _serialize_yaml,
+    "doclang": _serialize_doclang,
+    "dclx": _serialize_dclx_b64,
+}
 
 
 def export_items(extracted: DataFrame, fmt: str = "doctags",
@@ -43,3 +89,65 @@ def export_items(extracted: DataFrame, fmt: str = "doctags",
         [f"{c} {in_types[c]}" for c in cols] + [f"{fmt} string"]
     )
     return extracted.select(*cols, "items").mapInPandas(run, schema=schema)
+
+
+def conversations_to_vtt(turns: DataFrame, text_col: str = "text",
+                         cue_seconds: int = 5,
+                         segment_size: int = 1024) -> DataFrame:
+    """Transcript-native VTT sink (OutputFormat.VTT,
+    docling/cli/main.py:577-580 save_as_vtt): one WEBVTT document per
+    conversation — cue per turn at a fixed cadence, ``<v role>`` voice
+    spans, newlines in the payload flattened to spaces (a VTT cue ends at
+    the first blank line). The output re-parses with engine/vttx.py
+    (tests/test_export_vtt.py round-trip).
+
+    All-JVM: the cue string is a per-row column expression; assembly is
+    the same memory-bounded two-level fold as assemble_conversations
+    (level 1 ≤ ``segment_size`` structs per collected array), so a
+    10^6-turn conversation never materializes per-turn structs in one
+    executor buffer.
+    """
+    from pyspark.sql import functions as F
+
+    start = (F.col("turn_idx").cast("long") * cue_seconds).cast("double")
+    end = start + F.lit(float(cue_seconds))
+
+    def tc(sec):
+        return F.format_string(
+            "%02d:%02d:%06.3f",
+            F.floor(sec / 3600).cast("int"),
+            F.floor((sec % 3600) / 60).cast("int"),
+            (sec % 60),
+        )
+
+    cue = F.concat(
+        tc(start), F.lit(" --> "), tc(end),
+        F.lit("\n<v "), F.col("role"), F.lit(">"),
+        F.regexp_replace(F.col(text_col), "\n", " "),
+    )
+    seg = F.floor(F.col("turn_idx") / F.lit(segment_size)).alias("segment")
+    level1 = turns.select(
+        "conv_id", "turn_idx", seg, cue.alias("cue")
+    ).groupBy("conv_id", "segment").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("cue")))
+            ).getField("cue"),
+            "\n\n",
+        ).alias("segment_text"),
+        F.count("*").alias("n_cues"),
+    )
+    return level1.groupBy("conv_id").agg(
+        F.concat(
+            F.lit("WEBVTT\n\n"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("segment"), F.col("segment_text"))
+                    )
+                ).getField("segment_text"),
+                "\n\n",
+            ),
+        ).alias("vtt_text"),
+        F.sum("n_cues").alias("n_cues"),
+    )
