@@ -2113,6 +2113,69 @@ from documents
 """
 
 
+def q_extract_mets(spark, sf_dir):
+    """METS-GBS end-to-end: a per-doc tar.gz (METS manifest with one
+    coordOCR page + the hOCR file carrying the doc text as ocr_line
+    spans) synthesized in an Arrow-batched UDF, base64'd, routed through
+    tool='mets_gbs' (engine/metsx.py → layoutx reading order). The
+    oracle predicts the extracted text."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import tarfile
+        from xml.sax.saxutils import escape
+
+        out = []
+        for i, t in zip(doc_id, text):
+            norm = " ".join(str(t).split())
+            mets = (
+                '<METS:mets xmlns:METS="http://www.loc.gov/METS/" '
+                'xmlns:xlink="http://www.w3.org/1999/xlink" '
+                'PROFILE="gbs">'
+                '<METS:fileSec>'
+                '<METS:fileGrp USE="coordOCR">'
+                '<METS:file ID="OCR1" MIMETYPE="text/html">'
+                '<METS:FLocat xlink:href="p1.html"/></METS:file>'
+                "</METS:fileGrp></METS:fileSec>"
+                '<METS:structMap><METS:div TYPE="page" ORDER="1">'
+                '<METS:fptr FILEID="OCR1"/></METS:div></METS:structMap>'
+                "</METS:mets>"
+            )
+            hocr = (
+                "<html><body>"
+                "<div class='ocr_page' title='bbox 0 0 1000 1400'>"
+                "<span class='ocr_line' "
+                "title='bbox 100 100 900 140;x_wconf 97'>"
+                f"{escape(norm)}</span>"
+                "</div></body></html>"
+            )
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+                for name, data in (("book.xml", mets.encode()),
+                                   ("p1.html", hocr.encode())):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    mets_b64 = pandas_udf(_mk, "string")
+    payload = mets_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "mets_gbs")
+
+
+ORACLE_EXTRACT_METS = """
+select doc_id, 'success' as status,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) as extracted_text
+from documents
+"""
+
+
 def q_export_vtt(spark, sf_dir):
     """Transcript-native VTT sink: the synthetic 3-turn conversations run
     through the extraction pipeline, then conversations_to_vtt folds the
@@ -2737,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_html": q_export_html,
         "export_vtt": q_export_vtt,
         "extract_doclang": q_extract_doclang,
+        "extract_mets": q_extract_mets,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -2819,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "export_html": ORACLE_EXPORT_HTML,
         "export_vtt": ORACLE_EXPORT_VTT,
         "extract_doclang": ORACLE_EXTRACT_DOCLANG,
+        "extract_mets": ORACLE_EXTRACT_METS,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

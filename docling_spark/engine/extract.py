@@ -37,7 +37,7 @@ DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
-                 "odp", "uspto", "latex", "doclang", "plain")
+                 "odp", "uspto", "latex", "doclang", "mets_gbs", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -57,8 +57,9 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
-                "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx"):
-        return "doclang" if hint == "dclx" else hint
+                "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
+                "mets_gbs", "mets"):
+        return {"dclx": "doclang", "mets": "mets_gbs"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
 
@@ -263,6 +264,14 @@ def extract_payload(
             from docling_spark.engine import latexx
 
             extracted, items, metrics = latexx.extract_latex(text)
+        elif fmt == "mets_gbs":
+            import base64
+
+            from docling_spark.engine import metsx
+
+            extracted, items, metrics = metsx.extract_mets_gbs(
+                base64.b64decode(text)
+            )
         elif fmt == "doclang":
             from docling_spark.engine import doclangx
 

@@ -316,7 +316,13 @@ def extract_layout(payload: str) -> tuple[str, list[dict], dict]:
     pages_parsed / parse_score (10%-quantile of cell quality, mirroring
     page_preprocessing_model.py:81-89) / boilerplate ratio.
     """
-    raw = parse_cells(payload)
+    return extract_from_cells(parse_cells(payload))
+
+
+def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
+    """Validated layout cells → (extracted_text, items, metrics): the
+    shared tail of the pdfish pipeline, also fed by cell sources that are
+    not JSON-lines payloads (METS/hOCR page scans, engine/metsx.py)."""
     scores = sorted(rate_text_quality(c["text"]) for c in raw)
     parse_score = (
         scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
