@@ -79,3 +79,49 @@ def test_asciidoc_engine_total(text):
     md, items, metrics = extract_asciidoc(text)
     assert isinstance(md, str)
     assert metrics["n_items"] == len(items) - 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=payload_text,
+       tool=st.sampled_from(["doclang", "dclx", "mets_gbs", "docx"]))
+def test_new_format_hints_total(text, tool):
+    """Round-3 engines: any payload under the doclang/mets/docx hints
+    yields a contained result row, never an exception."""
+    res = extract_payload(text, tool)
+    assert res["status"] in _STATUSES
+    if res["status"] == "failure":
+        assert res["errors"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(xml=st.text(alphabet=st.characters(min_codepoint=32,
+                                          max_codepoint=126),
+                   max_size=500))
+def test_doclang_reader_total(xml):
+    from docling_spark.engine.doclangx import DocLangError, extract_doclang
+
+    try:
+        text, items, metrics = extract_doclang("<doclang>" + xml
+                                               + "</doclang>")
+    except DocLangError:
+        return
+    assert isinstance(text, str)
+    for i, it in enumerate(items):
+        assert it["item_idx"] == i
+
+
+@settings(max_examples=150, deadline=None)
+@given(t=st.text(alphabet=st.characters(min_codepoint=32,
+                                        blacklist_characters="\x7f"),
+                 max_size=120))
+def test_omml_run_total(t):
+    """Any run text converts without raising and collapse is stable."""
+    import xml.etree.ElementTree as ET
+
+    from docling_spark.engine.ommlx import M, omml_to_latex
+    from xml.sax.saxutils import escape
+
+    xml = (f'<m:oMath xmlns:m="{M[1:-1]}"><m:r><m:t>{escape(t)}</m:t>'
+           "</m:r></m:oMath>")
+    out = omml_to_latex(ET.fromstring(xml))
+    assert isinstance(out, str)
