@@ -2113,6 +2113,72 @@ from documents
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Composed training-data curation funnel over the documents table:
+    quality gate → language gate → length gate → exact-dedup keep-first,
+    one verdict row per document. One fingerprint-hash shuffle total; the
+    oracle replays the identical formulas and running-count dedup in
+    SQL."""
+    from docling_spark.operators.textstats import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
+ORACLE_CURATION_FUNNEL = """
+with t as (
+  select doc_id, text,
+         string_split_regex(trim(text), '\\s+') toks,
+         string_split_regex(trim(lower(text)), '\\s+') ltoks
+  from documents
+),
+s as (
+  select doc_id, text,
+    case when trim(text) = '' then 0 else len(toks) end as n_tokens,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) as n_nospace,
+    len(list_filter(ltoks, x -> x in ('the','and','of','to','a','in','is','it','that'))) as hits_en,
+    len(list_filter(ltoks, x -> x in ('der','die','und','das','ist','nicht','ein','zu'))) as hits_de,
+    len(list_filter(ltoks, x -> x in ('le','la','et','les','des','est','un','une'))) as hits_fr,
+    len(list_filter(ltoks, x -> x in ('el','la','los','las','es','un','una','que'))) as hits_es
+  from t
+),
+q as (
+  select doc_id,
+    n_tokens,
+    round((
+        least(n_tokens / 20.0, 1.0)
+        + least(case when n_tokens > 0 then hits_en::double / n_tokens else 0.0 end * 5.0, 1.0)
+        + case when (case when n_tokens > 0 then n_nospace::double / n_tokens else 0.0 end)
+                between 2.0 and 12.0 then 1.0 else 0.0 end
+      ) / 3.0, 6) as quality,
+    case
+      when hits_en > 0 and hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) then 'en'
+      when hits_de > 0 and hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) then 'de'
+      when hits_fr > 0 and hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) then 'fr'
+      when hits_es > 0 and hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) then 'es'
+      else 'und' end as lang_pred,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint
+  from s
+),
+r as (
+  select *,
+    sum(case when quality >= 0.5 and lang_pred = 'en'
+              and n_tokens between 5 and 100000 then 1 else 0 end)
+      over (partition by fingerprint order by doc_id
+            rows between unbounded preceding and current row) as elig_rank
+  from q
+)
+select doc_id,
+  case
+    when quality < 0.5 then 'low_quality'
+    when lang_pred <> 'en' then 'non_english'
+    when n_tokens not between 5 and 100000 then 'length'
+    when elig_rank > 1 then 'exact_dup'
+    else 'kept' end as stage,
+  quality, n_tokens
+from r
+"""
+
+
 def q_extract_mets(spark, sf_dir):
     """METS-GBS end-to-end: a per-doc tar.gz (METS manifest with one
     coordOCR page + the hOCR file carrying the doc text as ocr_line
@@ -2801,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_vtt": q_export_vtt,
         "extract_doclang": q_extract_doclang,
         "extract_mets": q_extract_mets,
+        "curation_funnel": q_curation_funnel,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -2884,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
         "export_vtt": ORACLE_EXPORT_VTT,
         "extract_doclang": ORACLE_EXTRACT_DOCLANG,
         "extract_mets": ORACLE_EXTRACT_METS,
+        "curation_funnel": ORACLE_CURATION_FUNNEL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

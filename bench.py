@@ -71,7 +71,8 @@ def main() -> None:
     extract_turns(tr).groupBy("status").count().collect()
     extract_wall = None
     n_turns = []
-    for _ in range(2):  # best-of-2: the box is multi-tenant (BENCH/BASELINE.md)
+    for _ in range(3):  # best-of-3: the box is multi-tenant (BENCH/BASELINE.md;
+        # single-shot loadavg swings have produced 3-6x outliers)
         t0 = time.time()
         n_turns = extract_turns(tr).select(
             "status"

@@ -201,3 +201,46 @@ def _lang_pred_from_hits() -> Column:
     for lang in ("es", "fr", "de", "en"):
         expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def curation_funnel(docs: DataFrame, text_col: str = "text",
+                    min_quality: float = 0.5, lang: str = "en",
+                    min_tokens: int = 5, max_tokens: int = 100_000
+                    ) -> DataFrame:
+    """End-to-end corpus-curation verdict per document — the composed
+    training-data funnel (quality gate → language gate → length gate →
+    exact-dedup keep-first) in ONE distributed pass.
+
+    Per-row stage taxonomy, checked in order:
+    ``low_quality`` → ``non_english`` (vs the requested ``lang``) →
+    ``length`` → ``exact_dup`` (a same-fingerprint doc with smaller
+    doc_id also survived the gates) → ``kept``.
+
+    Scale shape: the gates are the doc_stats JVM projections (no
+    shuffle); dedup is ONE hash shuffle on the md5 fingerprint with a
+    running count of eligible rows per fingerprint window — never a
+    self-join, never a global window. Skew is bounded by the largest
+    duplicate family.
+    """
+    from pyspark.sql.window import Window
+
+    s = doc_stats(docs, text_col=text_col)
+    eligible = (
+        (F.col("quality") >= min_quality)
+        & (F.col("lang_pred") == lang)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    w = (Window.partitionBy("fingerprint").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = s.withColumn("_elig", eligible.cast("int"))
+    s = s.withColumn("_elig_rank", F.sum("_elig").over(w))
+    stage = (
+        F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("lang_pred") != lang, F.lit("non_english"))
+        .when(~F.col("n_tokens").between(min_tokens, max_tokens),
+              F.lit("length"))
+        .when(F.col("_elig_rank") > 1, F.lit("exact_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return s.select("doc_id", stage.alias("stage"),
+                    F.col("quality"), F.col("n_tokens"))

@@ -79,3 +79,16 @@ def test_extraction_operator_adds_no_shuffle(spark):
     )
     plan = _plan(extract_turns(tr))
     assert "Exchange" not in plan
+
+
+def test_curation_funnel_single_shuffle(spark):
+    """The curation funnel shuffles exactly once (fingerprint hash for
+    the dedup window) — no self-join, no global window."""
+    from docling_spark.operators.textstats import curation_funnel
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, curation_funnel(d))
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(fingerprint" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" \
+        not in plan
