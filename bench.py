@@ -101,6 +101,8 @@ def main() -> None:
         "broadcast_brand_revenue",
         "sessionize_events",
         "events_hourly",
+        "curation_funnel",
+        "export_vtt",
     ]
     for name in bench_queries:
         best = None

@@ -27,31 +27,72 @@ class LatexError(ValueError):
 
 
 _SECTION_RE = re.compile(
-    r"\\(section|subsection|subsubsection)\*?\{([^{}]*)\}")
+    r"\\(chapter|section|subsection|subsubsection|paragraph)"
+    r"\*?\{([^{}]*)\}")
 _COMMENT_RE = re.compile(r"(?<!\\)%.*$", re.MULTILINE)
 
 
 def _clean_inline(t: str) -> str:
-    # \textbf{X} keeps its following space; \textit{X} swallows it —
-    # reference macro-expansion parity (groundtruth example_01
-    # 'bold and italictext')
-    t = re.sub(r"\\textbf\{([^{}]*)\}", r"\1", t)
-    t = re.sub(r"\\textit\{([^{}]*)\} ?", r"\1", t)
-    t = re.sub(r"\\emph\{([^{}]*)\}", r"\1", t)
+    # \verb|..| protects its payload from every other rule
+    verbs: list[str] = []
+
+    def stash_verb(m: re.Match) -> str:
+        verbs.append(m.group(2))
+        return f"\x00{len(verbs) - 1}\x00"
+
+    t = re.sub(r"\\verb(\W)(.*?)\1", stash_verb, t)
+    # innermost-first fixpoint so nested wrappers unwrap
+    # (\textbf{a \textit{b}}); \textbf{X} keeps its following space,
+    # \textit{X} swallows it — reference macro-expansion parity
+    # (groundtruth example_01 'bold and italictext')
+    prev = None
+    while prev != t:
+        prev = t
+        t = re.sub(r"\\textbf\{([^{}]*)\}", r"\1", t)
+        t = re.sub(r"\\textit\{([^{}]*)\} ?", r"\1", t)
+        t = re.sub(r"\\(?:emph|texttt|textsc|textrm|textsf|underline"
+                   r"|mbox|text)\{([^{}]*)\}", r"\1", t)
+        t = re.sub(r"\\footnote\{([^{}]*)\}", r" (\1)", t)
+        t = re.sub(r"\\href\{([^{}]*)\}\{([^{}]*)\}", r"[\2](\1)", t)
+        t = re.sub(r"\\url\{([^{}]*)\}", r"\1", t)
     t = re.sub(r"\\(cite|ref|eqref|label)\{([^{}]*)\}", r"[\2]", t)
-    t = t.replace("~", " ")
+    t = re.sub(r"\\footnotemark(?:\[[^\]]*\])?", "", t)
+    t = t.replace("\\\\", " ").replace("~", " ")
+    t = t.replace("\\ldots", "...").replace("\\dots", "...")
+    t = re.sub(r"``|''", '"', t)
     t = re.sub(r"\\([&%#_$])", r"\1", t)
-    return " ".join(t.split())
+    t = " ".join(t.split())
+    for i, v in enumerate(verbs):
+        t = t.replace(f"\x00{i}\x00", v)
+    return t
+
+
+def _command_arg(src: str, command: str) -> str | None:
+    """Brace-matched argument of ``\\command{...}`` (handles nesting)."""
+    m = re.search(r"\\" + command + r"\s*\{", src)
+    if not m:
+        return None
+    depth = 1
+    i = m.end()
+    start = i
+    while i < len(src) and depth:
+        c = src[i]
+        if c == "{" and src[i - 1] != "\\":
+            depth += 1
+        elif c == "}" and src[i - 1] != "\\":
+            depth -= 1
+        i += 1
+    return src[start:i - 1] if depth == 0 else None
 
 
 def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
     """payload (LaTeX source) → (extracted_text, items, metrics)."""
     if "\\begin{document}" not in payload:
         raise LatexError("no \\begin{document} found")
-    m = re.search(r"\\title\{([^{}]*)\}", payload)
-    title = _clean_inline(m.group(1)) if m else None
-    m = re.search(r"\\author\{([^{}]*)\}", payload)
-    author = _clean_inline(m.group(1)) if m else None
+    raw_title = _command_arg(payload, "title")
+    title = _clean_inline(raw_title) if raw_title is not None else None
+    raw_author = _command_arg(payload, "author")
+    author = _clean_inline(raw_author) if raw_author is not None else None
 
     body = payload.split("\\begin{document}", 1)[1]
     body = body.split("\\end{document}", 1)[0]
@@ -116,22 +157,30 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
         para.clear()
         # split inline math into its own formula blocks (reference
         # behavior: '$E = mc^2$' leaves its paragraph)
-        parts = re.split(r"(\$[^$]+\$)", text)
+        parts = re.split(r"(\$[^$]+\$|\\\(.*?\\\))", text)
         for part in parts:
             if part.startswith("$") and part.endswith("$") and len(part) > 2:
                 add_formula(part[1:-1], inline=True)
+            elif part.startswith("\\(") and part.endswith("\\)"):
+                add_formula(part[2:-2], inline=True)
             else:
                 add_text(part)
 
     token_re = re.compile(
-        r"(\\(?:section|subsection|subsubsection)\*?\{[^{}]*\})"
+        r"(\\(?:chapter|section|subsection|subsubsection|paragraph)"
+        r"\*?\{[^{}]*\})"
         r"|(\\maketitle)"
-        r"|(\$\$.*?\$\$)"
-        r"|(\\begin\{equation\*?\}.*?\\end\{equation\*?\})"
-        r"|(\\begin\{(?:itemize|enumerate)\}.*?"
-        r"\\end\{(?:itemize|enumerate)\})"
-        r"|(\\begin\{table\}.*?\\end\{table\})"
-        r"|(\\begin\{tabular\}.*?\\end\{tabular\})",
+        r"|(\$\$.*?\$\$|\\\[.*?\\\])"
+        r"|(\\begin\{(?:equation|align|gather|eqnarray|displaymath|math)"
+        r"\*?\}.*?\\end\{(?:equation|align|gather|eqnarray|displaymath"
+        r"|math)\*?\})"
+        r"|(\\begin\{(?:itemize|enumerate|description)\}.*?"
+        r"\\end\{(?:itemize|enumerate|description)\})"
+        r"|(\\begin\{(?:table|figure)\*?\}.*?"
+        r"\\end\{(?:table|figure)\*?\})"
+        r"|(\\begin\{tabular\}.*?\\end\{tabular\})"
+        r"|(\\begin\{(?:verbatim|lstlisting)\}.*?"
+        r"\\end\{(?:verbatim|lstlisting)\})",
         re.DOTALL,
     )
 
@@ -149,8 +198,8 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
         if m.group(1):
             sec = _SECTION_RE.match(tok)
             if sec:
-                level = {"section": 1, "subsection": 2,
-                         "subsubsection": 3}[sec.group(1)]
+                level = {"chapter": 0, "section": 1, "subsection": 2,
+                         "subsubsection": 3, "paragraph": 4}[sec.group(1)]
                 add_heading(level, _clean_inline(sec.group(2)))
         elif m.group(2):  # \maketitle
             if title:
@@ -158,20 +207,28 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
                 items[idx]["_hlevel"] = 1
             if author:
                 _mk_item(items, 0, "text", 1, author, "body")
-        elif m.group(3):
+        elif m.group(3):  # $$..$$ or \[..\]
             add_formula(tok[2:-2])
-        elif m.group(4):
-            inner = re.sub(r"\\(?:begin|end)\{equation\*?\}", "", tok)
+        elif m.group(4):  # math environments
+            inner = re.sub(
+                r"\\(?:begin|end)\{(?:equation|align|gather|eqnarray"
+                r"|displaymath|math)\*?\}", "", tok)
+            inner = re.sub(r"\\label\{[^{}]*\}", "", inner)
             add_formula(inner)
-        elif m.group(5):
+        elif m.group(5):  # itemize / enumerate / description
             gidx = _mk_item(items, parent(), "list", 1, "list", "body")
-            inner = re.sub(r"\\(?:begin|end)\{(?:itemize|enumerate)\}", "",
-                           tok)
+            inner = re.sub(
+                r"\\(?:begin|end)\{(?:itemize|enumerate|description)\}",
+                "", tok)
             for item_text in inner.split("\\item")[1:]:
+                opt = re.match(r"^\s*\[([^\]]*)\]", item_text)
+                if opt:
+                    item_text = (opt.group(1) + " "
+                                 + item_text[opt.end():])
                 t = _clean_inline(item_text)
                 if t:
                     _mk_item(items, gidx, "list_item", 2, t, "body")
-        elif m.group(6) or m.group(7):
+        elif m.group(6) or m.group(7):  # table/figure envs, bare tabular
             cap = re.search(r"\\caption\{([^{}]*)\}", tok)
             tab = re.search(
                 r"\\begin\{tabular\}\{[^{}]*\}(.*?)\\end\{tabular\}",
@@ -179,6 +236,18 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
             if tab:
                 add_tabular(tab.group(1),
                             _clean_inline(cap.group(1)) if cap else None)
+            elif m.group(6) and "\\begin{figure" in tok:
+                _mk_item(items, parent(), "picture", 1, "", "body")
+                if cap:
+                    _mk_item(items, parent(), "caption", 1,
+                             _clean_inline(cap.group(1)), "body")
+        elif m.group(8):  # verbatim / lstlisting → code
+            inner = re.sub(
+                r"\\begin\{(?:verbatim|lstlisting)\}(?:\[[^\]]*\])?\n?"
+                r"|\\end\{(?:verbatim|lstlisting)\}", "", tok)
+            code = inner.strip("\n").rstrip()
+            if code.strip():
+                _mk_item(items, parent(), "code", 1, code, "body")
     add_plain_segment(body[pos:])
 
     text = serialize_items(items, layer="body")
