@@ -378,6 +378,7 @@ def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
                 item_idx=idx, parent_idx=parent, label=label,
                 level=1 if parent == 0 else 2, text=text,
                 content_layer=layer, span_start=span_start, span_end=span_end,
+                page_no=int(b.get("page_no", 1)),
             )
         )
         if label in ("title", "section_header"):

@@ -301,6 +301,37 @@ def serialize_html(items: list[dict], layer: str = "body",
             "</body>\n</html>\n")
 
 
+def serialize_html_split_page(items: list[dict], layer: str = "body",
+                              title: str = "document") -> str:
+    """OutputFormat.HTML_SPLIT_PAGE: the HTML export with body items
+    grouped into ``<div class="page" data-page="N">`` sections by their
+    page provenance (layout/METS items carry ``page_no``; single-page
+    sources produce one page div). The page wrappers are transparent to
+    re-extraction, so the markdown round-trip matches serialize_html's.
+    """
+    by_page: dict[int, list[dict]] = {}
+    root = items[0] if items else None
+    for it in items[1:] if items else []:
+        by_page.setdefault(int(it.get("page_no", 1)), []).append(it)
+    pages_html: list[str] = []
+    for page_no in sorted(by_page):
+        sub = [dict(root)] if root else []
+        remap = {0: 0}
+        for it in by_page[page_no]:
+            remap[it["item_idx"]] = len(sub)
+            it2 = dict(it, item_idx=len(sub),
+                       parent_idx=remap.get(it["parent_idx"], 0))
+            sub.append(it2)
+        inner = serialize_html(sub, layer=layer)
+        body = inner.split("<body>\n", 1)[1].rsplit("\n</body>", 1)[0]
+        pages_html.append(
+            f'<div class="page" data-page="{page_no}">\n{body}\n</div>')
+    joined = "\n".join(pages_html)
+    return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\">"
+            f"<title>{title}</title></head>\n<body>\n{joined}\n"
+            "</body>\n</html>\n")
+
+
 def serialize_docling_json(items: list[dict], name: str = "document") -> str:
     """Flat item list → DoclingDocument-shaped JSON (the reference's
     lossless export, its primary groundtruth format —

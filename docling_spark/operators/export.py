@@ -18,6 +18,7 @@ from docling_spark.engine.serialize import (
     serialize_docling_json,
     serialize_doctags,
     serialize_html,
+    serialize_html_split_page,
     serialize_itxt,
 )
 
@@ -58,6 +59,7 @@ _SERIALIZERS = {
     "doctags": serialize_doctags,
     "itxt": serialize_itxt,
     "html": serialize_html,
+    "html_split_page": serialize_html_split_page,
     "json": serialize_docling_json,
     "yaml": _serialize_yaml,
     "doclang": _serialize_doclang,

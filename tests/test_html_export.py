@@ -79,3 +79,41 @@ def test_formula_items_export() -> None:
     assert "$$x_{1}^{2}$$" in html
     text2, _ = extract_html(html)
     assert text2 == "$$x\\_{1}^{2}$$" or text2 == "$$x_{1}^{2}$$"
+
+
+METS_SRC = pathlib.Path(
+    "/root/reference/tests/data/mets_gbs/sources/"
+    "32044009881525_select.tar.gz")
+
+
+@pytest.mark.skipif(not METS_SRC.exists(), reason="no reference checkout")
+def test_split_page_export_groups_by_page() -> None:
+    import re
+
+    from docling_spark.engine.metsx import extract_mets_gbs
+    from docling_spark.engine.serialize import (
+        serialize_html,
+        serialize_html_split_page,
+    )
+
+    text1, items, _m = extract_mets_gbs(METS_SRC.read_bytes())
+    html = serialize_html_split_page(items)
+    assert re.findall(r'data-page="(\d+)"', html) == ["1", "2", "3"]
+    # the page wrappers are transparent: same re-extraction as the
+    # plain HTML export
+    t_split, _ = extract_html(html)
+    t_plain, _ = extract_html(serialize_html(items))
+    assert t_split == t_plain
+    # …and matches the direct extraction modulo the HTML pipeline's own
+    # unicode cleaning (em dash → '-')
+    assert t_split == text1.replace("—", "-")
+
+
+def test_split_page_export_single_page_html() -> None:
+    from docling_spark.engine.serialize import serialize_html_split_page
+
+    _t, items = extract_html("<h1>T</h1><p>body</p>")
+    html = serialize_html_split_page(items)
+    assert 'data-page="1"' in html
+    t2, _ = extract_html(html)
+    assert t2 == "# T\n\nbody"
