@@ -2113,6 +2113,31 @@ from documents
 """
 
 
+def q_extract_chandra(spark, sf_dir):
+    """chandra-ocr-2 VLM-output end-to-end: per-doc HTML-with-bbox divs
+    (furniture page header, section header, body text) routed through
+    tool='chandra' (engine/chandrax.py). The oracle predicts the
+    markdown — the furniture div must NOT appear."""
+    payload = F.concat(
+        F.lit('<div data-bbox="0 0 1000 40" data-label="Page-Header">'
+              "page "), F.col("doc_id").cast("string"), F.lit("</div>"),
+        F.lit('<div data-bbox="10 50 900 80" data-label="Section-Header">'
+              "<h2>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h2></div>"),
+        F.lit('<div data-bbox="10 90 900 400" data-label="Text"><p>'),
+        F.col("text"), F.lit("</p></div>"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "chandra")
+
+
+ORACLE_EXTRACT_CHANDRA = """
+select doc_id, 'success' as status,
+       '## Doc ' || doc_id || chr(10) || chr(10)
+       || trim(regexp_replace(text, '\\s+', ' ', 'g')) as extracted_text
+from documents
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """Composed training-data curation funnel over the documents table:
     quality gate → language gate → length gate → exact-dedup keep-first,
@@ -2867,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_vtt": q_export_vtt,
         "extract_doclang": q_extract_doclang,
         "extract_mets": q_extract_mets,
+        "extract_chandra": q_extract_chandra,
         "curation_funnel": q_curation_funnel,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
@@ -2951,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
         "export_vtt": ORACLE_EXPORT_VTT,
         "extract_doclang": ORACLE_EXTRACT_DOCLANG,
         "extract_mets": ORACLE_EXTRACT_METS,
+        "extract_chandra": ORACLE_EXTRACT_CHANDRA,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,

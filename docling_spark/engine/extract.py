@@ -37,7 +37,7 @@ DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
-                 "odp", "uspto", "latex", "doclang", "mets_gbs", "plain")
+                 "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -58,7 +58,7 @@ def detect_format(text: str, tool: str = "") -> str:
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
-                "mets_gbs", "mets"):
+                "mets_gbs", "mets", "chandra"):
         return {"dclx": "doclang", "mets": "mets_gbs"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -70,6 +70,11 @@ def detect_format(text: str, tool: str = "") -> str:
         return "docling_json"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
+    if text and "data-bbox=" in text[:4096] and "data-label=" in text[:4096]:
+        from docling_spark.engine import chandrax
+
+        if chandrax.looks_like_chandra(text):
+            return "chandra"
     if not text or not text.strip():
         return "plain"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
@@ -264,6 +269,10 @@ def extract_payload(
             from docling_spark.engine import latexx
 
             extracted, items, metrics = latexx.extract_latex(text)
+        elif fmt == "chandra":
+            from docling_spark.engine import chandrax
+
+            extracted, items, metrics = chandrax.extract_chandra(text)
         elif fmt == "mets_gbs":
             import base64
 
