@@ -2138,6 +2138,33 @@ from documents
 """
 
 
+def q_extract_dots(spark, sf_dir):
+    """dots.ocr VLM-output end-to-end: per-doc JSON layout array
+    (furniture page header, section header, body text) routed through
+    tool='dots' (engine/dotsx.py). The oracle predicts the markdown —
+    the furniture element must NOT appear."""
+    payload = F.concat(
+        F.lit('[{"bbox": [0, 0, 1000, 30], "category": "Page-header", '
+              '"text": "page '),
+        F.col("doc_id").cast("string"), F.lit('"}, '),
+        F.lit('{"bbox": [10, 50, 900, 80], '
+              '"category": "Section-header", "text": "Doc '),
+        F.col("doc_id").cast("string"), F.lit('"}, '),
+        F.lit('{"bbox": [10, 90, 900, 400], "category": "Text", '
+              '"text": "'),
+        F.col("text"), F.lit('"}]'),
+    )
+    return _extract_docs(spark, sf_dir, payload, "dots")
+
+
+ORACLE_EXTRACT_DOTS = """
+select doc_id, 'success' as status,
+       '## Doc ' || doc_id || chr(10) || chr(10)
+       || trim(regexp_replace(text, '\\s+', ' ', 'g')) as extracted_text
+from documents
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """Composed training-data curation funnel over the documents table:
     quality gate → language gate → length gate → exact-dedup keep-first,
@@ -2893,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doclang": q_extract_doclang,
         "extract_mets": q_extract_mets,
         "extract_chandra": q_extract_chandra,
+        "extract_dots": q_extract_dots,
         "curation_funnel": q_curation_funnel,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
@@ -2978,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_doclang": ORACLE_EXTRACT_DOCLANG,
         "extract_mets": ORACLE_EXTRACT_METS,
         "extract_chandra": ORACLE_EXTRACT_CHANDRA,
+        "extract_dots": ORACLE_EXTRACT_DOTS,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,

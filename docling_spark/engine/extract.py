@@ -37,7 +37,8 @@ DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
-                 "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "plain")
+                 "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
+                 "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -58,7 +59,7 @@ def detect_format(text: str, tool: str = "") -> str:
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
-                "mets_gbs", "mets", "chandra"):
+                "mets_gbs", "mets", "chandra", "dots"):
         return {"dclx": "doclang", "mets": "mets_gbs"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -70,6 +71,9 @@ def detect_format(text: str, tool: str = "") -> str:
         return "docling_json"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
+    if text and text.lstrip()[:1] == "[" and '"category"' in text[:4096] \
+            and '"bbox"' in text[:4096]:
+        return "dots"
     if text and "data-bbox=" in text[:4096] and "data-label=" in text[:4096]:
         from docling_spark.engine import chandrax
 
@@ -269,6 +273,10 @@ def extract_payload(
             from docling_spark.engine import latexx
 
             extracted, items, metrics = latexx.extract_latex(text)
+        elif fmt == "dots":
+            from docling_spark.engine import dotsx
+
+            extracted, items, metrics = dotsx.extract_dots(text)
         elif fmt == "chandra":
             from docling_spark.engine import chandrax
 

@@ -112,7 +112,8 @@ def test_doclang_reader_total(xml):
 
 @settings(max_examples=150, deadline=None)
 @given(t=st.text(alphabet=st.characters(min_codepoint=32,
-                                        blacklist_characters="\x7f"),
+                                        blacklist_characters="\x7f",
+                                        blacklist_categories=("Cs",)),
                  max_size=120))
 def test_omml_run_total(t):
     """Any run text converts without raising and collapse is stable."""
