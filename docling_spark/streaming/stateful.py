@@ -98,3 +98,75 @@ def assemble_conversations_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.IntegerType(), True)]
+)
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fingerprint", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def make_stream_dedup():
+    """(key, batches, state) function: emit only the FIRST document seen
+    per fingerprint across the whole stream; later arrivals (any
+    micro-batch) are dropped. State per fingerprint is one int."""
+
+    def dedup(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (fingerprint,) = key
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        already = state.exists
+        best = None  # (doc_id, text) with the smallest doc_id this batch
+        for pdf in pdfs:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if best is None or int(doc_id) < best[0]:
+                    best = (int(doc_id), str(text))
+        if already or best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "fingerprint": [fingerprint],
+                "doc_id": [best[0]],
+                "text": [best[1]],
+            }
+        )
+
+    return dedup
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact-dedup (append mode): the stateful twin of the
+    curation funnel's keep-first rule. Keyed by the normalized-text md5
+    fingerprint; per-key state is a single int, so total state is
+    O(distinct documents) — the canonical shape for continuous corpus
+    ingestion where duplicates arrive days apart.
+    """
+    from pyspark.sql import functions as F
+
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    ).alias("fingerprint")
+    return (
+        docs.select(fp, "doc_id", F.col(text_col).alias("text"))
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            make_stream_dedup(),
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -70,3 +70,43 @@ def test_stateful_assembly_matches_batch(spark, tmp_path):
     for conv_id, (text, n) in expected.items():
         assert got[conv_id][1] == n, conv_id
         assert got[conv_id][0] == text, conv_id
+
+
+@pytest.mark.timeout(600)
+def test_stream_dedup_keeps_first_across_microbatches(spark, tmp_path):
+    """Exact-dedup over a stream: duplicates arriving in LATER
+    micro-batches are dropped; each fingerprint emits exactly once."""
+    from docling_spark.streaming.stateful import dedup_stream
+
+    inp = str(tmp_path / "din")
+    ckpt = str(tmp_path / "dckpt")
+    out = str(tmp_path / "dout")
+
+    rows1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")]
+    rows2 = [(4, "ALPHA beta"), (5, "epsilon zeta"), (6, "gamma delta")]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.parquet(inp + "/b0")
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.parquet(inp + "/b1")
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        dedup_stream(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r["fingerprint"]: r["doc_id"]
+           for r in spark.read.parquet(out).collect()}
+    # normalized fingerprints: 'alpha beta' == 'alpha  beta' == 'ALPHA beta'
+    assert len(got) == 3  # alpha-beta, gamma-delta, epsilon-zeta
+    assert sorted(got.values()) == [1, 2, 5]
