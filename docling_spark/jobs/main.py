@@ -31,6 +31,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--streaming", action="store_true",
                    help="run as a Structured Streaming catch-up job")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--to", default=None,
+                   help="comma-separated extra export sinks over the "
+                        "item table (doctags,itxt,html,html_split_page,"
+                        "json,yaml,doclang,dclx), written next to the "
+                        "output table — the reference CLI's --to flag")
     return p.parse_args(argv)
 
 
@@ -69,6 +74,17 @@ def main(argv: list[str] | None = None) -> int:
         parallelism=args.parallelism,
         state_path=args.state_table, metrics_path=args.metrics_table,
     )
+    if args.to:
+        from docling_spark.operators.export import _SERIALIZERS, export_items
+
+        extracted = spark.read.parquet(args.output_table)
+        for fmt in [f.strip() for f in args.to.split(",") if f.strip()]:
+            if fmt not in _SERIALIZERS:
+                raise SystemExit(f"unknown export format: {fmt} "
+                                 f"(known: {sorted(_SERIALIZERS)})")
+            export_items(extracted, fmt=fmt).write.mode("overwrite") \
+                .parquet(f"{args.output_table}_export_{fmt}")
+            summary[f"export_{fmt}"] = f"{args.output_table}_export_{fmt}"
     print(json.dumps(summary))
     # job exit code reflects hard failure only; failure ROWS are data
     # (ProcessingResult semantics, standard_pdf_pipeline.py:129-152)
