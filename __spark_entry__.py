@@ -2165,6 +2165,56 @@ from documents
 """
 
 
+def q_picture_cell_join(spark, sf_dir):
+    """Picture→table-cell containment join (readingorder_model.py:
+    162-251 coverage ≥ 0.8 rule; also the wrapper→child containment
+    shape) as a distributed equi-join + best-candidate window. Each doc
+    carries a 2x2 cell grid, one picture fully inside a doc_id-derived
+    cell, and a decoy straddling two cells at coverage 0.5 — the decoy
+    must produce no row."""
+    from docling_spark.operators.spatial import containment_join
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    cells = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias(
+            "parent_id"),
+    ).select(
+        "doc_id", "parent_id",
+        ((F.col("parent_id") % 2) * 100).cast("double").alias("l"),
+        ((F.col("parent_id") / 2).cast("int") * 100).cast("double")
+        .alias("t"),
+        ((F.col("parent_id") % 2) * 100 + 100).cast("double").alias("r"),
+        ((F.col("parent_id") / 2).cast("int") * 100 + 100).cast("double")
+        .alias("b"),
+    )
+    inside = d.select(
+        "doc_id", F.lit(0).alias("child_id"),
+        ((F.col("doc_id") % 2) * 100 + 10).cast("double").alias("l"),
+        (((F.col("doc_id") / 2).cast("int") % 2) * 100 + 10)
+        .cast("double").alias("t"),
+        ((F.col("doc_id") % 2) * 100 + 60).cast("double").alias("r"),
+        (((F.col("doc_id") / 2).cast("int") % 2) * 100 + 60)
+        .cast("double").alias("b"),
+    )
+    straddle = d.select(
+        "doc_id", F.lit(1).alias("child_id"),
+        F.lit(50.0).alias("l"), F.lit(10.0).alias("t"),
+        F.lit(150.0).alias("r"), F.lit(60.0).alias("b"),
+    )
+    pics = inside.unionByName(straddle)
+    return containment_join(cells, pics)
+
+
+ORACLE_PICTURE_CELL_JOIN = """
+select doc_id,
+       cast(0 as int) as child_id,
+       cast((doc_id % 2) + 2 * ((doc_id // 2) % 2) as int) as parent_id,
+       cast(1.0 as double) as coverage
+from documents
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """Composed training-data curation funnel over the documents table:
     quality gate → language gate → length gate → exact-dedup keep-first,
@@ -2921,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mets": q_extract_mets,
         "extract_chandra": q_extract_chandra,
         "extract_dots": q_extract_dots,
+        "picture_cell_join": q_picture_cell_join,
         "curation_funnel": q_curation_funnel,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
@@ -3007,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_mets": ORACLE_EXTRACT_METS,
         "extract_chandra": ORACLE_EXTRACT_CHANDRA,
         "extract_dots": ORACLE_EXTRACT_DOTS,
+        "picture_cell_join": ORACLE_PICTURE_CELL_JOIN,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,

@@ -27,7 +27,6 @@ groundtruth, cited against docling/backend/docx/latex/omml.py):
 
 from __future__ import annotations
 
-import re
 import xml.etree.ElementTree as ET
 
 M = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"

@@ -92,3 +92,13 @@ def test_curation_funnel_single_shuffle(spark):
     assert "hashpartitioning(fingerprint" in plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" \
         not in plan
+
+
+def test_containment_join_is_equi_join(spark):
+    """The spatial containment join hash-joins on the doc key only —
+    no nested-loop pair enumeration."""
+    import __spark_entry__ as entry
+
+    plan = _formatted(spark, entry.q_picture_cell_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
