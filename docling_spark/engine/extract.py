@@ -272,7 +272,16 @@ def extract_payload(
         elif fmt == "latex":
             from docling_spark.engine import latexx
 
-            extracted, items, metrics = latexx.extract_latex(text)
+            if "\\begin{document}" not in text and \
+                    text.lstrip().startswith("UEsDB"):
+                # base64 zip of an arXiv-style multi-file tex tree
+                import base64
+
+                extracted, items, metrics = latexx.extract_latex_archive(
+                    base64.b64decode(text)
+                )
+            else:
+                extracted, items, metrics = latexx.extract_latex(text)
         elif fmt == "dots":
             from docling_spark.engine import dotsx
 

@@ -55,7 +55,16 @@ def _clean_inline(t: str) -> str:
         t = re.sub(r"\\footnote\{([^{}]*)\}", r" (\1)", t)
         t = re.sub(r"\\href\{([^{}]*)\}\{([^{}]*)\}", r"[\2](\1)", t)
         t = re.sub(r"\\url\{([^{}]*)\}", r"\1", t)
+        t = re.sub(r"\\(?:thanks|vspace|hspace|includegraphics)"
+                   r"(?:\[[^\]]*\])?\{[^{}]*\}", "", t)
+        t = re.sub(r"\\(?:begin|end)\{(?:center|flushleft|flushright"
+                   r"|minipage|abstract)\}", " ", t)
     t = re.sub(r"\\(cite|ref|eqref|label)\{([^{}]*)\}", r"[\2]", t)
+    t = re.sub(r"\\(?:AND|And|and)\b", "  ", t)
+    t = re.sub(r"\\(?:color|textcolor)\{[^{}]*\}", "", t)
+    t = re.sub(r"\\(?:large|Large|LARGE|small|footnotesize|scriptsize"
+               r"|tiny|huge|Huge|normalsize|bfseries|itshape|centering"
+               r"|noindent|par)\b", " ", t)
     t = re.sub(r"\\footnotemark(?:\[[^\]]*\])?", "", t)
     t = t.replace("\\\\", " ").replace("~", " ")
     t = t.replace("\\ldots", "...").replace("\\dots", "...")
@@ -83,6 +92,59 @@ def _command_arg(src: str, command: str) -> str | None:
             depth -= 1
         i += 1
     return src[start:i - 1] if depth == 0 else None
+
+
+_INPUT_RE = re.compile(r"\\(?:input|include)\{([^{}]*)\}")
+
+
+def _resolve_inputs(main: str, files: dict[str, str],
+                    depth: int = 0, seen: frozenset = frozenset()) -> str:
+    """Inline ``\\input{name}`` / ``\\include{name}`` from an archive's
+    member map (the reference resolves from the filesystem with a
+    circular-include guard and a depth limit of 10 —
+    docling/backend/latex/handlers/macros.py:368-399)."""
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1).strip()
+        for cand in (name, name + ".tex"):
+            if cand in files and cand not in seen:
+                if depth >= 10:
+                    return ""
+                return _resolve_inputs(files[cand], files, depth + 1,
+                                       seen | {cand})
+        return ""
+
+    return _INPUT_RE.sub(sub, main)
+
+
+def extract_latex_archive(payload: bytes) -> tuple[str, list[Item], dict]:
+    """Zip of a tex tree (arXiv-style multi-file source) → item table:
+    the main file (\\documentclass + \\begin{document}) is located,
+    its \\input/\\include tree inlined from the archive members, and the
+    flattened source run through :func:`extract_latex`."""
+    import io
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise LatexError(f"not a zip archive: {exc}") from exc
+    files: dict[str, str] = {}
+    for name in zf.namelist():
+        if name.endswith((".tex", ".sty", ".bbl")) and \
+                not name.endswith("/"):
+            base = name.rsplit("/", 1)[-1]
+            text = zf.read(name).decode("utf-8", errors="replace")
+            files.setdefault(base, text)
+            files.setdefault(name, text)
+    main = next(
+        (t for t in files.values()
+         if "\\begin{document}" in t and "\\documentclass" in t),
+        None,
+    )
+    if main is None:
+        raise LatexError("archive holds no main .tex file")
+    return extract_latex(_resolve_inputs(main, files))
 
 
 def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
