@@ -2019,6 +2019,10 @@ def q_extract_docx(spark, sf_dir):
 
         W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
         M = "http://schemas.openxmlformats.org/officeDocument/2006/math"
+        C = "http://schemas.openxmlformats.org/drawingml/2006/chart"
+        A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+        RNS = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+               "relationships")
         out = []
         for i, t in zip(doc_id, text):
             toks = str(t).split()
@@ -2037,12 +2041,41 @@ def q_extract_docx(spark, sf_dir):
                 f"<m:sub><m:r><m:t>{i}</m:t></m:r></m:sub>"
                 f"<m:sup><m:r><m:t>2</m:t></m:r></m:sup>"
                 f"</m:sSubSup></m:oMath></w:p>"
+                # native chart drawing → picture + kind text + tabulate
+                # data table (engine/docxx.py emit_chart)
+                f'<w:p><w:r><w:drawing xmlns:c="{C}" xmlns:r="{RNS}">'
+                f'<c:chart r:id="rIdChart"/></w:drawing></w:r></w:p>'
                 f"</w:body></w:document>"
+            )
+            chart = (
+                f'<c:chartSpace xmlns:c="{C}" xmlns:a="{A}">'
+                "<c:chart><c:plotArea><c:lineChart><c:ser>"
+                "<c:cat><c:strRef><c:strCache>"
+                '<c:pt idx="0"><c:v>c1</c:v></c:pt>'
+                '<c:pt idx="1"><c:v>c2</c:v></c:pt>'
+                "</c:strCache></c:strRef></c:cat>"
+                "<c:tx><c:strRef><c:strCache>"
+                '<c:pt idx="0"><c:v>S1</c:v></c:pt>'
+                "</c:strCache></c:strRef></c:tx>"
+                "<c:val><c:numRef><c:numCache>"
+                '<c:pt idx="0"><c:v>1</c:v></c:pt>'
+                '<c:pt idx="1"><c:v>2</c:v></c:pt>'
+                "</c:numCache></c:numRef></c:val>"
+                "</c:ser></c:lineChart></c:plotArea></c:chart>"
+                "</c:chartSpace>"
+            )
+            rels = (
+                '<?xml version="1.0"?><Relationships xmlns='
+                '"http://schemas.openxmlformats.org/package/2006/'
+                'relationships"><Relationship Id="rIdChart" Type="t" '
+                'Target="charts/chart1.xml"/></Relationships>'
             )
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w") as z:
                 z.writestr("word/styles.xml", _DOCX_STYLES)
                 z.writestr("word/document.xml", doc)
+                z.writestr("word/_rels/document.xml.rels", rels)
+                z.writestr("word/charts/chart1.xml", chart)
             out.append(base64.b64encode(buf.getvalue()).decode())
         return pd.Series(out)
 
@@ -2061,6 +2094,12 @@ with t as (
 select doc_id, 'success' as status,
        '## Doc ' || doc_id || chr(10) || chr(10) || text || ' **' || toks[1]
        || '**' || chr(10) || chr(10) || '$$x_{' || doc_id || '}^{2}$$'
+       || chr(10) || chr(10) || '<!-- image -->'
+       || chr(10) || chr(10) || 'Line chart'
+       || chr(10) || chr(10) || '|    |   S1 |'
+       || chr(10) || '|----|------|'
+       || chr(10) || '| c1 |    1 |'
+       || chr(10) || '| c2 |    2 |'
        as extracted_text
 from t
 """
