@@ -112,14 +112,12 @@ class _TreeBuilder(HTMLParser):
 
     # -- forgiveness rules -------------------------------------------------
     def _implied_close(self, tag: str) -> None:
-        open_tags = [e.tag for e in self.stack]
-        if tag in BLOCK_IMPLIES_P_CLOSE and "p" in open_tags:
+        if tag in BLOCK_IMPLIES_P_CLOSE:
             # close the innermost <p> (browsers' implied </p>)
-            while self.stack[-1].tag != "p":
-                if self.stack[-1] is self.root:
-                    return
-                self.stack.pop()
-            self.stack.pop()
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
         if tag == "li":
             # an open <li> is closed by a sibling <li> (not by nested lists)
             for i in range(len(self.stack) - 1, 0, -1):
