@@ -184,11 +184,131 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(payload: str) -> Element:
+def parse_html_stdlib(payload: str) -> Element:
+    """Reference tokenizer path (stdlib html.parser); kept as the
+    differential-test oracle for the fast tokenizer below."""
     builder = _TreeBuilder()
     builder.feed(payload)
     builder.close()
     return builder.root
+
+
+# -- fast tokenizer ----------------------------------------------------------
+# A single-pass scanner emitting the same callback stream html.parser
+# produces for the constructs that matter (start/end/self-closing tags with
+# lowercased names and charref-decoded attributes, coalesced charref-decoded
+# text runs, script/style CDATA mode, comments/decls/PIs skipped, stray '<'
+# as literal text). Equivalence is enforced by
+# tests/test_fast_tokenizer.py: byte-identical item output vs the stdlib
+# path over the full reference corpus, the synthetic bench corpus, and a
+# hypothesis fuzz of html-shaped strings; any construct the scanner cannot
+# place falls back to literal text exactly like html.parser does.
+
+_FT_START_RE = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>][^\s/=>]*(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_FT_END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FT_ATTR_RE = re.compile(
+    r"\s+([^\s/=>]+)(?:\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^\s>]*)))?")
+_FT_AMP_RE = re.compile(r"&")
+
+
+def _ft_unescape(s: str) -> str:
+    if "&" in s:
+        from html import unescape
+
+        return unescape(s)
+    return s
+
+
+def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
+    """Tokenize ``data`` into builder callbacks. Returns False when a
+    construct outside the scanner's grammar is hit (caller falls back to
+    html.parser for the whole payload)."""
+    i = 0
+    n = len(data)
+    handle_data = builder.handle_data
+    while i < n:
+        lt = data.find("<", i)
+        if lt < 0:
+            if i < n:
+                handle_data(_ft_unescape(data[i:]))
+            break
+        if lt > i:
+            handle_data(_ft_unescape(data[i:lt]))
+        nxt = data[lt + 1:lt + 2]
+        if nxt and (nxt.isalpha()):
+            m = _FT_START_RE.match(data, lt)
+            if m is None:
+                return False  # exotic or unterminated — html.parser decides
+            tag = m.group(1).lower()
+            attr_src = m.group(2)
+            attrs = []
+            pos = 0
+            for a in _FT_ATTR_RE.finditer(attr_src):
+                if attr_src[pos:a.start()].strip():
+                    return False  # unconsumed attr junk — fall back
+                pos = a.end()
+                val = (a.group(2) if a.group(2) is not None else
+                       a.group(3) if a.group(3) is not None else
+                       a.group(4))
+                attrs.append((a.group(1).lower(),
+                              _ft_unescape(val) if val is not None
+                              else None))
+            if attr_src[pos:].strip():
+                return False
+            i = m.end()
+            if m.group(3):
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    # CDATA mode: raw text until the matching close tag
+                    cm = re.compile(r"</\s*%s" % tag, re.I).search(data, i)
+                    if cm is None:
+                        return False  # unterminated CDATA element
+                    if cm.start() > i:
+                        handle_data(data[i:cm.start()])
+                    em = _FT_END_RE.match(data, cm.start())
+                    if em is None:
+                        return False
+                    builder.handle_endtag(em.group(1).lower())
+                    i = em.end()
+        elif nxt == "/":
+            m = _FT_END_RE.match(data, lt)
+            if m is None:
+                return False
+            builder.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif nxt == "!":
+            if data.startswith("<!--", lt):
+                end = data.find("-->", lt + 4)
+                if end < 0:
+                    return False  # unterminated comment
+                i = end + 3
+            else:
+                end = data.find(">", lt)
+                if end < 0:
+                    return False  # unterminated decl
+                i = end + 1  # doctype / bogus decl: ignored
+        elif nxt == "?":
+            end = data.find(">", lt)
+            if end < 0:
+                return False  # unterminated PI
+            i = end + 1  # processing instruction: ignored
+        else:
+            handle_data("<")
+            i = lt + 1
+    return True
+
+
+def parse_html(payload: str) -> Element:
+    builder = _TreeBuilder()
+    if _fast_feed(payload, builder):
+        return builder.root
+    return parse_html_stdlib(payload)
 
 
 # ---------------------------------------------------------------------------
