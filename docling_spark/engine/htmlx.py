@@ -239,26 +239,27 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
         if lt > i:
             handle_data(_ft_unescape(data[i:lt]))
         nxt = data[lt + 1:lt + 2]
-        if nxt and (nxt.isalpha()):
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
             m = _FT_START_RE.match(data, lt)
             if m is None:
                 return False  # exotic or unterminated — html.parser decides
             tag = m.group(1).lower()
             attr_src = m.group(2)
             attrs = []
-            pos = 0
-            for a in _FT_ATTR_RE.finditer(attr_src):
-                if attr_src[pos:a.start()].strip():
-                    return False  # unconsumed attr junk — fall back
-                pos = a.end()
-                val = (a.group(2) if a.group(2) is not None else
-                       a.group(3) if a.group(3) is not None else
-                       a.group(4))
-                attrs.append((a.group(1).lower(),
-                              _ft_unescape(val) if val is not None
-                              else None))
-            if attr_src[pos:].strip():
-                return False
+            if attr_src:
+                pos = 0
+                for a in _FT_ATTR_RE.finditer(attr_src):
+                    if attr_src[pos:a.start()].strip():
+                        return False  # unconsumed attr junk — fall back
+                    pos = a.end()
+                    val = (a.group(2) if a.group(2) is not None else
+                           a.group(3) if a.group(3) is not None else
+                           a.group(4))
+                    attrs.append((a.group(1).lower(),
+                                  _ft_unescape(val) if val is not None
+                                  else None))
+                if attr_src[pos:].strip():
+                    return False
             i = m.end()
             if m.group(3):
                 builder.handle_startendtag(tag, attrs)
