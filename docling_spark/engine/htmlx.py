@@ -212,6 +212,10 @@ _FT_START_RE = re.compile(
 _FT_END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _FT_ATTR_RE = re.compile(
     r"\s+([^\s/=>]+)(?:\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^\s>]*)))?")
+_FT_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
 _FT_AMP_RE = re.compile(r"&")
 
 
@@ -267,7 +271,7 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
                 builder.handle_starttag(tag, attrs)
                 if tag in ("script", "style"):
                     # CDATA mode: raw text until the matching close tag
-                    cm = re.compile(r"</\s*%s" % tag, re.I).search(data, i)
+                    cm = _FT_CDATA_CLOSE[tag].search(data, i)
                     if cm is None:
                         return False  # unterminated CDATA element
                     if cm.start() > i:
