@@ -7,9 +7,14 @@ WordprocessingML reader on stdlib ``zipfile`` + ``xml.etree`` — the
 reference walks python-docx objects; here the XML is read directly.
 
 Pinned against the reference's own docx groundtruth corpus
-(tests/data/docx/{sources,groundtruth}) for the supported subset — see
-tests/test_docxx_groundtruth.py EXPECT_MATCH. Out of scope (documented):
-OMML equations, textboxes, VML/EMF drawings, comments, change tracking.
+(tests/data/docx/{sources,groundtruth}): 31/32 byte-exact — see
+tests/test_docxx_groundtruth.py EXPECT_MATCH. Covers OMML equations
+(engine/ommlx.py), floating textboxes, native charts (picture + kind +
+tabulate data table), anchored-shape pictures, comments, checkboxes,
+headers/footers; textbox.docx is pinned as a documented superset (the
+reference non-semantically drops four boxes via transient-proxy id
+dedup). Out of scope: change tracking, LibreOffice-rasterized shape
+imagery.
 """
 
 from __future__ import annotations
