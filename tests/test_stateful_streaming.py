@@ -84,10 +84,13 @@ def test_stream_dedup_keeps_first_across_microbatches(spark, tmp_path):
 
     rows1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")]
     rows2 = [(4, "ALPHA beta"), (5, "epsilon zeta"), (6, "gamma delta")]
+    # one part-file per intended micro-batch: with maxFilesPerTrigger=1
+    # every part-file IS a micro-batch, so an uncoalesced write would
+    # split rows1 across batches and make keep-first order nondeterministic
     spark.createDataFrame(rows1, "doc_id long, text string") \
-        .write.parquet(inp + "/b0")
+        .coalesce(1).write.parquet(inp + "/b0")
     spark.createDataFrame(rows2, "doc_id long, text string") \
-        .write.parquet(inp + "/b1")
+        .coalesce(1).write.parquet(inp + "/b1")
 
     src = (
         spark.readStream.schema("doc_id long, text string")
