@@ -2105,6 +2105,84 @@ from t
 """
 
 
+def q_extract_xbrl(spark, sf_dir):
+    """XBRL end-to-end: a per-doc instance+taxonomy zip (dei title facts,
+    one textBlockItemType disclosure fact carrying escaped HTML with a
+    colspan/<br> table, one monetary fact) synthesized in an
+    Arrow-batched UDF, base64'd into the text column, routed through
+    tool='xbrl' (engine/xbrlx.py). The oracle predicts the markdown:
+    dei-derived title, extracted disclosure, rich-cell table, and the
+    key-value-region marker."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        TNS = "http://example.com/t"
+        xsd = (
+            '<?xml version="1.0"?>'
+            '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema" '
+            f'targetNamespace="{TNS}" '
+            'xmlns:dtr-types="http://www.xbrl.org/dtr/type/2020-01-21" '
+            'xmlns:xbrli="http://www.xbrl.org/2003/instance">'
+            '<xs:element name="Disclosure" type="dtr-types:textBlockItemType"/>'
+            '<xs:element name="Revenues" type="xbrli:monetaryItemType"/>'
+            "</xs:schema>"
+        )
+        out = []
+        for i, t in zip(doc_id, text):
+            block = (
+                f"<p>{str(t)}</p>"
+                '<table><tr><td colspan="2">A<br/> B</td></tr>'
+                "<tr><td>1</td><td>2</td></tr></table>"
+            )
+            inst = (
+                '<?xml version="1.0"?>'
+                '<xbrl xmlns="http://www.xbrl.org/2003/instance" '
+                'xmlns:dei="http://xbrl.sec.gov/dei/2025" '
+                f'xmlns:t="{TNS}">'
+                '<context id="c0"><entity>'
+                '<identifier scheme="cik">1</identifier></entity>'
+                "<period><instant>2026-01-01</instant></period></context>"
+                '<dei:DocumentType contextRef="c0">10-K</dei:DocumentType>'
+                f'<dei:EntityRegistrantName contextRef="c0">ORG {i}'
+                "</dei:EntityRegistrantName>"
+                '<dei:DocumentPeriodEndDate contextRef="c0">2026-01-01'
+                "</dei:DocumentPeriodEndDate>"
+                f'<t:Disclosure contextRef="c0">{escape(block)}</t:Disclosure>'
+                f'<t:Revenues contextRef="c0" unitRef="usd">{100 + int(i)}'
+                "</t:Revenues>"
+                "</xbrl>"
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr("instance.xml", inst)
+                z.writestr("tax/t.xsd", xsd)
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    xbrl_b64 = pandas_udf(_mk, "string")
+    payload = xbrl_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "xbrl")
+
+
+ORACLE_EXTRACT_XBRL = """
+select doc_id, 'success' as status,
+       '# 10-K ORG ' || doc_id || ' 2026-01-01' || chr(10) || chr(10)
+        || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) || chr(10)
+        || '| A B |  |' || chr(10) || '| - | - |' || chr(10)
+        || '| 1 | 2 |' || chr(10) || chr(10)
+        || '<!-- missing-key-value-item -->' as extracted_text
+from documents
+"""
+
+
 def q_export_docling_json(spark, sf_dir):
     """Lossless JSON export sink + round-trip witness: extract → item
     table → DoclingDocument JSON (serialize_docling_json) → re-import
@@ -2993,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_epub": q_extract_epub,
         "extract_docling_json": q_extract_docling_json,
         "extract_docx": q_extract_docx,
+        "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
@@ -3080,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_epub": ORACLE_EXTRACT_EPUB,
         "extract_docling_json": ORACLE_DOCLING_JSON,
         "extract_docx": ORACLE_EXTRACT_DOCX,
+        "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,
         "extract_pptx": ORACLE_EXTRACT_PPTX,

@@ -38,7 +38,7 @@ KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
                  "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "plain")
+                 "xbrl", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -59,7 +59,7 @@ def detect_format(text: str, tool: str = "") -> str:
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
-                "mets_gbs", "mets", "chandra", "dots"):
+                "mets_gbs", "mets", "chandra", "dots", "xbrl"):
         return {"dclx": "doclang", "mets": "mets_gbs"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
@@ -71,6 +71,9 @@ def detect_format(text: str, tool: str = "") -> str:
         return "docling_json"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
+    if text and "http://www.xbrl.org/2003/instance" in text[:4096] \
+            and "<" in text[:64]:
+        return "xbrl"
     if text and text.lstrip()[:1] == "[" and '"category"' in text[:4096] \
             and '"bbox"' in text[:4096]:
         return "dots"
@@ -282,6 +285,15 @@ def extract_payload(
                 )
             else:
                 extracted, items, metrics = latexx.extract_latex(text)
+        elif fmt == "xbrl":
+            from docling_spark.engine import xbrlx
+
+            raw_x: bytes | str = text
+            if not text.lstrip().startswith("<"):
+                import base64
+
+                raw_x = base64.b64decode(text)  # instance+taxonomy zip
+            extracted, items, metrics = xbrlx.extract_xbrl(raw_x)
         elif fmt == "dots":
             from docling_spark.engine import dotsx
 

@@ -1214,10 +1214,23 @@ class HtmlExtractor:
             self._img_ctx_block = True
         if len(blocks) == 1 and block_kinds[0] == "heading":
             return re.sub(r"^#+ ", "", blocks[0])
+        def has_br(n: Element) -> bool:
+            for ch in n.children:
+                if isinstance(ch, Element):
+                    if has_br(ch):
+                        return True
+                elif BR_SENTINEL in ch:
+                    return True
+            return False
+
         self._last_cell_rich = (
             len(blocks) > 1
             or any(k in ("picture", "caption", "code", "heading") for k in block_kinds)
             or any(("`" in b or "**" in b or "](" in b or "*" in b) for b in blocks)
+            # a <br> splits the cell into multiple text elements in the
+            # reference (split_by_newline), making it a rich cell whose
+            # span copies render blank (xbrl EPS-table groundtruth)
+            or has_br(cell)
         )
         return "  ".join(blocks)
 
@@ -1368,6 +1381,10 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                     emit(it["text"], it)
             elif label == "picture":
                 emit("<!-- image -->", it)
+            elif label == "key_value_region":
+                # docling-core md serializer has no KVP renderer; it emits
+                # the missing-item marker (xbrl groundtruth md tail)
+                emit("<!-- missing-key-value-item -->", it)
             elif label == "formula":
                 # block formula: verbatim LaTeX in $$ $$; formulas lifted
                 # out of running text keep single-$ delimiters

@@ -109,6 +109,15 @@ def serialize_itxt(items: list[dict]) -> str:
     out = []
     for it in items:
         ind = "  " * it["level"]
+        if it["label"] == "key_value_region":
+            # KVP regions live in DoclingDocument.key_value_items, which the
+            # reference itxt dump prints one extra level deep with the text
+            # "ignored" (xbrl groundtruth itxt tail)
+            out.append(
+                f'{ind}  item-{it["item_idx"]} at level {it["level"]}: '
+                f'key_value_region: ignored'
+            )
+            continue
         if it["label"] in _GROUP_LABELS:
             out.append(
                 f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
