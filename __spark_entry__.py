@@ -3050,6 +3050,93 @@ where bit_count(xor(a.simhash, b.simhash)) <= 7
 # registry
 # ---------------------------------------------------------------------------
 
+def q_extract_image(spark, sf_dir):
+    """Image end-to-end: a per-doc animated GIF (spec-constructed bytes:
+    logical screen w=16+id%240, h=9+id%135, frames=1+id%4) base64'd into
+    the text column and routed by magic-prefix sniffing (NO tool hint) to
+    engine/imagex.py — the reference image backend's page-per-frame,
+    no-OCR, full-page-bitmap semantics (docling/backend/
+    image_backend.py:126-199, 74-90). Dimensions are re-read from the
+    payload bytes by the pure-Python header parser on the multimodal
+    decode path. The oracle predicts pages/dims/markdown from the id
+    arithmetic alone."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series) -> pd.Series:
+        import base64
+        import struct
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            w, h, frames = 16 + i % 240, 9 + i % 135, 1 + i % 4
+            gif = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+            for _ in range(frames):
+                gif += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                        + b"\x00\x02\x01\x00\x00")
+            gif += b"\x3b"
+            out.append(base64.b64encode(gif).decode())
+        return pd.Series(out)
+
+    def _dims(text: pd.Series) -> pd.DataFrame:
+        import base64
+
+        from docling_spark.engine import imagex
+
+        ws, hs = [], []
+        for t in text:
+            w, h = imagex.image_pages(base64.b64decode(t))[0]
+            ws.append(w)
+            hs.append(h)
+        return pd.DataFrame({"width": ws, "height": hs})
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "return": pd.Series}
+    _dims.__annotations__ = {"text": pd.Series, "return": pd.DataFrame}
+    gif_b64 = pandas_udf(_mk, "string")
+    dims_of = pandas_udf(_dims, "width int, height int")
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), gif_b64(F.col("doc_id")).alias("text")
+    )
+    tr = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+    )
+    # dims re-derived narrow (payload is a pure function of doc_id):
+    # no join, no shuffle — the whole query is one map pipeline
+    out = extract_turns(tr).withColumn(
+        "dims", dims_of(gif_b64(F.col("conv_id").cast("long")))
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "status",
+        F.col("format").alias("fmt"),
+        F.col("metrics.pages_parsed").alias("n_pages"),
+        F.col("dims.width").alias("width"),
+        F.col("dims.height").alias("height"),
+        "extracted_text",
+    )
+
+
+ORACLE_EXTRACT_IMAGE = """
+select doc_id, 'success' as status, 'image' as fmt,
+       cast(1 + doc_id % 4 as int) as n_pages,
+       cast(16 + doc_id % 240 as int) as width,
+       cast(9 + doc_id % 135 as int) as height,
+       ltrim(repeat(chr(10) || chr(10) || '<!-- image -->',
+                    cast(1 + doc_id % 4 as int)), chr(10))
+           as extracted_text
+from documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -3081,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_odt": q_extract_odt,
         "extract_uspto": q_extract_uspto,
         "extract_latex": q_extract_latex,
+        "extract_image": q_extract_image,
         "heading_levels": q_heading_levels,
         "export_docling_json": q_export_docling_json,
         "export_html": q_export_html,
@@ -3169,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_odt": ORACLE_EXTRACT_ODT,
         "extract_uspto": ORACLE_EXTRACT_USPTO,
         "extract_latex": ORACLE_EXTRACT_LATEX,
+        "extract_image": ORACLE_EXTRACT_IMAGE,
         "heading_levels": ORACLE_HEADING_LEVELS,
         "export_docling_json": ORACLE_EXPORT_DOCLING_JSON,
         "export_html": ORACLE_EXPORT_HTML,

@@ -38,7 +38,7 @@ KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
                  "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "xbrl", "plain")
+                 "xbrl", "image", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -55,6 +55,9 @@ def detect_format(text: str, tool: str = "") -> str:
     hint = (tool or "").strip().lower()
     if hint == "adoc":
         hint = "asciidoc"
+    if hint in ("image", "png", "jpg", "jpeg", "gif", "bmp", "webp",
+                "tiff", "tif", "ico"):
+        return "image"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
@@ -84,6 +87,11 @@ def detect_format(text: str, tool: str = "") -> str:
             return "chandra"
     if not text or not text.strip():
         return "plain"
+    # base64-encoded image magic (binary payloads travel b64 in the text
+    # column): PNG / JPEG / GIF / RIFF-WEBP / TIFF prefixes
+    if text.startswith(("iVBORw0KGgo", "/9j/", "R0lGOD", "UklGR",
+                        "SUkqAA", "TU0AKg")):
+        return "image"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
     if emailx.looks_like_email(text):
@@ -326,6 +334,14 @@ def extract_payload(
 
             extracted, items, metrics = odfx.extract_odf(
                 base64.b64decode(text), fmt
+            )
+        elif fmt == "image":
+            import base64
+
+            from docling_spark.engine import imagex
+
+            extracted, items, metrics = imagex.extract_image(
+                base64.b64decode(text)
             )
         elif fmt == "code":
             extracted, items, metrics = _code_result(text)

@@ -44,13 +44,18 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB: real image decode needs PIL/libvips (not in this container).
+    """Real container-header parse when the payload is a recognized image
+    format (PNG/JPEG/GIF/BMP/WEBP/TIFF/ICO — ``engine.imagex``, a pure
+    Python re-expression of the reference's PIL size probe,
+    image_backend.py:117-119); *pixel* decoding still needs PIL/libvips
+    and falls back to a deterministic sha256-derived fake for synthetic
+    payloads so the downstream plumbing (schema, batching, joins) stays
+    exercised with stable cross-engine-reproducible values."""
+    from docling_spark.engine import imagex
 
-    The deterministic fake derives a plausible (width, height) from the
-    payload's sha256 so the downstream plumbing (schema, batching, joins)
-    is exercised with stable, cross-engine-reproducible values. Swap body
-    for ``PIL.Image.open`` in a real deployment.
-    """
+    if payload and imagex.sniff_image(bytes(payload)) is not None:
+        pages = imagex.image_pages(bytes(payload))
+        return pages[0]
     h = hashlib.sha256(payload or b"").digest()
     return 64 + h[0] % 1920, 64 + h[1] % 1080
 
