@@ -168,6 +168,12 @@ def extract_doclang(payload: bytes | str) -> tuple[str, list[Item], dict]:
             elif tag == "caption":
                 _mk_item(items, par, "caption", lvl,
                          " ".join(_el_text(ch).split()), "body")
+            elif tag in ("field_region", "field_item"):
+                idx = _mk_item(items, par, tag, lvl, "", "body")
+                walk(ch, idx, lvl + 1)
+            elif tag in ("field_key", "field_value", "marker"):
+                _mk_item(items, par, tag, lvl,
+                         " ".join(_el_text(ch).split()), "body")
             else:
                 walk(ch, par, lvl)  # unknown container: recurse
 
@@ -274,6 +280,16 @@ def serialize_doclang(items: list[Item], layer: str = "body") -> str:
                 if not it.get("_table_caption"):
                     out.append("  <caption>" + _xml_escape(it["text"])
                                + "</caption>")
+            elif label in ("field_region", "field_item"):
+                # forms extension (the reference grammar predates the
+                # forms machinery; tags mirror our item labels so the
+                # round-trip is lossless)
+                out.append(f"  <{label}>")
+                walk(it["item_idx"])
+                out.append(f"  </{label}>")
+            elif label in ("field_key", "field_value", "marker"):
+                out.append(f"  <{label}>" + _xml_escape(it["text"])
+                           + f"</{label}>")
             else:
                 walk(it["item_idx"])
 

@@ -366,6 +366,12 @@ def _mk_item(
 
 _BARE_URL_RE = re.compile(r"^[a-z][a-z0-9+.-]*://[^/]+$")
 
+# form/key-value machinery (html_backend.py:169-175): a container with class
+# "form_region" holds semantic ids key{K}, key{K}_marker, key{K}_value{V}
+_FORM_KEY_RE = re.compile(r"^key([A-Za-z0-9]+)$")
+_FORM_MARKER_RE = re.compile(r"^key([A-Za-z0-9]+)_marker$")
+_FORM_VALUE_RE = re.compile(r"^key([A-Za-z0-9]+)_value([A-Za-z0-9]+)$")
+
 
 def _norm_href(href: str) -> str:
     """Bare scheme://host URLs gain a trailing slash (pydantic AnyUrl
@@ -766,6 +772,15 @@ class HtmlExtractor:
             else:
                 parent_eff, level_eff = parent_idx, level
             tag = ch.tag
+            if (tag not in INLINE_TAGS and tag != "table"
+                    and "form_region" in
+                    (ch.attrs.get("class") or "").split()):
+                # key-value form container (html_backend.py:4303-4380);
+                # a container without resolvable fields falls through to
+                # the normal block dispatch, same as the reference
+                self._flush(parent_eff, level_eff)
+                if self._handle_form_container(ch, parent_eff, level_eff):
+                    continue
             if tag in INLINE_TAGS:
                 self._walk_inline(ch)
             elif tag in HEADINGS:
@@ -839,6 +854,270 @@ class HtmlExtractor:
                 self._flush(parent_eff, level_eff)
                 self._walk(ch, parent_eff, level_eff)
                 self._flush(parent_eff, level_eff)
+
+    # -- form / key-value extraction ----------------------------------------
+    # Scoped port of the reference forms machinery (html_backend.py:
+    # 2783-4380): semantic-id key/marker/value grouping, DOM-distance value
+    # selection, key-text exclusion of consumed descendants, field_region →
+    # field_item → (marker, field_key, field_value) emission at the anchor's
+    # document position. Documented exclusions: checkbox machinery
+    # (3135-3650), rendered-bbox table suppression (2958-3003, needs a
+    # browser), and table-shaped form containers with key ids (the corpus
+    # table container has none and falls back to a plain table).
+
+    @staticmethod
+    def _form_normalize(text: str) -> str:
+        """_normalize_form_text (html_backend.py:3031-3033): whitespace
+        collapse then the unicode cleanup."""
+        return clean_unicode(re.sub(r"\s+", " ", text).strip())
+
+    @staticmethod
+    def _form_in_key_scope(key_el: Element, val_el: Element) -> bool:
+        """_is_value_in_key_scope (html_backend.py:2847-2857)."""
+        if key_el is val_el:
+            return True
+        p = val_el.parent
+        while p is not None:
+            if p is key_el:
+                return True
+            p = p.parent
+        return (key_el.parent is not None
+                and key_el.parent is val_el.parent)
+
+    @staticmethod
+    def _form_dom_distance(a: Element, b: Element) -> int:
+        """_dom_distance_between_tags (html_backend.py:2859-2882): length of
+        the up-up path through the nearest common ancestor."""
+        if a is b:
+            return 0
+        chain_a: list[Element] = []
+        cur = a
+        while cur is not None:
+            chain_a.append(cur)
+            cur = cur.parent
+        pos = {id(el): i for i, el in enumerate(chain_a)}
+        cur, j, best = b, 0, None
+        while cur is not None:
+            i = pos.get(id(cur))
+            if i is not None and (best is None or i + j < best):
+                best = i + j
+            cur = cur.parent
+            j += 1
+        return best if best is not None else 10_000
+
+    def _form_input_text(self, el: Element) -> str:
+        """_extract_input_like_text (html_backend.py:3370-3403)."""
+        if el.tag == "input":
+            for attr in ("value", "placeholder", "name"):
+                v = el.attrs.get(attr)
+                if v and str(v).strip():
+                    return str(v).strip()
+            return ""
+        if el.tag == "textarea":
+            return self._plain_text(el).strip()
+        if el.tag == "select":
+            options = el.find_all(frozenset(["option"]))
+            chosen = next((o for o in options if "selected" in o.attrs),
+                          options[0] if options else None)
+            if chosen is not None:
+                t = self._plain_text(chosen).strip()
+                if t:
+                    return t
+                v = chosen.attrs.get("value")
+                if v and str(v).strip():
+                    return str(v).strip()
+        return self._plain_text(el)
+
+    def _form_value_text(self, el: Element) -> str:
+        """_extract_form_value_text (html_backend.py:3405-3436)."""
+        if el.tag in ("input", "textarea", "select"):
+            return self._form_input_text(el)
+        inputs = el.find_all(frozenset(["input", "textarea", "select"]))
+        if not inputs:
+            return self._plain_text(el)
+        parts: list[str] = []
+
+        def rec(n):
+            if isinstance(n, str):
+                parts.append(n)
+                return
+            if n.tag in ("input", "textarea", "select"):
+                t = self._form_input_text(n)
+                if t:
+                    parts.append(t)
+                parts.append(" ")
+                return
+            for c in n.children:
+                rec(c)
+            if n.tag in ("p", "li", "div", "label", "span", "td", "th",
+                         "tr", "br"):
+                parts.append(" ")
+
+        rec(el)
+        return "".join(parts)
+
+    def _form_text_excluding(self, el: Element, excluded: set[int]) -> str:
+        """_extract_text_excluding_tag_obj_ids (html_backend.py:3168-3186):
+        key text without the value/marker descendants it wraps."""
+        parts: list[str] = []
+
+        def rec(n):
+            if isinstance(n, str):
+                parts.append(n)
+                return
+            if id(n) in excluded:
+                return
+            for c in n.children:
+                rec(c)
+            if n.tag in ("p", "li", "div", "label", "span", "td", "th"):
+                parts.append(" ")
+
+        rec(el)
+        return "".join(parts)
+
+    def _handle_form_container(self, node: Element, parent_idx: int,
+                               level: int) -> bool:
+        """Returns True when the container produced a field_region; False
+        means no resolvable fields (caller falls back to normal dispatch,
+        html_backend.py:4352-4360)."""
+        order: dict[int, int] = {}
+        elems: list[Element] = []
+
+        def gather(n: Element) -> None:
+            for c in n.children:
+                if isinstance(c, Element):
+                    if "form_region" in (c.attrs.get("class") or "").split():
+                        continue  # nested scope stays its own container
+                    order[id(c)] = len(elems)
+                    elems.append(c)
+                    gather(c)
+
+        gather(node)
+
+        keys: dict[str, tuple[int, Element]] = {}
+        markers: dict[str, list[tuple[int, Element]]] = {}
+        values: dict[str, list[tuple[int | None, int, Element]]] = {}
+        first_order: dict[str, int] = {}
+        for el in elems:
+            tid = el.attrs.get("id")
+            if not tid:
+                continue
+            o = order[id(el)]
+            m = _FORM_VALUE_RE.match(tid)
+            if m:
+                vidx = int(m.group(2)) if m.group(2).isdigit() else None
+                values.setdefault(m.group(1), []).append((vidx, o, el))
+                first_order.setdefault(m.group(1), o)
+                continue
+            m = _FORM_MARKER_RE.match(tid)
+            if m:
+                markers.setdefault(m.group(1), []).append((o, el))
+                first_order.setdefault(m.group(1), o)
+                continue
+            m = _FORM_KEY_RE.match(tid)
+            if m:
+                keys.setdefault(m.group(1), (o, el))
+                first_order.setdefault(m.group(1), o)
+
+        # resolve fields (html_backend.py:3829-4056 _extract_form_region)
+        fields: dict[str, list[tuple[int, str, str]]] = {}
+        consumed: set[int] = set()
+        anchor_of: dict[int, str] = {}
+        for k in sorted(first_order, key=first_order.get):
+            key_entry = keys.get(k)
+            key_el = key_entry[1] if key_entry else None
+            marker_entries = sorted(markers.get(k, []))
+            if key_el is not None:
+                in_scope = [e for e in marker_entries
+                            if self._form_in_key_scope(key_el, e[1])]
+                if in_scope:
+                    marker_entries = in_scope
+            anchor = key_el if key_el is not None else (
+                marker_entries[0][1] if marker_entries else None)
+
+            # best value per (index|dom) group: key-scope, DOM distance,
+            # input-tag preference, document order (html_backend.py:2884-2951)
+            grouped: dict[tuple, list[tuple[int | None, int, Element]]] = {}
+            for vidx, o, el in values.get(k, []):
+                gk = ("idx", vidx) if vidx is not None else ("dom", o)
+                grouped.setdefault(gk, []).append((vidx, o, el))
+            selected: list[tuple[int | None, int, Element]] = []
+            for entries in grouped.values():
+                entries.sort(key=lambda e: (
+                    (0 if self._form_in_key_scope(key_el, e[2]) else 1)
+                    if key_el is not None else 0,
+                    self._form_dom_distance(anchor, e[2])
+                    if anchor is not None else 0,
+                    0 if e[2].tag in ("input", "select", "textarea") else 1,
+                    e[1],
+                ))
+                selected.append(entries[0])
+            selected.sort(key=lambda e: (e[0] is None,
+                                         e[0] if e[0] is not None else e[1],
+                                         e[1]))
+            if not selected:
+                continue  # valueless fields walk as normal content
+
+            parts: list[tuple[int, str, str]] = []
+            excluded = {id(el) for _, _, el in selected}
+            if marker_entries:
+                mo, mel = marker_entries[0]
+                excluded.add(id(mel))
+                mtext = self._form_normalize(self._plain_text(mel))
+                if mtext:
+                    parts.append((mo, "marker", mtext))
+                consumed.add(id(mel))
+                anchor_of[id(mel)] = k
+            if key_el is not None:
+                ktext = self._form_normalize(
+                    self._form_input_text(key_el)
+                    if key_el.tag in ("input", "select", "textarea")
+                    else self._form_text_excluding(key_el, excluded))
+                if ktext:
+                    parts.append((key_entry[0], "field_key", ktext))
+                consumed.add(id(key_el))
+                anchor_of[id(key_el)] = k
+            for _, o, el in selected:
+                vtext = self._form_normalize(self._form_value_text(el))
+                if vtext:
+                    parts.append((o, "field_value", vtext))
+                consumed.add(id(el))
+                anchor_of[id(el)] = k
+            if parts:
+                parts.sort()
+                fields[k] = parts
+
+        if not fields:
+            return False
+
+        region_idx = _mk_item(self.items, parent_idx, "field_region", level,
+                              "", self.layer)
+        emitted: set[str] = set()
+
+        def walk_form(n: Element) -> None:
+            for c in n.children:
+                if isinstance(c, str):
+                    self._add_text(c)
+                    continue
+                k = anchor_of.get(id(c))
+                if k is not None:
+                    if k in emitted or k not in fields:
+                        continue
+                    emitted.add(k)
+                    self._flush(region_idx, level + 1)
+                    fi = _mk_item(self.items, region_idx, "field_item",
+                                  level + 1, "", self.layer)
+                    for _, lbl, text in fields[k]:
+                        _mk_item(self.items, fi, lbl, level + 2, text,
+                                 self.layer)
+                    continue
+                if id(c) in consumed:
+                    continue
+                walk_form(c)
+
+        walk_form(node)
+        self._flush(region_idx, level + 1)
+        return True
 
     def _handle_list(self, node: Element, parent_idx: int, level: int, ordered: bool) -> None:
         name = "ordered list" if ordered else "list"
@@ -1381,6 +1660,12 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                     emit(it["text"], it)
             elif label == "picture":
                 emit("<!-- image -->", it)
+            elif label in ("field_region", "field_item"):
+                # docling-core md serializer has no field renderer; each
+                # region/item emits the missing-text marker (groundtruth
+                # html/kvp_data_example.html.md)
+                emit("<!-- missing-text -->", it)
+                walk(it["item_idx"])
             elif label == "key_value_region":
                 # docling-core md serializer has no KVP renderer; it emits
                 # the missing-item marker (xbrl groundtruth md tail)

@@ -383,7 +383,17 @@ class _Converter:
             text = _node_piece(node)
             _mk_item(self.items, parent, "text", level,
                      f"- [{mark}] {text}".rstrip(), layer)
-        elif label in ("marker", "field_key", "field_value", "formula"):
+        elif label in ("field_region", "field_item"):
+            # form field containers (html_backend.py:4303-4380): empty-text
+            # group items; the md serializer renders the missing-text marker
+            idx = _mk_item(self.items, parent, label, level, "", layer)
+            self._children(node, idx, level + 1)
+        elif label in ("marker", "field_key", "field_value"):
+            text = _node_piece(node)
+            if text:
+                _mk_item(self.items, parent, label, level, text, layer)
+            self._children(node, parent, level)
+        elif label == "formula":
             text = _node_piece(node)
             if text:
                 _mk_item(self.items, parent, "text", level, text, layer)

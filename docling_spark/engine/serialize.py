@@ -296,6 +296,33 @@ def serialize_html(items: list[dict], layer: str = "body",
             elif label == "formula":
                 d = "$" if it.get("_inline") else "$$"
                 out.append(f"<p>{d}{it['text']}{d}</p>")
+            elif label == "field_region":
+                # re-emit the reference's form container markup
+                # (html_backend.py:169-175 semantic ids) so re-extraction
+                # rebuilds the identical field_region/field_item tree
+                parts = ['<div class="form_region">']
+                nonlocal_key = [0]
+                for fi in by_parent.get(it["item_idx"], []):
+                    if fi["label"] != "field_item":
+                        parts.append(f"<p>{_html_text(fi['text'])}</p>")
+                        continue
+                    nonlocal_key[0] += 1
+                    k = nonlocal_key[0]
+                    nv = 0
+                    parts.append("<div>")
+                    for part in by_parent.get(fi["item_idx"], []):
+                        t = _html_text(part["text"])
+                        if part["label"] == "marker":
+                            parts.append(f'<div id="key{k}_marker">{t}</div>')
+                        elif part["label"] == "field_key":
+                            parts.append(f'<span id="key{k}">{t}</span>')
+                        elif part["label"] == "field_value":
+                            nv += 1
+                            parts.append(
+                                f'<span id="key{k}_value{nv}">{t}</span>')
+                    parts.append("</div>")
+                parts.append("</div>")
+                out.append("".join(parts))
             elif label in _GROUP_LABELS or label == "section":
                 walk(it["item_idx"])
             else:

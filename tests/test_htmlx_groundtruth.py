@@ -16,9 +16,7 @@ from docling_spark.engine.htmlx import extract_html
 REF = pathlib.Path("/root/reference/tests/data/html")
 
 # Exact-match corpus: every reference HTML source whose md groundtruth we
-# reproduce byte-for-byte. The two exclusions:
-#  - kvp_data_example: forms/key-value extraction (html_backend.py:2783-4307),
-#    out-of-MVP-scope machinery
+# reproduce byte-for-byte. The one exclusion:
 #  - table_06: nested-table-in-cell spacing in the groundtruth is not
 #    derivable from the source — an exhaustive search over per-text-node
 #    whitespace transforms of get_text (html_backend.py:4536-4566) finds
@@ -35,6 +33,7 @@ EXPECT_MATCH = [
     "html_rich_table_cells",
     "hyperlink_01", "hyperlink_02", "hyperlink_03", "hyperlink_04",
     "hyperlink_05", "hyperlink_06",
+    "kvp_data_example",
     "table_01", "table_02", "table_03", "table_04", "table_05",
     "table_with_heading_01", "table_with_heading_02",
     "unit_test_01",

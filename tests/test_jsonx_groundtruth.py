@@ -3,8 +3,7 @@ groundtruth exports: for every ``<doc>.json`` the serialized markdown must
 equal the sibling ``<doc>.md`` (same doc, two export formats — the
 round-trip the reference's docling_json_backend supports).
 
-Exclusions (same two as the HTML engine):
-- kvp_data_example: forms/key-value machinery (html_backend.py:2783-4307)
+Exclusion (same as the HTML engine):
 - table_06: nested-table-in-cell get_text spacing artifacts
 """
 
@@ -19,7 +18,7 @@ from docling_spark.engine.jsonx import extract_docling_json
 HTML_GT = pathlib.Path("/root/reference/tests/data/html/groundtruth")
 MD_GT = pathlib.Path("/root/reference/tests/data/md/groundtruth")
 
-_EXCLUDED = {"kvp_data_example.html", "table_06.html"}
+_EXCLUDED = {"table_06.html"}
 
 
 def _pairs():
