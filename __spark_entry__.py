@@ -171,6 +171,47 @@ from t
 """
 
 
+def q_extract_html_form(spark, sf_dir):
+    """Form/key-value machinery (html_backend.py:2783-4380): semantic-id
+    key/marker/value containers resolve to field_region → field_item →
+    (marker, field_key, field_value) items; the md serializer renders
+    group items as the missing-text marker."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = lambda i: F.element_at(toks, i)  # noqa: E731
+    payload = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit('<div class="form_region">'),
+        F.lit('<div><div id="key1_marker">1</div><span id="key1">Name</span>'
+              '<span id="key1_value1">'), w(1), F.lit("</span></div>"),
+        F.lit('<div><span id="key2">City</span><span id="key2_value1">'),
+        w(2), F.lit('</span><span id="key2_value2">'), w(3),
+        F.lit("</span></div>"),
+        F.lit('<div><span id="key3">Qty</span><input id="key3_value1" '
+              'value="'), F.col("doc_id").cast("string"),
+        F.lit('"/></div></div>'),
+    )
+    return _extract_docs(spark, sf_dir, payload, "html")
+
+
+ORACLE_HTML_FORM = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '# Doc ' || doc_id || chr(10) || chr(10)
+        || '<!-- missing-text -->' || chr(10) || chr(10)
+        || '<!-- missing-text -->' || chr(10) || chr(10)
+        || '1' || chr(10) || chr(10) || 'Name' || chr(10) || chr(10)
+        || toks[1] || chr(10) || chr(10)
+        || '<!-- missing-text -->' || chr(10) || chr(10)
+        || 'City' || chr(10) || chr(10) || toks[2] || chr(10) || chr(10)
+        || toks[3] || chr(10) || chr(10)
+        || '<!-- missing-text -->' || chr(10) || chr(10)
+        || 'Qty' || chr(10) || chr(10) || doc_id as extracted_text
+from t
+"""
+
+
 def q_extract_plain_dirty(spark, sf_dir):
     # every space → NBSP, em-dash + ellipsis appended: the normalization
     # table must map it all back (clean_unicode targets)
@@ -3142,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engine end-to-end
         "extract_html_heading": q_extract_html_heading,
         "extract_html_list_table": q_extract_html_list_table,
+        "extract_html_form": q_extract_html_form,
         "extract_plain_dirty": q_extract_plain_dirty,
         "extract_code_passthrough": q_extract_code_passthrough,
         "extract_csv_table": q_extract_csv_table,
@@ -3232,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_html_heading": ORACLE_HTML_HEADING,
         "extract_html_list_table": ORACLE_HTML_LIST_TABLE,
+        "extract_html_form": ORACLE_HTML_FORM,
         "extract_plain_dirty": ORACLE_PLAIN_DIRTY,
         "extract_code_passthrough": ORACLE_CODE,
         "extract_csv_table": ORACLE_CSV,
