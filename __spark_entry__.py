@@ -1050,6 +1050,37 @@ from t
 """
 
 
+def q_extract_pdfish_pictures(spark, sf_dir):
+    """Full-page-picture filter (layout_postprocessor.py:328-337): a
+    declared page box, a PICTURE covering the whole page (dropped), a
+    small PICTURE (kept, renders the image placeholder)."""
+    payload = F.concat_ws(
+        "\n",
+        F.lit('{"page_no": 1, "width": 612, "height": 792}'),
+        F.lit('{"page_no": 1, "bbox": [0, 0, 612, 792], "text": "", '
+              '"label": "picture"}'),
+        _jcell("10, 40, 300, 60",
+               F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+               "0.98", "title"),
+        F.lit('{"page_no": 1, "bbox": [50, 100, 200, 180], "text": "", '
+              '"label": "picture"}'),
+        _jcell("10, 200, 300, 215", _tok(1), "0.9", "text"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "pdfish")
+
+
+ORACLE_PDFISH_PICTURES = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       '# Doc ' || doc_id || chr(10) || chr(10)
+        || '<!-- image -->' || chr(10) || chr(10)
+        || toks[1] as extracted_text
+from t
+"""
+
+
 def q_extract_items_spans(spark, sf_dir):
     """The flattened item table with span offsets (ProvenanceItem.charspan
     analog): explode(items) of the two-column pdfish extraction."""
@@ -3184,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_heading": q_extract_html_heading,
         "extract_html_list_table": q_extract_html_list_table,
         "extract_html_form": q_extract_html_form,
+        "extract_pdfish_pictures": q_extract_pdfish_pictures,
         "extract_plain_dirty": q_extract_plain_dirty,
         "extract_code_passthrough": q_extract_code_passthrough,
         "extract_csv_table": q_extract_csv_table,
@@ -3275,6 +3307,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_heading": ORACLE_HTML_HEADING,
         "extract_html_list_table": ORACLE_HTML_LIST_TABLE,
         "extract_html_form": ORACLE_HTML_FORM,
+        "extract_pdfish_pictures": ORACLE_PDFISH_PICTURES,
         "extract_plain_dirty": ORACLE_PLAIN_DIRTY,
         "extract_code_passthrough": ORACLE_CODE,
         "extract_csv_table": ORACLE_CSV,

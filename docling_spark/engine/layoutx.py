@@ -12,6 +12,10 @@ label}`` cells — FIXTURES.md §2), porting the *rules* of:
 - cross-line hyphenation merge (readingorder_model.py:589-621 via
   sanitize_lines, page_assemble_model.py:112-157)
 - garbage-cell scoring (page_preprocessing_model.py:126-151)
+- full-page-picture filtering: PICTURE covering >90% of the page drops
+  (layout_postprocessor.py:328-337); declared page box or content extent
+- selectable cluster sort modes id/tblr/lrtb
+  (layout_postprocessor.py:675-701)
 - header/footer furniture labeling (ContentLayer semantics)
 - table grid reconstruction from cell geometry (docling table structure
   assembly, re-expressed from bbox clustering)
@@ -63,9 +67,18 @@ def _iou_over_self(a: tuple, b: tuple) -> float:
     return inter / area
 
 
-def parse_cells(payload: str) -> list[dict]:
-    """JSON-lines → validated cell dicts. Raises LayoutError on bad payload."""
-    cells = []
+def parse_payload(payload: str) -> tuple[list[dict], dict[int, tuple]]:
+    """JSON-lines → (validated cell dicts, page sizes). Raises LayoutError
+    on bad payload.
+
+    A line of ``{"page_no": n, "width": w, "height": h}`` (no bbox/text)
+    declares the page box — the reference gets it from the PDF page
+    (``layout_postprocessor.py:326-328`` asserts page_size is set); pdfish
+    payloads without one fall back to the page's content extent. Each cell
+    also records its native print order as ``index`` (the reference's
+    ``cell.index``, layout_postprocessor.py:671-673)."""
+    cells: list[dict] = []
+    page_sizes: dict[int, tuple] = {}
     for ln, line in enumerate(payload.splitlines()):
         line = line.strip()
         if not line:
@@ -74,6 +87,11 @@ def parse_cells(payload: str) -> list[dict]:
             obj = json.loads(line)
         except json.JSONDecodeError as exc:
             raise LayoutError(f"line {ln}: invalid JSON cell: {exc}") from exc
+        if isinstance(obj, dict) and "bbox" not in obj and "text" not in obj \
+                and "width" in obj and "height" in obj:
+            page_sizes[int(obj.get("page_no", 1))] = (
+                float(obj["width"]), float(obj["height"]))
+            continue
         if not isinstance(obj, dict) or "bbox" not in obj or "text" not in obj:
             raise LayoutError(f"line {ln}: cell missing bbox/text")
         bbox = obj["bbox"]
@@ -86,8 +104,60 @@ def parse_cells(payload: str) -> list[dict]:
                 "text": str(obj["text"]),
                 "conf": float(obj.get("conf", 1.0)),
                 "label": str(obj.get("label", "text")),
+                "index": len(cells),
             }
         )
+    return cells, page_sizes
+
+
+def parse_cells(payload: str) -> list[dict]:
+    """JSON-lines → validated cell dicts (page-size lines dropped)."""
+    return parse_payload(payload)[0]
+
+
+def drop_full_page_pictures(
+    cells: list[dict], page_sizes: dict[int, tuple] | None = None
+) -> list[dict]:
+    """Drop PICTURE cells covering >90% of their page
+    (layout_postprocessor.py:328-337). Page area comes from the declared
+    page box when the payload carries one, else from the page's content
+    extent (the union bound of all its cells)."""
+    page_sizes = page_sizes or {}
+    extents: dict[int, float] = {}
+    for c in cells:
+        p = c["page_no"]
+        if p in page_sizes:
+            continue
+        w0, h0 = extents.get(p, (0.0, 0.0))
+        extents[p] = (max(w0, c["bbox"][2]), max(h0, c["bbox"][3]))
+    out = []
+    for c in cells:
+        if c["label"] == "picture":
+            w, h = page_sizes.get(c["page_no"]) or extents.get(
+                c["page_no"], (0.0, 0.0))
+            page_area = w * h
+            area = ((c["bbox"][2] - c["bbox"][0])
+                    * (c["bbox"][3] - c["bbox"][1]))
+            if page_area > 0 and area / page_area > 0.90:
+                continue
+        out.append(c)
+    return out
+
+
+def sort_clusters(cells: list[dict], mode: str = "id") -> list[dict]:
+    """The reference's selectable cluster sort (layout_postprocessor.py:
+    675-701): ``id`` = native print order (min cell index), then top, left;
+    ``tblr`` = top-to-bottom then left-to-right (row first); ``lrtb`` =
+    left-to-right then top-to-bottom (column first). Unknown mode returns
+    the input unchanged, same as the reference's else branch."""
+    if mode == "id":
+        big = 1 << 62
+        return sorted(cells, key=lambda c: (
+            c.get("index", big), c["bbox"][1], c["bbox"][0]))
+    if mode == "tblr":
+        return sorted(cells, key=lambda c: (c["bbox"][1], c["bbox"][0]))
+    if mode == "lrtb":
+        return sorted(cells, key=lambda c: (c["bbox"][0], c["bbox"][1]))
     return cells
 
 
@@ -100,9 +170,11 @@ def filter_cells(cells: list[dict]) -> list[dict]:
         if c["conf"] < thr:
             continue
         text = fix_stx(c["text"]).strip()
-        if not text and c["label"] != "formula":
+        # empty clusters drop unless FORMULA (layout_postprocessor.py:
+        # 279-284); PICTURE needs no text cells either (it is a bitmap box)
+        if not text and c["label"] not in ("formula", "picture"):
             continue
-        if rate_text_quality(text) == 0.0:
+        if text and rate_text_quality(text) == 0.0:
             continue
         c = dict(c, text=text)
         kept.append(c)
@@ -316,10 +388,13 @@ def extract_layout(payload: str) -> tuple[str, list[dict], dict]:
     pages_parsed / parse_score (10%-quantile of cell quality, mirroring
     page_preprocessing_model.py:81-89) / boilerplate ratio.
     """
-    return extract_from_cells(parse_cells(payload))
+    cells, page_sizes = parse_payload(payload)
+    return extract_from_cells(cells, page_sizes)
 
 
-def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
+def extract_from_cells(
+    raw: list[dict], page_sizes: dict[int, tuple] | None = None
+) -> tuple[str, list[dict], dict]:
     """Validated layout cells → (extracted_text, items, metrics): the
     shared tail of the pdfish pipeline, also fed by cell sources that are
     not JSON-lines payloads (METS/hOCR page scans, engine/metsx.py)."""
@@ -328,6 +403,7 @@ def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
         scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
     )
     cells = filter_cells(raw)
+    cells = drop_full_page_pictures(cells, page_sizes)
     cells = dedup_cells(cells)
     ordered = reading_order(cells)
     ordered = _assemble_tables(ordered)
@@ -354,6 +430,7 @@ def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
             "text": "text",
             "caption": "caption",
             "formula": "formula",
+            "picture": "picture",
         }.get(b["label"], "text")
         parent = heading_idx if label not in ("title", "section_header") else 0
         text = b["text"]
@@ -365,6 +442,8 @@ def extract_from_cells(raw: list[dict]) -> tuple[str, list[dict], dict]:
                 rendered = "## " + text
             elif label == "list_item":
                 rendered = "- " + text
+            elif label == "picture":
+                rendered = "<!-- image -->"  # md serializer placeholder
             if out_parts:
                 pos += 2
             span_start, span_end = pos, pos + len(rendered)
