@@ -3209,6 +3209,164 @@ from documents
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C style): docs where
+    ``doc_id % 41 = 0`` stand in for the eval set; any document sharing an
+    8-gram with them is dropped. Benchmark gram set is broadcast; the
+    corpus side sees one semi-join + one anti-join, no cartesian."""
+    from docling_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    return decontaminate(docs, bench, n=8).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_DECONTAMINATE = """
+with toks as (
+  select doc_id, string_split_regex(trim(lower(text)), '\\s+') t
+  from documents
+),
+grams as (
+  select doc_id, md5(array_to_string(t[i:i+7], ' ')) as gh
+  from (select doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 0))) as i
+        from toks)
+),
+bad as (
+  select distinct d.doc_id
+  from grams d join (select distinct gh from grams where doc_id % 41 = 0) b
+    using (gh)
+)
+select doc_id, lang, n_chars
+from documents anti join bad using (doc_id)
+"""
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII masking: deterministic synthetic emails/IPs/phones appended to
+    each document, scrubbed with the RE2/Java-common regex chain. Pure
+    regexp_replace — whole-stage codegen, no shuffle."""
+    from docling_spark.operators.curation import scrub_pii
+
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or call 555-123-4567 now"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrub_pii(payload).alias("clean_text"))
+
+
+ORACLE_SCRUB_PII = """
+select doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || doc_id || '@example.com from 10.0.'
+             || cast(doc_id % 256 as varchar) || '.'
+             || cast(doc_id % 100 as varchar) || ' or call 555-123-4567 now',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+    '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') as clean_text
+from documents
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition heuristics per document: duplicate-line fraction
+    (pure per-row array math) + top word-2-gram coverage (explode →
+    partial-agg groupBy). Payload plants a duplicated line on every third
+    doc."""
+    from docling_spark.operators.curation import (
+        dup_line_fraction,
+        top_bigram_stats,
+    )
+
+    nl = F.lit("\n")
+    payload = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), nl, _tok(1), nl, _tok(1)),
+    ).otherwise(F.concat(F.col("text"), nl, _tok(1), nl, _tok(2)))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text"),
+        dup_line_fraction(payload).alias("dup_line_frac"))
+    top = top_bigram_stats(docs.select("doc_id", "text"))
+    return docs.drop("text").join(top, "doc_id").select(
+        "doc_id", "dup_line_frac", "top_gram",
+        "top_count", "top_2gram_char_frac")
+
+
+ORACLE_REPETITION_STATS = """
+with toks as (
+  select doc_id, string_split_regex(trim(lower(text)), '\\s+') t,
+         length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) n_chars,
+         string_split_regex(trim(text), '\\s+') rawt
+  from documents
+),
+payload as (
+  select doc_id,
+         list_filter(list_transform(
+           string_split(
+             text || chr(10) || rawt[1] || chr(10)
+                  || case when doc_id % 3 = 0 then rawt[1] else rawt[2] end,
+             chr(10)),
+           s -> trim(s)), s -> s <> '') as lines
+  from documents join toks using (doc_id)
+),
+dup as (
+  select doc_id,
+         case when len(lines) > 0
+              then round(1.0 - len(list_distinct(lines))::double / len(lines), 6)
+              else 0.0 end as dup_line_frac
+  from payload
+),
+grams as (
+  select doc_id, n_chars, array_to_string(t[i:i+1], ' ') as g
+  from (select doc_id, t, n_chars,
+               unnest(generate_series(1, greatest(len(t) - 1, 0))) as i
+        from toks)
+),
+counted as (select doc_id, n_chars, g, count(*) c from grams group by all),
+mx as (select doc_id, max(c) mc from counted group by 1),
+winners as (
+  select c.doc_id, min(c.g) as top_gram,
+         any_value(c.n_chars) as nch, any_value(mx.mc) as mc
+  from counted c join mx on mx.doc_id = c.doc_id and c.c = mx.mc
+  group by 1
+)
+select d.doc_id, d.dup_line_frac, w.top_gram,
+       cast(w.mc as bigint) as top_count,
+       case when w.nch > 0
+            then round(least(1.0, w.mc * length(regexp_replace(w.top_gram,
+                 '\\s+', '', 'g')) / w.nch::double), 6)
+            else 0.0 end as top_2gram_char_frac
+from dup d join winners w using (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash-mod sampling: en kept at 50%, de at
+    25%, everything else at 10%. No RNG — a row's fate is a pure function
+    of its key, so the sample is identical on any cluster size and both
+    engines."""
+    from docling_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": 0.5, "de": 0.25}, default=0.1,
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+select doc_id, lang
+from documents
+where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::int % 10000
+      < case lang when 'en' then 5000 when 'de' then 2500 else 1000 end
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -3253,6 +3411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dots": q_extract_dots,
         "picture_cell_join": q_picture_cell_join,
         "curation_funnel": q_curation_funnel,
+        "decontaminate": q_decontaminate,
+        "scrub_pii": q_scrub_pii,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -3344,6 +3506,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_dots": ORACLE_EXTRACT_DOTS,
         "picture_cell_join": ORACLE_PICTURE_CELL_JOIN,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "scrub_pii": ORACLE_SCRUB_PII,
+        "repetition_stats": ORACLE_REPETITION_STATS,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

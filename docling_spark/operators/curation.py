@@ -1,0 +1,182 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, PII scrubbing, Gopher-style
+repetition statistics, and deterministic stratified sampling.
+
+All four are pure DataFrame plans (no Python in the hot path) written in
+the Spark/DuckDB-common SQL subset so each has an exact oracle twin in
+``__spark_entry__``:
+
+- ``decontaminate``: the standard LLM eval-set hygiene pass (remove any
+  training document sharing an n-gram with a benchmark document, cf. GPT-3
+  appendix C / PaLM §8): explode distinct n-gram hashes on both sides,
+  broadcast the (small) benchmark gram set, LEFT ANTI join. One shuffle on
+  the training side, none proportional to n²; scales to 100 TB because the
+  join key is a short hash and the benchmark side is broadcast.
+- ``scrub_pii``: email/IPv4/phone masking with RE2/Java-common regexes via
+  ``regexp_replace`` — whole-stage-codegen'd, zero shuffle.
+- ``repetition_stats``: Rae et al. (Gopher) repetition heuristics —
+  duplicate-line fraction via array_distinct (per-row, no shuffle) and
+  top-2-gram character fraction via an explode + partial-agg groupBy
+  (map-side combine keeps the shuffle proportional to distinct grams).
+- ``stratified_sample``: deterministic per-stratum hash-mod sampling
+  (md5-derived uniform in [0,10000)) — reproducible across engines and
+  cluster sizes, unlike ``sampleBy``'s RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_spark.operators.textstats import tokens
+
+# Regexes in the Java/RE2 common subset (no lookaround, no backrefs) so the
+# DuckDB oracle applies byte-identical semantics.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def ngram_hashes(df: DataFrame, n: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, gram_hash) — one row per DISTINCT word n-gram of the document.
+
+    Tokenized with the shared whitespace splitter, lowercased, md5-hashed
+    so the join key shuffled at scale is 32 bytes regardless of n."""
+    toks = tokens(F.lower(F.col(text_col)))
+    # guard: sequence(0, x) runs DESCENDING when x < 0 (Spark default step
+    # -1), so short docs must short-circuit to an empty gram list
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("gram_hash"),
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop every training document sharing at least one word ``n``-gram
+    with any benchmark document.
+
+    Plan: benchmark grams are deduped and broadcast (eval sets are tiny
+    next to a 100 TB corpus); training grams LEFT SEMI against them finds
+    contaminated ids; the corpus LEFT ANTI joins those ids away. Two
+    equi-joins, no cartesian anywhere."""
+    bench_grams = (
+        ngram_hashes(benchmark, n, id_col=id_col, text_col=text_col)
+        .select("gram_hash").distinct()
+    )
+    contaminated = (
+        ngram_hashes(docs, n, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .select(F.col("id").alias(id_col)).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def scrub_pii(col) -> Column:
+    """Mask emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers.
+
+    Email first: an address like ``a@10.0.0.1`` must mask as one EMAIL,
+    not leak an IP fragment."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def _lines(col) -> Column:
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def dup_line_fraction(col) -> Column:
+    """Gopher duplicate-line filter: fraction of (non-empty, trimmed) lines
+    that are repeats of an earlier line — 1 - distinct/total. Pure
+    per-row column math, no shuffle."""
+    ls = _lines(col)
+    n = F.size(ls)
+    return F.when(n > 0,
+                  F.round(1.0 - F.size(F.array_distinct(ls)) / n.cast("double"), 6)
+                  ).otherwise(F.lit(0.0))
+
+
+def top_bigram_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per document: the most frequent word 2-gram, its count, and the
+    Gopher ``top_2gram_char_frac`` (characters covered by its occurrences
+    over non-space characters). explode → partial-agg groupBy(doc, gram)
+    → max-by window-free reduction via a second groupBy: both shuffles key
+    on (doc, gram)/(doc), skew-bounded by per-doc gram counts."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col),
+        F.explode(grams).alias("gram"),
+        F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                                  r"\s+", "")).alias("n_chars"),
+    )
+    counted = base.groupBy(id_col, "gram", "n_chars").agg(
+        F.count("*").alias("cnt"))
+    # deterministic argmax, oracle-matchable: rows at the per-doc max
+    # count, lexicographically smallest gram among ties
+    mx = counted.groupBy(id_col).agg(F.max("cnt").alias("max_cnt"))
+    winners = (
+        counted.join(mx, id_col)
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .groupBy(id_col, "n_chars", "max_cnt")
+        .agg(F.min("gram").alias("top_gram"))
+    )
+    gram_chars = F.length(F.regexp_replace(F.col("top_gram"), r"\s+", ""))
+    return winners.select(
+        F.col(id_col),
+        F.col("top_gram"),
+        F.col("max_cnt").cast("long").alias("top_count"),
+        F.when(F.col("n_chars") > 0,
+               F.round(F.least(
+                   F.lit(1.0),
+                   F.col("max_cnt") * gram_chars
+                   / F.col("n_chars").cast("double")), 6)
+         ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+    )
+
+
+def strat_key(col) -> Column:
+    """Deterministic uniform int in [0, 10000) from the row key: first 4
+    md5 hex digits mod 10000 — identical formula on the DuckDB side."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    )
+
+
+def stratified_sample(docs: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      key_col: str = "doc_id",
+                      default: float = 0.0) -> DataFrame:
+    """Keep each stratum at its configured rate, deterministically: a row
+    survives iff hash(key) mod 10000 < rate*10000. No RNG, no driver
+    state, reproducible across engines/cluster sizes; the filter fuses
+    into the scan (no shuffle)."""
+    rate = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        thr = F.lit(int(round(frac * 10000)))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = (rate.otherwise(F.lit(int(round(default * 10000))))
+            if rate is not None else F.lit(int(round(default * 10000))))
+    return docs.where(strat_key(F.col(key_col)) < rate)

@@ -1,0 +1,109 @@
+"""Curation operators: decontamination, PII scrub, repetition stats,
+deterministic stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_spark.operators.curation import (
+    decontaminate,
+    dup_line_fraction,
+    scrub_pii,
+    strat_key,
+    stratified_sample,
+    top_bigram_stats,
+)
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "totally unrelated words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta y z")],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(docs, bench, n=4).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [2, 3]
+
+
+def test_decontaminate_ngram_shorter_docs_survive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id long, text string")
+    # docs shorter than n produce no grams -> never contaminated
+    kept = decontaminate(docs, bench, n=4).count()
+    assert kept == 2
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "a b c d")], "doc_id long, text string")
+    plan = decontaminate(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [("write bob@example.com or 10.0.0.1 or 555-123-4567 ok",),
+         ("no pii at all",),
+         ("edge a@b.co plus 1.2.3.4.5 partial",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(scrub_pii(F.col("text"))).collect()]
+    assert out[0] == "write <EMAIL> or <IP> or <PHONE> ok"
+    assert out[1] == "no pii at all"
+    # 1.2.3.4.5: the first 4 octets match; trailing .5 remains
+    assert "<EMAIL>" in out[2] and "<IP>" in out[2]
+
+
+def test_dup_line_fraction(spark):
+    df = spark.createDataFrame(
+        [("a\nb\na\n",), ("x\ny\nz",), ("",)], "text string")
+    vals = [r[0] for r in df.select(dup_line_fraction(F.col("text"))).collect()]
+    assert abs(vals[0] - (1 - 2 / 3)) < 1e-6
+    assert vals[1] == 0.0 and vals[2] == 0.0
+
+
+def test_top_bigram_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "go go go go stop here"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in top_bigram_stats(docs).collect()}
+    assert rows[1].top_gram == "go go" and rows[1].top_count == 3
+    # chars covered: 3 occurrences x 4 non-space gram chars / 16 non-space
+    assert abs(rows[1].top_2gram_char_frac - 3 * 4 / 16) < 1e-6
+    assert rows[2].top_gram == "a b" and rows[2].top_count == 1
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1})
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b  # deterministic
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 800 < by_lang["en"] < 1200  # ~1000 of 2000
+    assert 120 < by_lang["de"] < 280  # ~200 of 2000
+
+
+def test_strat_key_range(spark):
+    df = spark.range(0, 500).select(strat_key(F.col("id")).alias("k"))
+    mn, mx = df.agg(F.min("k"), F.max("k")).first()
+    assert 0 <= mn and mx < 10000
