@@ -50,8 +50,14 @@ def extract_csv(payload: str) -> tuple[str, list[dict], dict]:
     if not rows:
         raise CsvError("no data rows")
     ncols = max(len(r) for r in rows)
+    # cell text passes through verbatim (tabs inside quoted cells survive,
+    # per csv-tab.csv groundtruth) except: markdown-structural pipes become
+    # &#124; and newlines flatten to spaces (the docling-core md table
+    # serializer's escape rules, pinned by csv-pipe.csv groundtruth)
     grid = [
-        [clean_unicode(" ".join(c.split())) for c in r] + [""] * (ncols - len(r))
+        [clean_unicode(c.replace("\r\n", " ").replace("\n", " ")
+                       .replace("|", "&#124;").strip())
+         for c in r] + [""] * (ncols - len(r))
         for r in rows
     ]
     md_lines = []
