@@ -58,6 +58,12 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("image", "png", "jpg", "jpeg", "gif", "bmp", "webp",
                 "tiff", "tif", "ico"):
         return "image"
+    if hint in ("xls", "xlt", "doc", "dot", "ppt", "pot"):
+        # legacy binary Office: the reference delegates to a LibreOffice
+        # subprocess (backend/docx/drawingml/utils.py:79-120) and raises
+        # RuntimeError when it is absent — mirrored as a contained
+        # failure row (no external binaries in this engine)
+        return "legacy_office"
     if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
@@ -208,6 +214,19 @@ def extract_payload(
             "metrics": dict(_EMPTY_METRICS),
         }
     fmt = detect_format(text, tool)
+    if fmt == "legacy_office":
+        return {
+            "status": STATUS_FAILURE,
+            "format": "legacy_office",
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": "routing",
+                        "message": "legacy Office format requires a "
+                                   "LibreOffice conversion step (reference "
+                                   "delegates; not available here)",
+                        "category": "dependency_error"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
     try:
         if fmt == "html":
             extracted, items, metrics = _html_result(text)

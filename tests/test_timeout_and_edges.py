@@ -79,3 +79,17 @@ def test_assemble_empty_and_single(spark):
         [], "conv_id string, turn_idx int, extracted_text string, status string"
     )
     assert assemble_conversations(empty).count() == 0
+
+
+def test_legacy_office_contained_failure():
+    """Legacy xls/doc/ppt route to a contained failure row mirroring the
+    reference's LibreOffice-missing RuntimeError (backend/docx/drawingml/
+    utils.py:79-120) — never a raise, never a misparse as plain text."""
+    from docling_spark.engine.extract import extract_payload
+
+    for hint in ("xls", "doc", "ppt", "xlt", "dot", "pot"):
+        r = extract_payload("\xd0\xcfbinary junk", hint)
+        assert r["status"] == "failure"
+        assert r["format"] == "legacy_office"
+        assert r["errors"][0]["category"] == "dependency_error"
+        assert r["extracted_text"] == ""
