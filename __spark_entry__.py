@@ -3367,6 +3367,81 @@ where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::int % 10000
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph dedup: every doc carries its own text plus a
+    corpus-wide boilerplate paragraph and a mod-7 shared paragraph; only
+    the globally-first occurrence of each normalized paragraph survives,
+    and docs reassemble in original order."""
+    from docling_spark.operators.curation import paragraph_dedup
+
+    payload = F.concat_ws(
+        "\n\n",
+        F.col("text"),
+        F.lit("shared boilerplate footer paragraph"),
+        F.concat(F.lit("group marker "), (F.col("doc_id") % 7).cast("string")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", payload.alias("text"))
+    return paragraph_dedup(docs)
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+with p0 as (
+  select doc_id,
+         list_filter(list_transform(
+           string_split_regex(
+             text || chr(10) || chr(10)
+                  || 'shared boilerplate footer paragraph'
+                  || chr(10) || chr(10)
+                  || 'group marker ' || cast(doc_id % 7 as varchar),
+             '\\n\\s*\\n'),
+           s -> trim(s)), s -> s <> '') as ps
+  from documents
+),
+paras as (
+  select doc_id, i - 1 as para_idx, ps[i] as para
+  from (select doc_id, ps, unnest(generate_series(1, len(ps))) as i from p0)
+),
+ranked as (
+  select doc_id, para_idx, para,
+         row_number() over (
+           partition by md5(regexp_replace(lower(para), '\\s+', ' ', 'g'))
+           order by doc_id, para_idx) as rk
+  from paras
+)
+select doc_id,
+       coalesce(string_agg(case when rk = 1 then para end,
+                           chr(10) || chr(10) order by para_idx),
+                '') as clean_text,
+       cast(count(*) as bigint) as n_paras,
+       cast(sum(case when rk = 1 then 1 else 0 end) as bigint) as n_kept
+from ranked group by doc_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM surprisal per document (CCNet quality-signal
+    analog): token counts shuffle once, join back, per-doc mean."""
+    from docling_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+with toks as (
+  select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as token
+  from documents
+),
+toks2 as (select * from toks where token <> ''),
+counts as (select token, count(*) as n from toks2 group by 1),
+tot as (select sum(n) as total from counts)
+select doc_id,
+       round(avg(-log10(n::double / total)), 6) as mean_surprisal,
+       cast(count(*) as bigint) as n_tokens
+from toks2 join counts using (token) cross join tot
+group by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -3415,6 +3490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "paragraph_dedup": q_paragraph_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -3510,6 +3587,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": ORACLE_SCRUB_PII,
         "repetition_stats": ORACLE_REPETITION_STATS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+        "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -21,11 +21,15 @@ the Spark/DuckDB-common SQL subset so each has an exact oracle twin in
 - ``stratified_sample``: deterministic per-stratum hash-mod sampling
   (md5-derived uniform in [0,10000)) — reproducible across engines and
   cluster sizes, unlike ``sampleBy``'s RNG.
+- ``paragraph_dedup``: CCNet-style paragraph-level dedup (global
+  first-occurrence by normalized paragraph hash, doc reassembly in order).
+- ``unigram_logprob``: CCNet-style LM quality signal reduced to the
+  corpus-unigram model (mean token surprisal).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from docling_spark.operators.textstats import tokens
@@ -180,3 +184,77 @@ def stratified_sample(docs: DataFrame, strata_col: str,
     rate = (rate.otherwise(F.lit(int(round(default * 10000))))
             if rate is not None else F.lit(int(round(default * 10000))))
     return docs.where(strat_key(F.col(key_col)) < rate)
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style paragraph-level dedup: split each document into
+    paragraphs (blank-line boundaries), drop every paragraph whose
+    normalized hash already occurred in an earlier (doc, position), and
+    reassemble the survivors in original order.
+
+    First-occurrence is decided by a window over the paragraph hash
+    ordered by (doc id, paragraph index) — deterministic under any
+    partitioning. One shuffle keyed on the paragraph hash (short md5,
+    uniform — no skew), one keyed on the doc id for reassembly; both are
+    partial-agg friendly. Returns (id, clean_text, n_paras, n_kept)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n\s*\n"),
+                            lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
+        ).alias("para_idx", "para"),
+    )
+    w = Window.partitionBy(
+        F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    ).orderBy(F.col(id_col), F.col("para_idx"))
+    ranked = paras.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col).agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rk") == 1,
+                               F.struct(F.col("para_idx"), F.col("para"))))),
+                    lambda s: s.getField("para"),
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality signal, reduced to the unigram model the
+    corpus itself defines: score(doc) = mean over tokens of
+    -log10 P(token), P from corpus-wide counts. Low surprisal ≈ natural
+    text; high ≈ garbage/rare-token soup.
+
+    Two aggregations, both partial-agg friendly: corpus token counts
+    (shuffle keyed on token), then a token→count equi-join and per-doc
+    mean. The count table is Catalyst's choice to broadcast when small."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log10(F.col("n") / F.col("total"))).alias("surprisal"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )

@@ -107,3 +107,49 @@ def test_strat_key_range(spark):
     df = spark.range(0, 500).select(strat_key(F.col("id")).alias("k"))
     mn, mx = df.agg(F.min("k"), F.max("k")).first()
     assert 0 <= mn and mx < 10000
+
+
+def test_paragraph_dedup(spark):
+    from docling_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nshared para\n\nunique two"),
+            (2, "shared para\n\nother text"),
+            (3, "SHARED   para\n\nmore"),  # normalized dup of "shared para"
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1].clean_text == "unique one\n\nshared para\n\nunique two"
+    assert rows[1].n_paras == 3 and rows[1].n_kept == 3
+    assert rows[2].clean_text == "other text"
+    assert rows[2].n_paras == 2 and rows[2].n_kept == 1
+    assert rows[3].clean_text == "more"
+    assert rows[3].n_kept == 1
+
+
+def test_paragraph_dedup_stable_under_repartition(spark):
+    from docling_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i % 3}\n\ntail {i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, paragraph_dedup(docs).collect()))
+    b = sorted(map(tuple, paragraph_dedup(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from docling_spark.operators.curation import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "rare")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # P(the)=3/4, P(rare)=1/4
+    assert abs(rows[1].mean_surprisal - round(-math.log10(3 / 4), 6)) < 1e-6
+    assert abs(rows[2].mean_surprisal - round(-math.log10(1 / 4), 6)) < 1e-6
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 1
