@@ -42,9 +42,10 @@ def test_stateful_assembly_matches_batch(spark, tmp_path):
         .parquet(inp + "/p*")
     )
     # idle window must exceed worst-case inter-batch latency (first batches
-    # pay python-worker spin-up), or conversations flush partially — which
-    # is correct operator behavior but not what this test compares
-    out = assemble_conversations_stream(src, idle_ms=20_000)
+    # pay python-worker spin-up, and a loaded multi-tenant box can stall a
+    # micro-batch for tens of seconds), or conversations flush partially —
+    # which is correct operator behavior but not what this test compares
+    out = assemble_conversations_stream(src, idle_ms=90_000)
     q = (
         out.writeStream.format("memory")
         .queryName("assembled")
@@ -54,7 +55,7 @@ def test_stateful_assembly_matches_batch(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 300
+        deadline = time.time() + 420
         got: dict = {}
         while time.time() < deadline:
             rows = spark.sql("select * from assembled").collect()
