@@ -3442,6 +3442,76 @@ group by doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: shard by hashed doc id, pack each shard
+    in doc-id order by cumulative-token bucketing against a 512-token
+    budget. Exact greedy first-fit would need a sequential scan (driver
+    loop or single-partition window — 100 TB killers); cumulative
+    bucketing is the distributed equivalent with at-most-one-doc
+    overflow per sequence."""
+    from docling_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget_tokens=512,
+                          shard_mod=16)
+
+
+ORACLE_PACK_SEQUENCES = """
+with t as (
+  select doc_id,
+         (('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::int % 10000)
+           % 16 as shard,
+         case when trim(text) = '' then 0
+              else len(string_split_regex(trim(text), '\\s+')) end as n_tokens
+  from documents
+),
+c as (
+  select *, sum(n_tokens) over (
+    partition by shard order by doc_id
+    rows between unbounded preceding and current row) as cum_after
+  from t
+)
+select shard, cast(floor((cum_after - n_tokens) / 512.0) as bigint) as seq_idx,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       min(doc_id) as first_doc, max(doc_id) as last_doc
+from c group by 1, 2
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: two partial-agg groupBys (tf, df),
+    token-keyed join back, per-document ranking window (never global).
+    Scores rounded before ranking so the order is engine-reproducible."""
+    from docling_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF_TOPK = """
+with toks as (
+  select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as token
+  from documents
+),
+t2 as (select * from toks where token <> ''),
+tf as (select doc_id, token, count(*) as tf from t2 group by 1, 2),
+dfq as (select token, count(*) as df from tf group by 1),
+n as (select count(distinct doc_id) as n_docs from documents),
+scored as (
+  select tf.doc_id, tf.token, cast(tf.tf as bigint) as tf,
+         cast(dfq.df as bigint) as df,
+         round(tf.tf * log10(n.n_docs::double / dfq.df), 6) as score
+  from tf join dfq using (token) cross join n
+),
+r as (
+  select *, row_number() over (
+    partition by doc_id order by score desc, token) as rank
+  from scored
+)
+select doc_id, token, tf, df, score, cast(rank as bigint) as rank
+from r where rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -3492,6 +3562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_topk": q_tfidf_topk,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -3589,6 +3661,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "tfidf_topk": ORACLE_TFIDF_TOPK,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from docling_spark.operators.textstats import tokens
+from docling_spark.operators.textstats import token_count, tokens
 
 # Regexes in the Java/RE2 common subset (no lookaround, no backrefs) so the
 # DuckDB oracle applies byte-identical semantics.
@@ -257,4 +257,45 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     return scored.groupBy(id_col).agg(
         F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
         F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
+                   shard_mod: int = 64, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-sequence packing: assign documents to fixed-token-budget
+    sequences (the batch-assembly step before tokenized examples hit the
+    trainer).
+
+    Exact greedy first-fit needs a sequential scan over the corpus — a
+    driver loop or a single-partition window, both 100 TB killers. The
+    distributed form shards the corpus deterministically (md5-derived
+    hash-mod on the doc id, same formula as ``strat_key``) and packs
+    within each shard by cumulative-token bucketing in doc-id order:
+    ``seq_idx = floor(cum_tokens_before / budget)``. Sequences fill to
+    the budget and may overflow by at most one document (training
+    pipelines truncate or split the straddler downstream). Shard count
+    bounds window-partition size at corpus_size/shard_mod — pick
+    shard_mod ≈ executors×4 at scale.
+
+    One shuffle (window partition on the uniform shard key). Returns
+    (shard, seq_idx, n_docs, total_tokens, first_doc, last_doc).
+    """
+    staged = docs.select(
+        F.col(id_col),
+        (strat_key(F.col(id_col)) % shard_mod).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = staged.withColumn("cum_after", F.sum("n_tokens").over(w))
+    binned = cum.withColumn(
+        "seq_idx",
+        F.floor((F.col("cum_after") - F.col("n_tokens"))
+                / F.lit(float(budget_tokens))).cast("long"),
+    )
+    return binned.groupBy("shard", "seq_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

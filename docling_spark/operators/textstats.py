@@ -244,3 +244,48 @@ def curation_funnel(docs: DataFrame, text_col: str = "text",
     )
     return s.select("doc_id", stage.alias("stage"),
                     F.col("quality"), F.col("n_tokens"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k TF-IDF terms (the classic keyword/salience
+    signal a curation pipeline uses for topic tagging and near-dup
+    triage).
+
+    tf = in-document term count; idf = log10(N / df) with df = number of
+    documents containing the term. Scale shape: token explode feeds two
+    partial-agg groupBys (one keyed (doc, token) for tf, one keyed token
+    for df — both map-side combined, shuffle keys short and uniform);
+    the df table joins back on token (Catalyst broadcasts it when
+    small); ranking is a window partitioned BY DOCUMENT — never a global
+    window. Scores are rounded to 6 dp BEFORE ranking so the order is
+    reproducible across engines; ties break on the token string.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col), "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * F.log10(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

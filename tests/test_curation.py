@@ -153,3 +153,57 @@ def test_unigram_logprob(spark):
     assert abs(rows[1].mean_surprisal - round(-math.log10(3 / 4), 6)) < 1e-6
     assert abs(rows[2].mean_surprisal - round(-math.log10(1 / 4), 6)) < 1e-6
     assert rows[1].n_tokens == 3 and rows[2].n_tokens == 1
+
+
+def test_pack_sequences_cumulative_bucketing(spark):
+    from docling_spark.operators.curation import pack_sequences
+
+    # shard_mod=1 → one shard; budget 5; token counts 3,3,4,1 in id order
+    # cum-before: 0,3,6,10 → seq 0,0,1,2 (seq 0 overflows by one doc)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i j"), (4, "k")],
+        "doc_id long, text string",
+    )
+    rows = {(r.shard, r.seq_idx): r
+            for r in pack_sequences(docs, budget_tokens=5, shard_mod=1).collect()}
+    assert rows[(0, 0)].n_docs == 2 and rows[(0, 0)].total_tokens == 6
+    assert rows[(0, 0)].first_doc == 1 and rows[(0, 0)].last_doc == 2
+    assert rows[(0, 1)].n_docs == 1 and rows[(0, 1)].total_tokens == 4
+    assert rows[(0, 2)].n_docs == 1 and rows[(0, 2)].total_tokens == 1
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    from docling_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 9 + 1)) for i in range(120)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 32, 8).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(11), 32, 8).collect()))
+    assert a == b
+    # every doc lands in exactly one sequence
+    assert sum(r[2] for r in a) == 120
+
+
+def test_tfidf_topk(spark):
+    import math
+
+    from docling_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        ((r.doc_id, r.rank, r.token, r.score) for r in tfidf_topk(docs, k=3).collect())
+    )
+    log3 = round(math.log10(3.0), 6)
+    log15 = round(math.log10(1.5), 6)
+    assert rows == [
+        (1, 1, "apple", round(2 * math.log10(3.0), 6)),
+        (1, 2, "banana", log15),
+        (2, 1, "cherry", log3),
+        (2, 2, "banana", log15),
+        (3, 1, "durian", log3),
+    ]

@@ -45,8 +45,11 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 from docling_spark.sources.transcripts import transcripts_df
 from docling_spark.operators.extract_ops import extract_turns
-# materialize the corpus once so the timed section is extraction only
-tr = transcripts_df(spark, n_convs, partitions=cpus * 2).cache()
+# materialize the corpus once so the timed section is extraction only.
+# partitions = cpus*8: fine-grained tasks keep the tail short — with only
+# 2 partitions per core, one slow partition idles a core for seconds at
+# the end of the pass (observed as 0.7 efficiency at local[4])
+tr = transcripts_df(spark, n_convs, partitions=cpus * 8).cache()
 n = tr.count()
 # warm to steady state with one FULL untimed pass: python workers, Arrow
 # buffers, and JIT all spun up — the timed passes measure the sustained
@@ -85,6 +88,7 @@ def run_level(cpus: int, n_convs: int, passes: int) -> dict:
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             r["loadavg_at_start"] = la
+            r["loadavg_at_end"] = loadavg1()
             return r
     raise RuntimeError(f"worker[{cpus}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
@@ -93,17 +97,21 @@ def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000
     lo_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    passes = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    passes = int(sys.argv[5]) if len(sys.argv) > 5 else 6
 
     runs: dict[int, list[dict]] = {lo_cpus: [], hi_cpus: []}
     for t in range(trials):
-        for c in (lo_cpus, hi_cpus):
+        # alternate which level goes first so a monotone load drift on the
+        # box cannot systematically favor one level
+        order = (lo_cpus, hi_cpus) if t % 2 == 0 else (hi_cpus, lo_cpus)
+        for c in order:
             r = run_level(c, n_convs, passes)
             runs[c].append(r)
             print(f"trial {t} local[{c}]: {r['turns_per_s']} turns/s "
-                  f"(best of walls {r['all_walls']}, "
-                  f"loadavg {r['loadavg_at_start']})")
+                  f"(best of walls {r['all_walls']}, loadavg "
+                  f"{r['loadavg_at_start']}→{r['loadavg_at_end']})",
+                  flush=True)
 
     lo = max(runs[lo_cpus], key=lambda r: r["turns_per_s"])
     hi = max(runs[hi_cpus], key=lambda r: r["turns_per_s"])
@@ -132,14 +140,14 @@ def main() -> None:
         "best trial per level scored — peak throughput measures machine",
         "capacity; external load only subtracts. All trials follow.",
         "",
-        "| level | trial turns/s | per-pass walls (s) | loadavg at start |",
+        "| level | trial turns/s | per-pass walls (s) | loadavg start→end |",
         "|---|---|---|---|",
     ]
     for c in (lo_cpus, hi_cpus):
         for r in runs[c]:
             md.append(
                 f"| local[{c}] | {r['turns_per_s']} | {r['all_walls']} "
-                f"| {r['loadavg_at_start']} |"
+                f"| {r['loadavg_at_start']}\u2192{r['loadavg_at_end']} |"
             )
     md += [
         "",
