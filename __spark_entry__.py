@@ -480,7 +480,7 @@ select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp,
 from documents group by 1
 """
 
-_SHINGLE_SQL = """
+_SHINGLE_RAW_SQL = """
   select doc_id,
          unnest(list_distinct(case when len(toks) >= 3
            then list_transform(generate_series(1, len(toks) - 2),
@@ -490,6 +490,25 @@ _SHINGLE_SQL = """
                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
         from documents)
 """
+
+# shingles leave the operator 60-bit-hashed (dedup.py shingles); the oracle
+# applies the identical md5-prefix hash
+_SHINGLE_SQL = f"""
+  select distinct doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::bigint as shingle
+  from ({_SHINGLE_RAW_SQL})
+"""
+
+
+def _mh_sql(num_hashes: int = 8) -> str:
+    """DuckDB twin of dedup.mh_consts minhash family: exact 64-bit-safe
+    arithmetic over the hashed shingle."""
+    from docling_spark.operators.dedup import MH_H_MOD, MH_P, mh_consts
+
+    return ", ".join(
+        f"min(({a} * (shingle % {MH_H_MOD}) + {b}) % {MH_P}) as mh_{j}"
+        for j, (a, b) in enumerate(mh_consts(num_hashes))
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -501,10 +520,7 @@ def q_minhash_signatures(spark, sf_dir):
 ORACLE_MINHASH = f"""
 with sh as ({_SHINGLE_SQL})
 select doc_id,
-  {", ".join(
-    f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::bigint) as mh_{j}"
-    for j in range(8)
-  )}
+  {_mh_sql(8)}
 from sh group by doc_id
 """
 
@@ -552,10 +568,7 @@ ORACLE_MINHASH_LSH = f"""
 with sh as ({_SHINGLE_SQL}),
 sigs as (
   select doc_id,
-    {", ".join(
-      f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::bigint) as mh_{j}"
-      for j in range(8)
-    )}
+    {_mh_sql(8)}
   from sh group by doc_id
 ),
 bands as (
@@ -650,10 +663,7 @@ ORACLE_MINHASH_EST = f"""
 with sh as ({_SHINGLE_SQL}),
 sigs as (
   select doc_id,
-    {", ".join(
-      f"min(('0x' || substr(md5('{j}:' || shingle), 1, 15))::bigint) as mh_{j}"
-      for j in range(8)
-    )}
+    {_mh_sql(8)}
   from sh group by doc_id
 ),
 bands as (

@@ -44,31 +44,59 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per document: (doc_id, shingle).
+    """Distinct k-token shingles per document, 60-bit-hashed:
+    (doc_id, shingle long).
 
     Built with JVM-side array ops (transform over a sliced token array) —
-    no Python worker in the path.
+    no Python worker in the path. Shingles leave this operator as hashed
+    longs, not strings: every downstream consumer (minhash agg, shingle
+    equi-join, per-doc set intersect) then shuffles/compares 8-byte ints
+    instead of ~20-byte strings, and the seeded minhash family needs ONE
+    md5 per shingle instead of one per hash function. At 60 bits a corpus
+    needs ~10^9 distinct shingles before a collision is even likely
+    (birthday bound), and a collision only nudges a Jaccard estimate.
     """
     toks = F.split(norm_text(F.col(text_col)), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.when(
         n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        F.transform(
+            idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array(hash60(F.concat_ws(" ", toks))))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
+
+
+# Seeded minhash family over the 60-bit shingle hash: universal-hash mixing
+# mh_j = (A_j * (h mod 2^30) + B_j) mod P. P is the Mersenne prime 2^31-1;
+# A_j odd multiples of the Knuth constant mod P. Products stay < 2^61, so
+# the arithmetic is exact in a 64-bit long on BOTH engines (Spark long,
+# DuckDB bigint) — the DuckDB oracle reproduces every signature bit-for-bit.
+MH_P = 2_147_483_647
+MH_H_MOD = 1 << 30
+
+
+def mh_consts(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((2 * j + 1) * 2_654_435_761 % MH_P, (j * 1_013_904_223 + 12_345) % MH_P)
+        for j in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{K-1}): min over shingles of seeded md5-int hashes.
-    One groupBy; partial aggregation keeps the shuffle at K longs per doc."""
+    """(doc_id, mh_0..mh_{K-1}): min over shingles of the seeded hash
+    family above. One groupBy; partial aggregation keeps the shuffle at
+    K longs per doc. The K hashes are arithmetic mixes of the single
+    60-bit shingle hash — no per-function md5."""
+    h30 = F.pmod(F.col("shingle"), F.lit(MH_H_MOD))
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
-        for j in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * h30 + F.lit(b), F.lit(MH_P))).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(mh_consts(num_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
