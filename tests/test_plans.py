@@ -102,3 +102,28 @@ def test_containment_join_is_equi_join(spark):
     plan = _formatted(spark, entry.q_picture_cell_join(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """Sequence packing must window on the shard key, never a
+    single-partition global order (the vocab_topk r1 lesson)."""
+    from docling_spark.operators.curation import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, pack_sequences(d, 512, 16))
+    # every Exchange is a hash partitioning — no SinglePartition anywhere
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_tfidf_ranks_per_document(spark):
+    """TF-IDF ranking windows partition by document; the tiny doc-count
+    side is broadcast, and nothing nested-loops."""
+    from docling_spark.operators.textstats import tfidf_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, tfidf_topk(d, k=3))
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row doc-count side arrives by broadcast
+    assert "BroadcastExchange" in plan
