@@ -3522,6 +3522,81 @@ from r where rank <= 3
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """RefinedWeb-style per-source frequency cap (keep the 10 smallest doc
+    ids per source) via the two-level salted top-k — never one rank window
+    over a whole (possibly corpus-dominating) source."""
+    from docling_spark.operators.curation import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), cap=10, salt_mod=16)
+
+
+ORACLE_DOMAIN_CAP = """
+select doc_id, source, cast(rk as bigint) as domain_rank
+from (
+  select doc_id, source,
+         row_number() over (partition by source order by doc_id) as rk
+  from documents
+) where rk <= 10
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End of the dedup pipeline: every document mapped to its duplicate-
+    cluster canonical (smallest doc id in its Jaccard>=0.2 connected
+    component; singletons are their own canonical)."""
+    from docling_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        keep_canonical,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    comps = connected_components(
+        jaccard_pairs(shingles(docs), threshold=0.2)
+    )
+    return keep_canonical(docs, comps)
+
+
+ORACLE_DEDUP_CANONICAL = f"""
+with sh as ({_SHINGLE_SQL}),
+sizes as (select doc_id, count(*) sz from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+p as (
+  select doc_a, doc_b from inter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where inter::double / (sa.sz + sb.sz - inter) >= 0.2
+),
+edges as (
+  select doc_a as src, doc_b as dst from p
+  union
+  select doc_b, doc_a from p
+),
+reach as (
+  with recursive r(src, dst) as (
+    select src, dst from edges
+    union
+    select r.src, e.dst from r join edges e on r.dst = e.src
+  )
+  select * from r
+),
+comp as (
+  select src as doc_id, least(src, min(dst)) as component
+  from reach group by src
+)
+select d.doc_id,
+       coalesce(c.component, d.doc_id) as canonical_id,
+       cast(d.doc_id = coalesce(c.component, d.doc_id) as int) as is_canonical
+from documents d left join comp c on c.doc_id = d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -3574,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "tfidf_topk": q_tfidf_topk,
+        "domain_cap": q_domain_cap,
+        "dedup_canonical": q_dedup_canonical,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -3673,6 +3750,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "tfidf_topk": ORACLE_TFIDF_TOPK,
+        "domain_cap": ORACLE_DOMAIN_CAP,
+        "dedup_canonical": ORACLE_DEDUP_CANONICAL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -299,3 +299,39 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def domain_cap(docs: DataFrame, cap: int = 10, salt_mod: int = 16,
+               source_col: str = "source", id_col: str = "doc_id") -> DataFrame:
+    """RefinedWeb-style per-source frequency cap: keep at most ``cap``
+    documents per source (the smallest doc ids — deterministic, no RNG).
+
+    The naive plan — one rank window partitioned by source — hotspots on
+    any source holding a large fraction of the corpus (at web scale one
+    domain can be billions of pages). This is the classic distributed
+    top-k instead: (1) salt each source into ``salt_mod`` sub-partitions
+    (md5-derived, oracle-replicable) and rank within (source, salt) —
+    every window partition is bounded by the largest source / salt_mod;
+    (2) survivors (≤ salt_mod·cap rows per source) go through the exact
+    per-source rank. Two shuffles, both skew-bounded; semantics identical
+    to the single global rank because each salt keeps a superset of the
+    global smallest ``cap``.
+
+    Returns kept rows: (doc_id, source, domain_rank).
+    """
+    salted = docs.select(
+        F.col(id_col), F.col(source_col),
+        (strat_key(F.col(id_col)) % salt_mod).alias("_salt"),
+    )
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(id_col)
+    stage1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+    )
+    w2 = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        stage1.withColumn("domain_rank",
+                          F.row_number().over(w2).cast("long"))
+        .where(F.col("domain_rank") <= cap)
+        .select(id_col, source_col, "domain_rank")
+    )

@@ -406,3 +406,25 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def keep_canonical(docs: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Final verdict of the dedup pipeline: every document mapped to its
+    duplicate-cluster canonical (the smallest doc id in its connected
+    component; singletons are their own canonical).
+
+    One left equi-join of the corpus against the (much smaller)
+    component table — broadcast when it fits, hash otherwise. Returns
+    (doc_id, canonical_id, is_canonical int).
+    """
+    out = docs.select(F.col(id_col)).join(
+        components.select(F.col(id_col), F.col("component")),
+        id_col, "left",
+    )
+    canonical = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        canonical.alias("canonical_id"),
+        (F.col(id_col) == canonical).cast("int").alias("is_canonical"),
+    )

@@ -207,3 +207,39 @@ def test_tfidf_topk(spark):
         (2, 2, "banana", log15),
         (3, 1, "durian", log3),
     ]
+
+
+def test_domain_cap_matches_global_rank(spark):
+    from docling_spark.operators.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(90)] + [(100 + i, "big") for i in range(60)],
+        "doc_id long, source string",
+    )
+    got = {(r.doc_id, r.source): r.domain_rank
+           for r in domain_cap(docs, cap=5, salt_mod=4).collect()}
+    # exactly cap smallest ids per source, ranked 1..cap
+    import collections
+    per_src = collections.defaultdict(list)
+    for (d, s), rk in got.items():
+        per_src[s].append((rk, d))
+    assert set(per_src) == {"src0", "src1", "src2", "big"}
+    for s, entries in per_src.items():
+        entries.sort()
+        assert [rk for rk, _ in entries] == [1, 2, 3, 4, 5]
+        ids = [d for _, d in entries]
+        assert ids == sorted(ids)
+    assert [d for _, d in sorted(per_src["big"])] == [100, 101, 102, 103, 104]
+    assert [d for _, d in sorted(per_src["src0"])] == [0, 3, 6, 9, 12]
+
+
+def test_keep_canonical(spark):
+    from docling_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "doc_id long, component long")
+    got = {r.doc_id: (r.canonical_id, r.is_canonical)
+           for r in keep_canonical(docs, comps).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 0),
+                   3: (3, 1), 4: (4, 1), 5: (4, 0)}
