@@ -1456,6 +1456,47 @@ select media_id, round(i * 2.0, 3) as frame_ts from e
 """
 
 
+def q_media_probe(spark, sf_dir):
+    """Audio container probe, end-to-end binary: synthesize real PCM WAV
+    payloads from media_id (synth_wav_df — RIFF header + zero frames,
+    parameters arithmetic in media_id), then parse them back with the
+    from-scratch header prober (engine/audiox.py, the ffmpeg-probe half
+    of the reference ASR front-end, asr_transcriber.py). The oracle
+    predicts every probed field arithmetically, so the value-hash
+    certifies byte-level write→parse agreement, not just plumbing."""
+    from docling_spark.operators.multimodal import (
+        probe_media_meta,
+        synth_wav_df,
+    )
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    probed = probe_media_meta(synth_wav_df(ids))
+    return probed.select(
+        "media_id", "n_bytes", "container", "codec",
+        F.round("duration_s", 6).alias("duration_s"),
+        "sample_rate", "channels", "bits",
+    )
+
+
+ORACLE_MEDIA_PROBE = """
+with p as (
+  select doc_id as media_id,
+         [8000, 16000, 22050, 44100][cast(doc_id % 4 + 1 as int)] as rate,
+         cast(doc_id % 2 + 1 as int) as channels,
+         cast(doc_id % 5 + 1 as int) as hundredths
+  from documents
+)
+select media_id,
+       cast(44 + (rate // 100) * hundredths * channels * 2 as int) as n_bytes,
+       'wav' as container, 'pcm' as codec,
+       round((rate // 100) * hundredths / cast(rate as double), 6)
+         as duration_s,
+       cast(rate as int) as sample_rate, channels,
+       cast(16 as int) as bits
+from p
+"""
+
+
 def q_extract_email(spark, sf_dir):
     """RFC-822 payload: Subject→title, From/To/Date header items (date
     ISO-8601), blank-line body paragraphs (email_backend.py semantics)."""
@@ -3660,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_heading_context": q_chunk_heading_context,
         # multimodal
         "media_features": q_media_features,
+        "media_probe": q_media_probe,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "token_counts": q_token_counts,
@@ -3759,6 +3801,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
         "media_features": ORACLE_MEDIA_FEATURES,
+        "media_probe": ORACLE_MEDIA_PROBE,
         "media_resize": ORACLE_MEDIA_RESIZE,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "token_counts": ORACLE_TOKEN_COUNTS,

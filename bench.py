@@ -105,6 +105,12 @@ def main() -> None:
         "export_vtt",
     ]
     for name in bench_queries:
+        # untimed warm-up first: the first execution of a query pays
+        # one-off costs that aren't the operator (python-worker imports
+        # of its engine module across all workers, shuffle-service
+        # spin-up) — r1→r2 bench showed a 7x first-run artifact on the
+        # first vtt-engine query; steady state was 0.9 s
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(2):  # best-of-2 per query (neighbor-load noise)
             t0 = time.time()

@@ -97,6 +97,95 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     )
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_media_meta(media: DataFrame) -> DataFrame:
+    """REAL (not stubbed) audio/video container probe over binary payloads:
+    ``engine.audiox`` parses WAV/FLAC/OGG/MP3/ADTS/MP4/MOV/AVI headers in
+    pure Python — duration, sample rate, channels, bit depth — the
+    deterministic half of the reference's ASR front-end (the part it
+    delegates to ffmpeg, asr_transcriber.py); transcription itself stays
+    out of scope. Same mapInPandas shape as ``extract_media_features``:
+    Arrow-batched, no driver collect, scalar output columns only."""
+    from docling_spark.engine.audiox import probe_media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                m = probe_media(b)
+                rows.append(
+                    (
+                        mid, kind, len(b), m["container"], m["codec"],
+                        None if m["duration_s"] is None
+                        else round(m["duration_s"], 6),
+                        m["sample_rate"], m["channels"], m["bits"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PROBE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=PROBE_SCHEMA
+    )
+
+
+def synth_wav_df(media_ids: DataFrame) -> DataFrame:
+    """Deterministic PCM WAV payloads derived from ``media_id`` — real
+    RIFF bytes through the real parser, parameters pure arithmetic so a
+    SQL oracle can predict every probed field:
+
+    sample_rate = [8000, 16000, 22050, 44100][media_id % 4]
+    channels    = media_id % 2 + 1
+    n_frames    = (rate // 100) * (media_id % 5 + 1)
+    duration_s  = n_frames / rate  (≈ hundredths of a second; not exactly
+                  — 22050 // 100 truncates, and the oracle mirrors that)
+    """
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (8000, 16000, 22050, 44100)
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rate = rates[mid % 4]
+                ch = mid % 2 + 1
+                n = rate // 100 * (mid % 5 + 1)
+                data = n * ch * 2
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+                    )
+                    + b"data" + struct.pack("<I", data)
+                )
+                out.append((mid, "audio", hdr + b"\x00" * data))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    return media_ids.select("media_id").mapInPandas(
+        run,
+        schema="media_id long, kind string, payload binary",
+    )
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table (binary payloads derived from ids)."""
     rows = []
