@@ -1456,6 +1456,69 @@ select media_id, round(i * 2.0, 3) as frame_ts from e
 """
 
 
+def q_extract_pdf(spark, sf_dir):
+    """Native PDF end-to-end: a real single-page PDF (Helvetica, three
+    positioned Tj lines: an 18 pt 'Doc {id}' title line and two 11 pt
+    body lines) synthesized per document in an Arrow-batched UDF, routed
+    raw (%PDF- prefix, latin-1-safe) through tool='pdf' into the
+    from-scratch parser (engine/pdfx.py: object scan → content-stream
+    interpreter → line cells) and the shared layout tail
+    (layoutx.extract_from_cells). Geometry is chosen so the title/body
+    gap (27.6 pt > 18 pt line height) blocks merging while the two body
+    lines (9 pt gap ≤ 11 pt) merge into one paragraph — the oracle
+    predicts the markdown arithmetically."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split() + ["x", "x", "x", "x"]
+            esc = [
+                w.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)") for w in toks[:4]
+            ]
+            content = (
+                f"BT /F1 18 Tf 72 720 Td (Doc {i}) Tj ET\n"
+                f"BT /F1 11 Tf 72 680 Td ({esc[0]} {esc[1]}) Tj ET\n"
+                f"BT /F1 11 Tf 72 660 Td ({esc[2]} {esc[3]}) Tj ET\n"
+            )
+            pdf = (
+                "%PDF-1.4\n"
+                "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                "3 0 obj << /Type /Page /Parent 2 0 R "
+                "/MediaBox [0 0 612 792] "
+                "/Resources << /Font << /F1 4 0 R >> >> "
+                "/Contents 5 0 R >> endobj\n"
+                "4 0 obj << /Type /Font /Subtype /Type1 "
+                "/BaseFont /Helvetica >> endobj\n"
+                f"5 0 obj << /Length {len(content)} >> stream\n"
+                f"{content}endstream endobj\n"
+                "trailer << /Root 1 0 R >>\n%%EOF\n"
+            )
+            out.append(pdf)
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    pdf_raw = pandas_udf(_mk, "string")
+    payload = pdf_raw(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "pdf")
+
+
+ORACLE_EXTRACT_PDF = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       'Doc ' || doc_id || chr(10) || chr(10)
+        || toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]
+        as extracted_text
+from t
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -3661,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_epub": q_extract_epub,
         "extract_docling_json": q_extract_docling_json,
         "extract_docx": q_extract_docx,
+        "extract_pdf": q_extract_pdf,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -3763,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_epub": ORACLE_EXTRACT_EPUB,
         "extract_docling_json": ORACLE_DOCLING_JSON,
         "extract_docx": ORACLE_EXTRACT_DOCX,
+        "extract_pdf": ORACLE_EXTRACT_PDF,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

@@ -64,7 +64,7 @@ def detect_format(text: str, tool: str = "") -> str:
         # RuntimeError when it is absent — mirrored as a contained
         # failure row (no external binaries in this engine)
         return "legacy_office"
-    if hint in ("html", "md", "csv", "pdfish", "code", "vtt", "email",
+    if hint in ("html", "md", "csv", "pdfish", "pdf", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
@@ -98,6 +98,9 @@ def detect_format(text: str, tool: str = "") -> str:
     if text.startswith(("iVBORw0KGgo", "/9j/", "R0lGOD", "UklGR",
                         "SUkqAA", "TU0AKg")):
         return "image"
+    # native PDF: raw %PDF- header (latin-1-safe) or its base64 prefix
+    if text.startswith(("%PDF-", "JVBERi")):
+        return "pdf"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
     if emailx.looks_like_email(text):
@@ -283,6 +286,16 @@ def extract_payload(
             extracted, items, metrics = pptxx.extract_pptx(
                 base64.b64decode(text)
             )
+        elif fmt == "pdf":
+            from docling_spark.engine import pdfx
+
+            if text.startswith("%PDF-"):
+                raw_p = text.encode("latin-1", "ignore")
+            else:
+                import base64
+
+                raw_p = base64.b64decode(text)
+            extracted, items, metrics = pdfx.extract_pdf(raw_p)
         elif fmt == "ebcdic":
             from docling_spark.engine import ebcdicx
 

@@ -1,0 +1,1200 @@
+"""Native PDF payloads → text-line cells → the shared layout pipeline.
+
+A from-scratch, pure-Python (stdlib-only: zlib, base64, re) PDF text
+extractor, written against the public PDF 32000-1:2008 spec. It replaces
+the native-library half of the reference's PDF path — docling-parse /
+pypdfium2 produce per-line ``TextCell``s with bounding boxes
+(docling/backend/docling_parse_v4_backend.py, pypdfium2_backend.py) —
+and feeds the SAME downstream layout pipeline this repo already ships
+(``layoutx.extract_from_cells``: cell filters → overlap dedup →
+two-column reading order → table assembly → paragraph merge), exactly
+how the reference splits parsing (native lib) from layout
+(layout_postprocessor.py).
+
+What is real here: object/xref-free document scan (every ``N G obj``
+plus /Type/ObjStm expansion, so PDF 1.5+ compressed-object files work),
+Flate/LZW/ASCIIHex/ASCII85 filters with PNG predictors, page-tree walk
+with attribute inheritance, content-stream interpretation (full text
+matrix state machine: BT/ET Tm Td TD T* TL Tf Tc Tw Tz Ts Tj TJ ' " q/Q
+cm), simple-font and Type0/CID decode via /ToUnicode CMaps, /Differences
++ WinAnsi fallbacks, and /Widths-driven advance arithmetic for line/word
+segmentation. What is not attempted: OCR of scanned pages, embedded-font
+glyph-program inspection, and the reference's ML layout model (labels
+come from this repo's rule-based layoutx, a documented re-expression).
+
+No code from the reference is used; the reference is consulted only for
+*what* to emit (per-line cells with top-left-origin bboxes, page sizes).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import zlib
+
+__all__ = ["PdfError", "PdfDocument", "extract_pdf", "pdf_line_cells"]
+
+
+class PdfError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# object model
+# ---------------------------------------------------------------------------
+
+class Name(str):
+    """A /Name token (distinct from a string literal)."""
+    __slots__ = ()
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+class Stream:
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.d = d
+        self.raw = raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            while i < n and b[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _parse_name(b: bytes, i: int):
+    j = i + 1
+    n = len(b)
+    while j < n and b[j] not in _WS and b[j] not in _DELIM:
+        j += 1
+    raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), b[i + 1:j])
+    return Name(raw.decode("latin-1")), j
+
+
+def _parse_string(b: bytes, i: int):
+    # literal (..) with nesting + backslash escapes
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(b)
+    while i < n and depth:
+        c = b[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nc = b[i + 1]
+            esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                   0x28: 40, 0x29: 41, 0x5C: 92}
+            if nc in esc:
+                out.append(esc[nc])
+                i += 2
+            elif 0x30 <= nc <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_s = b""
+                while j < n and len(oct_s) < 3 and 0x30 <= b[j] <= 0x37:
+                    oct_s += bytes([b[j]])
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+            elif nc in b"\r\n":  # line continuation
+                i += 2
+                if nc == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(nc)
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(b: bytes, i: int):
+    j = b.find(b">", i)
+    if j < 0:
+        j = len(b)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1:j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode()), j + 1
+
+
+def parse_object(b: bytes, i: int):
+    """Recursive-descent parse of one PDF object starting at i.
+
+    Returns (obj, next_index). Indirect refs come back as Ref."""
+    i = _skip_ws(b, i)
+    if i >= len(b):
+        raise PdfError("eof")
+    c = b[i]
+    if c == 0x2F:  # /
+        return _parse_name(b, i)
+    if c == 0x28:  # (
+        return _parse_string(b, i)
+    if c == 0x3C:  # < or <<
+        if b[i:i + 2] == b"<<":
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(b, i)
+                if b[i:i + 2] == b">>":
+                    return d, i + 2
+                if b[i:i + 1] != b"/":
+                    raise PdfError(f"dict key at {i}")
+                k, i = _parse_name(b, i)
+                v, i = parse_object(b, i)
+                d[str(k)] = v
+        return _parse_hex_string(b, i)
+    if c == 0x5B:  # [
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if b[i:i + 1] == b"]":
+                return arr, i + 1
+            v, i = parse_object(b, i)
+            arr.append(v)
+    if b[i:i + 4] == b"true":
+        return True, i + 4
+    if b[i:i + 5] == b"false":
+        return False, i + 5
+    if b[i:i + 4] == b"null":
+        return None, i + 4
+    m = _NUM_RE.match(b, i)
+    if m:
+        # lookahead for "N G R"
+        j = _skip_ws(b, m.end())
+        m2 = re.compile(rb"(\d+)\s+R\b").match(b, j) if b[i:i + 1].isdigit() \
+            else None
+        if m2 and b"." not in m.group():
+            return Ref(int(m.group()), int(m2.group(1))), m2.end()
+        s = m.group()
+        return (float(s) if b"." in s else int(s)), m.end()
+    raise PdfError(f"unparsable object at {i}: {b[i:i+20]!r}")
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    row_len = (colors * bpc * columns + 7) // 8
+    bpp = max((colors * bpc + 7) // 8, 1)
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data) + row_len and pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + row_len])
+        pos += 1 + row_len
+        if ft == 1:  # Sub
+            for k in range(bpp, len(row)):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(len(row)):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(len(row)):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(len(row)):
+                a = row[k - bpp] if k >= bpp else 0
+                bb = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pr = a if pa <= pb and pa <= pc else (bb if pb <= pc else cc)
+                row[k] = (row[k] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (9→12-bit codes, EarlyChange=1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (buf >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                bits = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << bits) and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def decode_stream(s: Stream, resolve) -> bytes:
+    data = s.raw
+    filt = resolve(s.d.get("Filter"))
+    parms = resolve(s.d.get("DecodeParms") or s.d.get("DP"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parms_l = parms if isinstance(parms, list) else [parms] * len(filters)
+    for f, p in zip(filters, parms_l):
+        f = str(resolve(f)) if f is not None else ""
+        p = resolve(p) or {}
+        if f in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                d = zlib.decompressobj()
+                try:
+                    data = d.decompress(data)
+                except zlib.error:
+                    return b""
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode())
+        elif f in ("ASCII85Decode", "A85"):
+            body = data.split(b"~>")[0].lstrip(b"<~")
+            try:
+                data = base64.a85decode(re.sub(rb"\s", b"", body))
+            except ValueError:
+                return b""
+        else:
+            # image/unknown codec — not text-bearing
+            return b""
+        pred = int(resolve(p.get("Predictor", 1)) or 1) if isinstance(p, dict) else 1
+        if pred >= 10:
+            data = _png_predictor(
+                data,
+                int(resolve(p.get("Colors", 1)) or 1),
+                int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                int(resolve(p.get("Columns", 1)) or 1),
+            )
+        elif pred == 2:
+            pass  # TIFF predictor: not seen in text streams
+    return data
+
+
+# ---------------------------------------------------------------------------
+# document: xref-free object scan + ObjStm expansion + page-tree walk
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        if b"%PDF-" not in data[:1024]:
+            raise PdfError("not a PDF payload")
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._scan_objects()
+        self._expand_object_streams()
+
+    # -- plumbing ----------------------------------------------------------
+
+    def resolve(self, o, depth: int = 0):
+        while isinstance(o, Ref) and depth < 32:
+            o = self.objects.get(o[0])
+            depth += 1
+        return o
+
+    def _scan_objects(self) -> None:
+        data = self.data
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            try:
+                obj, end = parse_object(data, m.end())
+            except (PdfError, IndexError, RecursionError):
+                continue
+            if isinstance(obj, dict):
+                sm = _STREAM_RE.match(data, _skip_ws(data, end))
+                if sm:
+                    start = sm.end()
+                    ln = obj.get("Length")
+                    if isinstance(ln, Ref):
+                        ln = None  # resolve later is circular; search instead
+                    if isinstance(ln, int) and \
+                            data[start + ln:start + ln + 20].lstrip()[:9] == b"endstream":
+                        raw = data[start:start + ln]
+                    else:
+                        e = data.find(b"endstream", start)
+                        raw = data[start:e if e >= 0 else len(data)]
+                        raw = raw.rstrip(b"\r\n")
+                    obj = Stream(obj, raw)
+            # later definitions win (incremental updates append)
+            self.objects[num] = obj
+
+    def _expand_object_streams(self) -> None:
+        for num in list(self.objects):
+            o = self.objects[num]
+            if not (isinstance(o, Stream)
+                    and str(self.resolve(o.d.get("Type"))) == "ObjStm"):
+                continue
+            try:
+                body = decode_stream(o, self.resolve)
+                n = int(self.resolve(o.d.get("N")) or 0)
+                first = int(self.resolve(o.d.get("First")) or 0)
+                header = body[:first].split()
+                for k in range(n):
+                    onum = int(header[2 * k])
+                    off = int(header[2 * k + 1])
+                    try:
+                        obj, _ = parse_object(body, first + off)
+                    except (PdfError, IndexError):
+                        continue
+                    # direct objects never shadow a later full definition
+                    self.objects.setdefault(onum, obj)
+            except Exception:
+                continue
+
+    # -- page tree ----------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        """Ordered page dicts with inherited Resources/MediaBox."""
+        root = None
+        for o in self.objects.values():
+            oo = o.d if isinstance(o, Stream) else o
+            if isinstance(oo, dict) and str(self.resolve(oo.get("Type"))) == "Catalog":
+                root = oo
+        pages_ref = root.get("Pages") if isinstance(root, dict) else None
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node, inherited: dict) -> None:
+            node = self.resolve(node)
+            if isinstance(node, Stream):
+                node = node.d
+            if not isinstance(node, dict) or id(node) in seen or len(out) > 5000:
+                return
+            seen.add(id(node))
+            inh = dict(inherited)
+            for k in ("Resources", "MediaBox", "Rotate", "CropBox"):
+                if k in node:
+                    inh[k] = node[k]
+            t = str(self.resolve(node.get("Type")))
+            if t == "Pages" or "Kids" in node:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, inh)
+            elif t == "Page":
+                page = dict(node)
+                for k, v in inh.items():
+                    page.setdefault(k, v)
+                out.append(page)
+
+        if pages_ref is not None:
+            walk(pages_ref, {})
+        if not out:  # damaged tree: fall back to flat scan, object order
+            for o in self.objects.values():
+                oo = o.d if isinstance(o, Stream) else o
+                if isinstance(oo, dict) and str(self.resolve(oo.get("Type"))) == "Page":
+                    out.append(oo)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        c = self.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        for s in c if isinstance(c, list) else [c]:
+            s = self.resolve(s)
+            if isinstance(s, Stream):
+                parts.append(decode_stream(s, self.resolve))
+        return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# fonts: ToUnicode CMaps, encodings, widths
+# ---------------------------------------------------------------------------
+
+# WinAnsiEncoding differences from latin-1 (PDF spec Annex D.2): the
+# 0x80-0x9F block carries typographic characters.
+_WINANSI = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8a: "Š", 0x8b: "‹", 0x8c: "Œ",
+    0x8e: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9a: "š", 0x9b: "›",
+    0x9c: "œ", 0x9e: "ž", 0x9f: "Ÿ",
+}
+
+# Bounded Adobe-glyph-list subset for /Differences names (the names that
+# actually occur in text-bearing Latin documents; unknown names fall back
+# to their single-char tail or U+FFFD).
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "dagger": "†", "daggerdbl": "‡", "periodcentered": "·",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™", "minus": "−", "multiply": "×",
+    "divide": "÷", "plusminus": "±", "germandbls": "ß",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "section": "§", "paragraph": "¶",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "euro": "€", "nbspace": " ", "quotesinglbase": "‚",
+    "quotedblbase": "„", "guillemotleft": "«",
+    "guillemotright": "»", "guilsinglleft": "‹",
+    "guilsinglright": "›", "perthousand": "‰",
+    "fraction": "⁄", "florin": "ƒ", "circumflex": "ˆ",
+    "tilde": "˜", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "cedilla": "¸", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ", "macron": "¯",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if len(name) == 1:
+        return name
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4,6})", name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return "�"
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return "�"
+    m = re.fullmatch(r"([A-Za-z])\d+", name)  # g123 / C42 subset names
+    if m:
+        return "�"
+    return "�"
+
+
+_CMAP_BFCHAR = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S)
+_CMAP_BFRANGE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+
+
+def _utf16_from_hex(hx: bytes) -> str:
+    raw = bytes.fromhex(hx.decode())
+    if len(raw) % 2:
+        raw += b"\x00"
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return "�"
+
+
+def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """(code→text map, code byte width) from a ToUnicode CMap stream."""
+    mapping: dict[int, str] = {}
+    width = 1
+    m = _CODESPACE.search(cmap)
+    if m:
+        width = max(len(m.group(1)) // 2, 1)
+    for block in _CMAP_BFCHAR.findall(cmap):
+        toks = _HEX_TOK.findall(block)
+        for k in range(0, len(toks) - 1, 2):
+            code = int(toks[k], 16)
+            width = max(width, len(toks[k]) // 2)
+            mapping[code] = _utf16_from_hex(toks[k + 1])
+    for block in _CMAP_BFRANGE.findall(cmap):
+        # entries: <lo> <hi> <dst>  |  <lo> <hi> [<dst> <dst> ...]
+        pos = 0
+        entries = re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)", block)
+        for lo_h, hi_h, dst in entries:
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            width = max(width, len(lo_h) // 2)
+            if hi - lo > 65535:
+                continue
+            if dst.startswith(b"["):
+                dsts = _HEX_TOK.findall(dst)
+                for k, code in enumerate(range(lo, hi + 1)):
+                    if k < len(dsts):
+                        mapping[code] = _utf16_from_hex(dsts[k])
+            else:
+                base_h = _HEX_TOK.match(dst).group(1)
+                base_raw = bytes.fromhex(base_h.decode())
+                base = int(base_h, 16)
+                for code in range(lo, hi + 1):
+                    if len(base_raw) <= 2:
+                        v = base + (code - lo)
+                        if 0xD800 <= v <= 0xDFFF:
+                            mapping[code] = "�"
+                        else:
+                            mapping[code] = chr(v) if v <= 0x10FFFF else "�"
+                    else:  # multi-char target: increment last code unit
+                        s = _utf16_from_hex(base_h)
+                        mapping[code] = s[:-1] + chr(
+                            ord(s[-1]) + (code - lo)) if s else "�"
+        _ = pos
+    return mapping, min(max(width, 1), 2)
+
+
+class Font:
+    __slots__ = ("two_byte", "to_unicode", "diffs", "widths", "default_w",
+                 "first_char", "cid_widths", "base")
+
+    def __init__(self) -> None:
+        self.two_byte = False
+        self.to_unicode: dict[int, str] = {}
+        self.diffs: dict[int, str] = {}
+        self.widths: list[float] | None = None
+        self.first_char = 0
+        self.default_w = 0.5
+        self.cid_widths: dict[int, float] = {}
+        self.base = ""
+
+    def decode(self, raw: bytes) -> list[tuple[int, str]]:
+        """bytes → [(code, text)] honoring 1- vs 2-byte codes."""
+        out: list[tuple[int, str]] = []
+        if self.two_byte:
+            for k in range(0, len(raw) - 1, 2):
+                code = (raw[k] << 8) | raw[k + 1]
+                out.append((code, self._char(code)))
+            if len(raw) % 2:
+                out.append((raw[-1], self._char(raw[-1])))
+        else:
+            for c in raw:
+                out.append((c, self._char(c)))
+        return out
+
+    def _char(self, code: int) -> str:
+        if code in self.to_unicode:
+            return self.to_unicode[code]
+        if code in self.diffs:
+            return self.diffs[code]
+        if code in _WINANSI:
+            return _WINANSI[code]
+        if 32 <= code < 127 or 0xA0 <= code <= 0xFF:
+            return chr(code)
+        return ""
+
+    def advance(self, code: int) -> float:
+        if self.two_byte:
+            return self.cid_widths.get(code, self.default_w)
+        if self.widths is not None:
+            k = code - self.first_char
+            if 0 <= k < len(self.widths):
+                w = self.widths[k]
+                if w:
+                    return w / 1000.0
+        return self.default_w
+
+
+def load_fonts(doc: PdfDocument, page: dict) -> dict[str, Font]:
+    res = doc.resolve(page.get("Resources")) or {}
+    if isinstance(res, Stream):
+        res = res.d
+    fonts_d = doc.resolve(res.get("Font")) or {}
+    out: dict[str, Font] = {}
+    for fname, fref in (fonts_d.items() if isinstance(fonts_d, dict) else []):
+        fd = doc.resolve(fref)
+        if isinstance(fd, Stream):
+            fd = fd.d
+        if not isinstance(fd, dict):
+            continue
+        f = Font()
+        f.base = str(doc.resolve(fd.get("BaseFont")) or "")
+        subtype = str(doc.resolve(fd.get("Subtype")) or "")
+        tu = doc.resolve(fd.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            mapping, _width = parse_tounicode(decode_stream(tu, doc.resolve))
+            f.to_unicode = mapping
+            # NOTE: code width comes from the font TYPE, not the CMap hex
+            # digit count — simple (Type1/TrueType/Type3) fonts are 1-byte
+            # by spec even when their ToUnicode writes <0041>-style tokens
+        if subtype == "Type0":
+            f.two_byte = True  # Identity-H/V and CMap encodings: 2-byte
+            desc = doc.resolve(fd.get("DescendantFonts"))
+            if isinstance(desc, list) and desc:
+                d0 = doc.resolve(desc[0])
+                if isinstance(d0, Stream):
+                    d0 = d0.d
+                if isinstance(d0, dict):
+                    dw = doc.resolve(d0.get("DW"))
+                    f.default_w = (float(dw) / 1000.0) if dw else 1.0
+                    warr = doc.resolve(d0.get("W")) or []
+                    k = 0
+                    warr = [doc.resolve(x) for x in warr]
+                    while k < len(warr):
+                        c = warr[k]
+                        if k + 1 < len(warr) and isinstance(warr[k + 1], list):
+                            for j, w in enumerate(warr[k + 1]):
+                                w = doc.resolve(w)
+                                if isinstance(w, (int, float)):
+                                    f.cid_widths[int(c) + j] = float(w) / 1000.0
+                            k += 2
+                        elif k + 2 < len(warr):
+                            c2, w = warr[k + 1], doc.resolve(warr[k + 2])
+                            if isinstance(w, (int, float)) and \
+                                    isinstance(c2, (int, float)) and \
+                                    int(c2) - int(c) <= 65535:
+                                for cc in range(int(c), int(c2) + 1):
+                                    f.cid_widths[cc] = float(w) / 1000.0
+                            k += 3
+                        else:
+                            break
+        else:
+            enc = doc.resolve(fd.get("Encoding"))
+            if isinstance(enc, Stream):
+                enc = enc.d
+            if isinstance(enc, dict):
+                diffs = doc.resolve(enc.get("Differences")) or []
+                code = 0
+                for e in diffs:
+                    e = doc.resolve(e)
+                    if isinstance(e, (int, float)):
+                        code = int(e)
+                    elif isinstance(e, Name):
+                        f.diffs[code] = _glyph_to_char(str(e))
+                        code += 1
+            fc = doc.resolve(fd.get("FirstChar"))
+            f.first_char = int(fc) if isinstance(fc, (int, float)) else 0
+            ws = doc.resolve(fd.get("Widths"))
+            if isinstance(ws, list):
+                f.widths = [
+                    float(doc.resolve(w) or 0) for w in ws
+                ]
+        out[str(fname)] = f
+    return out
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------------
+
+def _mat_mul(a, b):
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+_OP_RE = re.compile(
+    rb"(?P<str>\()|(?P<hex><(?![<]))|(?P<dict><<)|(?P<arr>\[)"
+    rb"|(?P<name>/)|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<op>[A-Za-z'\"][A-Za-z0-9*'\"]*)"
+)
+
+
+class _Run:
+    __slots__ = ("x", "y", "w", "size", "text", "glyphs", "page_no")
+
+    def __init__(self, x, y, w, size, text, glyphs, page_no):
+        self.x, self.y, self.w, self.size = x, y, w, size
+        self.text, self.glyphs, self.page_no = text, glyphs, page_no
+
+
+def interpret_page(doc: PdfDocument, page: dict, page_no: int) -> tuple[list, tuple]:
+    """Content stream → positioned text runs (device space, y up)."""
+    mb = [float(doc.resolve(v) or 0) for v in
+          (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+    page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
+    content = doc.page_content(page)
+    runs: list[_Run] = []
+    _interpret(doc, content, page.get("Resources"), _ID, page_no, runs, 0)
+    return runs, (page_w, page_h)
+
+
+def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
+               page_no: int, runs: list, depth: int) -> None:
+    if depth > 8:
+        return
+    res = doc.resolve(resources) or {}
+    if isinstance(res, Stream):
+        res = res.d
+    fonts = load_fonts(doc, {"Resources": res})
+    xobjects = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+
+    ctm = base_ctm
+    gstack: list[tuple] = []
+    tm = lm = _ID
+    tf: Font | None = None
+    size = tl = tc = tw = 0.0
+    th = 1.0
+    stack: list = []  # operand stack
+    i = 0
+    n = len(content)
+
+    def show(items: list) -> None:
+        nonlocal tm
+        if tf is None:
+            return
+        m = _mat_mul(tm, ctm)
+        x0 = m[4]
+        y0 = m[5]
+        eff = abs(size * (tm[3] if tm[3] else 1.0) * (ctm[3] if ctm[3] else 1.0))
+        parts: list[str] = []
+        adv_total = 0.0
+        for it in items:
+            if isinstance(it, (int, float)):
+                shift = -float(it) / 1000.0 * size * th
+                adv_total += shift
+                # large negative kern = inter-word gap some generators use
+                if float(it) < -180:
+                    parts.append(" ")
+                tx = shift
+                tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                continue
+            if not isinstance(it, bytes):
+                continue
+            for code, ch in tf.decode(it):
+                wadv = tf.advance(code) * size
+                spacing = tc + (tw if code == 32 and not tf.two_byte else 0.0)
+                tx = (wadv + spacing) * th
+                adv_total += tx
+                tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                parts.append(ch)
+        text = "".join(parts)
+        if text.strip():
+            m2 = _mat_mul(tm, ctm)
+            runs.append(_Run(x0, y0, max(m2[4] - x0, 0.1), max(eff, 0.1),
+                             text, parts, page_no))
+
+    while i < n:
+        m = _OP_RE.search(content, i)
+        if not m:
+            break
+        i = m.start()
+        kind = m.lastgroup
+        try:
+            if kind == "str":
+                s, i = _parse_string(content, i)
+                stack.append(s)
+            elif kind == "hex":
+                s, i = _parse_hex_string(content, i)
+                stack.append(s)
+            elif kind == "dict":
+                d, i = parse_object(content, i)
+                stack.append(d)
+            elif kind == "arr":
+                a, i = parse_object(content, i)
+                stack.append(a)
+            elif kind == "name":
+                nm, i = _parse_name(content, i)
+                stack.append(nm)
+            elif kind == "num":
+                s = m.group()
+                stack.append(float(s) if b"." in s else int(s))
+                i = m.end()
+            else:
+                op = m.group()
+                i = m.end()
+                if op == b"BT":
+                    tm = lm = _ID
+                elif op == b"ET":
+                    pass
+                elif op == b"Tm" and len(stack) >= 6:
+                    tm = lm = tuple(float(v) for v in stack[-6:])
+                elif op == b"Td" and len(stack) >= 2:
+                    lm = _mat_mul((1, 0, 0, 1, float(stack[-2]),
+                                   float(stack[-1])), lm)
+                    tm = lm
+                elif op == b"TD" and len(stack) >= 2:
+                    tl = -float(stack[-1])
+                    lm = _mat_mul((1, 0, 0, 1, float(stack[-2]),
+                                   float(stack[-1])), lm)
+                    tm = lm
+                elif op == b"T*":
+                    lm = _mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
+                    tm = lm
+                elif op == b"TL" and stack:
+                    tl = float(stack[-1])
+                elif op == b"Tf" and len(stack) >= 2:
+                    size = float(stack[-1])
+                    tf = fonts.get(str(stack[-2]))
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    th = float(stack[-1]) / 100.0
+                elif op == b"Ts" and stack:
+                    pass  # rise: ignored (superscripts stay inline)
+                elif op == b"Tj" and stack:
+                    show([stack[-1]])
+                elif op == b"TJ" and stack:
+                    arr = stack[-1]
+                    if isinstance(arr, list):
+                        show(arr)
+                elif op == b"'" and stack:
+                    lm = _mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
+                    tm = lm
+                    show([stack[-1]])
+                elif op == b'"' and len(stack) >= 3:
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
+                    lm = _mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
+                    tm = lm
+                    show([stack[-1]])
+                elif op == b"cm" and len(stack) >= 6:
+                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+                elif op == b"q":
+                    gstack.append((ctm,))
+                elif op == b"Q":
+                    if gstack:
+                        (ctm,) = gstack.pop()
+                elif op == b"BI":
+                    # inline image: skip to EI
+                    e = content.find(b"EI", i)
+                    i = e + 2 if e >= 0 else n
+                elif op == b"Do" and stack and isinstance(xobjects, dict):
+                    xo = doc.resolve(xobjects.get(str(stack[-1])))
+                    if isinstance(xo, Stream) and \
+                            str(doc.resolve(xo.d.get("Subtype"))) == "Form":
+                        fm = doc.resolve(xo.d.get("Matrix")) or \
+                            [1, 0, 0, 1, 0, 0]
+                        inner_ctm = _mat_mul(
+                            tuple(float(doc.resolve(v) or 0) for v in fm),
+                            ctm)
+                        _interpret(
+                            doc, decode_stream(xo, doc.resolve),
+                            xo.d.get("Resources") or res, inner_ctm,
+                            page_no, runs, depth + 1)
+                stack.clear()
+        except (PdfError, IndexError, ValueError, TypeError):
+            stack.clear()
+            i = m.end() if m.end() > i else i + 1
+
+
+# ---------------------------------------------------------------------------
+# runs → line cells → shared layout pipeline
+# ---------------------------------------------------------------------------
+
+_RTL_CHAR = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
+_LTR_SEG = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%-]*[A-Za-z0-9]|[A-Za-z0-9]")
+_MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
+
+
+def _fix_rtl(glyphs: list[str]) -> str:
+    """Visual→logical order for RTL-dominant lines. PDF content streams
+    store RTL text in visual (left-to-right glyph) order; the reference's
+    native parsers emit logical order (right_to_left_0x groundtruth).
+    Reversal happens at GLYPH granularity: a ligature glyph (e.g.
+    lam-alef) maps through ToUnicode to its logical char pair at one
+    visual position, so its internal order must survive the line flip -
+    char-level reversal is provably ambiguous (a visual lam+alef
+    substring is a ligature mid-word but a reversed article at word
+    ends). Embedded LTR (latin/digit) runs are un-reversed afterwards;
+    paired brackets mirror."""
+    text = "".join(glyphs)
+    letters = re.findall(r"[^\W\d_]", text)
+    if not letters:
+        return text
+    rtl = sum(1 for ch in letters if _RTL_CHAR.match(ch))
+    if rtl * 2 <= len(letters):
+        return text
+    rev = "".join(
+        g if len(g) > 1 else g.translate(_MIRROR)
+        for g in reversed(glyphs)
+    )
+    return _LTR_SEG.sub(lambda m: m.group()[::-1], rev)
+
+
+def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
+    """Group positioned runs into text-line cells (top-left-origin bboxes,
+    the shape layoutx consumes). Baseline clustering: runs whose baselines
+    sit within 40% of the font size belong to one line; within a line,
+    x-sorted runs join, inserting a space when the gap exceeds 25% of the
+    font size (the pdfium/parse heuristic class)."""
+    if not runs:
+        return []
+    runs = sorted(runs, key=lambda r: (-r.y, r.x))
+    lines: list[list[_Run]] = []
+    for r in runs:
+        placed = False
+        for line in reversed(lines[-8:]):
+            ref = line[0]
+            tol = max(ref.size, r.size) * 0.4
+            if abs(ref.y - r.y) <= tol:
+                line.append(r)
+                placed = True
+                break
+        if not placed:
+            lines.append([r])
+    cells: list[dict] = []
+    for line in lines:
+        line.sort(key=lambda r: r.x)
+        glyphs: list[str] = []
+        prev_end = None
+        for r in line:
+            if prev_end is not None:
+                gap = r.x - prev_end
+                if gap > max(r.size, 1.0) * 0.25 and glyphs and \
+                        glyphs[-1] != " ":
+                    glyphs.append(" ")
+            glyphs.extend(r.glyphs)
+            prev_end = r.x + r.w
+        # collapse whitespace at the glyph level: boundaries must survive
+        # into the bidi pass (a lam-alef ligature is ONE glyph whose two
+        # logical chars must not be flipped by the line reversal)
+        norm: list[str] = []
+        for g in glyphs:
+            g2 = re.sub(r"\s+", " ", g)
+            if g2 == " " and (not norm or norm[-1] == " "):
+                continue
+            if g2:
+                norm.append(g2)
+        while norm and norm[-1] == " ":
+            norm.pop()
+        if not norm:
+            continue
+        text = _fix_rtl(norm)
+        x0 = min(r.x for r in line)
+        x1 = max(r.x + r.w for r in line)
+        sz = max(r.size for r in line)
+        base = max(r.y for r in line)
+        cells.append(
+            {
+                "page_no": line[0].page_no,
+                # top-left origin: t = page_h - (baseline + ascent)
+                "bbox": (x0, page_h - (base + 0.8 * sz),
+                         x1, page_h - (base - 0.2 * sz)),
+                "text": text,
+                "conf": 1.0,
+                "label": "text",
+            }
+        )
+    return cells
+
+
+def pdf_line_cells(payload: bytes) -> tuple[list[dict], dict[int, tuple]]:
+    """PDF bytes → (text-line cells, page sizes) — the native-parser
+    contract the reference gets from docling-parse (per-line TextCells +
+    page geometry), fed to ``layoutx.extract_from_cells``."""
+    doc = PdfDocument(payload)
+    pages = doc.pages()
+    if not pages:
+        raise PdfError("no pages")
+    cells: list[dict] = []
+    page_sizes: dict[int, tuple] = {}
+    for pno, page in enumerate(pages, start=1):
+        try:
+            runs, (pw, ph) = interpret_page(doc, page, pno)
+        except Exception:
+            runs, (pw, ph) = [], (612.0, 792.0)
+        page_sizes[pno] = (pw, ph)
+        cells.extend(_runs_to_lines(runs, ph))
+    for k, c in enumerate(cells):
+        c["index"] = k
+    return cells, page_sizes
+
+
+def extract_pdf(payload: bytes) -> tuple[str, list[dict], dict]:
+    """PDF bytes → (extracted_text, items, metrics) through the shared
+    layout tail (filters → dedup → reading order → tables → paragraphs)."""
+    from docling_spark.engine.layoutx import extract_from_cells
+
+    cells, page_sizes = pdf_line_cells(payload)
+    return extract_from_cells(cells, page_sizes)
+
+
+# ---------------------------------------------------------------------------
+# outline (PDF bookmarks → heading-hierarchy signal)
+# ---------------------------------------------------------------------------
+
+def _pdf_text_string(raw: bytes) -> str:
+    """PDF text-string decode: UTF-16BE with BOM, else PDFDoc≈latin-1."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw[2:].decode("latin-1", "replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    return raw.decode("latin-1")
+
+
+def pdf_outline(doc: PdfDocument) -> list[dict]:
+    """Flat document-ordered outline: [{title, level, page_no, y_top}].
+
+    The analog of the reference's pdfium/docling-parse outline readers
+    (docling/utils/pdf_outline.py): titles text-decoded, destinations
+    resolved to 1-based page numbers, vertical target converted to
+    top-left origin. Missing/damaged outlines yield []."""
+    # page object-number → 1-based index (for /Dest page refs)
+    page_index: dict[int, int] = {}
+    heights: dict[int, float] = {}
+    root = None
+    for num, o in doc.objects.items():
+        oo = o.d if isinstance(o, Stream) else o
+        if isinstance(oo, dict):
+            t = str(doc.resolve(oo.get("Type")))
+            if t == "Catalog":
+                root = oo
+            elif t == "Page":
+                page_index[num] = len(page_index) + 1
+    # rebuild in true page-tree order
+    if root is not None:
+        ordered: list[int] = []
+
+        def walk(ref) -> None:
+            node = doc.resolve(ref)
+            if isinstance(node, Stream):
+                node = node.d
+            if not isinstance(node, dict) or len(ordered) > 5000:
+                return
+            if "Kids" in node:
+                for kid in doc.resolve(node.get("Kids")) or []:
+                    walk(kid)
+            elif str(doc.resolve(node.get("Type"))) == "Page":
+                if isinstance(ref, Ref):
+                    ordered.append(ref[0])
+                    mb = doc.resolve(node.get("MediaBox"))
+                    if isinstance(mb, list) and len(mb) == 4:
+                        heights[ref[0]] = float(doc.resolve(mb[3]) or 792) \
+                            - float(doc.resolve(mb[1]) or 0)
+
+        walk(root.get("Pages"))
+        if ordered:
+            page_index = {num: i + 1 for i, num in enumerate(ordered)}
+    if root is None:
+        return []
+
+    # named destinations (simple /Dests dict + /Names tree leaves)
+    named: dict[str, object] = {}
+    dests = doc.resolve(root.get("Dests"))
+    if isinstance(dests, dict):
+        named.update(dests)
+    names_root = doc.resolve(root.get("Names"))
+    if isinstance(names_root, dict):
+        def walk_names(node, depth=0) -> None:
+            node = doc.resolve(node)
+            if not isinstance(node, dict) or depth > 16:
+                return
+            for kid in doc.resolve(node.get("Kids")) or []:
+                walk_names(kid, depth + 1)
+            arr = doc.resolve(node.get("Names")) or []
+            for k in range(0, len(arr) - 1, 2):
+                key = doc.resolve(arr[k])
+                if isinstance(key, bytes):
+                    key = _pdf_text_string(key)
+                named[str(key)] = arr[k + 1]
+
+        walk_names(names_root.get("Dests"))
+
+    def resolve_dest(d) -> tuple[int | None, float | None]:
+        d = doc.resolve(d)
+        if isinstance(d, (bytes, Name, str)):
+            key = _pdf_text_string(d) if isinstance(d, bytes) else str(d)
+            d = doc.resolve(named.get(key))
+        if isinstance(d, dict):
+            d = doc.resolve(d.get("D"))
+        if not isinstance(d, list) or not d:
+            return None, None
+        pref = d[0]
+        pno = page_index.get(pref[0]) if isinstance(pref, Ref) else (
+            int(pref) + 1 if isinstance(pref, (int, float)) else None)
+        y_top = None
+        if len(d) >= 4 and str(doc.resolve(d[1])) == "XYZ":
+            y = doc.resolve(d[3])
+            if isinstance(y, (int, float)) and isinstance(pref, Ref):
+                y_top = heights.get(pref[0], 792.0) - float(y)
+        return pno, y_top
+
+    out: list[dict] = []
+
+    def walk_outline(item, level: int, seen: set) -> None:
+        item = doc.resolve(item)
+        if isinstance(item, Stream):
+            item = item.d
+        if not isinstance(item, dict) or id(item) in seen or len(out) > 2000:
+            return
+        seen.add(id(item))
+        title = item.get("Title")
+        title = doc.resolve(title)
+        if isinstance(title, bytes):
+            text = _pdf_text_string(title).strip()
+            if text:
+                dest = item.get("Dest")
+                if dest is None:
+                    a = doc.resolve(item.get("A"))
+                    dest = a.get("D") if isinstance(a, dict) else None
+                pno, y_top = resolve_dest(dest)
+                out.append({"title": text, "level": level,
+                            "page_no": pno, "y_top": y_top})
+        if "First" in item:
+            walk_outline(item["First"], level + 1 if "Title" in item else level,
+                         seen)
+        if "Next" in item:
+            walk_outline(item["Next"], level, seen)
+
+    outlines = doc.resolve(root.get("Outlines"))
+    if isinstance(outlines, Stream):
+        outlines = outlines.d
+    if isinstance(outlines, dict) and "First" in outlines:
+        walk_outline(outlines["First"], 0, set())
+    return out

@@ -1,0 +1,108 @@
+"""Pin the from-scratch PDF engine against the reference's PDF corpus.
+
+The reference's PDF groundtruth is produced by its ML layout pipeline
+(docling-parse native text + layout/tableformer models), so byte-exact
+markdown equality is out of scope for a rule-based engine by design.
+What IS pinned, per source document:
+
+  * page count == the reference's pages.meta.json length;
+  * word-set recall/precision against the reference .md groundtruth
+    above a per-file floor (word set = the content itself; the floors
+    are the measured values at commit time minus a small margin, so any
+    parser regression trips them);
+  * RTL documents come out in logical order (the bidi pass), checked the
+    same way against the reference's logical-order groundtruth.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import unicodedata
+
+import pytest
+
+from docling_spark.engine.pdfx import PdfDocument, extract_pdf
+
+SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
+GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
+
+# name → (min recall, min precision); measured r2: recall 0.94-1.00 on
+# LTR docs, 0.81-0.94 on RTL (bidi shaping detail gap, documented)
+FLOORS = {
+    "2305.03393v1-pg9": (0.95, 0.90),
+    "amt_handbook_sample": (0.95, 0.93),
+    "code_and_formula": (0.95, 0.95),
+    "multi_page": (0.97, 0.97),
+    "normal_4pages": (0.92, 0.82),
+    "picture_classification": (0.97, 0.97),
+    "redp5110_sampled": (0.92, 0.92),
+    "right_to_left_01": (0.78, 0.83),
+    "right_to_left_02": (0.75, 0.70),
+    "right_to_left_03": (0.90, 0.90),
+    "table_mislabeled_as_picture": (0.95, 0.92),
+}
+
+pytestmark = pytest.mark.skipif(
+    not SRC.exists(), reason="reference checkout not available"
+)
+
+
+def _words(s: str) -> set[str]:
+    s = unicodedata.normalize("NFKC", s.lower())
+    return set(re.findall(r"[^\W\d_]{3,}|\w\w+", s))
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_word_recall_vs_reference_groundtruth(name: str) -> None:
+    min_rec, min_prec = FLOORS[name]
+    text, items, metrics = extract_pdf((SRC / f"{name}.pdf").read_bytes())
+    gw = _words((GT / f"{name}.md").read_text())
+    ow = _words(text)
+    hit = len(gw & ow)
+    assert hit / max(len(gw), 1) >= min_rec, (
+        f"recall {hit/max(len(gw),1):.3f} < {min_rec}; "
+        f"missing e.g. {sorted(gw - ow)[:8]}"
+    )
+    assert hit / max(len(ow), 1) >= min_prec, (
+        f"precision {hit/max(len(ow),1):.3f} < {min_prec}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_page_count_matches_reference_meta(name: str) -> None:
+    meta = GT / f"{name}.pages.meta.json"
+    if not meta.exists():
+        pytest.skip("no pages meta")
+    want = len(json.load(open(meta)))
+    doc = PdfDocument((SRC / f"{name}.pdf").read_bytes())
+    assert len(doc.pages()) == want
+
+
+def test_rtl_logical_order() -> None:
+    """The logical-order transform: the first heading word of the Arabic
+    doc must appear exactly as the reference's logical groundtruth spells
+    it (visual order would reverse the characters)."""
+    text, _, _ = extract_pdf((SRC / "right_to_left_01.pdf").read_bytes())
+    assert "تحسين" in text  # 'improvement', logical order
+    assert "الإنتاجية" in text or "الانتاجية" in text
+
+
+def test_malformed_pdfs_contained() -> None:
+    from docling_spark.engine.pdfx import PdfError
+
+    for bad in [b"", b"%PDF-1.4", b"%PDF-1.4\ngarbage",
+                b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj"]:
+        try:
+            text, items, metrics = extract_pdf(bad)
+            assert isinstance(text, str)
+        except PdfError:
+            pass  # contained, typed error — extract.py maps it to a row
+
+
+def test_not_a_pdf_raises_typed() -> None:
+    from docling_spark.engine.pdfx import PdfError
+
+    with pytest.raises(PdfError):
+        extract_pdf(b"hello world " * 200)
