@@ -88,6 +88,7 @@ def main() -> None:
         "extract_html_heading",
         "extract_pdfish_reading_order",
         "extract_vtt_dialogue",
+        "extract_pdf",
         "doc_stats",
         "chunk_fixed_tokens",
         "dedup_exact",

@@ -1048,9 +1048,39 @@ def pdf_line_cells(payload: bytes) -> tuple[list[dict], dict[int, tuple]]:
             runs, (pw, ph) = [], (612.0, 792.0)
         page_sizes[pno] = (pw, ph)
         cells.extend(_runs_to_lines(runs, ph))
+    _mark_repeated_furniture(cells, page_sizes, len(pages))
     for k, c in enumerate(cells):
         c["index"] = k
     return cells, page_sizes
+
+
+def _mark_repeated_furniture(cells: list[dict],
+                             page_sizes: dict[int, tuple],
+                             n_pages: int) -> None:
+    """Rule-based running-header/footer detection: a line whose
+    digit-normalized text repeats on ≥3 pages AND sits in the page's top
+    or bottom 8% is furniture (the deterministic core of what the
+    reference's layout model labels page_header/page_footer; its md
+    serializer then omits them — mirrored by layoutx FURNITURE_LABELS).
+    Conservative on purpose: single-page docs and twice-repeated lines
+    are left alone."""
+    if n_pages < 3:
+        return
+    counts: dict[str, set[int]] = {}
+    for c in cells:
+        key = re.sub(r"\d+", "#", c["text"]).strip()
+        if key:
+            counts.setdefault(key, set()).add(c["page_no"])
+    for c in cells:
+        key = re.sub(r"\d+", "#", c["text"]).strip()
+        if len(counts.get(key, ())) < 3:
+            continue
+        ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
+        top, bot = c["bbox"][1], c["bbox"][3]
+        if bot <= 0.08 * ph:
+            c["label"] = "page_header"
+        elif top >= 0.92 * ph:
+            c["label"] = "page_footer"
 
 
 def extract_pdf(payload: bytes) -> tuple[str, list[dict], dict]:

@@ -35,7 +35,7 @@ FLOORS = {
     "amt_handbook_sample": (0.95, 0.93),
     "code_and_formula": (0.95, 0.95),
     "multi_page": (0.97, 0.97),
-    "normal_4pages": (0.92, 0.82),
+    "normal_4pages": (0.96, 0.93),
     "picture_classification": (0.97, 0.97),
     "redp5110_sampled": (0.92, 0.92),
     "right_to_left_01": (0.78, 0.83),
