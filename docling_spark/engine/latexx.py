@@ -41,6 +41,11 @@ def _clean_inline(t: str) -> str:
         return f"\x00{len(verbs) - 1}\x00"
 
     t = re.sub(r"\\verb(\W)(.*?)\1", stash_verb, t)
+    # inline math spans are opaque (their backslashes are content, not
+    # prose commands) — stash them so the unknown-macro cleanup below
+    # cannot touch them (matters for $..$ inside table cells)
+    t = re.sub(r"\$[^$]+\$", lambda m: (verbs.append(m.group(0)),
+                                          f"\x00{len(verbs) - 1}\x00")[1], t)
     # innermost-first fixpoint so nested wrappers unwrap
     # (\textbf{a \textit{b}}); \textbf{X} keeps its following space,
     # \textit{X} swallows it — reference macro-expansion parity
@@ -64,12 +69,19 @@ def _clean_inline(t: str) -> str:
     t = re.sub(r"\\(?:color|textcolor)\{[^{}]*\}", "", t)
     t = re.sub(r"\\(?:large|Large|LARGE|small|footnotesize|scriptsize"
                r"|tiny|huge|Huge|normalsize|bfseries|itshape|centering"
-               r"|noindent|par)\b", " ", t)
+               r"|noindent|par|looseness)\b", " ", t)
     t = re.sub(r"\\footnotemark(?:\[[^\]]*\])?", "", t)
     t = t.replace("\\\\", " ").replace("~", " ")
     t = t.replace("\\ldots", "...").replace("\\dots", "...")
     t = re.sub(r"``|''", '"', t)
     t = re.sub(r"\\([&%#_$])", r"\1", t)
+    # any macro still standing is unknown: the reference deletes it and
+    # keeps its brace-group contents (pylatexenc default-handler parity,
+    # e.g. \mistral vanishes from the Mistral paper's groundtruth)
+    t = t.replace("\\{", "\x01").replace("\\}", "\x02")
+    t = re.sub(r"\\[A-Za-z@]+\*? ?", "", t)
+    t = t.replace("{", "").replace("}", "")
+    t = t.replace("\x01", "{").replace("\x02", "}")
     t = " ".join(t.split())
     for i, v in enumerate(verbs):
         t = t.replace(f"\x00{i}\x00", v)
@@ -238,11 +250,13 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
         r"|math)\*?\})"
         r"|(\\begin\{(?:itemize|enumerate|description)\}.*?"
         r"\\end\{(?:itemize|enumerate|description)\})"
-        r"|(\\begin\{(?:table|figure)\*?\}.*?"
-        r"\\end\{(?:table|figure)\*?\})"
+        r"|(\\begin\{(?:table|figure|wrapfigure|wraptable)\*?\}.*?"
+        r"\\end\{(?:table|figure|wrapfigure|wraptable)\*?\})"
         r"|(\\begin\{tabular\}.*?\\end\{tabular\})"
         r"|(\\begin\{(?:verbatim|lstlisting)\}.*?"
-        r"\\end\{(?:verbatim|lstlisting)\})",
+        r"\\end\{(?:verbatim|lstlisting)\})"
+        r"|(\\begin\{abstract\})"
+        r"|(\\includegraphics(?:\[[^\]]*\])?\{[^{}]*\})",
         re.DOTALL,
     )
 
@@ -291,18 +305,49 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
                 if t:
                     _mk_item(items, gidx, "list_item", 2, t, "body")
         elif m.group(6) or m.group(7):  # table/figure envs, bare tabular
-            cap = re.search(r"\\caption\{([^{}]*)\}", tok)
-            tab = re.search(
-                r"\\begin\{tabular\}\{[^{}]*\}(.*?)\\end\{tabular\}",
-                tok, re.DOTALL)
-            if tab:
-                add_tabular(tab.group(1),
-                            _clean_inline(cap.group(1)) if cap else None)
-            elif m.group(6) and "\\begin{figure" in tok:
-                _mk_item(items, parent(), "picture", 1, "", "body")
+            # caption + colspec args brace-match (captions routinely nest
+            # \textbf{..}; colspecs nest @{..} — flat regexes miss both)
+            cap_text = _command_arg(tok, "caption")
+            cap = cap_text is not None
+            tab = None
+            tb = re.search(r"\\begin\{tabular\}\s*\{", tok)
+            if tb:
+                depth = 1
+                j = tb.end()
+                while j < len(tok) and depth:
+                    if tok[j] == "{" and tok[j - 1] != "\\":
+                        depth += 1
+                    elif tok[j] == "}" and tok[j - 1] != "\\":
+                        depth -= 1
+                    j += 1
+                end = tok.find("\\end{tabular}", j)
+                tab = tok[j:end if end >= 0 else len(tok)]
+            if tab is not None:
+                add_tabular(tab,
+                            _clean_inline(cap_text) if cap else None)
+            elif m.group(6) and ("\\begin{figure" in tok
+                                 or "\\begin{wrapfigure" in tok):
+                graphics = re.findall(
+                    r"\\includegraphics(?:\[[^\]]*\])?\{([^{}]*)\}", tok)
+                for g in graphics:
+                    _mk_item(items, parent(), "text", 1,
+                             "Image: " + g.strip(), "body")
+                    _mk_item(items, parent(), "picture", 1, "", "body")
+                if not graphics:
+                    _mk_item(items, parent(), "picture", 1, "", "body")
                 if cap:
                     _mk_item(items, parent(), "caption", 1,
-                             _clean_inline(cap.group(1)), "body")
+                             _clean_inline(cap_text), "body")
+        elif m.group(9):  # \begin{abstract} → '## Abstract' heading;
+            # the body text that follows flows as normal paragraphs
+            # (md_backend-style heading; \end{abstract} is inert)
+            add_heading(1, "Abstract")
+        elif m.group(10):  # standalone \includegraphics (no figure env)
+            g = re.search(r"\{([^{}]*)\}\s*$", tok)
+            if g:
+                _mk_item(items, parent(), "text", 1,
+                         "Image: " + g.group(1).strip(), "body")
+                _mk_item(items, parent(), "picture", 1, "", "body")
         elif m.group(8):  # verbatim / lstlisting → code
             inner = re.sub(
                 r"\\begin\{(?:verbatim|lstlisting)\}(?:\[[^\]]*\])?\n?"

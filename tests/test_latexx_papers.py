@@ -1,0 +1,78 @@
+"""Pin the LaTeX engine against the reference's six real arXiv papers.
+
+Byte-exact markdown equality needs the reference's pylatexenc tokenizer
+(not in this container — documented exclusion in SURVEY §8.1); what IS
+pinned is content coverage: word-set recall/precision vs the reference
+groundtruth per paper, floors set at the measured values minus a small
+margin so parser regressions trip them. The multi-file sources zip
+through extract_latex_archive (the \\input-tree resolution path).
+"""
+
+from __future__ import annotations
+
+import io
+import pathlib
+import re
+import unicodedata
+import zipfile
+
+import pytest
+
+from docling_spark.engine.latexx import extract_latex_archive
+
+SRC = pathlib.Path("/root/reference/tests/data/latex/sources")
+GT = pathlib.Path("/root/reference/tests/data/latex/groundtruth")
+
+# paper → (min recall, min precision); measured r2: 0.93-0.996 / 0.95-1.0
+FLOORS = {
+    "1706.03762": (0.94, 0.93),
+    "2305.03393": (0.97, 0.97),
+    "2310.06825": (0.91, 0.97),
+    "2412.19437": (0.97, 0.97),
+    "2501.00089": (0.96, 0.96),
+    "arXiv-2501.01300v2": (0.97, 0.97),
+}
+
+pytestmark = pytest.mark.skipif(
+    not SRC.exists(), reason="reference checkout not available"
+)
+
+
+def _zip_tree(d: pathlib.Path) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for f in sorted(d.rglob("*")):
+            if f.is_file():
+                z.writestr(str(f.relative_to(d)), f.read_bytes())
+    return buf.getvalue()
+
+
+def _words(s: str) -> set[str]:
+    s = unicodedata.normalize("NFKC", s.lower())
+    return set(re.findall(r"[a-z]{3,}", s))
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_paper_word_recall(name: str) -> None:
+    min_rec, min_prec = FLOORS[name]
+    text, items, meta = extract_latex_archive(_zip_tree(SRC / name))
+    gw = _words((GT / f"{name}_main.tex.md").read_text())
+    ow = _words(text)
+    hit = len(gw & ow)
+    assert hit / max(len(gw), 1) >= min_rec, (
+        f"recall {hit/max(len(gw),1):.3f} < {min_rec}; "
+        f"missing e.g. {sorted(gw - ow)[:8]}"
+    )
+    assert hit / max(len(ow), 1) >= min_prec, (
+        f"precision {hit/max(len(ow),1):.3f} < {min_prec}; "
+        f"hallucinated e.g. {sorted(ow - gw)[:8]}"
+    )
+
+
+def test_paper_structure() -> None:
+    """The attention paper yields headings, formulas, tables, captions."""
+    text, items, meta = extract_latex_archive(_zip_tree(SRC / "1706.03762"))
+    labels = {it["label"] for it in items}
+    assert {"section_header", "formula", "table", "caption"} <= labels
+    assert "## Abstract" in text
+    assert "Image:" in text  # figure graphics surface as image lines
