@@ -334,13 +334,68 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
 class PdfDocument:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: str = ""):
         if b"%PDF-" not in data[:1024]:
             raise PdfError("not a PDF payload")
         self.data = data
         self.objects: dict[int, object] = {}
+        self.gens: dict[int, int] = {}
         self._scan_objects()
+        self._decrypt_if_needed(password)
         self._expand_object_streams()
+
+    def _decrypt_if_needed(self, password: str) -> None:
+        """Standard-security-handler decryption (engine/pdfcrypto.py):
+        locate /Encrypt + /ID in the trailer region, derive the file key
+        (empty password first, then the supplied one — PDF viewers'
+        behavior), verify via /U, then decrypt every stream and string
+        object in place. XRef/ObjStm containers come before expansion so
+        compressed objects decode from plaintext; the encrypt dict
+        itself stays untouched per spec."""
+        m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
+        if not m:
+            return
+        enc_num = int(m.group(1))
+        enc = self.objects.get(enc_num)
+        if isinstance(enc, Stream):
+            enc = enc.d
+        if not isinstance(enc, dict) or str(
+                self.resolve(enc.get("Filter"))) != "Standard":
+            raise PdfError("unsupported encryption handler")
+        idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", self.data)
+        doc_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+        from docling_spark.engine.pdfcrypto import StandardDecryptor
+
+        dec = None
+        for pw in ("", password):
+            cand = StandardDecryptor(
+                {k: self.resolve(v) for k, v in enc.items()}, doc_id, pw)
+            if cand.check_user_password(doc_id):
+                dec = cand
+                break
+        if dec is None:
+            raise PdfError("wrong or missing PDF password")
+
+        def walk(v, num: int, gen: int):
+            if isinstance(v, bytes):
+                return dec.decrypt(num, gen, v)
+            if isinstance(v, list):
+                return [walk(x, num, gen) for x in v]
+            if isinstance(v, dict):
+                return {k: walk(x, num, gen) for k, x in v.items()}
+            return v
+
+        for num, o in self.objects.items():
+            if num == enc_num:
+                continue
+            gen = self.gens.get(num, 0)
+            if isinstance(o, Stream):
+                t = str(o.d.get("Type"))
+                o.d = walk(o.d, num, gen)
+                if t != "XRef":  # cross-reference streams are plaintext
+                    o.raw = dec.decrypt(num, gen, o.raw)
+            else:
+                self.objects[num] = walk(o, num, gen)
 
     # -- plumbing ----------------------------------------------------------
 
@@ -354,6 +409,7 @@ class PdfDocument:
         data = self.data
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
+            self.gens[num] = int(m.group(2))
             try:
                 obj, end = parse_object(data, m.end())
             except (PdfError, IndexError, RecursionError):
@@ -599,10 +655,11 @@ def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
 
 class Font:
     __slots__ = ("two_byte", "to_unicode", "diffs", "widths", "default_w",
-                 "first_char", "cid_widths", "base")
+                 "first_char", "cid_widths", "base", "mac_roman")
 
     def __init__(self) -> None:
         self.two_byte = False
+        self.mac_roman = False
         self.to_unicode: dict[int, str] = {}
         self.diffs: dict[int, str] = {}
         self.widths: list[float] | None = None
@@ -630,9 +687,16 @@ class Font:
             return self.to_unicode[code]
         if code in self.diffs:
             return self.diffs[code]
+        if 32 <= code < 127:
+            return chr(code)
+        if self.mac_roman and code >= 128:
+            try:
+                return bytes([code]).decode("mac_roman")
+            except UnicodeDecodeError:
+                return ""
         if code in _WINANSI:
             return _WINANSI[code]
-        if 32 <= code < 127 or 0xA0 <= code <= 0xFF:
+        if 0xA0 <= code <= 0xFF:
             return chr(code)
         return ""
 
@@ -705,6 +769,11 @@ def load_fonts(doc: PdfDocument, page: dict) -> dict[str, Font]:
             enc = doc.resolve(fd.get("Encoding"))
             if isinstance(enc, Stream):
                 enc = enc.d
+            if str(enc) == "MacRomanEncoding" or (
+                    isinstance(enc, dict)
+                    and str(doc.resolve(enc.get("BaseEncoding")))
+                    == "MacRomanEncoding"):
+                f.mac_roman = True
             if isinstance(enc, dict):
                 diffs = doc.resolve(enc.get("Differences")) or []
                 code = 0
@@ -1031,11 +1100,12 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
     return cells
 
 
-def pdf_line_cells(payload: bytes) -> tuple[list[dict], dict[int, tuple]]:
+def pdf_line_cells(payload: bytes,
+                   password: str = "") -> tuple[list[dict], dict[int, tuple]]:
     """PDF bytes → (text-line cells, page sizes) — the native-parser
     contract the reference gets from docling-parse (per-line TextCells +
     page geometry), fed to ``layoutx.extract_from_cells``."""
-    doc = PdfDocument(payload)
+    doc = PdfDocument(payload, password=password)
     pages = doc.pages()
     if not pages:
         raise PdfError("no pages")
@@ -1083,12 +1153,13 @@ def _mark_repeated_furniture(cells: list[dict],
             c["label"] = "page_footer"
 
 
-def extract_pdf(payload: bytes) -> tuple[str, list[dict], dict]:
+def extract_pdf(payload: bytes,
+                password: str = "") -> tuple[str, list[dict], dict]:
     """PDF bytes → (extracted_text, items, metrics) through the shared
     layout tail (filters → dedup → reading order → tables → paragraphs)."""
     from docling_spark.engine.layoutx import extract_from_cells
 
-    cells, page_sizes = pdf_line_cells(payload)
+    cells, page_sizes = pdf_line_cells(payload, password=password)
     return extract_from_cells(cells, page_sizes)
 
 
