@@ -1519,6 +1519,86 @@ from t
 """
 
 
+def q_extract_pdf_encrypted(spark, sf_dir):
+    """Encrypted-PDF end-to-end: the UDF builds the same single-page PDF
+    as extract_pdf but RC4-encrypts the content stream under the
+    standard security handler (R=2/V=1, empty user password) using the
+    engine's own primitives — /O from the owner password (Algorithm 3),
+    /U = RC4(file key, padding) (Algorithm 4), per-object keys — and the
+    extraction route must derive the key, verify /U, and decrypt before
+    parsing (engine/pdfcrypto.py). Oracle = same plaintext arithmetic as
+    extract_pdf, so a green hash certifies the whole crypto round-trip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+        import hashlib
+        import struct
+
+        from docling_spark.engine.pdfcrypto import _PAD, rc4
+
+        out = []
+        p_flags = -44  # permissions: printing/copying denied
+        for i, t in zip(doc_id, text):
+            toks = str(t).split() + ["x", "x", "x", "x"]
+            esc = [
+                w.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)") for w in toks[:4]
+            ]
+            content = (
+                f"BT /F1 18 Tf 72 720 Td (Doc {i}) Tj ET\n"
+                f"BT /F1 11 Tf 72 680 Td ({esc[0]} {esc[1]}) Tj ET\n"
+                f"BT /F1 11 Tf 72 660 Td ({esc[2]} {esc[3]}) Tj ET\n"
+            ).encode("latin-1")
+            doc_id_bytes = hashlib.md5(f"id{i}".encode()).digest()
+            # Algorithm 3: /O from owner password "owner", user pw ""
+            o_key = hashlib.md5((b"owner" + _PAD)[:32]).digest()[:5]
+            o_val = rc4(o_key, _PAD[:32])
+            # Algorithm 2: file key (R=2, 40-bit)
+            key = hashlib.md5(
+                _PAD + o_val + struct.pack("<i", p_flags) + doc_id_bytes
+            ).digest()[:5]
+            # Algorithm 4: /U = RC4(key, pad)
+            u_val = rc4(key, _PAD)
+            # stream object 5, gen 0: per-object key
+            obj_key = hashlib.md5(
+                key + struct.pack("<I", 5)[:3] + b"\x00\x00"
+            ).digest()[:10]
+            enc_content = rc4(obj_key, content)
+            pdf = (
+                b"%PDF-1.4\n"
+                b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                b"3 0 obj << /Type /Page /Parent 2 0 R "
+                b"/MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 4 0 R >> >> "
+                b"/Contents 5 0 R >> endobj\n"
+                b"4 0 obj << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >> endobj\n"
+                + f"5 0 obj << /Length {len(enc_content)} >> stream\n".encode()
+                + enc_content + b"\nendstream endobj\n"
+                + b"6 0 obj << /Filter /Standard /V 1 /R 2 "
+                + f"/P {p_flags} ".encode()
+                + b"/O <" + o_val.hex().encode() + b"> "
+                + b"/U <" + u_val.hex().encode() + b"> >> endobj\n"
+                + b"trailer << /Root 1 0 R /Encrypt 6 0 R /ID [<"
+                + doc_id_bytes.hex().encode() + b"> <"
+                + doc_id_bytes.hex().encode() + b">] >>\n%%EOF\n"
+            )
+            out.append(base64.b64encode(pdf).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    pdf_b64 = pandas_udf(_mk, "string")
+    payload = pdf_b64(F.col("doc_id"), F.col("text"))
+    return _extract_docs(spark, sf_dir, payload, "pdf")
+
+
+ORACLE_EXTRACT_PDF_ENCRYPTED = ORACLE_EXTRACT_PDF
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -3725,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docling_json": q_extract_docling_json,
         "extract_docx": q_extract_docx,
         "extract_pdf": q_extract_pdf,
+        "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -3828,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docling_json": ORACLE_DOCLING_JSON,
         "extract_docx": ORACLE_EXTRACT_DOCX,
         "extract_pdf": ORACLE_EXTRACT_PDF,
+        "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,
