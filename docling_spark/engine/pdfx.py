@@ -83,6 +83,7 @@ def _skip_ws(b: bytes, i: int) -> int:
 
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_TAIL_RE = re.compile(rb"(\d+)\s+R\b")
 _NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
 
 
@@ -195,8 +196,7 @@ def parse_object(b: bytes, i: int):
     if m:
         # lookahead for "N G R"
         j = _skip_ws(b, m.end())
-        m2 = re.compile(rb"(\d+)\s+R\b").match(b, j) if b[i:i + 1].isdigit() \
-            else None
+        m2 = _REF_TAIL_RE.match(b, j) if b[i:i + 1].isdigit() else None
         if m2 and b"." not in m.group():
             return Ref(int(m.group()), int(m2.group(1))), m2.end()
         s = m.group()
