@@ -212,20 +212,42 @@ def dedup_cells(cells: list[dict]) -> list[dict]:
 
 
 def _detect_columns(cells: list[dict], page_width: float) -> float | None:
-    """Two-column split detection: a vertical gap around the page midline
-    that no body cell crosses → column boundary x, else None."""
+    """Two-column split detection: a vertical boundary in the middle half
+    of the page that no body cell crosses, with enough cells on both
+    sides → column boundary x, else None. Candidates are the body cells'
+    left edges (a second column's left margin is always one), so gutters
+    off the exact midline — e.g. justified two-column pages whose left
+    column reaches past page/2 — are found too; the page midline stays a
+    candidate for symmetric layouts."""
     # full-width elements (titles, section headers, tables) legitimately span
     # both columns; only running text/list lines vote on the split
     body = [c for c in cells if c["label"] in ("text", "list_item")]
     if len(body) < 4:
         return None
-    mid = page_width / 2.0
-    crossers = sum(1 for c in body if c["bbox"][0] < mid < c["bbox"][2])
-    left = sum(1 for c in body if c["bbox"][2] <= mid)
-    right = sum(1 for c in body if c["bbox"][0] >= mid)
-    if crossers == 0 and left >= 2 and right >= 2:
-        return mid
-    return None
+    lo, hi = 0.25 * page_width, 0.75 * page_width
+    candidates = {page_width / 2.0}
+    candidates.update(c["bbox"][0] - 1.0 for c in body)
+    best = None  # (min(left,right), split)
+    for split in candidates:
+        if not lo <= split <= hi:
+            continue
+        crossers = left = right = 0
+        for c in body:
+            if c["bbox"][0] < split < c["bbox"][2]:
+                crossers += 1
+            elif c["bbox"][2] <= split:
+                left += 1
+            else:
+                right += 1
+        # a handful of crossers (mis-merged lines, inline figures) must
+        # not veto an otherwise overwhelming two-column structure; they
+        # become band separators in reading_order
+        if crossers <= max(0, int(0.06 * len(body))) \
+                and left >= 2 and right >= 2:
+            score = min(left, right)
+            if best is None or score > best[0]:
+                best = (score, split)
+    return best[1] if best else None
 
 
 def reading_order(cells: list[dict]) -> list[dict]:

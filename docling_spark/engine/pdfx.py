@@ -1033,6 +1033,26 @@ def _fix_rtl(glyphs: list[str]) -> str:
     return _LTR_SEG.sub(lambda m: m.group()[::-1], rev)
 
 
+def _column_edges(runs: list[_Run], lines: list[list[_Run]]) -> list[float]:
+    """Column left edges: x positions (2 pt buckets) where a large share
+    of the page's baselines have a run START that is not the line's own
+    left margin. The leftmost margin is excluded — only interior edges
+    (i.e. second+ columns) are returned."""
+    if len(lines) < 8:
+        return []
+    from collections import Counter
+
+    starts = Counter()
+    for r in runs:
+        starts[round(r.x / 2.0) * 2.0] += 1
+    if not starts:
+        return []
+    min_x = min(starts)
+    thr = max(5, int(len(lines) * 0.30))
+    return [x for x, n in starts.items()
+            if n >= thr and x > min_x + 50.0]
+
+
 def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
     """Group positioned runs into text-line cells (top-left-origin bboxes,
     the shape layoutx consumes). Baseline clustering: runs whose baselines
@@ -1055,8 +1075,40 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
         if not placed:
             lines.append([r])
     cells: list[dict] = []
+    edges = _column_edges(runs, lines)
+    split_lines: list[list[_Run]] = []
     for line in lines:
         line.sort(key=lambda r: r.x)
+        # split a baseline into separate cells at (a) gaps much wider
+        # than the type size (borderless table cells), or (b) a detected
+        # column left edge — justified two-column pages can have gutters
+        # of only ~8 pt, indistinguishable from wide word spacing by gap
+        # size alone, but the column edge shows up as a spike of run
+        # start positions across the page (see _column_edges); joining
+        # across the gutter interleaves two-column text irrecoverably
+        joined = "".join(r.text for r in line)
+        letters = re.findall(r"[^\W\d_]", joined)
+        rtl_line = letters and sum(
+            1 for ch in letters if _RTL_CHAR.match(ch)) * 2 > len(letters)
+        if rtl_line:
+            # RTL lines read right-to-left across any gap — splitting
+            # would re-order the fragments left-to-right downstream
+            split_lines.append(line)
+            continue
+        cur: list[_Run] = []
+        prev = None
+        for r in line:
+            gap = r.x - (prev.x + prev.w) if prev is not None else 0.0
+            at_edge = prev is not None and gap > 1.5 and any(
+                abs(r.x - e) <= 2.0 for e in edges)
+            if prev is not None and (
+                    gap > max(prev.size, r.size) * 2.5 or at_edge):
+                split_lines.append(cur)
+                cur = []
+            cur.append(r)
+            prev = r
+        split_lines.append(cur)
+    for line in split_lines:
         glyphs: list[str] = []
         prev_end = None
         for r in line:

@@ -152,3 +152,34 @@ def test_rc4_and_aes_kats() -> None:
     ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
     pt = _aes_decrypt_block(_expand_key(key), ct)
     assert pt == bytes.fromhex("00112233445566778899aabbccddeeff")
+
+
+# -- reading order (sequence-sensitive, not just bag-of-words) --------------
+
+ORDER_FLOORS = {
+    "2305.03393v1-pg9": 0.86,
+    "amt_handbook_sample": 0.93,   # two-column, 8 pt gutter
+    "code_and_formula": 0.96,
+    "multi_page": 0.97,
+    "normal_4pages": 0.82,         # two-column Korean
+    "picture_classification": 0.97,
+    "redp5110_sampled": 0.85,
+    "table_mislabeled_as_picture": 0.94,
+    "right_to_left_01": 0.82,
+    "right_to_left_02": 0.72,
+    "right_to_left_03": 0.87,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORDER_FLOORS))
+def test_reading_order_sequence_similarity(name: str) -> None:
+    """Word recall can't see ordering; this pins the SEQUENCE of words
+    against the reference groundtruth (difflib ratio over word lists).
+    Catches two-column interleaving, band mis-ordering, RTL reversal."""
+    import difflib
+
+    text, _, _ = extract_pdf((SRC / f"{name}.pdf").read_bytes())
+    ow = re.findall(r"\w{3,}", text.lower())
+    gw = re.findall(r"\w{3,}", (GT / f"{name}.md").read_text().lower())
+    ratio = difflib.SequenceMatcher(None, ow, gw, autojunk=False).ratio()
+    assert ratio >= ORDER_FLOORS[name], f"order similarity {ratio:.3f}"
