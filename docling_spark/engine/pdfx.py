@@ -827,19 +827,25 @@ class _Run:
         self.text, self.glyphs, self.page_no = text, glyphs, page_no
 
 
-def interpret_page(doc: PdfDocument, page: dict, page_no: int) -> tuple[list, tuple]:
-    """Content stream → positioned text runs (device space, y up)."""
+def interpret_page(doc: PdfDocument, page: dict, page_no: int,
+                   rules_out: list | None = None) -> tuple[list, tuple]:
+    """Content stream → positioned text runs (device space, y up).
+    ``rules_out`` (optional) collects painted axis-aligned line segments
+    ((x0, y0, x1, y1) device space) — the raw material for ruled-table
+    grid detection."""
     mb = [float(doc.resolve(v) or 0) for v in
           (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
     page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
     content = doc.page_content(page)
     runs: list[_Run] = []
-    _interpret(doc, content, page.get("Resources"), _ID, page_no, runs, 0)
+    _interpret(doc, content, page.get("Resources"), _ID, page_no, runs, 0,
+               rules_out)
     return runs, (page_w, page_h)
 
 
 def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
-               page_no: int, runs: list, depth: int) -> None:
+               page_no: int, runs: list, depth: int,
+               rules_out: list | None = None) -> None:
     if depth > 8:
         return
     res = doc.resolve(resources) or {}
@@ -855,8 +861,14 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
     size = tl = tc = tw = 0.0
     th = 1.0
     stack: list = []  # operand stack
+    cur_pt = None          # path construction state (user→device at op)
+    pending_segs: list = []
     i = 0
     n = len(content)
+
+    def xy(x, y):
+        return (ctm[0] * x + ctm[2] * y + ctm[4],
+                ctm[1] * x + ctm[3] * y + ctm[5])
 
     def show(items: list) -> None:
         nonlocal tm
@@ -969,6 +981,34 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                     lm = _mat_mul((1, 0, 0, 1, 0.0, -tl), lm)
                     tm = lm
                     show([stack[-1]])
+                elif op == b"m" and len(stack) >= 2:
+                    cur_pt = xy(float(stack[-2]), float(stack[-1]))
+                elif op == b"l" and len(stack) >= 2:
+                    p2 = xy(float(stack[-2]), float(stack[-1]))
+                    if cur_pt is not None:
+                        pending_segs.append((*cur_pt, *p2))
+                    cur_pt = p2
+                elif op == b"re" and len(stack) >= 4:
+                    x0, y0, w0, h0 = (float(v) for v in stack[-4:])
+                    a = xy(x0, y0)
+                    b2 = xy(x0 + w0, y0)
+                    c2 = xy(x0 + w0, y0 + h0)
+                    d2 = xy(x0, y0 + h0)
+                    pending_segs += [(*a, *b2), (*b2, *c2),
+                                     (*c2, *d2), (*d2, *a)]
+                    cur_pt = a
+                elif op in (b"S", b"s", b"B", b"B*", b"b", b"b*",
+                            b"f", b"f*", b"F"):
+                    if rules_out is not None:
+                        for sg in pending_segs:
+                            dx, dy = abs(sg[2] - sg[0]), abs(sg[3] - sg[1])
+                            if (dx < 0.7 or dy < 0.7) and max(dx, dy) > 4.0:
+                                rules_out.append(sg)
+                    pending_segs = []
+                    cur_pt = None
+                elif op == b"n":
+                    pending_segs = []
+                    cur_pt = None
                 elif op == b"cm" and len(stack) >= 6:
                     ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
                 elif op == b"q":
@@ -992,7 +1032,7 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                         _interpret(
                             doc, decode_stream(xo, doc.resolve),
                             xo.d.get("Resources") or res, inner_ctm,
-                            page_no, runs, depth + 1)
+                            page_no, runs, depth + 1, rules_out)
                 stack.clear()
         except (PdfError, IndexError, ValueError, TypeError):
             stack.clear()
@@ -1164,12 +1204,21 @@ def pdf_line_cells(payload: bytes,
     cells: list[dict] = []
     page_sizes: dict[int, tuple] = {}
     for pno, page in enumerate(pages, start=1):
+        rules: list = []
         try:
-            runs, (pw, ph) = interpret_page(doc, page, pno)
+            runs, (pw, ph) = interpret_page(doc, page, pno, rules_out=rules)
         except Exception:
             runs, (pw, ph) = [], (612.0, 792.0)
         page_sizes[pno] = (pw, ph)
+        tcells: list[dict] = []
+        try:
+            tcells, consumed = detect_ruled_tables(rules, runs, ph)
+        except Exception:
+            consumed = set()
+        if tcells:
+            runs = [r for k, r in enumerate(runs) if k not in consumed]
         cells.extend(_runs_to_lines(runs, ph))
+        cells.extend(tcells)
     _mark_repeated_furniture(cells, page_sizes, len(pages))
     for k, c in enumerate(cells):
         c["index"] = k
@@ -1351,3 +1400,121 @@ def pdf_outline(doc: PdfDocument) -> list[dict]:
     if isinstance(outlines, dict) and "First" in outlines:
         walk_outline(outlines["First"], 0, set())
     return out
+
+
+# ---------------------------------------------------------------------------
+# ruled-table detection (vector grid lines → table_cell cells)
+# ---------------------------------------------------------------------------
+
+def _cluster(vals: list[float], tol: float) -> list[float]:
+    out: list[list[float]] = []
+    for v in sorted(vals):
+        if out and v - out[-1][-1] <= tol:
+            out[-1].append(v)
+        else:
+            out.append([v])
+    return [sum(g) / len(g) for g in out]
+
+
+def detect_ruled_tables(
+    rules: list[tuple], runs: list["_Run"], page_h: float
+) -> tuple[list[dict], set[int]]:
+    """Painted axis-aligned segments → table grids → table_cell cells.
+
+    The deterministic core of what the reference's TableFormer model
+    recovers for *ruled* tables: horizontal rule ys and vertical rule xs
+    cluster into row/column boundaries; text runs whose baseline center
+    falls inside a grid cell become that cell's content. Returns
+    (table_cell dicts in row-major order, consumed run indices).
+    Conservative: needs ≥3 distinct horizontal rules, ≥3 vertical rules,
+    mutual extent overlap, and ≥4 non-empty cells — underlines, boxed
+    figures and single rules never qualify. Borderless tables remain the
+    ML model's territory (documented out of scope)."""
+    hs = [sg for sg in rules if abs(sg[3] - sg[1]) < 0.7]
+    vs = [sg for sg in rules if abs(sg[2] - sg[0]) < 0.7]
+    if len(hs) < 3 or len(vs) < 2:
+        return [], set()
+    # grid extent: the span the rules actually cover
+    x_lo = min(min(sg[0], sg[2]) for sg in hs) - 2.0
+    x_hi = max(max(sg[0], sg[2]) for sg in hs) + 2.0
+    # row boundaries: only rules spanning most of the grid width count —
+    # partial-width rules (LaTeX \cmidrule group underlines) would split
+    # a multi-line header into phantom rows
+    full = [sg for sg in hs
+            if abs(sg[2] - sg[0]) >= 0.6 * max(x_hi - x_lo - 4.0, 1.0)]
+    if len(full) < 3:
+        return [], set()
+    row_ys = _cluster([(sg[1] + sg[3]) / 2.0 for sg in full], 2.0)
+    col_xs = _cluster([(sg[0] + sg[2]) / 2.0 for sg in vs], 2.0)
+    if len(row_ys) < 3 or len(col_xs) < 2:
+        return [], set()
+    y_lo = min(row_ys) - 1.0
+    y_hi = max(row_ys) + 1.0
+    col_xs = [x for x in col_xs if x_lo - 4 <= x <= x_hi + 4]
+    # booktabs-style tables have no outer vertical rules: the grid edge
+    # supplies virtual first/last column boundaries
+    col_xs = sorted(col_xs)
+    if not col_xs or col_xs[0] - x_lo > 6.0:
+        col_xs = [x_lo] + col_xs
+    if x_hi - col_xs[-1] > 6.0:
+        col_xs = col_xs + [x_hi]
+    if len(col_xs) < 3:
+        return [], set()
+    row_ys = sorted(row_ys, reverse=True)  # device y-up: top row first
+    cells: dict[tuple[int, int], list] = {}
+    consumed: set[int] = set()
+    for ri, r in enumerate(runs):
+        cy = r.y + 0.4 * r.size
+        cx = r.x + r.w / 2.0
+        if not (y_lo <= cy <= y_hi and x_lo <= cx <= x_hi):
+            continue
+        row = col = None
+        for k in range(len(row_ys) - 1):
+            if row_ys[k] >= cy >= row_ys[k + 1]:
+                row = k
+                break
+        for k in range(len(col_xs) - 1):
+            if col_xs[k] <= cx <= col_xs[k + 1]:
+                col = k
+                break
+        # inside the grid box but off the boundary lattice → clamp (runs
+        # at the very edge; leaving them out interleaves text cells into
+        # the table band and fragments the assembled table)
+        if row is None:
+            row = 0 if cy > row_ys[0] else len(row_ys) - 2
+        if col is None:
+            col = 0 if cx < col_xs[0] else len(col_xs) - 2
+        cells.setdefault((row, col), []).append(ri)
+        consumed.add(ri)
+    non_empty = sum(1 for v in cells.values() if v)
+    used_cols = {c for _, c in cells}
+    used_rows = {r for r, _ in cells}
+    if non_empty < 4 or len(used_cols) < 2 or len(used_rows) < 2:
+        return [], set()
+    # RTL-dominant content: cell joining and row-major emission assume
+    # left-to-right order — bail and let the bidi-aware line path handle
+    # the region (keeps logical order; ruled RTL tables degrade to lines)
+    joined = "".join(runs[k].text for v in cells.values() for k in v)
+    letters = re.findall(r"[^\W\d_]", joined)
+    if letters and sum(1 for ch in letters
+                       if _RTL_CHAR.match(ch)) * 2 > len(letters):
+        return [], set()
+    out: list[dict] = []
+    for (row, col) in sorted(cells):
+        rr = sorted(cells[(row, col)],
+                    key=lambda k: (-runs[k].y, runs[k].x))
+        text = " ".join(runs[k].text.strip() for k in rr).strip()
+        text = re.sub(r"\s+", " ", text)
+        top_y = row_ys[row]
+        bot_y = row_ys[row + 1]
+        out.append(
+            {
+                "page_no": runs[rr[0]].page_no,
+                "bbox": (col_xs[col], page_h - top_y,
+                         col_xs[col + 1], page_h - bot_y),
+                "text": text,
+                "conf": 1.0,
+                "label": "table_cell",
+            }
+        )
+    return out, consumed

@@ -157,7 +157,7 @@ def test_rc4_and_aes_kats() -> None:
 # -- reading order (sequence-sensitive, not just bag-of-words) --------------
 
 ORDER_FLOORS = {
-    "2305.03393v1-pg9": 0.86,
+    "2305.03393v1-pg9": 0.93,  # ruled table reconstructed from grid lines
     "amt_handbook_sample": 0.93,   # two-column, 8 pt gutter
     "code_and_formula": 0.96,
     "multi_page": 0.97,
@@ -183,3 +183,19 @@ def test_reading_order_sequence_similarity(name: str) -> None:
     gw = re.findall(r"\w{3,}", (GT / f"{name}.md").read_text().lower())
     ratio = difflib.SequenceMatcher(None, ow, gw, autojunk=False).ratio()
     assert ratio >= ORDER_FLOORS[name], f"order similarity {ratio:.3f}"
+
+
+def test_ruled_table_reconstruction() -> None:
+    """The OTSL paper page's booktabs table (grid from vector rules, no
+    outer vertical borders, \\cmidrule partial rules ignored) assembles
+    into ONE 8-column markdown table whose header matches the reference
+    groundtruth's column set."""
+    text, items, _ = extract_pdf(
+        (SRC / "2305.03393v1-pg9.pdf").read_bytes())
+    tables = [it for it in items if it["label"] == "table"]
+    assert len(tables) == 1
+    header = tables[0]["text"].splitlines()[0]
+    for col in ["# enc-layers", "# dec-layers", "Language",
+                "mAP (0.75)", "Inference time (secs)"]:
+        assert col in header
+    assert "| 6 | 6 | OTSL HTML | 0.965 0.969 |" in tables[0]["text"]
