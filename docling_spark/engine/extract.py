@@ -58,6 +58,9 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("image", "png", "jpg", "jpeg", "gif", "bmp", "webp",
                 "tiff", "tif", "ico"):
         return "image"
+    if hint in ("audio", "video", "wav", "mp3", "flac", "ogg", "m4a",
+                "mp4", "mov", "avi", "aac", "asr"):
+        return "media"
     if hint in ("xls", "xlt", "doc", "dot", "ppt", "pot"):
         # legacy binary Office: the reference delegates to a LibreOffice
         # subprocess (backend/docx/drawingml/utils.py:79-120) and raises
@@ -95,9 +98,21 @@ def detect_format(text: str, tool: str = "") -> str:
         return "plain"
     # base64-encoded image magic (binary payloads travel b64 in the text
     # column): PNG / JPEG / GIF / RIFF-WEBP / TIFF prefixes
-    if text.startswith(("iVBORw0KGgo", "/9j/", "R0lGOD", "UklGR",
+    if text.startswith(("iVBORw0KGgo", "/9j/", "R0lGOD",
                         "SUkqAA", "TU0AKg")):
         return "image"
+    if text.startswith("UklGR"):
+        # base64 RIFF: WEBP is an image; WAVE/AVI are media — decode the
+        # 12-byte header to disambiguate
+        import base64
+
+        try:
+            head = base64.b64decode(text[:16] + "=" * 2)[:12]
+        except Exception:
+            head = b""
+        return "media" if head[8:12] in (b"WAVE", b"AVI ") else "image"
+    if text.startswith(("ZkxhQw", "T2dnUw", "SUQz")):  # fLaC / OggS / ID3
+        return "media"
     # native PDF: raw %PDF- header (latin-1-safe) or its base64 prefix
     if text.startswith(("%PDF-", "JVBERi")):
         return "pdf"
@@ -189,6 +204,7 @@ def extract_payload(
     text: str | None,
     tool: str = "",
     max_bytes: int = DEFAULT_MAX_BYTES,
+    pdf_passwords: tuple[str, ...] = (),
 ) -> dict:
     """One turn in → one result dict out; never raises.
 
@@ -217,6 +233,41 @@ def extract_payload(
             "metrics": dict(_EMPTY_METRICS),
         }
     fmt = detect_format(text, tool)
+    if fmt == "media":
+        # the reference's ASR path needs ffmpeg + whisper
+        # (asr_transcriber.py MISSING_FFMPEG_MESSAGE); absent runtimes are
+        # a contained failure row — but the stream PROBE is real
+        # (engine/audiox.py), so the error carries the technical metadata
+        # a scheduler can route on
+        import base64
+
+        from docling_spark.engine.audiox import probe_media
+
+        try:
+            blob = base64.b64decode(text, validate=False) \
+                if not text.startswith(("RIFF", "fLaC", "OggS", "ID3")) \
+                else text.encode("latin-1", "ignore")
+        except Exception:
+            blob = b""
+        m = probe_media(blob)
+        probe = ", ".join(
+            f"{k}={m[k]}" for k in
+            ("container", "codec", "duration_s", "sample_rate", "channels")
+            if m.get(k) is not None
+        )
+        return {
+            "status": STATUS_FAILURE,
+            "format": "media",
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": "asr",
+                        "message": "ASR transcription requires an "
+                                   "ffmpeg+whisper runtime (reference "
+                                   "delegates; not available here); "
+                                   f"stream probe: {probe or 'unrecognized'}",
+                        "category": "dependency_error"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
     if fmt == "legacy_office":
         return {
             "status": STATUS_FAILURE,
@@ -295,7 +346,19 @@ def extract_payload(
                 import base64
 
                 raw_p = base64.b64decode(text)
-            extracted, items, metrics = pdfx.extract_pdf(raw_p)
+            # job-level password list (the reference's per-document
+            # backend_options password, datamodel/backend_options.py);
+            # the engine always tries the empty user password itself
+            for pw in ("",) + tuple(pdf_passwords):
+                try:
+                    extracted, items, metrics = pdfx.extract_pdf(
+                        raw_p, password=pw)
+                    break
+                except pdfx.PdfError as exc:
+                    if "password" not in str(exc) or pw == (
+                            tuple(pdf_passwords)[-1]
+                            if pdf_passwords else ""):
+                        raise
         elif fmt == "ebcdic":
             from docling_spark.engine import ebcdicx
 

@@ -36,6 +36,7 @@ def _extract_batches(
     batches: Iterator[pd.DataFrame],
     max_bytes: int,
     timeout_s: float | None,
+    pdf_passwords: tuple[str, ...] = (),
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         t_deadline = (
@@ -74,6 +75,7 @@ def _extract_batches(
                     text if text is None or isinstance(text, str) else str(text),
                     tool or "",
                     max_bytes=max_bytes,
+                    pdf_passwords=pdf_passwords,
                 )
             out["status"].append(res["status"])
             out["format"].append(res["format"])
@@ -88,17 +90,21 @@ def extract_turns(
     df: DataFrame,
     max_bytes: int = DEFAULT_MAX_BYTES,
     timeout_s: float | None = None,
+    pdf_passwords: tuple[str, ...] = (),
 ) -> DataFrame:
     """transcripts DataFrame → extracted DataFrame (one row per input turn).
 
     Column-prunes the input to the five needed columns before the Python
     boundary so the parquet scan reads only what the UDF consumes.
+    ``pdf_passwords`` is the job-level analog of the reference's
+    per-document backend_options password (encrypted PDFs try the empty
+    user password, then each listed one).
     """
     cols = [c for c in ("conv_id", "turn_idx", "role", "ts", "text", "tool")
             if c in df.columns]
     pruned = df.select(*cols)
     return pruned.mapInPandas(
-        lambda it: _extract_batches(it, max_bytes, timeout_s),
+        lambda it: _extract_batches(it, max_bytes, timeout_s, pdf_passwords),
         schema=EXTRACTED_SCHEMA,
     )
 

@@ -199,3 +199,34 @@ def test_ruled_table_reconstruction() -> None:
                 "mAP (0.75)", "Inference time (secs)"]:
         assert col in header
     assert "| 6 | 6 | OTSL HTML | 0.965 0.969 |" in tables[0]["text"]
+
+
+def test_extract_routing_media_and_passwords(spark) -> None:
+    """Spark-level routing: a base64 WAV turn becomes a contained media
+    dependency-error row carrying the REAL stream probe; an encrypted
+    PDF turn extracts when the job's pdf_passwords include the user
+    password, and fails contained when not."""
+    import base64
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    wav = pathlib.Path(
+        "/root/reference/tests/data/audio/sources/sample_10s_audio-wav.wav"
+    ).read_bytes()
+    pdf = (PW_SRC / "2206.01062_pg3.pdf").read_bytes()
+    rows = [
+        ("c0", 0, "user", None, base64.b64encode(wav).decode(), "wav"),
+        ("c0", 1, "user", None, base64.b64encode(pdf).decode(), "pdf"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string")
+    got = {r.turn_idx: r for r in
+           extract_turns(df, pdf_passwords=("1234",)).collect()}
+    assert got[0].status == "failure" and got[0].format == "media"
+    assert "container=wav" in got[0].errors[0]["message"]
+    assert "duration_s=9.99" in got[0].errors[0]["message"]
+    assert got[1].status == "success"
+    assert "DocLayNet" in got[1].extracted_text
+    nopw = {r.turn_idx: r for r in extract_turns(df).collect()}
+    assert nopw[1].status == "failure"
