@@ -94,6 +94,7 @@ def run_extract(
     parallelism: int | None = None,
     state_path: str | None = None,
     metrics_path: str | None = None,
+    pdf_passwords: tuple[str, ...] = (),
 ) -> dict:
     """Execute the pipeline; returns summary counters.
 
@@ -122,7 +123,8 @@ def run_extract(
             df = df.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
 
     df = salt_skew(df, parallelism)
-    extracted = extract_turns(df.drop("conv_bucket"))
+    extracted = extract_turns(df.drop("conv_bucket"),
+                              pdf_passwords=pdf_passwords)
     extracted = extracted.withColumn("conv_bucket", bucket_col(n_buckets))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -31,6 +31,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--streaming", action="store_true",
                    help="run as a Structured Streaming catch-up job")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--password", action="append", default=[],
+                   help="password to try for encrypted PDF payloads "
+                        "(repeatable) — the reference CLI's --password")
     p.add_argument("--to", default=None,
                    help="comma-separated extra export sinks over the "
                         "item table (doctags,itxt,html,html_split_page,"
@@ -73,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id, n_buckets=args.buckets,
         parallelism=args.parallelism,
         state_path=args.state_table, metrics_path=args.metrics_table,
+        pdf_passwords=tuple(args.password),
     )
     if args.to:
         from docling_spark.operators.export import _SERIALIZERS, export_items
