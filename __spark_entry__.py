@@ -1599,6 +1599,83 @@ def q_extract_pdf_encrypted(spark, sf_dir):
 ORACLE_EXTRACT_PDF_ENCRYPTED = ORACLE_EXTRACT_PDF
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact duplicated-substring removal (ExactSubstr dedup, Lee et al.
+    2022, re-expressed relationally): 8-token windows duplicated across
+    documents are cut from every doc but the smallest-id keeper;
+    overlapping cuts merge into spans; docs reassemble from surviving
+    tokens (operators/curation.py dup_span_removal). Fully
+    SQL-expressible, so the oracle replicates the whole pipeline."""
+    from docling_spark.operators.curation import dup_span_removal
+
+    return dup_span_removal(_docs(spark, sf_dir), k=8)
+
+
+ORACLE_DUP_SPAN_REMOVAL = """
+with arr as (
+  select doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') as toks
+  from documents
+),
+n as (select doc_id, toks, len(toks) as n_tokens from arr),
+grams as (
+  select doc_id, g.i as pos,
+         substr(md5(lower(array_to_string(toks[g.i:g.i+7], ' '))), 1, 16)
+           as digest
+  from n, unnest(generate_series(1, n_tokens - 7)) as g(i)
+  where n_tokens >= 8
+),
+dup as (
+  select digest, min(doc_id) as keeper
+  from grams group by digest having count(distinct doc_id) > 1
+),
+removed as (
+  select g.doc_id, g.pos as s, g.pos + 7 as e
+  from grams g join dup d using (digest)
+  where g.doc_id <> d.keeper
+),
+marked as (
+  select doc_id, s, e,
+         max(e) over (partition by doc_id order by s
+                      rows between unbounded preceding and 1 preceding)
+           as prev_max_e
+  from removed
+),
+numbered as (
+  select doc_id, s, e,
+         sum(case when prev_max_e is null or s > prev_max_e
+                  then 1 else 0 end)
+           over (partition by doc_id order by s
+                 rows between unbounded preceding and current row)
+           as span_id
+  from marked
+),
+spans as (
+  select doc_id, span_id, min(s) as s, max(e) as e
+  from numbered group by doc_id, span_id
+),
+covered as (
+  select doc_id, unnest(generate_series(s, e)) as pos from spans
+),
+stream as (
+  select doc_id, n_tokens, g.i as pos, toks[g.i] as tok
+  from n, unnest(generate_series(1, n_tokens)) as g(i)
+),
+kept as (
+  select st.doc_id, st.n_tokens, st.pos, st.tok
+  from stream st
+  anti join covered c on st.doc_id = c.doc_id and st.pos = c.pos
+)
+select doc_id,
+       string_agg(tok, ' ' order by pos) as clean_text,
+       cast(n_tokens as int) as n_tokens,
+       cast(n_tokens - count(*) as int) as n_removed
+from kept
+group by doc_id, n_tokens
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -3837,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "domain_cap": q_domain_cap,
         "dedup_canonical": q_dedup_canonical,
+        "dup_span_removal": q_dup_span_removal,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -3941,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": ORACLE_TFIDF_TOPK,
         "domain_cap": ORACLE_DOMAIN_CAP,
         "dedup_canonical": ORACLE_DEDUP_CANONICAL,
+        "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -335,3 +335,110 @@ def domain_cap(docs: DataFrame, cap: int = 10, salt_mod: int = 16,
         .where(F.col("domain_rank") <= cap)
         .select(id_col, source_col, "domain_rank")
     )
+
+
+def dup_span_removal(docs: DataFrame, k: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring removal (the "Deduplicating Training
+    Data Makes Language Models Better" ExactSubstr operator, re-expressed
+    relationally): any k-token window whose normalized text occurs in
+    MORE THAN ONE document is removed from every document except the one
+    with the smallest id; overlapping removed windows merge into spans,
+    and each document is reassembled from its surviving tokens.
+
+    Plan shape (scale notes): one shuffle keyed on the k-gram digest
+    (md5, uniform — no skew; at 100 TB swap the 16-hex-char digest for
+    xxhash64, same plan), a semi-join of windows onto duplicated digests,
+    a per-(doc) sort-window to merge overlaps (partitioned by doc — no
+    global window), and a groupBy(doc) reassembly. Token positions are
+    carried as ints; the token stream itself never re-shuffles — only
+    (doc, pos) pairs do.
+
+    Returns (id, clean_text, n_tokens, n_removed)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda t: t != "").alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    # k-gram digests per window start (empty when the doc is shorter)
+    grams = toks.select(
+        id_col, "n_tokens", "toks",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+                    lambda i: F.substring(
+                        F.md5(F.lower(
+                            F.concat_ws(" ", F.slice("toks", i, k)))),
+                        1, 16),
+                ),
+            ).otherwise(F.array()),
+        ).alias("pos0", "digest"),
+        # posexplode yields the 0-based array index; window starts are
+        # 1-based token positions
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "digest")
+    # digests seen in >1 document, with the canonical (min id) keeper
+    dup = (
+        grams.groupBy("digest")
+        .agg(F.countDistinct(id_col).alias("nd"),
+             F.min(id_col).alias("keeper"))
+        .filter(F.col("nd") > 1)
+    )
+    removed = (
+        grams.join(dup, "digest")  # AQE picks broadcast when dup is small
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col, F.col("pos").alias("s"),
+                (F.col("pos") + k - 1).alias("e"))
+    )
+    # merge overlapping [s, e] spans per doc: new span when s exceeds the
+    # running max of previous ends
+    w = Window.partitionBy(id_col).orderBy("s")
+    spans = (
+        removed.withColumn(
+            "prev_max_e",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_span",
+            F.when(F.col("prev_max_e").isNull()
+                   | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "span_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # covered token positions → anti-join survivors → reassemble in order
+    covered = spans.select(
+        id_col, F.explode(F.sequence("s", "e")).alias("pos"))
+    stream = toks.select(
+        id_col, "n_tokens",
+        F.posexplode(
+            F.transform(F.col("toks"),
+                        lambda t, i: F.struct((i + 1).alias("pos"),
+                                              t.alias("tok")))
+        ).alias("_", "pt"),
+    ).select(id_col, "n_tokens", F.col("pt.pos").alias("pos"),
+             F.col("pt.tok").alias("tok"))
+    kept = stream.join(covered, [id_col, "pos"], "left_anti")
+    return (
+        kept.groupBy(id_col, "n_tokens")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .select(
+            id_col, "clean_text",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.col("n_kept")).cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -243,3 +243,49 @@ def test_keep_canonical(spark):
            for r in keep_canonical(docs, comps).collect()}
     assert got == {0: (0, 1), 1: (1, 1), 2: (1, 0),
                    3: (3, 1), 4: (4, 1), 5: (4, 0)}
+
+
+def test_dup_span_removal_semantics(spark):
+    from docling_spark.operators.curation import dup_span_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique one tail"),
+            (2, "x a b c d e f g h y z w q r"),
+            (3, "p q a b c d e f g h i j k l m n o a b c d e f g h z"),
+            (4, "short doc"),
+            (5, "a b c d e f g h unique one tail"),  # full dup of 1
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in dup_span_removal(df, k=8).collect()}
+    # keeper (smallest id) is untouched
+    assert got[1].clean_text == "a b c d e f g h unique one tail"
+    assert got[1].n_removed == 0
+    # one duplicated window cut mid-doc
+    assert got[2].clean_text == "x y z w q r" and got[2].n_removed == 8
+    # BOTH occurrences within a non-keeper doc cut; overlap merge intact
+    assert got[3].clean_text == "p q i j k l m n o z"
+    assert got[3].n_removed == 16
+    # short docs pass through
+    assert got[4].clean_text == "short doc" and got[4].n_removed == 0
+    # a fully-duplicated doc loses every token → no output row
+    assert 5 not in got
+
+
+def test_dup_span_removal_plan(spark):
+    """No cartesian/nested-loop join; span-merge windows are partitioned
+    by doc (never a global single-partition window)."""
+    from docling_spark.operators.curation import dup_span_removal
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id int, text string",
+    )
+    plan = dup_span_removal(df, k=8)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+    for m in _re.finditer(r"Window .*?windowspecdefinition\(([^,]*),", plan):
+        assert "doc_id" in m.group(1)
