@@ -359,8 +359,9 @@ class PdfDocument:
         enc = self.objects.get(enc_num)
         if isinstance(enc, Stream):
             enc = enc.d
-        if not isinstance(enc, dict) or str(
-                self.resolve(enc.get("Filter"))) != "Standard":
+        if not isinstance(enc, dict) or "Filter" not in enc:
+            return  # stray /Encrypt-looking bytes (e.g. inside a stream)
+        if str(self.resolve(enc.get("Filter"))) != "Standard":
             raise PdfError("unsupported encryption handler")
         idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", self.data)
         doc_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
