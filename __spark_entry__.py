@@ -1676,6 +1676,58 @@ group by doc_id, n_tokens
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup pipeline (Abbas et al. 2023 shape):
+    LSH-gated cosine near-dup pairs over the embedding column → connected
+    components (min-label + pointer-jumping) → per-vector canonical
+    verdict (smallest id in the cluster keeps). Pure composition of the
+    scale-safe building blocks; no stage is n²."""
+    from docling_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+    from docling_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_pairs_lsh(
+        emb, threshold=0.45,
+        n_bands=_PAIR_BANDS, planes_per_band=_PAIR_PPB, dim=_ANN_DIM,
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), "component")
+    return keep_canonical(emb.select("vec_id"), comps, id_col="vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+with pairs as ({_cosine_pairs_oracle()}),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b, id_a from pairs
+),
+reach as (
+  with recursive r(src, dst) as (
+    select src, dst from edges
+    union
+    select r.src, e.dst from r join edges e on r.dst = e.src
+  )
+  select * from r
+),
+comp as (
+  select src as vec_id, least(src, min(dst)) as component
+  from reach group by src
+)
+select v.vec_id,
+       coalesce(c.component, v.vec_id) as canonical_id,
+       cast(v.vec_id = coalesce(c.component, v.vec_id) as int)
+         as is_canonical
+from embeddings v left join comp c on c.vec_id = v.vec_id
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -3915,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "dedup_canonical": q_dedup_canonical,
         "dup_span_removal": q_dup_span_removal,
+        "semantic_dedup": q_semantic_dedup,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -4020,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": ORACLE_DOMAIN_CAP,
         "dedup_canonical": ORACLE_DEDUP_CANONICAL,
         "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
+        "semantic_dedup": _semantic_dedup_oracle(),
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,
