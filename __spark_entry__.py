@@ -1728,6 +1728,40 @@ from embeddings v left join comp c on c.vec_id = v.vec_id
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed logistic-regression quality-filter inference (fastText/
+    DCLM-filter serving shape): md5-bucketed token features, broadcast
+    weight-array lookup via element_at inside F.aggregate, sigmoid of
+    the mean — all JVM column expressions, zero Python in the path
+    (operators/textstats.py linear_quality_score)."""
+    from docling_spark.operators.textstats import linear_quality_score
+
+    return linear_quality_score(_docs(spark, sf_dir), dim=256)
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+with t as (
+  select doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') as toks
+  from documents
+),
+f as (
+  select doc_id, len(toks) as n_tokens,
+         case when len(toks) = 0 then 0.0 else
+           list_sum(list_transform(toks, tok ->
+             (((('0x' || substr(md5(tok), 1, 8))::bigint % 256)
+               * 2654435761) % 2001 - 1000) / 1000.0
+           )) / len(toks) end as mean_w
+  from t
+)
+select doc_id, cast(n_tokens as int) as n_tokens,
+       round(1.0 / (1.0 + exp(-mean_w)), 6) as score,
+       cast(round(1.0 / (1.0 + exp(-mean_w)), 6) > 0.5 as int) as keep
+from f
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -3968,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dup_span_removal": q_dup_span_removal,
         "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -4074,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": ORACLE_DEDUP_CANONICAL,
         "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
         "semantic_dedup": _semantic_dedup_oracle(),
+        "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

@@ -289,3 +289,43 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def linear_quality_score(docs: DataFrame, dim: int = 256,
+                         weights: list[float] | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Hashed linear (logistic-regression) quality-classifier INFERENCE —
+    the fastText/DCLM-filter serving shape: token → feature bucket by
+    hash, bucket → weight by array lookup, document score =
+    sigmoid(mean weight). Everything is JVM column expressions: the
+    model is a literal/broadcast ``array<double>`` probed with
+    ``element_at`` inside a higher-order ``aggregate`` — the exact
+    plumbing a trained weight vector drops into (pass ``weights``).
+
+    Without a trained model the default weights are a deterministic
+    pseudo-random vector derived from the bucket index (documented
+    stand-in; the plumbing, hashing, and math are the real path).
+    Returns (id, n_tokens, score, keep)."""
+    if weights is None:
+        weights = [((i * 2654435761) % 2001 - 1000) / 1000.0
+                   for i in range(dim)]
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    # bucket = first 8 md5 hex chars as int, mod dim (DuckDB-replicable)
+    bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10) \
+        .cast("long") % dim  # noqa: E731
+    total = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    mean = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    return docs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0.5).cast("int").alias("keep"),
+    )

@@ -229,3 +229,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
                            multiprobe_hamming=2).collect()]
     # near-cluster ids dominate both; require >= 4/5 agreement
     assert len(set(exact) & set(approx)) >= 4
+
+
+def test_linear_quality_score_custom_weights(spark):
+    """The trained-model path: a caller-supplied weight vector changes
+    scores deterministically; the whole plan stays JVM-side (no
+    BatchEvalPython / ArrowEvalPython nodes)."""
+    from docling_spark.operators.textstats import linear_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "good good good"), (2, ""), (3, "mixed bag here")],
+        "doc_id int, text string",
+    )
+    all_pos = linear_quality_score(df, dim=16, weights=[5.0] * 16)
+    got = {r.doc_id: r for r in all_pos.collect()}
+    assert got[1].score > 0.99 and got[1].keep == 1
+    assert got[2].score == 0.5 and got[2].n_tokens == 0
+    plan = all_pos._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
