@@ -1762,6 +1762,56 @@ from f
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights: target domain = docs with
+    doc_id %% 7 == 0, source = the rest; hashed-unigram LM ratio with
+    Laplace smoothing, deterministic keep flag at importance ratio > 1
+    (operators/curation.py dsir_weights)."""
+    from docling_spark.operators.curation import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        dim=1024,
+    )
+
+
+ORACLE_DSIR = """
+with tok as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) as tok
+  from documents
+),
+b as (
+  select doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::bigint % 1024 as bucket
+  from tok
+),
+src as (select * from b where doc_id % 7 != 0),
+tgt as (select * from b where doc_id % 7 = 0),
+cs as (select bucket, count(*) c from src group by 1),
+ct as (select bucket, count(*) c from tgt group by 1),
+ns as (select count(*) n from src),
+nt as (select count(*) n from tgt),
+scored as (
+  select s.doc_id, count(*) as n_tokens,
+         round(sum(
+           ln((coalesce(ct.c, 0) + 1.0) / ((select n from nt) + 1024))
+           - ln((coalesce(cs.c, 0) + 1.0) / ((select n from ns) + 1024))
+         ), 6) as log_weight
+  from src s
+  left join ct on ct.bucket = s.bucket
+  left join cs on cs.bucket = s.bucket
+  group by s.doc_id
+)
+select doc_id, cast(n_tokens as int) as n_tokens, log_weight,
+       cast(log_weight > 0 as int) as keep
+from scored
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -4003,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
+        "dsir_weights": q_dsir_weights,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -4110,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
         "semantic_dedup": _semantic_dedup_oracle(),
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+        "dsir_weights": ORACLE_DSIR,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,

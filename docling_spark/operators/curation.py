@@ -442,3 +442,68 @@ def dup_span_removal(docs: DataFrame, k: int = 8,
             .alias("n_removed"),
         )
     )
+
+
+def dsir_weights(source: DataFrame, target: DataFrame, dim: int = 1024,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    per-document log importance weight log p_target(x) − log p_source(x)
+    under hashed-unigram bag-of-words LMs, plus a deterministic keep flag
+    at log_weight > 0 (importance ratio > 1, i.e. more target-like than
+    source-like — the reproducible analog of the paper's
+    weight-proportional Gumbel resampling; callers holding an RNG can
+    sample from the returned weights instead).
+
+    Plan shape: one token explode per corpus feeding a dim-sized
+    (bucket → count) aggregate — two tiny tables that BROADCAST into the
+    per-document scoring join; no global window or single-partition
+    stage anywhere (a top-fraction variant would need a corpus-wide
+    rank — deliberately not shipped). Laplace (+1) smoothing keeps
+    unseen buckets finite.
+
+    Returns (id, n_tokens, log_weight, keep)."""
+    def buckets(df: DataFrame):
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "")
+        return df.select(
+            F.col(id_col),
+            F.explode(toks).alias("tok"),
+        ).select(
+            id_col,
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+             .cast("long") % dim).alias("bucket"),
+        )
+
+    def lm(bucketed: DataFrame, name: str):
+        counts = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
+        total = bucketed.count()  # driver scalar: one long, not data
+        return counts.select(
+            "bucket",
+            F.log((F.col("c") + 1.0) / float(total + dim)).alias(name),
+        ), total
+
+    src_b = buckets(source)
+    tgt_b = buckets(target)
+    p_s, s_total = lm(src_b, "lp_s")
+    p_t, t_total = lm(tgt_b, "lp_t")
+    import math
+    unseen_s = math.log(1.0 / (s_total + dim))
+    unseen_t = math.log(1.0 / (t_total + dim))
+    return (
+        src_b.join(F.broadcast(p_t), "bucket", "left")
+        .join(F.broadcast(p_s), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("lp_t"), F.lit(unseen_t))
+                      - F.coalesce(F.col("lp_s"), F.lit(unseen_s))),
+                6,
+            ).alias("log_weight"),
+        )
+        .select(
+            id_col, "n_tokens", "log_weight",
+            (F.col("log_weight") > 0).cast("int").alias("keep"),
+        )
+    )

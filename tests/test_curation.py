@@ -289,3 +289,27 @@ def test_dup_span_removal_plan(spark):
     import re as _re
     for m in _re.finditer(r"Window .*?windowspecdefinition\(([^,]*),", plan):
         assert "doc_id" in m.group(1)
+
+
+def test_dsir_weights_semantics_and_plan(spark):
+    from docling_spark.operators.curation import dsir_weights
+
+    src = spark.createDataFrame(
+        [(1, "common words common words"), (2, "common words rare thing"),
+         (3, "target style phrase entirely")],
+        "doc_id int, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "target style phrase entirely"),
+         (101, "target style phrase again")],
+        "doc_id int, text string",
+    )
+    out = dsir_weights(src, tgt, dim=64)
+    got = {r.doc_id: r for r in out.collect()}
+    # doc 3 IS target-like → positive log weight, kept; doc 1 is pure
+    # source-side vocabulary → negative, dropped
+    assert got[3].log_weight > 0 and got[3].keep == 1
+    assert got[1].log_weight < 0 and got[1].keep == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # no global rank — threshold keep only
