@@ -1812,6 +1812,45 @@ from scored
 """
 
 
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (DCLM/SemDeDup-followup
+    shape): IVF coarse quantization buckets the embedding space, then a
+    deterministic hash-mod take keeps 30% of every cluster — sampling
+    pressure is uniform ACROSS clusters, so dense regions cannot crowd
+    out rare ones. Pure composition: ivf_assign (broadcast codebook) +
+    stratified_sample (scan-fused filter, no shuffle)."""
+    from docling_spark.operators.curation import strat_key
+    from docling_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(_emb(spark, sf_dir), n_centroids=8)
+    return assigned.where(
+        strat_key(F.col("vec_id")) < 3000
+    ).select("vec_id", "centroid_id")
+
+
+ORACLE_DIVERSITY_SAMPLE = """
+with c as (
+  select vec_id as centroid_id, embedding as cvec
+  from embeddings where vec_id < 8
+),
+s as (
+  select e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::double[],
+                                      c.cvec::double[]), 6) as cos
+  from embeddings e cross join c
+),
+r as (
+  select *, row_number() over (partition by vec_id
+                               order by cos desc, centroid_id) as rk
+  from s
+)
+select vec_id, centroid_id from r
+where rk = 1
+  and ('0x' || substr(md5(cast(vec_id as varchar)), 1, 4))::int % 10000
+      < 3000
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -4054,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
         "dsir_weights": q_dsir_weights,
+        "diversity_sample": q_diversity_sample,
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
@@ -4162,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "dsir_weights": ORACLE_DSIR,
+        "diversity_sample": ORACLE_DIVERSITY_SAMPLE,
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,
