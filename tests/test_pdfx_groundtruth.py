@@ -230,3 +230,41 @@ def test_extract_routing_media_and_passwords(spark) -> None:
     assert "DocLayNet" in got[1].extracted_text
     nopw = {r.turn_idx: r for r in extract_turns(df).collect()}
     assert nopw[1].status == "failure"
+
+
+def test_corrupted_pdfs_always_contained() -> None:
+    """Deterministic fuzz: seeded byte corruptions of a real PDF (flips,
+    truncations, splices) must either extract or raise the typed
+    PdfError — never an unhandled exception. extract_payload maps both
+    outcomes to rows, so task failure is impossible."""
+    import hashlib
+
+    from docling_spark.engine.extract import extract_payload
+    from docling_spark.engine.pdfx import PdfError, extract_pdf
+
+    base = (SRC / "multi_page.pdf").read_bytes()
+    for trial in range(24):
+        h = hashlib.sha256(f"fuzz{trial}".encode()).digest() * 4  # 128 B
+        data = bytearray(base)
+        mode = trial % 4
+        if mode == 0:  # flip 64 bytes
+            for k in range(0, 64, 2):
+                data[int.from_bytes(h[k:k + 2], "big") % len(data)] ^= h[k]
+        elif mode == 1:  # truncate
+            data = data[:1024 + int.from_bytes(h[:3], "big") % (len(data) - 1024)]
+        elif mode == 2:  # splice garbage mid-file
+            pos = int.from_bytes(h[:3], "big") % len(data)
+            data = data[:pos] + h * 32 + data[pos:]
+        else:  # zero a window
+            pos = int.from_bytes(h[:3], "big") % (len(data) - 512)
+            data[pos:pos + 512] = b"\x00" * 512
+        try:
+            text, items, metrics = extract_pdf(bytes(data))
+            assert isinstance(text, str)
+        except PdfError:
+            pass
+        # and the pipeline containment: always a row, never a raise
+        import base64
+
+        res = extract_payload(base64.b64encode(bytes(data)).decode(), "pdf")
+        assert res["status"] in ("success", "failure", "skipped")
