@@ -126,3 +126,59 @@ def test_omml_run_total(t):
            "</m:r></m:oMath>")
     out = omml_to_latex(ET.fromstring(xml))
     assert isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=512),
+       st.binary(min_size=1, max_size=32))
+def test_rc4_is_an_involution(data: bytes, key: bytes) -> None:
+    from docling_spark.engine.pdfcrypto import rc4
+
+    assert rc4(key, rc4(key, data)) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_probe_media_total_on_arbitrary_bytes(data: bytes) -> None:
+    """The audio prober never raises and always returns the full schema,
+    whatever bytes arrive (failure containment in the media route)."""
+    from docling_spark.engine.audiox import probe_media
+
+    m = probe_media(data)
+    assert set(m) == {"container", "codec", "duration_s", "sample_rate",
+                      "channels", "bits", "n_frames"}
+    if m["duration_s"] is not None:
+        assert m["duration_s"] >= 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ابتثجحخدcélm01 ", min_size=1, max_size=3),
+    min_size=1, max_size=30,
+))
+def test_fix_rtl_preserves_characters(glyphs: list[str]) -> None:
+    """Bidi reordering is a permutation: no character appears or
+    disappears, whatever mix of RTL/LTR glyphs a line carries."""
+    from collections import Counter
+
+    from docling_spark.engine.pdfx import _fix_rtl
+
+    out = _fix_rtl(list(glyphs))
+    # paired brackets may mirror; canonicalize both sides to the opener
+    canon = str.maketrans(")]}>", "([{<")
+    assert Counter(out.translate(canon)) == \
+        Counter("".join(glyphs).translate(canon))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_pdf_parser_total_on_arbitrary_bytes(data: bytes) -> None:
+    """Arbitrary bytes with a PDF magic prefix either parse or raise the
+    typed PdfError — nothing else escapes."""
+    from docling_spark.engine.pdfx import PdfError, extract_pdf
+
+    try:
+        text, items, metrics = extract_pdf(b"%PDF-1.4\n" + data)
+        assert isinstance(text, str)
+    except PdfError:
+        pass
