@@ -1851,6 +1851,49 @@ where rk = 1
 """
 
 
+def q_extract_doc(spark, sf_dir):
+    """Legacy .doc end-to-end: a real Word-binary file (OLE2 v3 container,
+    FIB, one-piece CLX, cp1252 text) synthesized per document
+    (docbinx.synthesize_doc), base64'd, routed through tool='doc' into
+    the native parser — a format the reference cannot read without a
+    LibreOffice subprocess. The oracle predicts the paragraph join."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+
+        from docling_spark.engine.docbinx import synthesize_doc
+
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split() + ["x", "x", "x", "x"]
+            body = (f"Doc {i} heading line\n"
+                    f"{toks[0]} {toks[1]} first paragraph\n"
+                    f"{toks[2]} {toks[3]} second one")
+            out.append(base64.b64encode(synthesize_doc(body)).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    doc_b64 = pandas_udf(_mk, "string")
+    return _extract_docs(spark, sf_dir, doc_b64(F.col("doc_id"),
+                                                F.col("text")), "doc")
+
+
+ORACLE_EXTRACT_DOC = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 'success' as status,
+       'Doc ' || doc_id || ' heading line' || chr(10) || chr(10)
+        || toks[1] || ' ' || toks[2] || ' first paragraph'
+        || chr(10) || chr(10)
+        || toks[3] || ' ' || toks[4] || ' second one' as extracted_text
+from t
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -4058,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx": q_extract_docx,
         "extract_pdf": q_extract_pdf,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
+        "extract_doc": q_extract_doc,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -4167,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docx": ORACLE_EXTRACT_DOCX,
         "extract_pdf": ORACLE_EXTRACT_PDF,
         "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
+        "extract_doc": ORACLE_EXTRACT_DOC,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

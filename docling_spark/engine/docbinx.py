@@ -1,0 +1,374 @@
+"""Legacy .doc (Word 97-2003 binary, [MS-DOC]) → item table, natively.
+
+The reference cannot read this format without LibreOffice (it up-converts
+via a soffice subprocess and raises when it is absent,
+docling/backend/docx/drawingml/utils.py:79-120); this engine parses the
+binary directly on top of the OLE2 reader (engine/olex.py):
+
+* FIB → CLX piece table → text (per-piece cp1252 / UTF-16LE), clipped
+  to the main-document character count;
+* the STSH stylesheet + PlcfBtePapx/PAPX-FKP chain recover each
+  paragraph's style index, so built-in ``heading N`` styles become
+  section headers and ``List``-family styles become list items;
+* paragraph marks (CR), cell marks (0x07), field characters
+  (0x13/0x14/0x15), and inline-object placeholders (0x01) get Word's
+  documented meanings: field instructions are dropped and results kept,
+  pictures become picture items, tab-separated cell text joins rows.
+
+Structure beyond this (numbered-list counters, nested tables, textboxes)
+needs the LFO/LVL and office-art layers — documented out; the pytest
+floor pins word recall + heading/list structure against the reference's
+LibreOffice-derived groundtruth.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+from docling_spark.engine.htmlx import Item, _mk_item, serialize_items
+from docling_spark.engine.olex import OleError, OleFile
+
+__all__ = ["DocBinError", "extract_doc"]
+
+
+class DocBinError(ValueError):
+    pass
+
+
+def _pieces(word: bytes, table: bytes) -> list[tuple[int, int, int, bool]]:
+    """CLX → [(cp_start, cp_end, fc, compressed)] text pieces."""
+    fc_clx, lcb_clx = struct.unpack_from("<II", word, 0x01A2)
+    clx = table[fc_clx:fc_clx + lcb_clx]
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:  # Prc blocks precede the Pcdt
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        i += 3 + max(cb, 0)
+    if i >= len(clx) or clx[i] != 0x02:
+        raise DocBinError("no piece table (Pcdt) in CLX")
+    (cb_plc,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5:i + 5 + cb_plc]
+    n = (len(plc) - 4) // 12
+    if n <= 0:
+        raise DocBinError("empty piece table")
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    out = []
+    for k in range(n):
+        pcd = plc[(n + 1) * 4 + k * 8:(n + 1) * 4 + (k + 1) * 8]
+        (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+        compressed = bool(fc_raw & 0x40000000)
+        fc = fc_raw & 0x3FFFFFFF
+        if compressed:
+            fc //= 2
+        out.append((cps[k], cps[k + 1], fc, compressed))
+    return out
+
+
+def _text(word: bytes, pieces, ccp_text: int) -> str:
+    parts = []
+    remaining = ccp_text
+    for cp0, cp1, fc, compressed in pieces:
+        n = cp1 - cp0
+        if remaining <= 0:
+            break
+        n = min(n, remaining)
+        if compressed:
+            raw = word[fc:fc + n]
+            parts.append(raw.decode("cp1252", "replace"))
+        else:
+            raw = word[fc:fc + 2 * n]
+            parts.append(raw.decode("utf-16-le", "replace"))
+        remaining -= n
+    return "".join(parts)
+
+
+def _style_names(table: bytes, word: bytes) -> dict[int, str]:
+    """STSH stylesheet → {istd: lowercased style name}."""
+    fc, lcb = struct.unpack_from("<II", word, 0x00A2)
+    sh = table[fc:fc + lcb]
+    if len(sh) < 6:
+        return {}
+    (cb_stshi,) = struct.unpack_from("<H", sh, 0)
+    (cstd,) = struct.unpack_from("<H", sh, 2)
+    (cb_std_base,) = struct.unpack_from("<H", sh, 4)
+    pos = 2 + cb_stshi
+    names: dict[int, str] = {}
+    for istd in range(cstd):
+        if pos + 2 > len(sh):
+            break
+        (cb_std,) = struct.unpack_from("<H", sh, pos)
+        body = sh[pos + 2:pos + 2 + cb_std]
+        pos += 2 + cb_std
+        if cb_std == 0 or len(body) < cb_std_base + 2:
+            continue
+        # xstzName directly after the STD base: length-prefixed UTF-16
+        (name_len,) = struct.unpack_from("<H", body, cb_std_base)
+        raw = body[cb_std_base + 2:cb_std_base + 2 + name_len * 2]
+        names[istd] = raw.decode("utf-16-le", "replace").lower()
+    return names
+
+
+def _paragraph_styles(word: bytes, table: bytes) -> list[tuple[int, int]]:
+    """PlcfBtePapx → PAPX FKPs → [(fc_end_of_paragraph, istd)]."""
+    fc, lcb = struct.unpack_from("<II", word, 0x0102)
+    plc = table[fc:fc + lcb]
+    if len(plc) < 8:
+        return []
+    n = (len(plc) - 4) // 8
+    pages = struct.unpack_from(f"<{n}I", plc, (n + 1) * 4)
+    out: list[tuple[int, int]] = []
+    for pn in pages:
+        page = word[pn * 512:(pn + 1) * 512]
+        if len(page) < 512:
+            continue
+        crun = page[511]
+        if crun == 0 or 4 * (crun + 1) + 13 * crun > 511:
+            continue
+        rgfc = struct.unpack_from(f"<{crun + 1}I", page, 0)
+        for k in range(crun):
+            bx_off = 4 * (crun + 1) + k * 13
+            word_off = page[bx_off]
+            istd = 0
+            if word_off:
+                papx = page[word_off * 2:]
+                if len(papx) >= 3:
+                    # PapxInFkp: cb byte (0 → cb' follows), then istd
+                    if papx[0] != 0:
+                        istd = struct.unpack_from("<H", papx, 1)[0]
+                    elif len(papx) >= 4:
+                        istd = struct.unpack_from("<H", papx, 2)[0]
+            out.append((rgfc[k + 1], istd))
+    out.sort()
+    return out
+
+
+def _fc_of_cp(pieces, cp: int) -> int:
+    for cp0, cp1, fc, compressed in pieces:
+        if cp0 <= cp < cp1:
+            return fc + (cp - cp0) * (1 if compressed else 2)
+    return -1
+
+
+_FIELD_RE = re.compile("\x13[^\x14\x15]*\x14?([^\x15]*)\x15")
+
+
+def _clean_para(p: str) -> str:
+    p = _FIELD_RE.sub(r"\1", p)
+    p = p.replace("\x13", "").replace("\x14", "").replace("\x15", "")
+    p = p.replace("\x0b", "\n")  # soft line break
+    p = re.sub(r"[\x00-\x06\x08\x0c-\x1f]", "", p)
+    return p.strip()
+
+
+def _table_md(para: str) -> tuple[str, int, int] | None:
+    """A paragraph chunk carrying cell marks → markdown grid. Cells end
+    with 0x07; an empty 0x07 segment is the row mark."""
+    rows: list[list[str]] = []
+    cells: list[str] = []
+    for seg in para.split("\x07"):
+        seg = _clean_para(seg)
+        if seg == "" and cells:
+            rows.append(cells)
+            cells = []
+        elif seg != "" or cells:
+            cells.append(seg)
+    if cells:
+        rows.append(cells)
+    rows = [r for r in rows if any(c for c in r)]
+    if len(rows) < 2:
+        return None
+    ncols = max(len(r) for r in rows)
+    md = []
+    for ri, r in enumerate(rows):
+        r = [c.replace("|", "&#124;") for c in r] + [""] * (ncols - len(r))
+        md.append("| " + " | ".join(r) + " |")
+        if ri == 0:
+            md.append("| " + " | ".join("-" for _ in range(ncols)) + " |")
+    return "\n".join(md), len(rows), ncols
+
+
+def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
+    """.doc bytes → (extracted_text, items, metrics)."""
+    try:
+        ole = OleFile(payload)
+        word = ole.read("WordDocument")
+    except OleError as exc:
+        raise DocBinError(str(exc)) from exc
+    if len(word) < 0x200 or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
+        raise DocBinError("not a Word binary (wIdent mismatch)")
+    (flags,) = struct.unpack_from("<H", word, 0x000A)
+    table_name = "1Table" if (flags >> 9) & 1 else "0Table"
+    try:
+        table = ole.read(table_name)
+    except OleError as exc:
+        raise DocBinError(str(exc)) from exc
+    (ccp_text,) = struct.unpack_from("<i", word, 0x004C)
+    pieces = _pieces(word, table)
+    text = _text(word, pieces, max(ccp_text, 0))
+    names = _style_names(table, word)
+    para_styles = _paragraph_styles(word, table)
+
+    items: list[Item] = []
+    _mk_item(items, -1, "unspecified", 0, "_root_", "body")
+    hstack: list[tuple[int, int]] = []
+
+    def parent() -> int:
+        return hstack[-1][1] if hstack else 0
+
+    def style_for(cp_end: int) -> str:
+        fc = _fc_of_cp(pieces, max(cp_end - 1, 0))
+        if fc < 0 or not para_styles:
+            return ""
+        for fc_end, istd in para_styles:
+            if fc < fc_end:
+                return names.get(istd, "")
+        return ""
+
+    list_group = -1
+    cp = 0
+    for para in text.split("\r"):
+        cp_end = cp + len(para) + 1
+        if "\x07" in para:
+            tbl = _table_md(para)
+            cp = cp_end
+            if tbl is not None:
+                md, nr, nc = tbl
+                idx = _mk_item(items, parent(), "table", 1, md, "body")
+                items[idx]["num_rows"] = nr
+                items[idx]["num_cols"] = nc
+                list_group = -1
+                continue
+            para = para.replace("\x07", "\t")
+        cleaned = _clean_para(para)
+        has_pict = "\x01" in para
+        style = style_for(cp_end)
+        if "\x07" not in para:
+            cp = cp_end
+        if has_pict:
+            _mk_item(items, parent(), "picture", 1, "", "body")
+            list_group = -1
+        if not cleaned:
+            continue
+        m = re.match(r"(?:heading|berschrift.*)\s*(\d)", style) \
+            or (re.match(r"(\d)", style[5:6]) if style.startswith("heading")
+                else None)
+        if style.startswith("heading") and style[-1].isdigit():
+            level = int(style[-1])
+            while hstack and hstack[-1][0] >= level:
+                hstack.pop()
+            par = hstack[-1][1] if hstack else 0
+            idx = _mk_item(items, par, "section_header", 1, cleaned, "body")
+            items[idx]["_hlevel"] = level + 1
+            hstack.append((level, idx))
+            list_group = -1
+        elif style == "title":
+            # the reference's groundtruth (LibreOffice-converted) renders
+            # the Title style as a level-1 section header ("##")
+            while hstack:
+                hstack.pop()
+            idx = _mk_item(items, 0, "section_header", 1, cleaned, "body")
+            items[idx]["_hlevel"] = 2
+            hstack.append((1, idx))
+            list_group = -1
+        elif "list" in style and "table" not in style:
+            if list_group < 0:
+                list_group = _mk_item(items, parent(), "list", 1,
+                                      "list", "body")
+            _mk_item(items, list_group, "list_item", 2, cleaned, "body")
+        elif style == "caption":
+            _mk_item(items, parent(), "caption", 1, cleaned, "body")
+            list_group = -1
+        else:
+            _mk_item(items, parent(), "text", 1, cleaned, "body")
+            list_group = -1
+        _ = m
+
+    extracted = serialize_items(items, layer="body")
+    metrics = {
+        "pages_parsed": 1,
+        "parse_score": 1.0,
+        "boilerplate_ratio": 0.0,
+        "n_items": len(items) - 1,
+    }
+    return extracted, items, metrics
+
+
+def synthesize_doc(text: str) -> bytes:
+    """Build a minimal REAL .doc binary (OLE2 v3 container + Word FIB +
+    one-piece CLX) around the given text — the write half of the
+    round-trip the contract query certifies (paragraphs separate on CR).
+    Both streams are FAT-resident (≥ mini cutoff) so the reader exercises
+    the main sector chain."""
+    raw_text = text.replace("\n", "\r").encode("cp1252", "replace")
+    text_off = 0x800
+    word = bytearray(max(4096, text_off + len(raw_text)))
+    struct.pack_into("<H", word, 0, 0xA5EC)           # wIdent
+    struct.pack_into("<H", word, 0x000A, 0)           # flags → 0Table
+    struct.pack_into("<i", word, 0x004C, len(raw_text))  # ccpText
+    struct.pack_into("<II", word, 0x01A2, 0, 25)      # fcClx, lcbClx
+    word[text_off:text_off + len(raw_text)] = raw_text
+    # 0Table: CLX = 0x02 + cb(4) + PlcPcd(CPs + one PCD)
+    table = bytearray(4096)
+    struct.pack_into("<BI", table, 0, 0x02, 16)
+    struct.pack_into("<II", table, 5, 0, len(raw_text))      # CP bounds
+    struct.pack_into("<HIH", table, 13,
+                     0, (text_off * 2) | 0x40000000, 0)      # PCD (cp1252)
+
+    def pad(b: bytes) -> bytes:
+        n = (len(b) + 511) // 512 * 512
+        return bytes(b) + b"\x00" * (n - len(b))
+
+    wd = pad(bytes(word))
+    tb = pad(bytes(table))
+    n_wd = len(wd) // 512
+    n_tb = len(tb) // 512
+    dir_sec = 1
+    wd_start = 2
+    tb_start = wd_start + n_wd
+    total = tb_start + n_tb
+
+    fat = [0xFFFFFFFF] * 128
+    fat[0] = 0xFFFFFFFD                       # the FAT sector itself
+    fat[dir_sec] = 0xFFFFFFFE                 # directory: one sector
+    for k in range(n_wd):
+        fat[wd_start + k] = wd_start + k + 1 if k < n_wd - 1 else 0xFFFFFFFE
+    for k in range(n_tb):
+        fat[tb_start + k] = tb_start + k + 1 if k < n_tb - 1 else 0xFFFFFFFE
+
+    def dirent(name: str, etype: int, start: int, size: int) -> bytes:
+        e = bytearray(128)
+        nm = name.encode("utf-16-le")
+        e[:len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm) + 2)
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<lll", e, 68, -1, -1, -1)  # no siblings/child
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    d0 = bytearray(dirent("Root Entry", 5, 0xFFFFFFFE, 0))
+    struct.pack_into("<l", d0, 76, 1)  # root's child: WordDocument
+    d1 = bytearray(dirent("WordDocument", 2, wd_start, len(wd)))
+    struct.pack_into("<l", d1, 72, 2)  # right sibling: 0Table
+    directory = bytes(d0) + bytes(d1) + dirent("0Table", 2, tb_start,
+                                               len(tb))
+    directory += b"\x00" * (512 - len(directory) % 512 if
+                            len(directory) % 512 else 0)
+
+    hdr = bytearray(512)
+    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", hdr, 24, 0x003E)   # minor
+    struct.pack_into("<H", hdr, 26, 0x0003)   # major (v3)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", hdr, 30, 9)        # 512-byte sectors
+    struct.pack_into("<H", hdr, 32, 6)        # 64-byte mini sectors
+    struct.pack_into("<I", hdr, 44, 1)        # one FAT sector
+    struct.pack_into("<I", hdr, 48, dir_sec)  # directory start
+    struct.pack_into("<I", hdr, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", hdr, 60, 0xFFFFFFFE)  # no miniFAT
+    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)  # no DIFAT chain
+    struct.pack_into("<109I", hdr, 76, 0, *([0xFFFFFFFF] * 108))
+    _ = total
+    return (bytes(hdr) + struct.pack("<128I", *fat) + directory
+            + wd + tb)

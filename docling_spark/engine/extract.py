@@ -61,11 +61,15 @@ def detect_format(text: str, tool: str = "") -> str:
     if hint in ("audio", "video", "wav", "mp3", "flac", "ogg", "m4a",
                 "mp4", "mov", "avi", "aac", "asr"):
         return "media"
-    if hint in ("xls", "xlt", "doc", "dot", "ppt", "pot"):
-        # legacy binary Office: the reference delegates to a LibreOffice
-        # subprocess (backend/docx/drawingml/utils.py:79-120) and raises
-        # RuntimeError when it is absent — mirrored as a contained
-        # failure row (no external binaries in this engine)
+    if hint in ("doc", "dot"):
+        # legacy Word binary: parsed NATIVELY (engine/docbinx.py) — the
+        # reference needs a LibreOffice subprocess for this format
+        return "docbin"
+    if hint in ("xls", "xlt", "ppt", "pot"):
+        # legacy Excel/PowerPoint binaries: the reference delegates to a
+        # LibreOffice subprocess (backend/docx/drawingml/utils.py:79-120)
+        # and raises RuntimeError when it is absent — mirrored as a
+        # contained failure row (no external binaries in this engine)
         return "legacy_office"
     if hint in ("html", "md", "csv", "pdfish", "pdf", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
@@ -116,6 +120,19 @@ def detect_format(text: str, tool: str = "") -> str:
     # native PDF: raw %PDF- header (latin-1-safe) or its base64 prefix
     if text.startswith(("%PDF-", "JVBERi")):
         return "pdf"
+    if text.startswith("0M8R4KGx"):  # base64 OLE2 magic d0cf11e0a1b1
+        # .doc vs .xls/.ppt needs the directory: peek the stream names
+        import base64
+
+        from docling_spark.engine import olex
+
+        try:
+            streams = olex.OleFile(base64.b64decode(text)).streams()
+        except Exception:
+            streams = []
+        if "WordDocument" in streams:
+            return "docbin"
+        return "legacy_office"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
     if emailx.looks_like_email(text):
@@ -337,6 +354,15 @@ def extract_payload(
             extracted, items, metrics = pptxx.extract_pptx(
                 base64.b64decode(text)
             )
+        elif fmt == "docbin":
+            import base64
+
+            from docling_spark.engine import docbinx
+
+            raw_d = text.encode("latin-1", "ignore") \
+                if text.startswith("\xd0\xcf") \
+                else base64.b64decode(text)
+            extracted, items, metrics = docbinx.extract_doc(raw_d)
         elif fmt == "pdf":
             from docling_spark.engine import pdfx
 

@@ -1,0 +1,77 @@
+"""Legacy .doc native parser vs the reference's corpus + round-trips.
+
+The reference converts tests/data/doc/sources/legacy_sample.doc via a
+LibreOffice subprocess (absent here, it raises); engine/docbinx.py
+parses the Word binary directly. The groundtruth (a LibreOffice→docx
+derived markdown) is pinned structurally: exact headings, caption,
+table rows, and a word-recall floor. Known divergences (documented in
+the module docstring): numbered lists render as bullets (LFO/LVL layer
+out of scope) and bold table-cell runs lose their markers (CHPX layer
+out of scope).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import unicodedata
+
+import pytest
+
+from docling_spark.engine.docbinx import (
+    DocBinError,
+    extract_doc,
+    synthesize_doc,
+)
+
+SRC = pathlib.Path("/root/reference/tests/data/doc/sources")
+GT = pathlib.Path("/root/reference/tests/data/doc/groundtruth")
+
+pytestmark = pytest.mark.skipif(
+    not SRC.exists(), reason="reference checkout not available"
+)
+
+
+def _words(s: str) -> set[str]:
+    s = unicodedata.normalize("NFKC", s.lower())
+    return set(re.findall(r"[\w]{2,}", s))
+
+
+def test_legacy_sample_structure() -> None:
+    text, items, metrics = extract_doc(
+        (SRC / "legacy_sample.doc").read_bytes())
+    # headings exactly as the groundtruth renders them
+    assert "## Swimming in the lake" in text
+    assert "## Let’s swim!" in text
+    assert "### Let’s eat" in text
+    # SEQ field resolved inside the caption
+    assert "Figure 1: This is a cute duckling" in text
+    # picture placeholder
+    assert "<!-- image -->" in text
+    # the 3x4 food table assembles as a markdown grid
+    assert "| Leaves | Ash, Elm, Maple | 50 |" in text
+    assert "| Grain | Corn, Buckwheat, Barley | 200 |" in text
+    labels = {it["label"] for it in items}
+    assert {"section_header", "list_item", "caption", "picture",
+            "table"} <= labels
+
+
+def test_legacy_sample_word_recall() -> None:
+    text, _, _ = extract_doc((SRC / "legacy_sample.doc").read_bytes())
+    gw = _words((GT / "legacy_sample.doc.md").read_text())
+    ow = _words(text)
+    hit = len(gw & ow)
+    assert hit / max(len(gw), 1) >= 0.97, sorted(gw - ow)[:10]
+    assert hit / max(len(ow), 1) >= 0.97, sorted(ow - gw)[:10]
+
+
+def test_synthesized_roundtrip() -> None:
+    for body in ["one\ntwo\nthree", "single", "unicode é ü ß\nnext"]:
+        text, items, _ = extract_doc(synthesize_doc(body))
+        assert text == body.replace("\n", "\n\n")
+
+
+def test_malformed_doc_contained() -> None:
+    for bad in [b"", b"\xd0\xcf\x11\xe0junk", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600]:
+        with pytest.raises(DocBinError):
+            extract_doc(bad)

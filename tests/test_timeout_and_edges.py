@@ -87,9 +87,15 @@ def test_legacy_office_contained_failure():
     utils.py:79-120) — never a raise, never a misparse as plain text."""
     from docling_spark.engine.extract import extract_payload
 
-    for hint in ("xls", "doc", "ppt", "xlt", "dot", "pot"):
+    for hint in ("xls", "ppt", "xlt", "pot"):
         r = extract_payload("\xd0\xcfbinary junk", hint)
         assert r["status"] == "failure"
         assert r["format"] == "legacy_office"
         assert r["errors"][0]["category"] == "dependency_error"
         assert r["extracted_text"] == ""
+    # .doc now parses natively (engine/docbinx.py); junk payloads are a
+    # contained parse failure, not a dependency error
+    for hint in ("doc", "dot"):
+        r = extract_payload("\xd0\xcfbinary junk", hint)
+        assert r["status"] == "failure"
+        assert r["format"] == "docbin"
