@@ -1894,6 +1894,62 @@ from t
 """
 
 
+def q_extract_xls(spark, sf_dir):
+    """Legacy .xls end-to-end: a real BIFF8 workbook (OLE2 container,
+    SST shared strings, NUMBER cells) synthesized per document
+    (xlsbinx.synthesize_xls), base64'd, routed through tool='xls' into
+    the native parser — a format the reference cannot read without a
+    LibreOffice subprocess. Two flood-fill regions per sheet (a 1x1
+    title table and a 2-column data table); the oracle predicts the
+    markdown arithmetically, so the hash certifies the full
+    write→OLE2→BIFF→flood-fill→markdown round-trip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+
+        from docling_spark.engine.xlsbinx import synthesize_xls
+
+        out = []
+        for i, t in zip(doc_id, text):
+            tt = str(t).strip()
+            tok = tt.split()[0]
+            grid = [
+                [f"Duck log {i}"],
+                [],
+                ["Metric", "Value"],
+                ["chars", float(len(tt))],
+                ["first", tok],
+            ]
+            out.append(base64.b64encode(
+                synthesize_xls("Obs", grid)).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    xls_b64 = pandas_udf(_mk, "string")
+    return _extract_docs(spark, sf_dir, xls_b64(F.col("doc_id"),
+                                                F.col("text")), "xls")
+
+
+ORACLE_EXTRACT_XLS = """
+with t as (
+  select doc_id, trim(text) tt,
+         string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '| Duck log ' || doc_id || ' |' || chr(10) || '| - |'
+        || chr(10) || chr(10)
+        || '| Metric | Value |' || chr(10) || '| - | - |' || chr(10)
+        || '| chars | ' || length(tt) || ' |' || chr(10)
+        || '| first | ' || replace(toks[1], '|', '&#124;') || ' |'
+          as extracted_text
+from t
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -4102,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": q_extract_pdf,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_doc": q_extract_doc,
+        "extract_xls": q_extract_xls,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -4212,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf": ORACLE_EXTRACT_PDF,
         "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
         "extract_doc": ORACLE_EXTRACT_DOC,
+        "extract_xls": ORACLE_EXTRACT_XLS,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

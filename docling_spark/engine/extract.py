@@ -65,8 +65,12 @@ def detect_format(text: str, tool: str = "") -> str:
         # legacy Word binary: parsed NATIVELY (engine/docbinx.py) — the
         # reference needs a LibreOffice subprocess for this format
         return "docbin"
-    if hint in ("xls", "xlt", "ppt", "pot"):
-        # legacy Excel/PowerPoint binaries: the reference delegates to a
+    if hint in ("xls", "xlt"):
+        # legacy Excel binary: parsed NATIVELY (engine/xlsbinx.py) — the
+        # reference needs a LibreOffice subprocess for this format
+        return "xlsbin"
+    if hint in ("ppt", "pot"):
+        # legacy PowerPoint binary: the reference delegates to a
         # LibreOffice subprocess (backend/docx/drawingml/utils.py:79-120)
         # and raises RuntimeError when it is absent — mirrored as a
         # contained failure row (no external binaries in this engine)
@@ -132,6 +136,8 @@ def detect_format(text: str, tool: str = "") -> str:
             streams = []
         if "WordDocument" in streams:
             return "docbin"
+        if "Workbook" in streams or "Book" in streams:
+            return "xlsbin"
         return "legacy_office"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
@@ -363,6 +369,15 @@ def extract_payload(
                 if text.startswith("\xd0\xcf") \
                 else base64.b64decode(text)
             extracted, items, metrics = docbinx.extract_doc(raw_d)
+        elif fmt == "xlsbin":
+            import base64
+
+            from docling_spark.engine import xlsbinx
+
+            raw_x = text.encode("latin-1", "ignore") \
+                if text.startswith("\xd0\xcf") \
+                else base64.b64decode(text)
+            extracted, items, metrics = xlsbinx.extract_xls(raw_x)
         elif fmt == "pdf":
             from docling_spark.engine import pdfx
 

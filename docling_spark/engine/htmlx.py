@@ -1686,7 +1686,10 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                         ch["span_start"] = off
                         ch["span_end"] = off + len(part)
                         off += len(part) + 1
-            elif label == "section":
+            elif label in ("section", "sheet", "chapter"):
+                # sheet/chapter groups: structural only — the plain md
+                # serializer renders nothing for them (legacy xls/ppt
+                # groundtruth md carries no sheet/slide headings)
                 walk(it["item_idx"])
             else:
                 if it["text"]:

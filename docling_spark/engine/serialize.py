@@ -22,7 +22,8 @@ extraction time) or as a Spark map over the exploded item table.
 
 from __future__ import annotations
 
-_GROUP_LABELS = frozenset(["unspecified", "list", "inline", "group"])
+_GROUP_LABELS = frozenset(
+    ["unspecified", "list", "inline", "group", "sheet", "chapter"])
 
 
 def _children_map(items: list[dict]) -> dict[int, list[dict]]:

@@ -82,20 +82,21 @@ def test_assemble_empty_and_single(spark):
 
 
 def test_legacy_office_contained_failure():
-    """Legacy xls/doc/ppt route to a contained failure row mirroring the
+    """Legacy ppt routes to a contained failure row mirroring the
     reference's LibreOffice-missing RuntimeError (backend/docx/drawingml/
     utils.py:79-120) — never a raise, never a misparse as plain text."""
     from docling_spark.engine.extract import extract_payload
 
-    for hint in ("xls", "ppt", "xlt", "pot"):
+    for hint in ("ppt", "pot"):
         r = extract_payload("\xd0\xcfbinary junk", hint)
         assert r["status"] == "failure"
         assert r["format"] == "legacy_office"
         assert r["errors"][0]["category"] == "dependency_error"
         assert r["extracted_text"] == ""
-    # .doc now parses natively (engine/docbinx.py); junk payloads are a
-    # contained parse failure, not a dependency error
-    for hint in ("doc", "dot"):
+    # .doc and .xls now parse natively (engine/docbinx.py, xlsbinx.py);
+    # junk payloads are a contained parse failure, not a dependency error
+    for hint, fmt in (("doc", "docbin"), ("dot", "docbin"),
+                      ("xls", "xlsbin"), ("xlt", "xlsbin")):
         r = extract_payload("\xd0\xcfbinary junk", hint)
         assert r["status"] == "failure"
-        assert r["format"] == "docbin"
+        assert r["format"] == fmt

@@ -1,0 +1,108 @@
+"""Native legacy .xls (BIFF8) engine tests.
+
+Pinned against the reference's own legacy corpus
+(/root/reference/tests/data/xls/{sources,groundtruth}) — a format the
+reference itself can only read by shelling out to LibreOffice
+(tests/test_backend_legacy_msoffice.py:1-30). Markdown equality is
+byte-exact; the item tree matches the groundtruth itxt."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from docling_spark.engine.xlsbinx import XlsError, extract_xls, synthesize_xls
+
+REF = pathlib.Path("/root/reference/tests/data/xls")
+
+pytestmark_ref = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+
+def _itxt(items) -> str:
+    """The reference's _export_to_indented_text(max_text_len=70,
+    explicit_tables=False) shape: tables print as 'table with [RxC]'."""
+    out = []
+    for it in items:
+        ind = "  " * it["level"]
+        if it["label"] == "table":
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'table with [{it["num_rows"]}x{it["num_cols"]}]'
+            )
+        elif it["label"] in ("unspecified", "sheet"):
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'{it["label"]}: group {it["text"]}'
+            )
+        else:
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'{it["label"]}: {it["text"]}'
+            )
+    return "\n".join(out)
+
+
+@pytestmark_ref
+def test_legacy_sample_md_byte_exact() -> None:
+    data = (REF / "sources" / "legacy_sample.xls").read_bytes()
+    gt = (REF / "groundtruth" / "legacy_sample.xls.md").read_text()
+    text, _items, _m = extract_xls(data)
+    assert text.strip() == gt.strip()
+
+
+@pytestmark_ref
+def test_legacy_sample_itxt_exact() -> None:
+    data = (REF / "sources" / "legacy_sample.xls").read_bytes()
+    gt = (REF / "groundtruth" / "legacy_sample.xls.itxt").read_text()
+    _text, items, _m = extract_xls(data)
+    assert _itxt(items) == gt.strip("\n")
+
+
+def test_synthesized_roundtrip() -> None:
+    grid = [
+        ["Only title"],
+        [],
+        ["Year", "Ducks", "Notes"],
+        [2019, 120, "cold"],
+        [2020, 135.5, "warm | wet"],
+    ]
+    text, items, m = extract_xls(synthesize_xls("S1", grid))
+    # two flood-fill regions: the 1x1 title table and the 3x3 data table
+    tables = [it for it in items if it["label"] == "table"]
+    assert len(tables) == 2
+    assert "| Only title |" in text
+    assert "| 2019 | 120 | cold |" in text
+    assert "| 2020 | 135.5 | warm &#124; wet |" in text
+    assert m["pages_parsed"] == 1
+
+
+def test_shared_string_dedup_and_bools() -> None:
+    # identical strings share one SST entry; parser resolves both cells
+    grid = [["dup", "dup"], ["x", "y"]]
+    text, _items, _m = extract_xls(synthesize_xls("S", grid))
+    assert "| dup | dup |" in text
+
+
+def test_malformed_contained() -> None:
+    with pytest.raises(XlsError):
+        extract_xls(b"\xd0\xcf\x11\xe0junk")
+    with pytest.raises(XlsError):
+        extract_xls(b"not ole at all")
+
+
+def test_rk_decoding() -> None:
+    from docling_spark.engine.xlsbinx import _rk_value
+    import struct as _s
+
+    # int flag: 42 << 2 | 0b10
+    assert _rk_value((42 << 2) | 0x02) == 42.0
+    # negative 30-bit int
+    assert _rk_value(((-7 & 0x3FFFFFFF) << 2) | 0x02) == -7.0
+    # x100 int: 1234 /100
+    assert _rk_value((1234 << 2) | 0x03) == 12.34
+    # float form: the RK word IS the high 32 bits of the IEEE double
+    rk = _s.unpack("<I", _s.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    assert _rk_value(rk) == 2.5
