@@ -1950,6 +1950,56 @@ from t
 """
 
 
+def q_extract_ppt(spark, sf_dir):
+    """Legacy .ppt end-to-end: a real PPT97 binary (OLE2 container,
+    Current User + UserEditAtom + persist directory, OfficeArt shape
+    records, TextPFException bullet runs) synthesized per document
+    (pptbinx.synthesize_ppt), base64'd, routed through tool='ppt' into
+    the native parser — a format the reference cannot read without a
+    LibreOffice subprocess. The oracle predicts the markdown (title,
+    paragraph, ordered bullets) arithmetically, so the hash certifies
+    the full write→persist-resolve→shape-walk→markdown round-trip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+
+        from docling_spark.engine.pptbinx import synthesize_ppt
+
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split()
+            blob = synthesize_ppt([{
+                "title": f"Deck {i}",
+                "paras": [f"{toks[0]} opening remark"],
+                "bullets": [toks[1], toks[2]],
+                "ordered": True,
+            }])
+            out.append(base64.b64encode(blob).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    ppt_b64 = pandas_udf(_mk, "string")
+    return _extract_docs(spark, sf_dir, ppt_b64(F.col("doc_id"),
+                                                F.col("text")), "ppt")
+
+
+ORACLE_EXTRACT_PPT = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       '# Deck ' || doc_id || chr(10) || chr(10)
+        || toks[1] || ' opening remark' || chr(10) || chr(10)
+        || '1. ' || toks[2] || chr(10)
+        || '2. ' || toks[3] as extracted_text
+from t
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Audio container probe, end-to-end binary: synthesize real PCM WAV
     payloads from media_id (synth_wav_df — RIFF header + zero frames,
@@ -4159,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_doc": q_extract_doc,
         "extract_xls": q_extract_xls,
+        "extract_ppt": q_extract_ppt,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -4270,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
         "extract_doc": ORACLE_EXTRACT_DOC,
         "extract_xls": ORACLE_EXTRACT_XLS,
+        "extract_ppt": ORACLE_EXTRACT_PPT,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

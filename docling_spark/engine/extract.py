@@ -70,11 +70,9 @@ def detect_format(text: str, tool: str = "") -> str:
         # reference needs a LibreOffice subprocess for this format
         return "xlsbin"
     if hint in ("ppt", "pot"):
-        # legacy PowerPoint binary: the reference delegates to a
-        # LibreOffice subprocess (backend/docx/drawingml/utils.py:79-120)
-        # and raises RuntimeError when it is absent — mirrored as a
-        # contained failure row (no external binaries in this engine)
-        return "legacy_office"
+        # legacy PowerPoint binary: parsed NATIVELY (engine/pptbinx.py) —
+        # the reference needs a LibreOffice subprocess for this format
+        return "pptbin"
     if hint in ("html", "md", "csv", "pdfish", "pdf", "code", "vtt", "email",
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
@@ -138,6 +136,10 @@ def detect_format(text: str, tool: str = "") -> str:
             return "docbin"
         if "Workbook" in streams or "Book" in streams:
             return "xlsbin"
+        if "PowerPoint Document" in streams:
+            return "pptbin"
+        # other OLE2 containers (Visio, MSI, Publisher, …): the
+        # reference has no backend either — contained failure row
         return "legacy_office"
     if text.lstrip("﻿").lstrip().startswith("WEBVTT"):
         return "vtt"
@@ -378,6 +380,15 @@ def extract_payload(
                 if text.startswith("\xd0\xcf") \
                 else base64.b64decode(text)
             extracted, items, metrics = xlsbinx.extract_xls(raw_x)
+        elif fmt == "pptbin":
+            import base64
+
+            from docling_spark.engine import pptbinx
+
+            raw_pp = text.encode("latin-1", "ignore") \
+                if text.startswith("\xd0\xcf") \
+                else base64.b64decode(text)
+            extracted, items, metrics = pptbinx.extract_ppt(raw_pp)
         elif fmt == "pdf":
             from docling_spark.engine import pdfx
 

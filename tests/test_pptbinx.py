@@ -1,0 +1,108 @@
+"""Native legacy .ppt (PPT97 binary) engine tests.
+
+Pinned against the reference's own legacy corpus
+(/root/reference/tests/data/ppt/{sources,groundtruth}) — a format the
+reference itself can only read by shelling out to LibreOffice
+(tests/test_backend_legacy_msoffice.py:1-30). Markdown AND item-tree
+(itxt) equality are byte-exact — including the 9x7 merged-cell table
+reconstructed from the shape-group geometry, visual row-band ordering,
+autonumbered vs plain bullets, and persist-directory slide resolution."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from docling_spark.engine.pptbinx import (
+    PptError,
+    extract_ppt,
+    synthesize_ppt,
+)
+
+REF = pathlib.Path("/root/reference/tests/data/ppt")
+
+pytestmark_ref = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+
+def _itxt(items) -> str:
+    out = []
+    for it in items:
+        ind = "  " * it["level"]
+        if it["label"] == "table":
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'table with [{it["num_rows"]}x{it["num_cols"]}]'
+            )
+        elif it["label"] in ("unspecified", "chapter", "list"):
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'{it["label"]}: group {it["text"]}'
+            )
+        else:
+            out.append(
+                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'{it["label"]}: {it["text"]}'
+            )
+    return "\n".join(out)
+
+
+@pytestmark_ref
+def test_legacy_sample_md_byte_exact() -> None:
+    data = (REF / "sources" / "legacy_sample.ppt").read_bytes()
+    gt = (REF / "groundtruth" / "legacy_sample.ppt.md").read_text()
+    text, _items, _m = extract_ppt(data)
+    assert text.strip() == gt.strip()
+
+
+@pytestmark_ref
+def test_legacy_sample_itxt_exact() -> None:
+    data = (REF / "sources" / "legacy_sample.ppt").read_bytes()
+    gt = (REF / "groundtruth" / "legacy_sample.ppt.itxt").read_text()
+    _text, items, _m = extract_ppt(data)
+    assert _itxt(items) == gt.rstrip("\n")
+
+
+@pytestmark_ref
+def test_stale_containers_not_double_counted() -> None:
+    """The sample is an incremental-edit file: a naive stream scan and
+    the persist directory agree here (3 live slides), but resolution
+    MUST go through Current User → UserEditAtom → persist dir."""
+    data = (REF / "sources" / "legacy_sample.ppt").read_bytes()
+    _text, items, m = extract_ppt(data)
+    chapters = [it for it in items if it["label"] == "chapter"]
+    assert [c["text"] for c in chapters] == ["slide-0", "slide-1", "slide-2"]
+    assert m["pages_parsed"] == 3
+
+
+def test_synthesized_roundtrip() -> None:
+    b = synthesize_ppt([
+        {"title": "Deck A", "paras": ["Opening remark."],
+         "bullets": ["alpha", "beta"], "ordered": False},
+        {"title": "Deck B", "bullets": ["one", "two", "three"],
+         "ordered": True},
+    ])
+    text, items, m = extract_ppt(b)
+    assert "# Deck A" in text and "# Deck B" in text
+    assert "- alpha\n- beta" in text
+    assert "1. one\n2. two\n3. three" in text
+    assert m["pages_parsed"] == 2
+    chapters = [it for it in items if it["label"] == "chapter"]
+    assert len(chapters) == 2
+
+
+def test_unicode_text_roundtrip() -> None:
+    b = synthesize_ppt([{"title": "Résumé — übersicht",
+                         "paras": ["naïve café ₤"], "bullets": []}])
+    text, _items, _m = extract_ppt(b)
+    assert "# Résumé — übersicht" in text
+    assert "naïve café ₤" in text
+
+
+def test_malformed_contained() -> None:
+    with pytest.raises(PptError):
+        extract_ppt(b"\xd0\xcf\x11\xe0junk")
+    with pytest.raises(PptError):
+        extract_ppt(b"not ole at all")

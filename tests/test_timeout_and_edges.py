@@ -82,21 +82,35 @@ def test_assemble_empty_and_single(spark):
 
 
 def test_legacy_office_contained_failure():
-    """Legacy ppt routes to a contained failure row mirroring the
-    reference's LibreOffice-missing RuntimeError (backend/docx/drawingml/
-    utils.py:79-120) — never a raise, never a misparse as plain text."""
-    from docling_spark.engine.extract import extract_payload
+    """Unrecognized OLE2 containers (Visio/MSI/…) route to a contained
+    dependency-error row, mirroring the reference's LibreOffice-missing
+    RuntimeError (backend/docx/drawingml/utils.py:79-120) — never a
+    raise, never a misparse as plain text."""
+    import base64
+    import struct
 
-    for hint in ("ppt", "pot"):
-        r = extract_payload("\xd0\xcfbinary junk", hint)
-        assert r["status"] == "failure"
-        assert r["format"] == "legacy_office"
-        assert r["errors"][0]["category"] == "dependency_error"
-        assert r["extracted_text"] == ""
-    # .doc and .xls now parse natively (engine/docbinx.py, xlsbinx.py);
-    # junk payloads are a contained parse failure, not a dependency error
+    from docling_spark.engine.extract import detect_format, extract_payload
+    from docling_spark.engine.xlsbinx import synthesize_xls
+
+    # fabricate a valid OLE2 file whose single stream is NOT a known
+    # Office document: reuse the xls container writer and rename
+    blob = bytearray(synthesize_xls("S", [["x", "y"], ["a", "b"]]))
+    pos = blob.find("Workbook".encode("utf-16-le"))
+    nm = "VisioDoc".encode("utf-16-le")
+    blob[pos:pos + len(nm)] = nm
+    b64 = base64.b64encode(bytes(blob)).decode()
+    assert detect_format(b64, "") == "legacy_office"
+    r = extract_payload(b64, "")
+    assert r["status"] == "failure"
+    assert r["format"] == "legacy_office"
+    assert r["errors"][0]["category"] == "dependency_error"
+    assert r["extracted_text"] == ""
+    _ = struct
+    # .doc/.xls/.ppt now parse natively (docbinx/xlsbinx/pptbinx); junk
+    # payloads are a contained parse failure, not a dependency error
     for hint, fmt in (("doc", "docbin"), ("dot", "docbin"),
-                      ("xls", "xlsbin"), ("xlt", "xlsbin")):
+                      ("xls", "xlsbin"), ("xlt", "xlsbin"),
+                      ("ppt", "pptbin"), ("pot", "pptbin")):
         r = extract_payload("\xd0\xcfbinary junk", hint)
         assert r["status"] == "failure"
         assert r["format"] == fmt
