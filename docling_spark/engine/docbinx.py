@@ -15,10 +15,19 @@ binary directly on top of the OLE2 reader (engine/olex.py):
   documented meanings: field instructions are dropped and results kept,
   pictures become picture items, tab-separated cell text joins rows.
 
-Structure beyond this (numbered-list counters, nested tables, textboxes)
-needs the LFO/LVL and office-art layers — documented out; the pytest
-floor pins word recall + heading/list structure against the reference's
-LibreOffice-derived groundtruth.
+Round 2 additions close the gap to byte-exact markdown on the
+reference's legacy corpus:
+
+* full PAPX grpprl sprm walk → per-paragraph ``ilfo``/``ilvl`` (list
+  binding), ``fInTable``/``fTtp`` (table cell / row-end marks, so empty
+  leading cells never shift the grid);
+* PlfLfo + PlfLst/LVL numbering tables resolve each bound paragraph's
+  number format: nfc 23 → bullet, 0xFF → none, else autonumbered
+  ("List Paragraph"-styled plain text no longer misreads as a bullet);
+* PlcfBteChpx → CHPX runs give sprmCFBold, rendered as ``**bold**``
+  table cells (matching the LibreOffice-derived groundtruth).
+
+Still out: nested tables, textboxes (office-art layer).
 """
 
 from __future__ import annotations
@@ -108,15 +117,58 @@ def _style_names(table: bytes, word: bytes) -> dict[int, str]:
     return names
 
 
-def _paragraph_styles(word: bytes, table: bytes) -> list[tuple[int, int]]:
-    """PlcfBtePapx → PAPX FKPs → [(fc_end_of_paragraph, istd)]."""
+_SPRM_SIZES = {0: 1, 1: 1, 2: 2, 3: 4, 4: 2, 5: 2, 7: 3}
+
+
+def _sprms(grpprl: bytes) -> dict[int, bytes]:
+    """Walk a grpprl: {sprm opcode: operand bytes} ([MS-DOC] 2.2.5.1 —
+    operand width from the spra bits; spra 6 is length-prefixed)."""
+    out: dict[int, bytes] = {}
+    i = 0
+    while i + 2 <= len(grpprl):
+        (opc,) = struct.unpack_from("<H", grpprl, i)
+        i += 2
+        spra = opc >> 13
+        if spra == 6:
+            if i >= len(grpprl):
+                break
+            sz = grpprl[i]
+            i += 1
+        else:
+            sz = _SPRM_SIZES[spra]
+        out[opc] = grpprl[i:i + sz]
+        i += sz
+    return out
+
+
+_SPRM_PILFO = 0x460B
+_SPRM_PILVL = 0x260A
+_SPRM_PF_IN_TABLE = 0x2416
+_SPRM_PF_TTP = 0x2417
+_SPRM_CF_BOLD = 0x0835
+
+
+class _ParaProps:
+    __slots__ = ("fc_end", "istd", "ilfo", "ilvl", "in_table", "ttp")
+
+    def __init__(self, fc_end, istd, ilfo, ilvl, in_table, ttp):
+        self.fc_end = fc_end
+        self.istd = istd
+        self.ilfo = ilfo
+        self.ilvl = ilvl
+        self.in_table = in_table
+        self.ttp = ttp
+
+
+def _paragraph_props(word: bytes, table: bytes) -> list[_ParaProps]:
+    """PlcfBtePapx → PAPX FKPs → per-paragraph istd + list/table sprms."""
     fc, lcb = struct.unpack_from("<II", word, 0x0102)
     plc = table[fc:fc + lcb]
     if len(plc) < 8:
         return []
     n = (len(plc) - 4) // 8
     pages = struct.unpack_from(f"<{n}I", plc, (n + 1) * 4)
-    out: list[tuple[int, int]] = []
+    out: list[_ParaProps] = []
     for pn in pages:
         page = word[pn * 512:(pn + 1) * 512]
         if len(page) < 512:
@@ -129,15 +181,114 @@ def _paragraph_styles(word: bytes, table: bytes) -> list[tuple[int, int]]:
             bx_off = 4 * (crun + 1) + k * 13
             word_off = page[bx_off]
             istd = 0
+            ilfo = ilvl = 0
+            in_table = ttp = False
             if word_off:
                 papx = page[word_off * 2:]
                 if len(papx) >= 3:
                     # PapxInFkp: cb byte (0 → cb' follows), then istd
                     if papx[0] != 0:
-                        istd = struct.unpack_from("<H", papx, 1)[0]
-                    elif len(papx) >= 4:
-                        istd = struct.unpack_from("<H", papx, 2)[0]
-            out.append((rgfc[k + 1], istd))
+                        body = papx[1:papx[0] * 2 + 1]
+                    else:
+                        body = papx[2:2 + papx[1] * 2]
+                    if len(body) >= 2:
+                        istd = struct.unpack_from("<H", body, 0)[0]
+                        sp = _sprms(body[2:])
+                        if _SPRM_PILFO in sp and len(sp[_SPRM_PILFO]) >= 2:
+                            ilfo = struct.unpack_from(
+                                "<H", sp[_SPRM_PILFO], 0)[0]
+                        if _SPRM_PILVL in sp and sp[_SPRM_PILVL]:
+                            ilvl = sp[_SPRM_PILVL][0]
+                        if _SPRM_PF_IN_TABLE in sp and sp[_SPRM_PF_IN_TABLE]:
+                            in_table = sp[_SPRM_PF_IN_TABLE][0] != 0
+                        if _SPRM_PF_TTP in sp and sp[_SPRM_PF_TTP]:
+                            ttp = sp[_SPRM_PF_TTP][0] != 0
+            out.append(_ParaProps(rgfc[k + 1], istd, ilfo, ilvl,
+                                  in_table, ttp))
+    out.sort(key=lambda p: p.fc_end)
+    return out
+
+
+def _list_nfcs(word: bytes, table: bytes) -> dict[int, list[int]]:
+    """PlfLst + trailing LVLs → {lsid: [nfc per level]} ([MS-DOC]
+    2.9.148-150: LSTF 28 bytes, LVLF 28 bytes + grpprls + xst)."""
+    fc, lcb = struct.unpack_from("<II", word, 0x02E2)
+    if lcb < 2:
+        return {}
+    # lcbPlfLst covers only the LSTF array; the LVL structures follow
+    # immediately after it in the table stream
+    data = table[fc:]
+    (clst,) = struct.unpack_from("<H", data, 0)
+    lists = []
+    pos = 2
+    try:
+        for _ in range(clst):
+            (lsid,) = struct.unpack_from("<i", data, pos)
+            fsimple = bool(data[pos + 26] & 0x1)
+            lists.append((lsid, fsimple))
+            pos += 28
+        out: dict[int, list[int]] = {}
+        for lsid, fsimple in lists:
+            nfcs = []
+            for _ in range(1 if fsimple else 9):
+                nfc = data[pos + 4]
+                cb_chpx = data[pos + 24]
+                cb_papx = data[pos + 25]
+                pos += 28 + cb_chpx + cb_papx
+                (cch,) = struct.unpack_from("<H", data, pos)
+                pos += 2 + 2 * cch
+                nfcs.append(nfc)
+            out[lsid] = nfcs
+        return out
+    except (struct.error, IndexError):
+        return {}
+
+
+def _lfo_lsids(word: bytes, table: bytes) -> list[int]:
+    """PlfLfo → lsid per 1-based ilfo ([MS-DOC] 2.9.131: LFO 16 bytes)."""
+    fc, lcb = struct.unpack_from("<II", word, 0x02EA)
+    data = table[fc:fc + lcb]
+    if len(data) < 4:
+        return []
+    (clfo,) = struct.unpack_from("<i", data, 0)
+    out = []
+    pos = 4
+    for _ in range(max(clfo, 0)):
+        if pos + 16 > len(data):
+            break
+        out.append(struct.unpack_from("<i", data, pos)[0])
+        pos += 16
+    return out
+
+
+def _bold_runs(word: bytes, table: bytes) -> list[tuple[int, bool]]:
+    """PlcfBteChpx → CHPX FKPs → [(fc_end_of_run, bold)] (sprmCFBold:
+    1/129 → bold on; 0/128 → off; absent → inherit = not bold here)."""
+    fc, lcb = struct.unpack_from("<II", word, 0x00FA)
+    plc = table[fc:fc + lcb]
+    if len(plc) < 8:
+        return []
+    n = (len(plc) - 4) // 8
+    pages = struct.unpack_from(f"<{n}I", plc, (n + 1) * 4)
+    out: list[tuple[int, bool]] = []
+    for pn in pages:
+        page = word[pn * 512:(pn + 1) * 512]
+        if len(page) < 512:
+            continue
+        crun = page[511]
+        if crun == 0 or 4 * (crun + 1) + crun > 511:
+            continue
+        rgfc = struct.unpack_from(f"<{crun + 1}I", page, 0)
+        for k in range(crun):
+            boff = page[4 * (crun + 1) + k]
+            bold = False
+            if boff:
+                chpx = page[boff * 2:]
+                if chpx:
+                    sp = _sprms(chpx[1:1 + chpx[0]])
+                    if _SPRM_CF_BOLD in sp and sp[_SPRM_CF_BOLD]:
+                        bold = sp[_SPRM_CF_BOLD][0] in (1, 129)
+            out.append((rgfc[k + 1], bold))
     out.sort()
     return out
 
@@ -160,22 +311,10 @@ def _clean_para(p: str) -> str:
     return p.strip()
 
 
-def _table_md(para: str) -> tuple[str, int, int] | None:
-    """A paragraph chunk carrying cell marks → markdown grid. Cells end
-    with 0x07; an empty 0x07 segment is the row mark."""
-    rows: list[list[str]] = []
-    cells: list[str] = []
-    for seg in para.split("\x07"):
-        seg = _clean_para(seg)
-        if seg == "" and cells:
-            rows.append(cells)
-            cells = []
-        elif seg != "" or cells:
-            cells.append(seg)
-    if cells:
-        rows.append(cells)
-    rows = [r for r in rows if any(c for c in r)]
-    if len(rows) < 2:
+def _rows_md(rows: list[list[str]]) -> tuple[str, int, int] | None:
+    rows = [r for r in rows if any(c for c in r)] or \
+        ([rows[0]] if rows else [])
+    if not rows:
         return None
     ncols = max(len(r) for r in rows)
     md = []
@@ -206,7 +345,10 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
     pieces = _pieces(word, table)
     text = _text(word, pieces, max(ccp_text, 0))
     names = _style_names(table, word)
-    para_styles = _paragraph_styles(word, table)
+    props = _paragraph_props(word, table)
+    lfo = _lfo_lsids(word, table)
+    nfcs_by_lsid = _list_nfcs(word, table)
+    bolds = _bold_runs(word, table)
 
     items: list[Item] = []
     _mk_item(items, -1, "unspecified", 0, "_root_", "body")
@@ -215,43 +357,97 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
     def parent() -> int:
         return hstack[-1][1] if hstack else 0
 
-    def style_for(cp_end: int) -> str:
+    _default = _ParaProps(0, 0, 0, 0, False, False)
+
+    def props_for(cp_end: int) -> _ParaProps:
         fc = _fc_of_cp(pieces, max(cp_end - 1, 0))
-        if fc < 0 or not para_styles:
-            return ""
-        for fc_end, istd in para_styles:
-            if fc < fc_end:
-                return names.get(istd, "")
-        return ""
+        if fc >= 0:
+            for p in props:
+                if fc < p.fc_end:
+                    return p
+        return _default
+
+    def unit_bold(utext: str, cp0: int) -> bool:
+        """Every printable char of the unit sits in a bold CHPX run."""
+        if not bolds:
+            return False
+        any_char = False
+        for i, ch in enumerate(utext):
+            if ch.isspace() or ch < " ":
+                continue
+            any_char = True
+            fc = _fc_of_cp(pieces, cp0 + i)
+            covered = False
+            for fc_end, b in bolds:
+                if fc < fc_end:
+                    covered = b
+                    break
+            if not covered:
+                return False
+        return any_char
+
+    # split into paragraph units at CR and cell marks, keeping offsets
+    units: list[tuple[str, str, int]] = []
+    start = 0
+    for i, ch in enumerate(text):
+        if ch in "\r\x07":
+            units.append((text[start:i], ch, start))
+            start = i + 1
+    if start < len(text):
+        units.append((text[start:], "\r", start))
 
     list_group = -1
-    cp = 0
-    for para in text.split("\r"):
-        cp_end = cp + len(para) + 1
-        if "\x07" in para:
-            tbl = _table_md(para)
-            cp = cp_end
+    group_ordered = False
+    n_in_group = 0
+    rows: list[list[str]] = []
+    cells: list[str] = []
+
+    def flush_table() -> None:
+        nonlocal rows, cells, list_group
+        if cells:
+            rows.append(cells)
+            cells = []
+        if rows:
+            tbl = _rows_md(rows)
             if tbl is not None:
                 md, nr, nc = tbl
                 idx = _mk_item(items, parent(), "table", 1, md, "body")
                 items[idx]["num_rows"] = nr
                 items[idx]["num_cols"] = nc
                 list_group = -1
-                continue
-            para = para.replace("\x07", "\t")
-        cleaned = _clean_para(para)
-        has_pict = "\x01" in para
-        style = style_for(cp_end)
-        if "\x07" not in para:
-            cp = cp_end
+        rows = []
+
+    for utext, term, cp0 in units:
+        cp_end = cp0 + len(utext) + 1
+        p = props_for(cp_end)
+        if term == "\x07" or p.in_table or p.ttp:
+            if utext == "" and (p.ttp or cells):
+                # row-end (TTP) mark
+                rows.append(cells)
+                cells = []
+            else:
+                cell = _clean_para(utext)
+                if cell and unit_bold(utext, cp0):
+                    cell = f"**{cell}**"
+                cells.append(cell)
+            list_group = -1
+            continue
+        flush_table()
+        cleaned = _clean_para(utext)
+        has_pict = "\x01" in utext
+        style = names.get(p.istd, "")
         if has_pict:
             _mk_item(items, parent(), "picture", 1, "", "body")
             list_group = -1
         if not cleaned:
             continue
-        m = re.match(r"(?:heading|berschrift.*)\s*(\d)", style) \
-            or (re.match(r"(\d)", style[5:6]) if style.startswith("heading")
-                else None)
+        nfc = None
+        if 0 < p.ilfo <= len(lfo):
+            levels = nfcs_by_lsid.get(lfo[p.ilfo - 1])
+            if levels:
+                nfc = levels[min(p.ilvl, len(levels) - 1)]
+            else:
+                nfc = 23
         if style.startswith("heading") and style[-1].isdigit():
             level = int(style[-1])
             while hstack and hstack[-1][0] >= level:
@@ -270,18 +466,26 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
             items[idx]["_hlevel"] = 2
             hstack.append((1, idx))
             list_group = -1
-        elif "list" in style and "table" not in style:
-            if list_group < 0:
+        elif nfc is not None and nfc != 0xFF:
+            # a real LFO binding, not the "List Paragraph" style name:
+            # nfc 23 = bullet char, everything else autonumbers
+            ordered = nfc != 23
+            if list_group < 0 or ordered != group_ordered:
                 list_group = _mk_item(items, parent(), "list", 1,
                                       "list", "body")
-            _mk_item(items, list_group, "list_item", 2, cleaned, "body")
+                group_ordered = ordered
+                n_in_group = 0
+            n_in_group += 1
+            li = _mk_item(items, list_group, "list_item", 2, cleaned,
+                          "body")
+            items[li]["_marker"] = f"{n_in_group}." if ordered else "-"
         elif style == "caption":
             _mk_item(items, parent(), "caption", 1, cleaned, "body")
             list_group = -1
         else:
             _mk_item(items, parent(), "text", 1, cleaned, "body")
             list_group = -1
-        _ = m
+    flush_table()
 
     extracted = serialize_items(items, layer="body")
     metrics = {

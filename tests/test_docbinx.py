@@ -2,12 +2,13 @@
 
 The reference converts tests/data/doc/sources/legacy_sample.doc via a
 LibreOffice subprocess (absent here, it raises); engine/docbinx.py
-parses the Word binary directly. The groundtruth (a LibreOffice→docx
-derived markdown) is pinned structurally: exact headings, caption,
-table rows, and a word-recall floor. Known divergences (documented in
-the module docstring): numbered lists render as bullets (LFO/LVL layer
-out of scope) and bold table-cell runs lose their markers (CHPX layer
-out of scope).
+parses the Word binary directly. The groundtruth markdown is pinned
+BYTE-EXACT (LFO/LVL numbering, CHPX bold cells, TTP-flagged table rows
+all resolve natively). The groundtruth .itxt stays excluded: it encodes
+LibreOffice-internal tree artifacts (``header-N`` wrapper groups,
+``rich_cell_group`` children for bold cells, a different text-truncation
+midpoint) that are not derivable from the Word binary itself and do not
+affect the rendered markdown.
 """
 
 from __future__ import annotations
@@ -48,12 +49,18 @@ def test_legacy_sample_structure() -> None:
     assert "Figure 1: This is a cute duckling" in text
     # picture placeholder
     assert "<!-- image -->" in text
-    # the 3x4 food table assembles as a markdown grid
-    assert "| Leaves | Ash, Elm, Maple | 50 |" in text
-    assert "| Grain | Corn, Buckwheat, Barley | 200 |" in text
+    # the 3x4 food table assembles as a markdown grid with bold cells
+    assert "| **Leaves** | Ash, Elm, Maple | 50 |" in text
+    assert "| **Grain** | Corn, Buckwheat, Barley | 200 |" in text
     labels = {it["label"] for it in items}
     assert {"section_header", "list_item", "caption", "picture",
             "table"} <= labels
+
+
+def test_legacy_sample_md_byte_exact() -> None:
+    text, _, _ = extract_doc((SRC / "legacy_sample.doc").read_bytes())
+    gt = (GT / "legacy_sample.doc.md").read_text()
+    assert text.strip() == gt.strip()
 
 
 def test_legacy_sample_word_recall() -> None:
