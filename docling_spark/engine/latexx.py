@@ -88,6 +88,61 @@ def _clean_inline(t: str) -> str:
     return t
 
 
+def _matching_tabular_end(src: str, pos: int) -> int:
+    """Offset of the \\end{tabular} matching nesting depth from ``pos``
+    (cells routinely embed whole \\begin{tabular} blocks for multi-line
+    content — the first \\end would truncate the outer table)."""
+    depth = 1
+    j = pos
+    while depth:
+        nb = src.find("\\begin{tabular}", j)
+        ne = src.find("\\end{tabular}", j)
+        if ne < 0:
+            return -1
+        if 0 <= nb < ne:
+            depth += 1
+            j = nb + len("\\begin{tabular}")
+        else:
+            depth -= 1
+            if depth == 0:
+                return ne
+            j = ne + len("\\end{tabular}")
+    return -1
+
+
+def _flatten_inner_tabulars(content: str) -> str:
+    """Replace nested \\begin{tabular}…\\end{tabular} blocks inside cell
+    text with their flattened content (row/cell separators → spaces,
+    leading [pos]{colspec} args dropped) so the outer row/cell split
+    never fires on the inner grid's markers."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        m = re.search(r"\\begin\{tabular\}", content)
+        if not m:
+            return content
+        end = _matching_tabular_end(content, m.end())
+        if end < 0:
+            return content
+        inner = content[m.end():end]
+        inner = re.sub(r"^\s*\[[^\]]*\]", "", inner, count=1)
+        bm = re.match(r"\s*\{", inner)
+        if bm:
+            depth = 1
+            j = bm.end()
+            while j < len(inner) and depth:
+                if inner[j] == "{" and inner[j - 1] != "\\":
+                    depth += 1
+                elif inner[j] == "}" and inner[j - 1] != "\\":
+                    depth -= 1
+                j += 1
+            inner = inner[j:]
+        inner = inner.replace("\\\\", " ").replace("&", " ")
+        content = (content[:m.start()] + inner
+                   + content[end + len("\\end{tabular}"):])
+    return content
+
+
 def _command_arg(src: str, command: str) -> str | None:
     """Brace-matched argument of ``\\command{...}`` (handles nesting)."""
     m = re.search(r"\\" + command + r"\s*\{", src)
@@ -166,6 +221,12 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
     raw_title = _command_arg(payload, "title")
     title = _clean_inline(raw_title) if raw_title is not None else None
     raw_author = _command_arg(payload, "author")
+    if raw_author is not None:
+        # the reference keeps \thanks{...} footnote text inline in the
+        # author block (1706.03762 groundtruth renders the contribution
+        # statement right after the first author's name)
+        raw_author = re.sub(r"\\thanks\s*\{([^{}]*)\}", r" \1 ",
+                            raw_author)
     author = _clean_inline(raw_author) if raw_author is not None else None
 
     body = payload.split("\\begin{document}", 1)[1]
@@ -200,6 +261,7 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
                 items[idx]["_inline"] = True
 
     def add_tabular(content: str, caption: str | None) -> None:
+        content = _flatten_inner_tabulars(content)
         content = re.sub(r"\\hline", "", content)
         rows = [r.strip() for r in content.split("\\\\")]
         grid = []
@@ -310,7 +372,8 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
             cap_text = _command_arg(tok, "caption")
             cap = cap_text is not None
             tab = None
-            tb = re.search(r"\\begin\{tabular\}\s*\{", tok)
+            tb = re.search(r"\\begin\{tabular\}\s*(?:\[[^\]]*\])?\s*\{",
+                           tok)
             if tb:
                 depth = 1
                 j = tb.end()
@@ -320,7 +383,7 @@ def extract_latex(payload: str) -> tuple[str, list[Item], dict]:
                     elif tok[j] == "}" and tok[j - 1] != "\\":
                         depth -= 1
                     j += 1
-                end = tok.find("\\end{tabular}", j)
+                end = _matching_tabular_end(tok, j)
                 tab = tok[j:end if end >= 0 else len(tok)]
             if tab is not None:
                 add_tabular(tab,

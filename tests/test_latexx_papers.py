@@ -23,14 +23,15 @@ from docling_spark.engine.latexx import extract_latex_archive
 SRC = pathlib.Path("/root/reference/tests/data/latex/sources")
 GT = pathlib.Path("/root/reference/tests/data/latex/groundtruth")
 
-# paper → (min recall, min precision); measured r2: 0.93-0.996 / 0.95-1.0
+# paper → (min recall, min precision); measured r2 after the nested-
+# tabular flattening + author-\thanks fixes: 0.983-0.996 / 0.955-0.999
 FLOORS = {
-    "1706.03762": (0.94, 0.93),
-    "2305.03393": (0.97, 0.97),
-    "2310.06825": (0.91, 0.97),
-    "2412.19437": (0.97, 0.97),
-    "2501.00089": (0.96, 0.96),
-    "arXiv-2501.01300v2": (0.97, 0.97),
+    "1706.03762": (0.97, 0.94),
+    "2305.03393": (0.98, 0.98),
+    "2310.06825": (0.97, 0.98),
+    "2412.19437": (0.98, 0.98),
+    "2501.00089": (0.97, 0.97),
+    "arXiv-2501.01300v2": (0.98, 0.98),
 }
 
 pytestmark = pytest.mark.skipif(
