@@ -106,3 +106,36 @@ def test_malformed_contained() -> None:
         extract_ppt(b"\xd0\xcf\x11\xe0junk")
     with pytest.raises(PptError):
         extract_ppt(b"not ole at all")
+
+
+def test_corrupted_ppt_always_contained() -> None:
+    """Deterministic fuzz over the synthesized PPT97 binary: flips,
+    truncations, splices → extract or typed PptError, never an
+    unhandled exception."""
+    import hashlib
+
+    base = synthesize_ppt([
+        {"title": "T", "paras": ["p one"], "bullets": ["a", "b"],
+         "ordered": True},
+    ])
+    for trial in range(24):
+        h = hashlib.sha256(f"pptfuzz{trial}".encode()).digest() * 4
+        data = bytearray(base)
+        mode = trial % 4
+        if mode == 0:
+            for k in range(0, 64, 2):
+                data[int.from_bytes(h[k:k + 2], "big") % len(data)] ^= h[k]
+        elif mode == 1:
+            data = data[:64 + int.from_bytes(h[:3], "big")
+                        % (len(data) - 64)]
+        elif mode == 2:
+            cut = int.from_bytes(h[:3], "big") % len(data)
+            data = data[:cut] + h[:32] + data[cut:]
+        else:
+            for k in range(0, 32, 2):
+                data[512 + int.from_bytes(h[k:k + 2], "big")
+                     % (len(data) - 512)] ^= 0xFF
+        try:
+            extract_ppt(bytes(data))
+        except PptError:
+            pass

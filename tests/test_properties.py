@@ -83,10 +83,12 @@ def test_asciidoc_engine_total(text):
 
 @settings(max_examples=200, deadline=None)
 @given(text=payload_text,
-       tool=st.sampled_from(["doclang", "dclx", "mets_gbs", "docx"]))
+       tool=st.sampled_from(["doclang", "dclx", "mets_gbs", "docx",
+                             "doc", "xls", "ppt", "xlt", "pot"]))
 def test_new_format_hints_total(text, tool):
-    """Round-3 engines: any payload under the doclang/mets/docx hints
-    yields a contained result row, never an exception."""
+    """Round-2 engines (incl. the native legacy Office binaries): any
+    payload under these hints yields a contained result row, never an
+    exception."""
     res = extract_payload(text, tool)
     assert res["status"] in _STATUSES
     if res["status"] == "failure":

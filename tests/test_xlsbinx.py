@@ -106,3 +106,35 @@ def test_rk_decoding() -> None:
     # float form: the RK word IS the high 32 bits of the IEEE double
     rk = _s.unpack("<I", _s.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
     assert _rk_value(rk) == 2.5
+
+
+def test_corrupted_xls_always_contained() -> None:
+    """Deterministic fuzz: seeded byte corruptions of a real workbook
+    (flips, truncations, splices) must either extract or raise the typed
+    XlsError — never an unhandled exception (same containment contract
+    as the PDF fuzz, tests/test_pdfx_groundtruth.py)."""
+    import hashlib
+
+    base = synthesize_xls(
+        "S", [["Year", "V"], [2019, 1.5], ["x", "y"], [7, 8]])
+    for trial in range(24):
+        h = hashlib.sha256(f"xlsfuzz{trial}".encode()).digest() * 4
+        data = bytearray(base)
+        mode = trial % 4
+        if mode == 0:
+            for k in range(0, 64, 2):
+                data[int.from_bytes(h[k:k + 2], "big") % len(data)] ^= h[k]
+        elif mode == 1:
+            data = data[:64 + int.from_bytes(h[:3], "big")
+                        % (len(data) - 64)]
+        elif mode == 2:
+            cut = int.from_bytes(h[:3], "big") % len(data)
+            data = data[:cut] + h[:32] + data[cut:]
+        else:
+            for k in range(0, 32, 2):
+                data[512 + int.from_bytes(h[k:k + 2], "big")
+                     % (len(data) - 512)] ^= 0xFF
+        try:
+            extract_xls(bytes(data))
+        except XlsError:
+            pass
