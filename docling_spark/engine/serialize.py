@@ -62,12 +62,24 @@ def serialize_doctags(items: list[dict]) -> str:
     by_parent = _children_map(items)
     lines: list[str] = []
 
+    def list_tag(it: dict) -> str:
+        """Ordered when the group says so OR its items carry explicit
+        numeric markers (docbinx/pptbinx groups keep text='list' for
+        itxt parity and mark items individually)."""
+        if it["text"] == "ordered list":
+            return "ordered_list"
+        for k in by_parent.get(it["item_idx"], []):
+            m = k.get("_marker", "")
+            if m.endswith(".") and m[:-1].isdigit():
+                return "ordered_list"
+        return "unordered_list"
+
     def inline(it: dict) -> str:
         """Nested-under-list-item serialization (single inline string)."""
         kids = "".join(inline(k) for k in by_parent.get(it["item_idx"], []))
         label = it["label"]
         if label == "list":
-            tag = "ordered_list" if it["text"] == "ordered list" else "unordered_list"
+            tag = list_tag(it)
             return f"<{tag}>{kids}</{tag}>"
         if label == "list_item":
             return f"<list_item>{it['text']}{kids}</list_item>"
@@ -79,7 +91,7 @@ def serialize_doctags(items: list[dict]) -> str:
         label = it["label"]
         kids = by_parent.get(it["item_idx"], [])
         if label == "list":
-            tag = "ordered_list" if it["text"] == "ordered list" else "unordered_list"
+            tag = list_tag(it)
             parts = [inline(k) for k in kids]
             if parts:
                 lines.append(f"<{tag}>" + parts[0])
@@ -390,7 +402,9 @@ def serialize_docling_json(items: list[dict], name: str = "document") -> str:
     pictures: list[dict] = []
     ref_of: dict[int, str] = {0: "#/body"}
 
-    group_labels = {"list": "list", "inline": "inline", "section": "section"}
+    group_labels = {"list": "list", "inline": "inline",
+                    "section": "section", "sheet": "sheet",
+                    "chapter": "chapter", "group": "unspecified"}
 
     def bucket_for(it: dict) -> tuple[list, str, str]:
         label = it["label"]
