@@ -138,3 +138,68 @@ def test_corrupted_xls_always_contained() -> None:
             extract_xls(bytes(data))
         except XlsError:
             pass
+
+
+def test_crafted_records_full_cell_coverage() -> None:
+    """Raw BIFF8 records exercising every cell path the reference's
+    LibreOffice conversion can produce: RK (int/x100/float), MULRK,
+    BOOLERR, FORMULA with cached number and cached string (STRING
+    follows), LABEL inline strings, and a date-formatted XF."""
+    import struct as s
+
+    from docling_spark.engine.xlsbinx import (
+        _parse_globals,
+        _parse_sheet,
+        _rec,
+    )
+
+    def xlstr(t: str) -> bytes:
+        b = t.encode("latin-1")
+        return s.pack("<HB", len(b), 0) + b
+
+    glob = bytearray()
+    glob += _rec(0x809, s.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    # FORMAT 200: a date format; XF[0] plain, XF[1] → ifmt 200
+    glob += _rec(0x41E, s.pack("<H", 200) + xlstr("yyyy-mm-dd"))
+    glob += _rec(0xE0, s.pack("<HH", 0, 0) + b"\x00" * 16)
+    glob += _rec(0xE0, s.pack("<HH", 0, 200) + b"\x00" * 16)
+    glob += _rec(0x85, s.pack("<IH", 0, 0) + s.pack("<BB", 1, 0) + b"S")
+    glob += _rec(0xFC, s.pack("<II", 1, 1) + xlstr("shared"))
+    glob += _rec(0x0A, b"")
+
+    sheet = bytearray()
+    sheet += _rec(0x809, s.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sheet += _rec(0x27E, s.pack("<HHHI", 0, 0, 0, (42 << 2) | 0x02))
+    sheet += _rec(0x27E, s.pack("<HHHI", 0, 1, 0, (1234 << 2) | 0x03))
+    rkf = s.unpack("<I", s.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    sheet += _rec(0x27E, s.pack("<HHHI", 0, 2, 0, rkf))
+    sheet += _rec(0xBD, s.pack("<HH", 1, 0)
+                  + s.pack("<HI", 0, (7 << 2) | 0x02)
+                  + s.pack("<HI", 0, (8 << 2) | 0x02)
+                  + s.pack("<H", 1))
+    sheet += _rec(0x205, s.pack("<HHHBB", 1, 2, 0, 1, 0))
+    # FORMULA cached number
+    sheet += _rec(0x06, s.pack("<HHH", 2, 0, 0) + s.pack("<d", 9.5)
+                  + b"\x00" * 8)
+    # FORMULA cached string + STRING record
+    fval = bytes([0]) + b"\x00" * 5 + s.pack("<H", 0xFFFF)
+    sheet += _rec(0x06, s.pack("<HHH", 2, 1, 0) + fval + b"\x00" * 8)
+    sheet += _rec(0x207, xlstr("calc"))
+    # LABEL inline + a date cell under XF 1
+    sheet += _rec(0x204, s.pack("<HHH", 2, 2, 0) + xlstr("inline"))
+    sheet += _rec(0x203, s.pack("<HHH", 3, 0, 1) + s.pack("<d", 43831.0))
+    sheet += _rec(0x0A, b"")
+
+    wb = bytes(glob + sheet)
+    sheets, sst, date_xfs, date1904 = _parse_globals(wb)
+    assert sst == ["shared"] and date_xfs == {1} and not date1904
+    sh = _parse_sheet(wb, len(glob), sst, date_xfs, date1904)
+    assert sh.cells[(0, 0)] == "42"
+    assert sh.cells[(0, 1)] == "12.34"
+    assert sh.cells[(0, 2)] == "2.5"
+    assert sh.cells[(1, 0)] == "7" and sh.cells[(1, 1)] == "8"
+    assert sh.cells[(1, 2)] == "True"
+    assert sh.cells[(2, 0)] == "9.5"
+    assert sh.cells[(2, 1)] == "calc"
+    assert sh.cells[(2, 2)] == "inline"
+    assert sh.cells[(3, 0)].startswith("2020-01-01")
