@@ -203,3 +203,80 @@ def test_crafted_records_full_cell_coverage() -> None:
     assert sh.cells[(2, 1)] == "calc"
     assert sh.cells[(2, 2)] == "inline"
     assert sh.cells[(3, 0)].startswith("2020-01-01")
+
+
+def test_sst_continue_record_resumption() -> None:
+    """BIFF8 strings spanning a Continue boundary restart their flags
+    byte mid-string ([MS-XLS] 2.5.293): a string that begins compressed
+    and continues as UTF-16 must decode both halves."""
+    import struct as s
+
+    from docling_spark.engine.xlsbinx import _parse_sst
+
+    # one string of 8 chars: 4 in fragment 1 (compressed), 4 in
+    # fragment 2 (flags byte 0x01 → utf-16)
+    frag1 = s.pack("<II", 1, 1) + s.pack("<HB", 8, 0) + b"abcd"
+    frag2 = bytes([0x01]) + "efgh".encode("utf-16-le")
+    assert _parse_sst([frag1, frag2]) == ["abcdefgh"]
+
+
+def test_hidden_sheet_is_furniture() -> None:
+    """grbit hidden bits route a sheet's items to the furniture layer
+    (mirrors the xlsx engine's state != visible rule)."""
+    import struct as s
+
+    from docling_spark.engine.xlsbinx import _rec
+
+    def xlstr(t: str) -> bytes:
+        b = t.encode("latin-1")
+        return s.pack("<HB", len(b), 0) + b
+
+    def sheet_sub(text_idx: int) -> bytes:
+        sub = bytearray()
+        sub += _rec(0x809, s.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        sub += _rec(0xFD, s.pack("<HHHI", 0, 0, 0, text_idx))
+        sub += _rec(0xFD, s.pack("<HHHI", 0, 1, 0, text_idx))
+        sub += _rec(0xFD, s.pack("<HHHI", 1, 0, 0, text_idx))
+        sub += _rec(0xFD, s.pack("<HHHI", 1, 1, 0, text_idx))
+        sub += _rec(0x0A, b"")
+        return bytes(sub)
+
+    s1, s2 = sheet_sub(0), sheet_sub(1)
+    glob = bytearray()
+    glob += _rec(0x809, s.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    # globals length is fixed once both boundsheet records are included
+    def shortstr(t: str) -> bytes:
+        b = t.encode("latin-1")
+        return s.pack("<BB", len(b), 0) + b
+
+    bs_len = len(_rec(0x85, s.pack("<IH", 0, 0) + shortstr("Vis")))
+    bs2_len = len(_rec(0x85, s.pack("<IH", 0, 1) + shortstr("Hid")))
+    sst = _rec(0xFC, s.pack("<II", 8, 2) + xlstr("visible-cell")
+               + xlstr("hidden-cell"))
+    head = len(glob) + bs_len + bs2_len + len(sst) + len(_rec(0x0A, b""))
+    glob += _rec(0x85, s.pack("<IH", head, 0) + shortstr("Vis"))
+    glob += _rec(0x85, s.pack("<IH", head + len(s1), 1) + shortstr("Hid"))
+    glob += sst
+    glob += _rec(0x0A, b"")
+    wb = bytes(glob) + s1 + s2
+
+    from docling_spark.engine.xlsbinx import _parse_globals, extract_xls
+    from docling_spark.engine.olex import OleFile
+
+    sheets, strings, _d, _d4 = _parse_globals(wb)
+    assert [(n, h) for n, h, _ in sheets] == [("Vis", False), ("Hid", True)]
+
+    # wrap in an OLE2 container via the synthesizer's writer path
+    import docling_spark.engine.xlsbinx as X
+
+    blob = X.synthesize_xls("ignored", [["x"]])
+    ole = OleFile(blob)
+    # splice our workbook into the container: rebuild with the helper
+    from docling_spark.engine.pptbinx import _ole2_streams
+
+    text, items, m = extract_xls(_ole2_streams([("Workbook", wb)]))
+    assert "visible-cell" in text
+    assert "hidden-cell" not in text  # furniture layer excluded from body
+    layers = {it["content_layer"] for it in items if it["label"] == "table"}
+    assert layers == {"body", "furniture"}
+    assert m["pages_parsed"] == 2
