@@ -139,3 +139,47 @@ def test_corrupted_ppt_always_contained() -> None:
             extract_ppt(bytes(data))
         except PptError:
             pass
+
+
+def test_table_grid_reconstruction_with_spans() -> None:
+    """Unit-level geometry: member rects with column- and row-spanning
+    merges snap to shared boundaries; merged text expands across the
+    covered cells; border-line (zero-area) members are ignored."""
+    from docling_spark.engine.pptbinx import _Shape, _try_table
+
+    def cell(t, l, r, b, text=""):
+        sh = _Shape()
+        sh.anchor = (t, l, r, b)
+        sh.text = text
+        return sh
+
+    g = _Shape()
+    g.members = [
+        cell(0, 0, 100, 10, "h1"), cell(0, 100, 300, 10, "wide"),
+        cell(10, 0, 100, 30, "tall"), cell(10, 100, 200, 20, "m1"),
+        cell(10, 200, 300, 20, "m2"), cell(20, 100, 200, 30, "m3"),
+        cell(20, 200, 300, 30, "m4"),
+        cell(10, 100, 100, 30),  # vertical border stroke: l == r (w=0)
+    ]
+    grid = _try_table(g)
+    assert grid == [
+        ["h1", "wide", "wide"],
+        ["tall", "m1", "m2"],
+        ["tall", "m3", "m4"],
+    ]
+
+
+def test_non_tiling_group_is_not_a_table() -> None:
+    from docling_spark.engine.pptbinx import _Shape, _try_table
+
+    def cell(t, l, r, b, text=""):
+        sh = _Shape()
+        sh.anchor = (t, l, r, b)
+        sh.text = text
+        return sh
+
+    g = _Shape()
+    # two big overlapping rects + scattered small ones: not a grid
+    g.members = [cell(0, 0, 100, 100, "a"), cell(50, 50, 150, 150, "b"),
+                 cell(200, 200, 260, 230, "c"), cell(0, 200, 80, 280, "d")]
+    assert _try_table(g) is None
