@@ -1894,6 +1894,64 @@ from t
 """
 
 
+def q_extract_doc_rich(spark, sf_dir):
+    """Legacy .doc with the round-2 structure layers: a real Word binary
+    carrying a PAPX FKP (sprmPIlfo list bindings + fInTable/fTtp cell
+    marks), PlfLst/PlfLfo numbering tables (arabic + bullet), and a CHPX
+    FKP (sprmCFBold) is synthesized per document
+    (docbinx.synthesize_doc_rich) and parsed back natively. The oracle
+    predicts numbered/bulleted lists and the bold-header table
+    arithmetically — the hash certifies the LFO/LVL + CHPX + TTP parse
+    paths end-to-end (the plain extract_doc query certifies only the
+    piece-table text layer)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import base64
+
+        from docling_spark.engine.docbinx import synthesize_doc_rich
+
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split()
+            blob = synthesize_doc_rich([
+                (f"Note {i}", "text"),
+                (toks[0], "number"), (toks[1], "number"),
+                (toks[2], "bullet"),
+                ("Metric", "cellbold"), ("Value", "cellbold"),
+                ("", "rowend"),
+                ("chars", "cell"), (str(len(str(t).strip())), "cell"),
+                ("", "rowend"),
+            ])
+            out.append(base64.b64encode(blob).decode())
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    doc_b64 = pandas_udf(_mk, "string")
+    return _extract_docs(spark, sf_dir, doc_b64(F.col("doc_id"),
+                                                F.col("text")), "doc")
+
+
+ORACLE_EXTRACT_DOC_RICH = """
+with t as (
+  select doc_id, trim(text) tt,
+         string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+       'Note ' || doc_id || chr(10) || chr(10)
+        || '1. ' || toks[1] || chr(10) || '2. ' || toks[2]
+        || chr(10) || chr(10)
+        || '- ' || toks[3] || chr(10) || chr(10)
+        || '| **Metric** | **Value** |' || chr(10) || '| - | - |'
+        || chr(10) || '| chars | ' || length(tt) || ' |'
+          as extracted_text
+from t
+"""
+
+
 def q_extract_xls(spark, sf_dir):
     """Legacy .xls end-to-end: a real BIFF8 workbook (OLE2 container,
     SST shared strings, NUMBER cells) synthesized per document
@@ -4208,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": q_extract_pdf,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_doc": q_extract_doc,
+        "extract_doc_rich": q_extract_doc_rich,
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
         "extract_xbrl": q_extract_xbrl,
@@ -4320,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf": ORACLE_EXTRACT_PDF,
         "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
         "extract_doc": ORACLE_EXTRACT_DOC,
+        "extract_doc_rich": ORACLE_EXTRACT_DOC_RICH,
         "extract_xls": ORACLE_EXTRACT_XLS,
         "extract_ppt": ORACLE_EXTRACT_PPT,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,

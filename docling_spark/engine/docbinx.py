@@ -38,7 +38,8 @@ import struct
 from docling_spark.engine.htmlx import Item, _mk_item, serialize_items
 from docling_spark.engine.olex import OleError, OleFile
 
-__all__ = ["DocBinError", "extract_doc"]
+__all__ = ["DocBinError", "extract_doc", "synthesize_doc",
+           "synthesize_doc_rich"]
 
 
 class DocBinError(ValueError):
@@ -517,7 +518,132 @@ def synthesize_doc(text: str) -> bytes:
     struct.pack_into("<II", table, 5, 0, len(raw_text))      # CP bounds
     struct.pack_into("<HIH", table, 13,
                      0, (text_off * 2) | 0x40000000, 0)      # PCD (cp1252)
+    return _wrap_doc_streams(bytes(word), bytes(table))
 
+
+def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
+    """Build a REAL .doc binary whose paragraphs carry PAPX/CHPX/list
+    layers — the write half certifying the round-2 parse paths
+    (LFO/LVL numbering, CHPX bold) through the driver's value-hash gate.
+
+    ``paras``: [(text, kind)] with kind ∈ {"text", "bullet", "number",
+    "bold", "cell", "cellbold", "rowend"}. Emits a PlcfBtePapx → PAPX
+    FKP (sprmPIlfo list bindings; sprmPFInTable/sprmPFTtp cell and
+    row-end marks), a PlcfBteChpx → CHPX FKP (sprmCFBold runs), and
+    PlfLst/PlfLfo tables with an arabic-numbered list (nfc 0) and a
+    bullet list (nfc 23). Cell/rowend paragraphs terminate with the
+    cell mark (0x07) instead of CR, as Word writes them."""
+    text = "".join(
+        p + ("\x07" if kind in ("cell", "cellbold", "rowend") else "\r")
+        for p, kind in paras
+    )
+    raw_text = text.encode("cp1252", "replace")
+    text_off = 0x800
+    papx_pn, chpx_pn = 8, 9
+    word = bytearray(max(512 * 10, text_off + len(raw_text)))
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 0x000A, 0)
+    struct.pack_into("<i", word, 0x004C, len(raw_text))
+    word[text_off:text_off + len(raw_text)] = raw_text
+
+    # paragraph fc boundaries (cp1252: 1 byte/char, CR included)
+    bounds = [text_off]
+    cp = 0
+    for p, _ in paras:
+        cp += len(p.encode("cp1252", "replace")) + 1
+        bounds.append(text_off + cp)
+
+    # --- PAPX FKP page (pn 8): istd 0 + sprmPIlfo for list paragraphs
+    page = bytearray(512)
+    n = len(paras)
+    for i, b in enumerate(bounds):
+        struct.pack_into("<I", page, 4 * i, b)
+    blob_top = 511
+    for i, (_p, kind) in enumerate(paras):
+        grpprl = b""
+        if kind == "number":
+            grpprl = struct.pack("<HH", _SPRM_PILFO, 1)
+        elif kind == "bullet":
+            grpprl = struct.pack("<HH", _SPRM_PILFO, 2)
+        elif kind in ("cell", "cellbold"):
+            grpprl = struct.pack("<HB", _SPRM_PF_IN_TABLE, 1)
+        elif kind == "rowend":
+            grpprl = struct.pack("<HB", _SPRM_PF_IN_TABLE, 1) \
+                + struct.pack("<HB", _SPRM_PF_TTP, 1)
+        body = struct.pack("<H", 0) + grpprl  # istd 0
+        if len(body) % 2:
+            body += b"\x00"
+        cb = len(body) // 2
+        blob = bytes([cb]) + body
+        blob_top -= len(blob) + (len(blob) % 2)
+        word_off = blob_top // 2
+        page[word_off * 2:word_off * 2 + len(blob)] = blob
+        page[4 * (n + 1) + i * 13] = word_off
+    page[511] = n
+    word[papx_pn * 512:(papx_pn + 1) * 512] = page
+
+    # --- CHPX FKP page (pn 9): sprmCFBold for bold paragraphs
+    page = bytearray(512)
+    for i, b in enumerate(bounds):
+        struct.pack_into("<I", page, 4 * i, b)
+    blob_top = 511
+    for i, (_p, kind) in enumerate(paras):
+        if kind not in ("bold", "cellbold"):
+            continue  # bx 0 → inherit (not bold)
+        blob = bytes([3]) + struct.pack("<HB", _SPRM_CF_BOLD, 1)
+        blob_top -= len(blob) + (len(blob) % 2)
+        word_off = blob_top // 2
+        page[word_off * 2:word_off * 2 + len(blob)] = blob
+        page[4 * (n + 1) + i] = word_off
+    page[511] = n
+    word[chpx_pn * 512:(chpx_pn + 1) * 512] = page
+
+    # --- table stream: CLX, BTE PLCs, list tables (≥ mini cutoff so it
+    # stays FAT-resident, like the plain synthesizer)
+    table = bytearray(4096)
+    struct.pack_into("<BI", table, 0, 0x02, 16)
+    struct.pack_into("<II", table, 5, 0, len(raw_text))
+    struct.pack_into("<HIH", table, 13,
+                     0, (text_off * 2) | 0x40000000, 0)
+    struct.pack_into("<II", word, 0x01A2, 0, 25)
+
+    pos = 32
+    struct.pack_into("<III", table, pos, bounds[0], bounds[-1], papx_pn)
+    struct.pack_into("<II", word, 0x0102, pos, 12)
+    pos = 48
+    struct.pack_into("<III", table, pos, bounds[0], bounds[-1], chpx_pn)
+    struct.pack_into("<II", word, 0x00FA, pos, 12)
+
+    # PlfLst: two simple lists (arabic, bullet); LVLs follow the LSTFs
+    pos = 64
+    lst = struct.pack("<H", 2)
+    for lsid in (7777, 8888):
+        lstf = bytearray(28)
+        struct.pack_into("<i", lstf, 0, lsid)
+        lstf[26] = 0x1  # fSimpleList → one LVL
+        lst += bytes(lstf)
+    for nfc in (0, 23):
+        lvlf = bytearray(28)
+        struct.pack_into("<i", lvlf, 0, 1)  # iStartAt
+        lvlf[4] = nfc
+        lst += bytes(lvlf) + struct.pack("<H", 0)  # empty xst
+    table[pos:pos + len(lst)] = lst
+    struct.pack_into("<II", word, 0x02E2, pos, 2 + 2 * 28)
+
+    # PlfLfo: ilfo 1 → arabic list, ilfo 2 → bullet list
+    pos2 = pos + len(lst)
+    lfo = struct.pack("<i", 2)
+    for lsid in (7777, 8888):
+        ent = bytearray(16)
+        struct.pack_into("<i", ent, 0, lsid)
+        lfo += bytes(ent)
+    table[pos2:pos2 + len(lfo)] = lfo
+    struct.pack_into("<II", word, 0x02EA, pos2, len(lfo))
+
+    return _wrap_doc_streams(bytes(word), bytes(table))
+
+
+def _wrap_doc_streams(word: bytes, table: bytes) -> bytes:
     def pad(b: bytes) -> bytes:
         n = (len(b) + 511) // 512 * 512
         return bytes(b) + b"\x00" * (n - len(b))

@@ -82,3 +82,28 @@ def test_malformed_doc_contained() -> None:
     for bad in [b"", b"\xd0\xcf\x11\xe0junk", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600]:
         with pytest.raises(DocBinError):
             extract_doc(bad)
+
+
+def test_synthesized_rich_roundtrip() -> None:
+    """The rich writer emits REAL PAPX/CHPX/LFO layers; the parser must
+    recover numbered + bulleted lists and a bold-header table from
+    them (the write half of the extract_doc_rich contract query)."""
+    from docling_spark.engine.docbinx import synthesize_doc_rich
+
+    b = synthesize_doc_rich([
+        ("Intro paragraph", "text"),
+        ("first", "number"), ("second", "number"),
+        ("alpha", "bullet"), ("beta", "bullet"),
+        ("Head", "cellbold"), ("Val", "cell"), ("", "rowend"),
+        ("x1", "cell"), ("7", "cell"), ("", "rowend"),
+        ("Closing note", "text"),
+    ])
+    text, items, _m = extract_doc(b)
+    assert "1. first\n2. second" in text
+    assert "- alpha\n- beta" in text
+    assert "| **Head** | Val |" in text
+    assert "| x1 | 7 |" in text
+    assert text.startswith("Intro paragraph")
+    assert text.endswith("Closing note")
+    groups = [it for it in items if it["label"] == "list"]
+    assert len(groups) == 2
