@@ -1970,6 +1970,9 @@ def q_extract_xls(spark, sf_dir):
         from docling_spark.engine.xlsbinx import synthesize_xls
 
         out = []
+        from datetime import datetime, timedelta
+
+        epoch = datetime(1899, 12, 30)
         for i, t in zip(doc_id, text):
             tt = str(t).strip()
             tok = tt.split()[0]
@@ -1979,6 +1982,7 @@ def q_extract_xls(spark, sf_dir):
                 ["Metric", "Value"],
                 ["chars", float(len(tt))],
                 ["first", tok],
+                ["when", epoch + timedelta(days=40000 + int(i) % 2000)],
             ]
             out.append(base64.b64encode(
                 synthesize_xls("Obs", grid)).decode())
@@ -2003,6 +2007,10 @@ select doc_id, 'success' as status,
         || '| Metric | Value |' || chr(10) || '| - | - |' || chr(10)
         || '| chars | ' || length(tt) || ' |' || chr(10)
         || '| first | ' || replace(toks[1], '|', '&#124;') || ' |'
+        || chr(10) || '| when | '
+        || cast(TIMESTAMP '1899-12-30 00:00:00'
+                + ((doc_id % 2000) + 40000) * INTERVAL 1 DAY as varchar)
+        || ' |'
           as extracted_text
 from t
 """

@@ -406,10 +406,14 @@ def synthesize_xls(sheet_name: str, grid: list[list]) -> bytes:
     Workbook stream: globals BOF/BOUNDSHEET/SST + worksheet substream of
     LABELSST/NUMBER cells) — the write half of the round-trip the
     contract query certifies. str cells go through the SST, numeric
-    cells as NUMBER doubles."""
+    cells as NUMBER doubles, datetime.date/datetime cells as NUMBER
+    serials under a date-formatted XF (FORMAT ifmt 200 + XF pair)."""
+    from datetime import date
+
     strings: list[str] = []
     sidx: dict[str, int] = {}
     n_str_cells = 0
+    has_dates = False
     for row in grid:
         for cell in row:
             if isinstance(cell, str):
@@ -417,6 +421,8 @@ def synthesize_xls(sheet_name: str, grid: list[list]) -> bytes:
                 if cell not in sidx:
                     sidx[cell] = len(strings)
                     strings.append(cell)
+            elif isinstance(cell, (date, datetime)):
+                has_dates = True
 
     sheet = bytearray()
     sheet += _rec(0x809, struct.pack("<HHHHII", 0x0600, 0x0010,
@@ -428,6 +434,12 @@ def synthesize_xls(sheet_name: str, grid: list[list]) -> bytes:
             if isinstance(cell, str):
                 sheet += _rec(_R_LABELSST, struct.pack(
                     "<HHHI", r, c, 0, sidx[cell]))
+            elif isinstance(cell, (date, datetime)):
+                dt = cell if isinstance(cell, datetime) \
+                    else datetime(cell.year, cell.month, cell.day)
+                serial = (dt - _EPOCH).total_seconds() / 86400.0
+                sheet += _rec(_R_NUMBER, struct.pack(
+                    "<HHHd", r, c, 1, serial))
             else:
                 sheet += _rec(_R_NUMBER, struct.pack(
                     "<HHHd", r, c, 0, float(cell)))
@@ -444,6 +456,12 @@ def synthesize_xls(sheet_name: str, grid: list[list]) -> bytes:
         g = bytearray()
         g += _rec(0x809, struct.pack("<HHHHII", 0x0600, 0x0005,
                                      0x0DBB, 0x07CC, 0, 0))
+        if has_dates:
+            fmt = b"yyyy-mm-dd"
+            g += _rec(_R_FORMAT, struct.pack("<HHB", 200, len(fmt), 0)
+                      + fmt)
+            g += _rec(_R_XF, struct.pack("<HH", 0, 0) + b"\x00" * 16)
+            g += _rec(_R_XF, struct.pack("<HH", 0, 200) + b"\x00" * 16)
         g += _rec(_R_BOUNDSHEET, struct.pack("<IH", ply_pos, 0)
                   + struct.pack("<BB", len(nm), 0) + nm)
         g += _rec(_R_SST, sst_body)
