@@ -59,6 +59,7 @@ _SPGR_ATOM = 0xF009
 _CHILD_ANCHOR = 0xF00F
 _CLIENT_ANCHOR = 0xF010
 _CLIENT_TEXTBOX = 0xF00D
+_RT_OUTLINE_REF = 0x0F9E
 
 # row-banding tolerance: 45720 EMU (mspowerpoint_backend.py:618-688)
 # converted to PPT master units (1/576 inch; 45720/914400*576 = 28.8)
@@ -124,9 +125,14 @@ def _persist_directory(ppt: bytes, cu: bytes) -> tuple[dict[int, int], int]:
     return directory, edits[0][1]
 
 
-def _slide_offsets(ppt: bytes, cu: bytes) -> list[int]:
-    """Presentation-order slide container offsets via the persist
-    directory; falls back to stream-order SlideContainer scan."""
+def _slide_entries(ppt: bytes, cu: bytes):
+    """Presentation-order [(slide_offset, slwt_texts)] via the persist
+    directory; falls back to a stream-order SlideContainer scan.
+
+    ``slwt_texts`` is the slide's outline text carried INSIDE the
+    SlideListWithText ([txtype, text, pf_runs] per TextHeaderAtom) —
+    drawing shapes reference these by index with OutlineTextRefAtom
+    instead of embedding their own TextChars/BytesAtom."""
     try:
         directory, doc_pid = _persist_directory(ppt, cu)
         doc_off = directory.get(doc_pid)
@@ -135,20 +141,36 @@ def _slide_offsets(ppt: bytes, cu: bytes) -> list[int]:
         vi, rt, ln = struct.unpack_from("<HHI", ppt, doc_off)
         if rt != _RT_DOCUMENT:
             raise PptError("doc persist is not a DocumentContainer")
-        offsets = []
+        entries = []
         for vi2, rt2, s2, e2 in _children(ppt, doc_off + 8, doc_off + 8 + ln):
-            if rt2 == _RT_SLWT and (vi2 >> 4) == 0:
-                for vi3, rt3, s3, e3 in _children(ppt, s2, e2):
-                    if rt3 == _RT_SLIDE_PERSIST and e3 - s3 >= 4:
-                        pid = struct.unpack_from("<I", ppt, s3)[0]
-                        off = directory.get(pid)
-                        if off is not None and off + 8 <= len(ppt):
-                            offsets.append(off)
-        if offsets:
-            return offsets
+            if rt2 != _RT_SLWT or (vi2 >> 4) != 0:
+                continue
+            cur: list | None = None
+            for vi3, rt3, s3, e3 in _children(ppt, s2, e2):
+                if rt3 == _RT_SLIDE_PERSIST and e3 - s3 >= 4:
+                    pid = struct.unpack_from("<I", ppt, s3)[0]
+                    off = directory.get(pid)
+                    cur = None
+                    if off is not None and off + 8 <= len(ppt):
+                        cur = []
+                        entries.append((off, cur))
+                elif cur is None:
+                    continue
+                elif rt3 == _RT_TEXT_HEADER and e3 - s3 >= 4:
+                    cur.append(
+                        [struct.unpack_from("<I", ppt, s3)[0], "", []])
+                elif rt3 == _RT_TEXT_CHARS and cur:
+                    cur[-1][1] = ppt[s3:e3].decode("utf-16-le", "replace")
+                elif rt3 == _RT_TEXT_BYTES and cur:
+                    cur[-1][1] = ppt[s3:e3].decode("latin-1")
+                elif rt3 == _RT_STYLE_TEXT and cur and cur[-1][1]:
+                    cur[-1][2] = _decode_pf_runs(
+                        bytes(ppt[s3:e3]), len(cur[-1][1]) + 1)
+        if entries:
+            return entries
     except (PptError, struct.error):
         pass
-    return [s - 8 for vi, rt, s, e in _children(ppt, 0, len(ppt))
+    return [(s - 8, []) for vi, rt, s, e in _children(ppt, 0, len(ppt))
             if rt == _RT_SLIDE]
 
 
@@ -162,6 +184,7 @@ class _Shape:
         self.pf_runs: list[tuple[int, dict]] = []
         self.members: list[_Shape] | None = None  # set for groups
         self.patriarch = False
+        self.outline_ref: int | None = None  # OutlineTextRefAtom index
 
 
 def _decode_pf_runs(data: bytes, total: int) -> list[tuple[int, dict]]:
@@ -251,6 +274,8 @@ def _parse_sp(buf: bytes, s: int, e: int) -> _Shape:
                 elif rt2 == _RT_STYLE_TEXT and sh.text is not None:
                     sh.pf_runs = _decode_pf_runs(
                         bytes(buf[s2:e2]), len(sh.text) + 1)
+                elif rt2 == _RT_OUTLINE_REF and e2 - s2 >= 4:
+                    sh.outline_ref = struct.unpack_from("<i", buf, s2)[0]
     return sh
 
 
@@ -460,14 +485,23 @@ def extract_ppt(payload: bytes) -> tuple[str, list[Item], dict]:
     ppt = ole.read("PowerPoint Document")
     cu = ole.read("Current User") if "Current User" in names else b""
     try:
-        offsets = _slide_offsets(ppt, cu)
+        entries = _slide_entries(ppt, cu)
     except struct.error as exc:
         raise PptError(f"malformed PPT stream: {exc}") from exc
+
+    def resolve_outline(sh: _Shape, slwt: list) -> None:
+        if sh.members is not None:
+            for member in sh.members:
+                resolve_outline(member, slwt)
+        elif sh.text is None and sh.outline_ref is not None \
+                and 0 <= sh.outline_ref < len(slwt):
+            txtype, text, pf_runs = slwt[sh.outline_ref]
+            sh.txtype, sh.text, sh.pf_runs = txtype, text, pf_runs
 
     items: list[Item] = []
     _mk_item(items, -1, "unspecified", 0, "_root_", "body")
     n_slides = 0
-    for si, off in enumerate(offsets):
+    for off, slwt in entries:
         vi, rt, ln = struct.unpack_from("<HHI", ppt, off)
         if rt != _RT_SLIDE:
             continue
@@ -478,6 +512,8 @@ def extract_ppt(payload: bytes) -> tuple[str, list[Item], dict]:
             shapes = _slide_shapes(ppt, off + 8, off + 8 + ln)
         except struct.error:
             continue
+        for sh in shapes:
+            resolve_outline(sh, slwt)
         for sh in _band_order(shapes):
             _emit_shape(items, chapter, sh)
 
@@ -557,11 +593,7 @@ def _ole2_streams(streams: list[tuple[str, bytes]]) -> bytes:
         + b"".join(padded)
 
 
-def _sp_shape(spid: int, anchor: tuple[int, int, int, int], txtype: int,
-              text: str, style: bytes | None, flags: int = 0xA00) -> bytes:
-    t, l, r, b = anchor
-    inner = _rec(_SP_ATOM, struct.pack("<II", spid, flags), ver=2)
-    inner += _rec(_CLIENT_ANCHOR, struct.pack("<hhhh", t, l, r, b))
+def _text_records(txtype: int, text: str, style: bytes | None) -> bytes:
     tb = _rec(_RT_TEXT_HEADER, struct.pack("<I", txtype))
     try:
         tb += _rec(_RT_TEXT_BYTES, text.encode("latin-1"))
@@ -569,6 +601,20 @@ def _sp_shape(spid: int, anchor: tuple[int, int, int, int], txtype: int,
         tb += _rec(_RT_TEXT_CHARS, text.encode("utf-16-le"))
     if style is not None:
         tb += _rec(_RT_STYLE_TEXT, style)
+    return tb
+
+
+def _sp_shape(spid: int, anchor: tuple[int, int, int, int], txtype: int,
+              text: str, style: bytes | None, flags: int = 0xA00,
+              outline_idx: int | None = None) -> bytes:
+    t, l, r, b = anchor
+    inner = _rec(_SP_ATOM, struct.pack("<II", spid, flags), ver=2)
+    inner += _rec(_CLIENT_ANCHOR, struct.pack("<hhhh", t, l, r, b))
+    if outline_idx is not None:
+        # outline-resident text: the shape only references the SLWT entry
+        tb = _rec(_RT_OUTLINE_REF, struct.pack("<i", outline_idx))
+    else:
+        tb = _text_records(txtype, text, style)
     inner += _container(_CLIENT_TEXTBOX, tb)
     return _container(_SP_CONTAINER, inner)
 
@@ -593,9 +639,15 @@ def synthesize_ppt(slides: list[dict]) -> bytes:
     half of the round-trip the contract query certifies.
 
     Each slide dict: {"title": str, "paras": [str], "bullets": [str],
-    "ordered": bool}."""
+    "ordered": bool, "outline": bool}. With ``outline`` true the slide's
+    text lives in the SlideListWithText and its shapes carry only
+    OutlineTextRefAtom references (the other way real decks store
+    placeholder text)."""
     slide_blobs = []
+    slide_slwt_texts: list[list[tuple[int, str, bytes | None]]] = []
     for sl in slides:
+        outline = bool(sl.get("outline"))
+        slwt_texts: list[tuple[int, str, bytes | None]] = []
         shapes = b""
         # patriarch group-holder
         pat = _rec(_SPGR_ATOM, struct.pack("<iiii", 0, 0, 0, 0), ver=1)
@@ -603,40 +655,51 @@ def synthesize_ppt(slides: list[dict]) -> bytes:
         shapes += _container(_SP_CONTAINER, pat)
         top = 100
         spid = 4
+
+        def add_shape(txtype: int, text: str, style: bytes | None):
+            nonlocal shapes, top, spid
+            if outline:
+                idx = len(slwt_texts)
+                slwt_texts.append((txtype, text, style))
+                shapes += _sp_shape(spid, (top, 100, 6000, top + 200),
+                                    txtype, "", None, outline_idx=idx)
+            else:
+                shapes += _sp_shape(spid, (top, 100, 6000, top + 200),
+                                    txtype, text, style)
+            top += 400
+            spid += 1
+
         if sl.get("title"):
-            shapes += _sp_shape(spid, (top, 100, 6000, top + 200),
-                                _TX_TITLE, sl["title"], None)
-            top += 400
-            spid += 1
+            add_shape(_TX_TITLE, sl["title"], None)
         for para in sl.get("paras", ()):
-            style = _pf_style([(len(para) + 1, False, False)],
-                              len(para) + 1)
-            shapes += _sp_shape(spid, (top, 100, 6000, top + 200),
-                                4, para, style)
-            top += 400
-            spid += 1
+            add_shape(4, para, _pf_style(
+                [(len(para) + 1, False, False)], len(para) + 1))
         bullets = sl.get("bullets", ())
         if bullets:
             text = "\r".join(bullets)
-            style = _pf_style([(len(text) + 1, True,
-                                bool(sl.get("ordered")))], len(text) + 1)
-            shapes += _sp_shape(spid, (top, 100, 6000, top + 200),
-                                4, text, style)
-            top += 400
-            spid += 1
+            add_shape(4, text, _pf_style(
+                [(len(text) + 1, True, bool(sl.get("ordered")))],
+                len(text) + 1))
         dg = _rec(0xF008, struct.pack("<II", len(slides) + 2, spid), ver=1)
         dg += _container(_SPGR_CONTAINER, shapes)
         drawing = _container(0xF002, dg)
         slide = _rec(0x03EF, b"\x00" * 24, ver=2)
         slide += _container(0x040C, drawing)
         slide_blobs.append(_container(_RT_SLIDE, slide))
+        slide_slwt_texts.append(slwt_texts)
 
-    # DocumentContainer with the slide list (persist ids 2..n+1)
+    # DocumentContainer with the slide list (persist ids 2..n+1);
+    # outline-mode slides carry their text records after their
+    # SlidePersistAtom
     doc_atom = _rec(0x03E9, b"\x00" * 40, ver=1)
     slwt = b""
     for i in range(len(slide_blobs)):
+        texts = slide_slwt_texts[i]
         slwt += _rec(_RT_SLIDE_PERSIST,
-                     struct.pack("<IIiII", 2 + i, 0x4, 0, 256 + i, 0))
+                     struct.pack("<IIiII", 2 + i, 0x4, len(texts),
+                                 256 + i, 0))
+        for txtype, text, style in texts:
+            slwt += _text_records(txtype, text, style)
     doc = _container(_RT_DOCUMENT, doc_atom + _container(_RT_SLWT, slwt))
 
     ppt = bytearray(doc)

@@ -183,3 +183,21 @@ def test_non_tiling_group_is_not_a_table() -> None:
     g.members = [cell(0, 0, 100, 100, "a"), cell(50, 50, 150, 150, "b"),
                  cell(200, 200, 260, 230, "c"), cell(0, 200, 80, 280, "d")]
     assert _try_table(g) is None
+
+
+def test_outline_resident_text_roundtrip() -> None:
+    """Real decks routinely keep placeholder text in the
+    SlideListWithText, with drawing shapes carrying only
+    OutlineTextRefAtom references ([MS-PPT] 2.4.14.1) — the parser must
+    resolve them identically to drawing-resident text."""
+    b = synthesize_ppt([
+        {"title": "Outline Deck", "paras": ["Body para."],
+         "bullets": ["o1", "o2"], "ordered": True, "outline": True},
+        {"title": "Drawing Deck", "bullets": ["d1"], "outline": False},
+    ])
+    text, items, m = extract_ppt(b)
+    assert "# Outline Deck" in text
+    assert "Body para." in text
+    assert "1. o1\n2. o2" in text
+    assert "# Drawing Deck" in text and "- d1" in text
+    assert m["pages_parsed"] == 2
