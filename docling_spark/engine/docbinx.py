@@ -32,6 +32,7 @@ Still out: nested tables, textboxes (office-art layer).
 
 from __future__ import annotations
 
+import bisect
 import re
 import struct
 
@@ -359,17 +360,20 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
         return hstack[-1][1] if hstack else 0
 
     _default = _ParaProps(0, 0, 0, 0, False, False)
+    _prop_ends = [p.fc_end for p in props]
+    _bold_ends = [fc_end for fc_end, _b in bolds]
 
     def props_for(cp_end: int) -> _ParaProps:
         fc = _fc_of_cp(pieces, max(cp_end - 1, 0))
         if fc >= 0:
-            for p in props:
-                if fc < p.fc_end:
-                    return p
+            k = bisect.bisect_right(_prop_ends, fc)
+            if k < len(props):
+                return props[k]
         return _default
 
     def unit_bold(utext: str, cp0: int) -> bool:
-        """Every printable char of the unit sits in a bold CHPX run."""
+        """Every printable char of the unit sits in a bold CHPX run
+        (bisect over the sorted run ends: O(chars·log runs))."""
         if not bolds:
             return False
         any_char = False
@@ -378,12 +382,8 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
                 continue
             any_char = True
             fc = _fc_of_cp(pieces, cp0 + i)
-            covered = False
-            for fc_end, b in bolds:
-                if fc < fc_end:
-                    covered = b
-                    break
-            if not covered:
+            k = bisect.bisect_right(_bold_ends, fc)
+            if k >= len(bolds) or not bolds[k][1]:
                 return False
         return any_char
 
@@ -449,6 +449,12 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
                 nfc = levels[min(p.ilvl, len(levels) - 1)]
             else:
                 nfc = 23
+        # NOTE: style-RESIDENT list bindings are deliberately not
+        # inherited. In the reference corpus the 'List Bullet' style's
+        # own UPX carries sprmPIlfo→a real bullet LFO, yet the
+        # LibreOffice-derived groundtruth renders paragraphs that have
+        # only the style (no direct sprmPIlfo) as PLAIN text — the
+        # conversion honors direct paragraph bindings only, and so do we.
         if style.startswith("heading") and style[-1].isdigit():
             level = int(style[-1])
             while hstack and hstack[-1][0] >= level:
@@ -538,6 +544,13 @@ def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
         for p, kind in paras
     )
     raw_text = text.encode("cp1252", "replace")
+    # fixed layout: text at 0x800, FKP pages at 8/9 — guard the bounds
+    # instead of silently clobbering them (a 512-byte FKP page holds at
+    # most ~29 paragraph entries: 4(n+1) rgfc + 13n bx + blobs + crun)
+    if len(raw_text) > 2048:
+        raise DocBinError("synthesize_doc_rich: text exceeds 2048 bytes")
+    if len(paras) > 24:
+        raise DocBinError("synthesize_doc_rich: more than 24 paragraphs")
     text_off = 0x800
     papx_pn, chpx_pn = 8, 9
     word = bytearray(max(512 * 10, text_off + len(raw_text)))
@@ -644,61 +657,6 @@ def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
 
 
 def _wrap_doc_streams(word: bytes, table: bytes) -> bytes:
-    def pad(b: bytes) -> bytes:
-        n = (len(b) + 511) // 512 * 512
-        return bytes(b) + b"\x00" * (n - len(b))
+    from docling_spark.engine.olex import write_ole2
 
-    wd = pad(bytes(word))
-    tb = pad(bytes(table))
-    n_wd = len(wd) // 512
-    n_tb = len(tb) // 512
-    dir_sec = 1
-    wd_start = 2
-    tb_start = wd_start + n_wd
-    total = tb_start + n_tb
-
-    fat = [0xFFFFFFFF] * 128
-    fat[0] = 0xFFFFFFFD                       # the FAT sector itself
-    fat[dir_sec] = 0xFFFFFFFE                 # directory: one sector
-    for k in range(n_wd):
-        fat[wd_start + k] = wd_start + k + 1 if k < n_wd - 1 else 0xFFFFFFFE
-    for k in range(n_tb):
-        fat[tb_start + k] = tb_start + k + 1 if k < n_tb - 1 else 0xFFFFFFFE
-
-    def dirent(name: str, etype: int, start: int, size: int) -> bytes:
-        e = bytearray(128)
-        nm = name.encode("utf-16-le")
-        e[:len(nm)] = nm
-        struct.pack_into("<H", e, 64, len(nm) + 2)
-        e[66] = etype
-        e[67] = 1  # black
-        struct.pack_into("<lll", e, 68, -1, -1, -1)  # no siblings/child
-        struct.pack_into("<I", e, 116, start)
-        struct.pack_into("<Q", e, 120, size)
-        return bytes(e)
-
-    d0 = bytearray(dirent("Root Entry", 5, 0xFFFFFFFE, 0))
-    struct.pack_into("<l", d0, 76, 1)  # root's child: WordDocument
-    d1 = bytearray(dirent("WordDocument", 2, wd_start, len(wd)))
-    struct.pack_into("<l", d1, 72, 2)  # right sibling: 0Table
-    directory = bytes(d0) + bytes(d1) + dirent("0Table", 2, tb_start,
-                                               len(tb))
-    directory += b"\x00" * (512 - len(directory) % 512 if
-                            len(directory) % 512 else 0)
-
-    hdr = bytearray(512)
-    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", hdr, 24, 0x003E)   # minor
-    struct.pack_into("<H", hdr, 26, 0x0003)   # major (v3)
-    struct.pack_into("<H", hdr, 28, 0xFFFE)   # little-endian
-    struct.pack_into("<H", hdr, 30, 9)        # 512-byte sectors
-    struct.pack_into("<H", hdr, 32, 6)        # 64-byte mini sectors
-    struct.pack_into("<I", hdr, 44, 1)        # one FAT sector
-    struct.pack_into("<I", hdr, 48, dir_sec)  # directory start
-    struct.pack_into("<I", hdr, 56, 4096)     # mini cutoff
-    struct.pack_into("<I", hdr, 60, 0xFFFFFFFE)  # no miniFAT
-    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)  # no DIFAT chain
-    struct.pack_into("<109I", hdr, 76, 0, *([0xFFFFFFFF] * 108))
-    _ = total
-    return (bytes(hdr) + struct.pack("<128I", *fat) + directory
-            + wd + tb)
+    return write_ole2([("WordDocument", word), ("0Table", table)])

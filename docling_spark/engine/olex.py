@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["OleError", "OleFile"]
+__all__ = ["OleError", "OleFile", "write_ole2"]
 
 _MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 _FREE = 0xFFFFFFFF
@@ -139,3 +139,76 @@ class OleFile:
                     return self._read_mini_chain(d["start"], d["size"])
                 return self._read_chain(d["start"], d["size"])
         raise OleError(f"stream not found: {name!r}")
+
+
+def write_ole2(streams: list[tuple[str, bytes]]) -> bytes:
+    """Minimal OLE2 v3 writer — the shared container for the legacy
+    synthesizers (docbinx/xlsbinx/pptbinx). Every stream is padded to
+    the mini cutoff so it stays FAT-resident; the FAT grows to as many
+    sectors as the payload needs (header-DIFAT only: ≤109 FAT sectors ≈
+    6.9 GB, far beyond any synthesized fixture)."""
+    padded = []
+    for _name, data in streams:
+        d = data + b"\x00" * max(0, 4096 - len(data))
+        d += b"\x00" * ((-len(d)) % 512)
+        padded.append(d)
+    n_data = sum(len(d) // 512 for d in padded)
+    n_dir = max(1, (len(streams) + 1 + 3) // 4)  # 4 dirents per sector
+    per_fat = 512 // 4
+    n_fat = 1
+    while n_fat * per_fat < n_fat + n_dir + n_data:
+        n_fat += 1
+    if n_fat > 109:
+        raise OleError("stream set too large for a header-DIFAT file")
+    dir_start = n_fat
+    fat = [0xFFFFFFFF] * (per_fat * n_fat)
+    for k in range(n_fat):
+        fat[k] = 0xFFFFFFFD
+    for k in range(n_dir):
+        fat[dir_start + k] = dir_start + k + 1 if k < n_dir - 1 \
+            else 0xFFFFFFFE
+    starts = []
+    nxt = dir_start + n_dir
+    for d in padded:
+        starts.append(nxt)
+        n = len(d) // 512
+        for k in range(n):
+            fat[nxt + k] = nxt + k + 1 if k < n - 1 else 0xFFFFFFFE
+        nxt += n
+
+    def dirent(name: str, etype: int, start: int, size: int,
+               child: int = -1, right: int = -1) -> bytes:
+        e = bytearray(128)
+        enc = name.encode("utf-16-le")
+        e[:len(enc)] = enc
+        struct.pack_into("<H", e, 64, len(enc) + 2)
+        e[66] = etype
+        e[67] = 1
+        struct.pack_into("<lll", e, 68, -1, right, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    directory = dirent("Root Entry", 5, _ENDCHAIN, 0, child=1)
+    for i, ((name, _data), st, d) in enumerate(zip(streams, starts,
+                                                   padded)):
+        right = i + 2 if i + 1 < len(streams) else -1
+        directory += dirent(name, 2, st, len(d), right=right)
+    directory += b"\x00" * ((512 * n_dir) - len(directory))
+
+    hdr = bytearray(512)
+    hdr[:8] = _MAGIC
+    struct.pack_into("<H", hdr, 24, 0x003E)
+    struct.pack_into("<H", hdr, 26, 0x0003)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)
+    struct.pack_into("<H", hdr, 30, 9)
+    struct.pack_into("<H", hdr, 32, 6)
+    struct.pack_into("<I", hdr, 44, n_fat)
+    struct.pack_into("<I", hdr, 48, dir_start)
+    struct.pack_into("<I", hdr, 56, 4096)
+    struct.pack_into("<I", hdr, 60, _ENDCHAIN)
+    struct.pack_into("<I", hdr, 68, _ENDCHAIN)
+    difat = list(range(n_fat)) + [0xFFFFFFFF] * (109 - n_fat)
+    struct.pack_into("<109I", hdr, 76, *difat)
+    fat_bytes = struct.pack(f"<{len(fat)}I", *fat)
+    return bytes(hdr) + fat_bytes + directory + b"".join(padded)

@@ -430,7 +430,7 @@ def _paragraphs(sh: _Shape) -> list[tuple[str, bool, bool]]:
         if "bulletFlags" in props:
             bullet = bool(props["bulletFlags"] & 1)
         else:
-            bullet = sh.txtype == _TX_BODY and pi >= 0
+            bullet = sh.txtype == _TX_BODY
         ordered = bullet and "bulletFontRef" in props
         out.append((para.replace("\x0b", " "), bullet, ordered))
     return out
@@ -536,61 +536,9 @@ def _container(rt: int, payload: bytes, inst: int = 0) -> bytes:
 
 
 def _ole2_streams(streams: list[tuple[str, bytes]]) -> bytes:
-    """Minimal OLE2 v3 container: every stream FAT-resident (padded to
-    the mini cutoff), one FAT sector, one directory sector."""
-    padded = []
-    for _name, data in streams:
-        d = data + b"\x00" * max(0, 4096 - len(data))
-        d += b"\x00" * ((-len(d)) % 512)
-        padded.append(d)
-    dir_sec = 1
-    starts = []
-    nxt = 2
-    for d in padded:
-        starts.append(nxt)
-        nxt += len(d) // 512
-    fat = [0xFFFFFFFF] * 128
-    fat[0] = 0xFFFFFFFD
-    fat[dir_sec] = 0xFFFFFFFE
-    for st, d in zip(starts, padded):
-        n = len(d) // 512
-        for k in range(n):
-            fat[st + k] = st + k + 1 if k < n - 1 else 0xFFFFFFFE
+    from docling_spark.engine.olex import write_ole2
 
-    def dirent(name: str, etype: int, start: int, size: int,
-               child: int = -1, right: int = -1) -> bytes:
-        e = bytearray(128)
-        enc = name.encode("utf-16-le")
-        e[:len(enc)] = enc
-        struct.pack_into("<H", e, 64, len(enc) + 2)
-        e[66] = etype
-        e[67] = 1
-        struct.pack_into("<lll", e, 68, -1, right, child)
-        struct.pack_into("<I", e, 116, start)
-        struct.pack_into("<Q", e, 120, size)
-        return bytes(e)
-
-    directory = dirent("Root Entry", 5, 0xFFFFFFFE, 0, child=1)
-    for i, ((name, data), st, d) in enumerate(zip(streams, starts, padded)):
-        right = i + 2 if i + 1 < len(streams) else -1
-        directory += dirent(name, 2, st, len(d), right=right)
-    directory += b"\x00" * ((-len(directory)) % 512)
-
-    hdr = bytearray(512)
-    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", hdr, 24, 0x003E)
-    struct.pack_into("<H", hdr, 26, 0x0003)
-    struct.pack_into("<H", hdr, 28, 0xFFFE)
-    struct.pack_into("<H", hdr, 30, 9)
-    struct.pack_into("<H", hdr, 32, 6)
-    struct.pack_into("<I", hdr, 44, 1)
-    struct.pack_into("<I", hdr, 48, dir_sec)
-    struct.pack_into("<I", hdr, 56, 4096)
-    struct.pack_into("<I", hdr, 60, 0xFFFFFFFE)
-    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)
-    struct.pack_into("<109I", hdr, 76, 0, *([0xFFFFFFFF] * 108))
-    return bytes(hdr) + struct.pack("<128I", *fat) + directory \
-        + b"".join(padded)
+    return write_ole2(streams)
 
 
 def _text_records(txtype: int, text: str, style: bytes | None) -> bytes:

@@ -253,7 +253,11 @@ def serialize_html(items: list[dict], layer: str = "body",
         return min(6, max(2, int(it.get("_hlevel", 2))))
 
     def list_html(group: dict) -> str:
-        ordered = group.get("text") == "ordered list"
+        ordered = group.get("text") == "ordered list" or any(
+            ch.get("_marker", "").endswith(".")
+            and ch.get("_marker", "")[:-1].isdigit()
+            for ch in by_parent.get(group["item_idx"], [])
+        )
         start = group.get("_start", 1)
         open_tag = "<ol>" if ordered and start in (1, None) else (
             f'<ol start="{start}">' if ordered else "<ul>")
@@ -456,11 +460,17 @@ def serialize_docling_json(items: list[dict], name: str = "document") -> str:
             if label == "code" and it.get("code_language"):
                 node["code_language"] = it["code_language"]
             if label == "list_item":
-                node["enumerated"] = False
-                node["marker"] = "-"
+                m = it.get("_marker", "")
+                numeric = m.endswith(".") and m[:-1].isdigit()
+                node["enumerated"] = numeric
+                node["marker"] = m if m else "-"
         elif kind == "groups":
             if label == "list":
-                ordered = it.get("text") == "ordered list"
+                ordered = it.get("text") == "ordered list" or any(
+                    ch.get("_marker", "").endswith(".")
+                    and ch.get("_marker", "")[:-1].isdigit()
+                    for ch in by_parent.get(it["item_idx"], [])
+                )
                 start = it.get("_start")
                 node["name"] = (
                     f"ordered list start {start}"

@@ -346,6 +346,16 @@ def extract_xls(payload: bytes) -> tuple[str, list[Item], dict]:
     if stream_name is None:
         raise XlsError("no Workbook stream in OLE2 container")
     wb = ole.read(stream_name)
+    # this parser reads BIFF8 only: earlier versions (BIFF5 'Book'
+    # streams from Excel 5.0/95) use flag-less byte strings that would
+    # decode as silent garbage — fail contained instead (the reference
+    # can't read them without LibreOffice either)
+    if len(wb) < 10:
+        raise XlsError("truncated workbook stream")
+    rt0, _ln0, vers = struct.unpack_from("<HHH", wb, 0)
+    if rt0 != 0x809 or vers != 0x0600:
+        raise XlsError(
+            f"unsupported BIFF version 0x{vers:04x} (BIFF8 required)")
     try:
         sheets, sst, date_xfs, date1904 = _parse_globals(wb)
     except struct.error as exc:
@@ -471,46 +481,6 @@ def synthesize_xls(sheet_name: str, grid: list[list]) -> bytes:
     glen = len(_globals(0))
     stream = _globals(glen) + bytes(sheet)
 
-    # OLE2 v3 container, single FAT-resident stream (≥ mini cutoff)
-    payload = stream + b"\x00" * max(0, 4096 - len(stream))
-    payload += b"\x00" * ((-len(payload)) % 512)
-    n_sec = len(payload) // 512
-    dir_sec = 1
-    st_start = 2
-    fat = [0xFFFFFFFF] * 128
-    fat[0] = 0xFFFFFFFD
-    fat[dir_sec] = 0xFFFFFFFE
-    for k in range(n_sec):
-        fat[st_start + k] = st_start + k + 1 if k < n_sec - 1 else 0xFFFFFFFE
+    from docling_spark.engine.olex import write_ole2
 
-    def dirent(name: str, etype: int, start: int, size: int) -> bytes:
-        e = bytearray(128)
-        enc = name.encode("utf-16-le")
-        e[:len(enc)] = enc
-        struct.pack_into("<H", e, 64, len(enc) + 2)
-        e[66] = etype
-        e[67] = 1
-        struct.pack_into("<lll", e, 68, -1, -1, -1)
-        struct.pack_into("<I", e, 116, start)
-        struct.pack_into("<Q", e, 120, size)
-        return bytes(e)
-
-    d0 = bytearray(dirent("Root Entry", 5, 0xFFFFFFFE, 0))
-    struct.pack_into("<l", d0, 76, 1)  # root's child: Workbook
-    directory = bytes(d0) + dirent("Workbook", 2, st_start, len(payload))
-    directory += b"\x00" * ((-len(directory)) % 512)
-
-    hdr = bytearray(512)
-    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", hdr, 24, 0x003E)
-    struct.pack_into("<H", hdr, 26, 0x0003)
-    struct.pack_into("<H", hdr, 28, 0xFFFE)
-    struct.pack_into("<H", hdr, 30, 9)
-    struct.pack_into("<H", hdr, 32, 6)
-    struct.pack_into("<I", hdr, 44, 1)
-    struct.pack_into("<I", hdr, 48, dir_sec)
-    struct.pack_into("<I", hdr, 56, 4096)
-    struct.pack_into("<I", hdr, 60, 0xFFFFFFFE)
-    struct.pack_into("<I", hdr, 68, 0xFFFFFFFE)
-    struct.pack_into("<109I", hdr, 76, 0, *([0xFFFFFFFF] * 108))
-    return bytes(hdr) + struct.pack("<128I", *fat) + directory + payload
+    return write_ole2([("Workbook", stream)])

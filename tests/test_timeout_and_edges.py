@@ -87,7 +87,6 @@ def test_legacy_office_contained_failure():
     RuntimeError (backend/docx/drawingml/utils.py:79-120) — never a
     raise, never a misparse as plain text."""
     import base64
-    import struct
 
     from docling_spark.engine.extract import detect_format, extract_payload
     from docling_spark.engine.xlsbinx import synthesize_xls
@@ -105,7 +104,6 @@ def test_legacy_office_contained_failure():
     assert r["format"] == "legacy_office"
     assert r["errors"][0]["category"] == "dependency_error"
     assert r["extracted_text"] == ""
-    _ = struct
     # .doc/.xls/.ppt now parse natively (docbinx/xlsbinx/pptbinx); junk
     # payloads are a contained parse failure, not a dependency error
     for hint, fmt in (("doc", "docbin"), ("dot", "docbin"),

@@ -280,3 +280,27 @@ def test_hidden_sheet_is_furniture() -> None:
     layers = {it["content_layer"] for it in items if it["label"] == "table"}
     assert layers == {"body", "furniture"}
     assert m["pages_parsed"] == 2
+
+
+def test_biff5_contained() -> None:
+    """A BIFF5 'Book' stream (Excel 5.0/95) must fail contained — its
+    flag-less byte strings would decode as silent garbage under the
+    BIFF8 grammar."""
+    import struct as s
+
+    from docling_spark.engine.olex import write_ole2
+    from docling_spark.engine.xlsbinx import _rec
+
+    wb5 = _rec(0x809, s.pack("<HHHH", 0x0500, 0x0005, 0, 0)) \
+        + _rec(0x0A, b"")
+    with pytest.raises(XlsError, match="BIFF8 required"):
+        extract_xls(write_ole2([("Book", wb5)]))
+
+
+def test_large_workbook_multi_fat() -> None:
+    """The shared OLE2 writer grows the FAT past one sector — a 3000-row
+    grid (~190 KB stream) round-trips instead of raising IndexError."""
+    grid = [["r%d" % i, float(i)] for i in range(3000)]
+    _text, items, _m = extract_xls(synthesize_xls("Big", grid))
+    tables = [it for it in items if it["label"] == "table"]
+    assert tables and tables[0]["num_rows"] == 3000
