@@ -402,9 +402,13 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
     n_in_group = 0
     rows: list[list[str]] = []
     cells: list[str] = []
+    cell_parts: list[str] = []
 
     def flush_table() -> None:
-        nonlocal rows, cells, list_group
+        nonlocal rows, cells, cell_parts, list_group
+        if cell_parts:  # malformed: table ended mid-cell
+            cells.append(" ".join(x for x in cell_parts if x))
+            cell_parts = []
         if cells:
             rows.append(cells)
             cells = []
@@ -422,7 +426,8 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
         cp_end = cp0 + len(utext) + 1
         p = props_for(cp_end)
         if term == "\x07" or p.in_table or p.ttp:
-            if utext == "" and (p.ttp or cells):
+            if utext == "" and term == "\x07" and (p.ttp or cells) \
+                    and not cell_parts:
                 # row-end (TTP) mark
                 rows.append(cells)
                 cells = []
@@ -430,7 +435,16 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
                 cell = _clean_para(utext)
                 if cell and unit_bold(utext, cp0):
                     cell = f"**{cell}**"
-                cells.append(cell)
+                if term == "\r":
+                    # a multi-paragraph cell: inner paragraphs end with
+                    # CR; only the final one carries the 0x07 cell mark
+                    cell_parts.append(cell)
+                else:
+                    if cell_parts:
+                        cell = " ".join(x for x in cell_parts + [cell]
+                                        if x)
+                        cell_parts = []
+                    cells.append(cell)
             list_group = -1
             continue
         flush_table()
@@ -533,12 +547,14 @@ def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
     (LFO/LVL numbering, CHPX bold) through the driver's value-hash gate.
 
     ``paras``: [(text, kind)] with kind ∈ {"text", "bullet", "number",
-    "bold", "cell", "cellbold", "rowend"}. Emits a PlcfBtePapx → PAPX
-    FKP (sprmPIlfo list bindings; sprmPFInTable/sprmPFTtp cell and
-    row-end marks), a PlcfBteChpx → CHPX FKP (sprmCFBold runs), and
-    PlfLst/PlfLfo tables with an arabic-numbered list (nfc 0) and a
-    bullet list (nfc 23). Cell/rowend paragraphs terminate with the
-    cell mark (0x07) instead of CR, as Word writes them."""
+    "bold", "cell", "cellbold", "cell_part", "rowend"}. Emits a
+    PlcfBtePapx → PAPX FKP (sprmPIlfo list bindings;
+    sprmPFInTable/sprmPFTtp cell and row-end marks), a PlcfBteChpx →
+    CHPX FKP (sprmCFBold runs), and PlfLst/PlfLfo tables with an
+    arabic-numbered list (nfc 0) and a bullet list (nfc 23).
+    Cell/rowend paragraphs terminate with the cell mark (0x07) instead
+    of CR, as Word writes them; "cell_part" is an inner paragraph of a
+    multi-paragraph cell (CR-terminated, fInTable set)."""
     text = "".join(
         p + ("\x07" if kind in ("cell", "cellbold", "rowend") else "\r")
         for p, kind in paras
@@ -578,7 +594,7 @@ def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
             grpprl = struct.pack("<HH", _SPRM_PILFO, 1)
         elif kind == "bullet":
             grpprl = struct.pack("<HH", _SPRM_PILFO, 2)
-        elif kind in ("cell", "cellbold"):
+        elif kind in ("cell", "cellbold", "cell_part"):
             grpprl = struct.pack("<HB", _SPRM_PF_IN_TABLE, 1)
         elif kind == "rowend":
             grpprl = struct.pack("<HB", _SPRM_PF_IN_TABLE, 1) \

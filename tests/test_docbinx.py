@@ -107,3 +107,19 @@ def test_synthesized_rich_roundtrip() -> None:
     assert text.endswith("Closing note")
     groups = [it for it in items if it["label"] == "list"]
     assert len(groups) == 2
+
+
+def test_multi_paragraph_cell_joins() -> None:
+    """Word multi-paragraph cells: inner paragraphs end with CR (with
+    fInTable set) and only the last carries the 0x07 cell mark — they
+    must join into ONE cell, never shift the grid."""
+    from docling_spark.engine.docbinx import synthesize_doc_rich
+
+    blob = synthesize_doc_rich([
+        ("line one", "cell_part"), ("line two", "cell"),
+        ("n", "cell"), ("", "rowend"),
+        ("x", "cell"), ("y", "cell"), ("", "rowend"),
+    ])
+    text, _items, _m = extract_doc(blob)
+    assert "| line one line two | n |" in text
+    assert "| x | y |" in text
