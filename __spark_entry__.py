@@ -1894,6 +1894,49 @@ from t
 """
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM count table (top-k by pair count with conditional
+    probabilities) — the n-gram artifact an LM-data pipeline builds for
+    contamination screens and backoff filters. Plan: doc-partitioned
+    lead window (never a self-join), two partial-agg groupBys, a
+    broadcast unigram join, TakeOrderedAndProject top-k."""
+    from docling_spark.operators.textstats import bigram_lm
+
+    return bigram_lm(_docs(spark, sf_dir), k=30, min_count=2)
+
+
+ORACLE_BIGRAM_LM = """
+with arr as (
+  select doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                            'g')), ' '),
+           t -> t <> '') as toks
+  from documents
+),
+n as (select doc_id, toks, len(toks) as n from arr),
+pairs as (
+  select toks[g.i] as w1, toks[g.i + 1] as w2
+  from n, unnest(generate_series(1, n - 1)) as g(i)
+  where n >= 2
+),
+uni as (
+  select t.tok as w1, count(*) as n1
+  from arr, unnest(toks) as t(tok)
+  group by 1
+),
+bi as (
+  select w1, w2, count(*) as n2 from pairs group by 1, 2
+  having count(*) >= 2
+)
+select b.w1, b.w2, cast(b.n2 as bigint) as pair_count,
+       round(b.n2 * 1.0 / u.n1, 6) as cond_p
+from bi b join uni u using (w1)
+order by pair_count desc, w1, w2
+limit 30
+"""
+
+
 def q_extract_doc_rich(spark, sf_dir):
     """Legacy .doc with the round-2 structure layers: a real Word binary
     carrying a PAPX FKP (sprmPIlfo list bindings + fInTable/fTtp cell
@@ -4277,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc_rich": q_extract_doc_rich,
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
+        "bigram_lm": q_bigram_lm,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -4390,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_doc_rich": ORACLE_EXTRACT_DOC_RICH,
         "extract_xls": ORACLE_EXTRACT_XLS,
         "extract_ppt": ORACLE_EXTRACT_PPT,
+        "bigram_lm": ORACLE_BIGRAM_LM,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

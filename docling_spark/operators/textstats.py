@@ -329,3 +329,48 @@ def linear_quality_score(docs: DataFrame, dim: int = 256,
         score.alias("score"),
         (score > 0.5).cast("int").alias("keep"),
     )
+
+
+def bigram_lm(docs: DataFrame, k: int = 30, min_count: int = 2,
+              text_col: str = "text",
+              doc_col: str = "doc_id") -> DataFrame:
+    """Corpus bigram LM count table — the n-gram artifact an LM-data
+    pipeline builds for contamination screens and backoff filters
+    (extends the unigram surprisal op with the conditional layer).
+
+    Spark-first shape that survives 100 TB:
+    - tokens explode with their in-document position (posexplode), so
+      the bigram pairing is a ``lead`` window PARTITIONED BY document —
+      never a self-join and never a global window;
+    - unigram and bigram tallies are plain groupBys (map-side partial
+      aggregation carries the shuffle);
+    - the conditional probability joins the bigram table to the
+      unigram table on the first token — a short-key equi-join whose
+      build side is the (pruned) unigram table;
+    - top-k is a distributed ``orderBy().limit(k)``
+      (TakeOrderedAndProject), the same no-global-sort pattern as
+      vocab_topk.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(F.split(norm_text(F.col(text_col)), " "))
+        .alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc").orderBy("pos")
+    pairs = toks.select(
+        "token", F.lead("token").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    uni = toks.groupBy("token").agg(F.count("*").alias("n1"))
+    bi = (
+        pairs.groupBy("token", "nxt").agg(F.count("*").alias("n2"))
+        .filter(F.col("n2") >= min_count)
+    )
+    scored = bi.join(uni, "token").select(
+        F.col("token").alias("w1"),
+        F.col("nxt").alias("w2"),
+        F.col("n2").cast("bigint").alias("pair_count"),
+        F.round(F.col("n2") / F.col("n1"), 6).alias("cond_p"),
+    )
+    return scored.orderBy(F.desc("pair_count"), "w1", "w2").limit(k)

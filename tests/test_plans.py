@@ -127,3 +127,17 @@ def test_tfidf_ranks_per_document(spark):
     assert "CartesianProduct" not in plan
     # the 1-row doc-count side arrives by broadcast
     assert "BroadcastExchange" in plan
+
+
+def test_bigram_lm_plan_shape(spark):
+    """Bigram pairing is a doc-partitioned lead window (never a
+    self-join); top-k is TakeOrderedAndProject (never a global sort of
+    the whole bigram table); the unigram side broadcasts."""
+    from docling_spark.operators.textstats import bigram_lm
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, bigram_lm(d, k=30))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(doc" in plan
+    assert "BroadcastHashJoin" in plan
