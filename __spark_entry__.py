@@ -1666,13 +1666,20 @@ kept as (
   select st.doc_id, st.n_tokens, st.pos, st.tok
   from stream st
   anti join covered c on st.doc_id = c.doc_id and st.pos = c.pos
+),
+agg as (
+  select doc_id,
+         string_agg(tok, ' ' order by pos) as clean_text,
+         cast(n_tokens as int) as n_tokens,
+         cast(n_tokens - count(*) as int) as n_removed
+  from kept
+  group by doc_id, n_tokens
 )
-select doc_id,
-       string_agg(tok, ' ' order by pos) as clean_text,
-       cast(n_tokens as int) as n_tokens,
-       cast(n_tokens - count(*) as int) as n_removed
-from kept
-group by doc_id, n_tokens
+select n.doc_id,
+       coalesce(a.clean_text, '') as clean_text,
+       coalesce(a.n_tokens, cast(n.n_tokens as int)) as n_tokens,
+       coalesce(a.n_removed, cast(n.n_tokens as int)) as n_removed
+from n left join agg a using (doc_id)
 """
 
 
@@ -1846,7 +1853,7 @@ r as (
 )
 select vec_id, centroid_id from r
 where rk = 1
-  and ('0x' || substr(md5(cast(vec_id as varchar)), 1, 4))::int % 10000
+  and ('0x' || substr(md5(cast(vec_id as varchar)), 1, 8))::bigint % 10000
       < 3000
 """
 
@@ -4066,7 +4073,7 @@ def q_stratified_sample(spark, sf_dir):
 ORACLE_STRATIFIED_SAMPLE = """
 select doc_id, lang
 from documents
-where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::int % 10000
+where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
       < case lang when 'en' then 5000 when 'de' then 2500 else 1000 end
 """
 
@@ -4162,7 +4169,7 @@ def q_pack_sequences(spark, sf_dir):
 ORACLE_PACK_SEQUENCES = """
 with t as (
   select doc_id,
-         (('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::int % 10000)
+         (('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000)
            % 16 as shard,
          case when trim(text) = '' then 0
               else len(string_split_regex(trim(text), '\\s+')) end as n_tokens

@@ -86,8 +86,12 @@ def heading_contextual_chunks(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(doc_col).orderBy("item_idx")
+    # heading candidates come from the BODY layer only — a furniture
+    # page-header/title repeating mid-document must not override the
+    # true section heading for the chunks after it
     heading = F.when(
-        F.col("label").isin("title", "section_header"), F.col("text")
+        F.col("label").isin("title", "section_header")
+        & (F.col("content_layer") == "body"), F.col("text")
     )
     enriched = items.withColumn(
         "heading", F.last(heading, ignorenulls=True).over(w)
@@ -135,7 +139,9 @@ def budget_chunks(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(doc_col).orderBy("item_idx")
-    is_heading = F.col("label").isin("title", "section_header")
+    # body-layer headings only (same rule as heading_contextual_chunks)
+    is_heading = F.col("label").isin("title", "section_header") \
+        & (F.col("content_layer") == "body")
     heading = F.when(is_heading, F.col("text"))
     heading_idx = F.when(is_heading, F.col("item_idx"))
     enriched = items.withColumn(

@@ -160,10 +160,14 @@ def top_bigram_stats(docs: DataFrame, text_col: str = "text",
 
 
 def strat_key(col) -> Column:
-    """Deterministic uniform int in [0, 10000) from the row key: first 4
-    md5 hex digits mod 10000 — identical formula on the DuckDB side."""
+    """Deterministic uniform int in [0, 10000) from the row key: first 8
+    md5 hex digits mod 10000 — identical formula on the DuckDB side.
+
+    8 digits (32 bits), not 4: 65536 % 10000 != 0 made the low 5536
+    residues 7/65536 likely vs 6/65536, over-sampling every fraction
+    ≤ 0.55 by ~6.8% relative; with 2^32 the residual bias is ~2e-6."""
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
         .cast("long") % 10000
     )
 
@@ -197,7 +201,9 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     ordered by (doc id, paragraph index) — deterministic under any
     partitioning. One shuffle keyed on the paragraph hash (short md5,
     uniform — no skew), one keyed on the doc id for reassembly; both are
-    partial-agg friendly. Returns (id, clean_text, n_paras, n_kept)."""
+    partial-agg friendly. Returns (id, clean_text, n_paras, n_kept) for
+    EVERY input document — empty/whitespace-only docs come back as
+    ('', 0, 0) instead of silently vanishing from the output."""
     paras = docs.select(
         F.col(id_col),
         F.posexplode(
@@ -212,7 +218,7 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
     ).orderBy(F.col(id_col), F.col("para_idx"))
     ranked = paras.withColumn("rk", F.row_number().over(w))
-    return (
+    agg = (
         ranked.groupBy(id_col).agg(
             F.concat_ws(
                 "\n\n",
@@ -227,6 +233,15 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
             F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
             .cast("long").alias("n_kept"),
         )
+    )
+    # totality: paragraph-less docs (posexplode of an empty array emits
+    # nothing) still get an accounting row
+    base = docs.select(F.col(id_col)).distinct()
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -423,7 +438,7 @@ def dup_span_removal(docs: DataFrame, k: int = 8,
     ).select(id_col, "n_tokens", F.col("pt.pos").alias("pos"),
              F.col("pt.tok").alias("tok"))
     kept = stream.join(covered, [id_col, "pos"], "left_anti")
-    return (
+    agg = (
         kept.groupBy(id_col, "n_tokens")
         .agg(
             F.concat_ws(
@@ -441,6 +456,18 @@ def dup_span_removal(docs: DataFrame, k: int = 8,
             (F.col("n_tokens") - F.col("n_kept")).cast("int")
             .alias("n_removed"),
         )
+    )
+    # totality: a fully-duplicated (or empty) document has no surviving
+    # tokens and would vanish from the groupBy — keep its accounting row
+    # ('', n_tokens, n_removed=n_tokens) so the cleaned corpus never
+    # silently loses documents
+    base = toks.select(id_col, F.col("n_tokens").cast("int")
+                       .alias("all_tokens"))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_tokens", F.col("all_tokens")).alias("n_tokens"),
+        F.coalesce("n_removed", F.col("all_tokens")).alias("n_removed"),
     )
 
 

@@ -110,6 +110,11 @@ def lsh_candidate_pairs(
     At scale this is the whole point: the join key is (band_id, bucket) so
     only docs agreeing on a band ever meet in the shuffle.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}) — trailing hashes would be paid for in the "
+            "signatures but silently never banded, lowering recall")
     n_bands = num_hashes // band_size
     bands = F.array(
         *[

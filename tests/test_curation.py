@@ -269,8 +269,10 @@ def test_dup_span_removal_semantics(spark):
     assert got[3].n_removed == 16
     # short docs pass through
     assert got[4].clean_text == "short doc" and got[4].n_removed == 0
-    # a fully-duplicated doc loses every token → no output row
-    assert 5 not in got
+    # a fully-duplicated doc loses every token but KEEPS its accounting
+    # row — the cleaned corpus never silently drops documents
+    assert got[5].clean_text == ""
+    assert got[5].n_tokens == 11 and got[5].n_removed == 11
 
 
 def test_dup_span_removal_plan(spark):
