@@ -41,19 +41,25 @@ def _fmt_set(node: dict) -> frozenset:
 
 def _md_piece(text: str, fmt: frozenset, href: str | None) -> str:
     """One inline element → md piece (same rules as the HTML engine's
-    _runs_to_text fmt_one + link wrap). Newlines stored in the JSON text
-    (from <br> semantics) survive; spaces collapse around them."""
-    import re as _re
-
-    txt = _re.sub(r"[ \t\r\f\v]+", " ", text or "")
-    txt = _re.sub(r" *\n+ *", "\n", txt).strip()
-    if not txt:
+    _runs_to_text fmt_one + link wrap). The stored text is emitted
+    verbatim — the reference md serializer does not re-normalize
+    whitespace at export time (latex groundtruth keeps multi-space runs,
+    tabs, and blank lines inside one text item); html-origin documents
+    already collapsed whitespace at parse time, so nothing changes for
+    them."""
+    txt = text or ""
+    if not txt.strip():
         return ""
     if "code" in fmt:
         txt = "`" + txt + "`"
     else:
+        import re as _re
+
+        # an underscore already escaped in the stored text (latex source
+        # carried the backslash) is not escaped again
         txt = (txt.replace("&", "&amp;").replace("<", "&lt;")
-               .replace(">", "&gt;").replace("_", "\\_"))
+               .replace(">", "&gt;"))
+        txt = _re.sub(r"(?<!\\)_", r"\\_", txt)
         if "bold" in fmt:
             txt = "**" + txt + "**"
         if "italic" in fmt:
@@ -394,9 +400,11 @@ class _Converter:
                 _mk_item(self.items, parent, label, level, text, layer)
             self._children(node, parent, level)
         elif label == "formula":
-            text = _node_piece(node)
+            # display formula: raw LaTeX, never md-escaped; serialize_items
+            # wraps it in $$..$$ (latex groundtruth example_02)
+            text = node.get("text", "")
             if text:
-                _mk_item(self.items, parent, "text", level, text, layer)
+                _mk_item(self.items, parent, "formula", level, text, layer)
             self._children(node, parent, level)
         else:  # generic text-bearing node
             text = _node_piece(node)

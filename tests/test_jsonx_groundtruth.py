@@ -17,13 +17,14 @@ from docling_spark.engine.jsonx import extract_docling_json
 
 HTML_GT = pathlib.Path("/root/reference/tests/data/html/groundtruth")
 MD_GT = pathlib.Path("/root/reference/tests/data/md/groundtruth")
+LATEX_GT = pathlib.Path("/root/reference/tests/data/latex/groundtruth")
 
 _EXCLUDED = {"table_06.html"}
 
 
 def _pairs():
     out = []
-    for base in (HTML_GT, MD_GT):
+    for base in (HTML_GT, MD_GT, LATEX_GT):
         if not base.exists():
             continue
         for jf in sorted(base.glob("*.json")):
