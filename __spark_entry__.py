@@ -2492,8 +2492,9 @@ from t
 
 
 def q_extract_latex(spark, sf_dir):
-    """LaTeX end-to-end (subset engine, engine/latexx.py): section +
-    paragraph with a cite + display math, built JVM-side."""
+    """LaTeX end-to-end (engine/texwalk.py node walker, byte-exact on
+    the reference's full groundtruth corpus): section + paragraph with
+    a cite + display math, built JVM-side."""
     payload = F.concat(
         F.lit("\\documentclass{article}\n\\begin{document}\n"
               "\\section{Paper "),
@@ -2507,8 +2508,13 @@ def q_extract_latex(spark, sf_dir):
 
 
 ORACLE_EXTRACT_LATEX = """
+-- the chars node after \\section{..} contains the paragraph break, so
+-- its tail (the document text) is emitted as its own paragraph item and
+-- the trailing cite starts a NEW paragraph (reference chars-split
+-- semantics, texwalk process_nodes)
 select doc_id, 'success' as status,
-       '## Paper ' || doc_id || chr(10) || chr(10) || text || ' [src42].'
+       '## Paper ' || doc_id || chr(10) || chr(10) || text
+       || chr(10) || chr(10) || '[src42].'
        || chr(10) || chr(10) || '$$E = mc^2$$' as extracted_text
 from documents
 """

@@ -1557,6 +1557,7 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
     4-space indents for nested lists, '#'*level headings, pipe tables)."""
     out: list[str] = []
     pos = 0
+    rendered_caps: set[int] = set()
     by_parent: dict[int, list[Item]] = {}
     for it in items:
         by_parent.setdefault(it["parent_idx"], []).append(it)
@@ -1656,9 +1657,18 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 if it["text"]:
                     emit(it["text"], it)
             elif label == "caption":
-                if not it.get("_table_caption"):
+                if not it.get("_table_caption") and \
+                        it["item_idx"] not in rendered_caps:
+                    rendered_caps.add(it["item_idx"])
                     emit(it["text"], it)
             elif label == "picture":
+                # a picture's caption ref renders before the marker at
+                # the FIRST occurrence in reading order; the caption's
+                # own body position is then suppressed (and vice versa)
+                cap = it.get("_cap_ref")
+                if cap is not None and cap not in rendered_caps:
+                    rendered_caps.add(cap)
+                    emit(items[cap]["text"], items[cap])
                 emit("<!-- image -->", it)
             elif label in ("field_region", "field_item"):
                 # docling-core md serializer has no field renderer; each

@@ -23,7 +23,8 @@ extraction time) or as a Spark map over the exploded item table.
 from __future__ import annotations
 
 _GROUP_LABELS = frozenset(
-    ["unspecified", "list", "inline", "group", "sheet", "chapter"])
+    ["unspecified", "list", "inline", "group", "sheet", "chapter",
+     "section"])
 
 
 def _children_map(items: list[dict]) -> dict[int, list[dict]]:
@@ -116,31 +117,76 @@ def serialize_doctags(items: list[dict]) -> str:
     return "<doctag>" + "\n".join(lines) + "\n</doctag>"
 
 
+def _itxt_text(text: str, max_text_len: int = 70) -> str:
+    """The reference itxt dump truncates long text to
+    ``head(max//2-3) + ' ... ' + tail(max - head)`` (latex groundtruth:
+    70 → 32 head + 38 tail); a text whose length does not exceed the
+    truncated form (max+5) stays whole (73-char list items survive)."""
+    if len(text) <= max_text_len + 5:
+        return text
+    head = max_text_len // 2 - 3
+    return text[:head] + " ... " + text[-(max_text_len - head):]
+
+
 def serialize_itxt(items: list[dict]) -> str:
     """Flat item list → the reference's indented item-tree dump
-    (tests/data/*/groundtruth/*.itxt shape)."""
-    out = []
+    (tests/data/*/groundtruth/*.itxt shape; max_text_len=70,
+    explicit_tables=False → tables print as 'table with [RxC]').
+
+    Items print in TREE order with sequential numbers (a caption
+    created mid-group but parented at body prints after the group);
+    a bare picture prints with no text suffix, and its caption ref
+    prints nested one level deeper sharing the picture's number
+    (latex groundtruth corpus shape)."""
+    by_parent: dict[int, list[dict]] = {}
     for it in items:
+        by_parent.setdefault(it["parent_idx"], []).append(it)
+    out: list[str] = []
+    counter = 0
+
+    def emit(it: dict) -> None:
+        nonlocal counter
+        n = counter
+        counter += 1
         ind = "  " * it["level"]
+        raw = it.get("_raw", it["text"])
         if it["label"] == "key_value_region":
-            # KVP regions live in DoclingDocument.key_value_items, which the
-            # reference itxt dump prints one extra level deep with the text
-            # "ignored" (xbrl groundtruth itxt tail)
+            # KVP regions live in DoclingDocument.key_value_items, which
+            # the reference itxt dump prints one extra level deep with
+            # the text "ignored" (xbrl groundtruth itxt tail)
             out.append(
-                f'{ind}  item-{it["item_idx"]} at level {it["level"]}: '
+                f'{ind}  item-{n} at level {it["level"]}: '
                 f'key_value_region: ignored'
             )
-            continue
-        if it["label"] in _GROUP_LABELS:
+        elif it["label"] == "table" and "num_rows" in it:
             out.append(
-                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
+                f'{ind}item-{n} at level {it["level"]}: '
+                f'table with [{it["num_rows"]}x{it["num_cols"]}]'
+            )
+        elif it["label"] == "picture" and not raw:
+            out.append(f'{ind}item-{n} at level {it["level"]}: picture')
+            cap = it.get("_cap_ref")
+            if cap is not None:
+                cit = items[cap]
+                out.append(
+                    f'{ind}  item-{n} at level {it["level"] + 1}: '
+                    f'caption: {_itxt_text(cit.get("_raw", cit["text"]))}'
+                )
+        elif it["label"] in _GROUP_LABELS:
+            out.append(
+                f'{ind}item-{n} at level {it["level"]}: '
                 f'{it["label"]}: group {it["text"]}'
             )
         else:
             out.append(
-                f'{ind}item-{it["item_idx"]} at level {it["level"]}: '
-                f'{it["label"]}: {it["text"]}'
+                f'{ind}item-{n} at level {it["level"]}: '
+                f'{it["label"]}: {_itxt_text(raw)}'
             )
+        for ch in by_parent.get(it["item_idx"], []):
+            emit(ch)
+
+    for root in by_parent.get(-1, []):
+        emit(root)
     return "\n".join(out)
 
 

@@ -103,8 +103,13 @@ class Env:
 # '[' optional arg, '{' mandatory arg). Unlisted macros take NO arguments.
 # ---------------------------------------------------------------------------
 
+# paragraph is deliberately absent from the spec table: its brace group
+# leaks as a text-only group and glues with following text (groundtruth
+# 2412.19437 'MTP in Inference.Our MTP strategy') — while subparagraph
+# IS known and renders as a level-5 heading (2501.00089
+# '###### Acknowledgments.')
 _HEADINGS = ("part", "chapter", "section", "subsection", "subsubsection",
-             "paragraph", "subparagraph")
+             "subparagraph")
 
 MACRO_SPECS: dict[str, str] = {
     # sectioning
@@ -126,10 +131,10 @@ MACRO_SPECS: dict[str, str] = {
     "footnote": "[{", "marginpar": "[{",
     # graphics / files
     "includegraphics": "*[[{", "input": "{", "include": "{",
-    # bibliographystyle is deliberately absent: its brace group leaks as
-    # a text-only group (groundtruth arXiv-2501.01300v2 'cas-model2-names')
+    # bibliographystyle and bibitem are deliberately absent: their brace
+    # groups leak as text-only groups (groundtruth 'cas-model2-names';
+    # 1706.03762 bibliography keys glue with their entry bodies)
     "graphicspath": "{", "bibliography": "{",
-    "bibitem": "[{",
     # urls
     "url": "{", "href": "{{",
     # definitions
@@ -172,10 +177,14 @@ MACRO_SPECS: dict[str, str] = {
 # wrapfigure is unknown: its {r}{0.275\textwidth} groups leak ('r0.275').
 ENV_SPECS: dict[str, str] = {
     "tabular": "{", "array": "{",
+    # minipage is unknown: its [t]{0.5\textwidth} args leak as '[t]0.5'
+    # (1706.03762 groundtruth)
     "figure": "[", "table": "[", "figure*": "[", "table*": "[",
-    "minipage": "[{", "itemize": "[", "enumerate": "[",
+    "itemize": "[", "enumerate": "[",
     "description": "[",
-    "list": "{{", "thebibliography": "{",
+    # thebibliography's {widest-label} arg is NOT consumed — it leaks as
+    # the first pseudo-entry ('- 10' in the 1706.03762 groundtruth)
+    "list": "{{",
     "lstlisting": "[", "minted": "[{",
     "alignat": "{", "alignat*": "{",
 }
@@ -609,10 +618,12 @@ class TexWalker:
 
     def _add(self, parent: int, label: str, text: str,
              dl: str | None = None, esc: bool = True) -> int:
-        idx = _mk_item(self.items, parent, label, 1,
-                       _md_esc(text) if esc else text, "body")
-        if dl:
-            self.items[idx]["_dl"] = dl
+        stored = _md_esc(text) if esc else text
+        idx = _mk_item(self.items, parent, label,
+                       self.items[parent]["level"] + 1, stored, "body")
+        if stored != text:
+            # itxt dumps the raw (un-md-escaped) text
+            self.items[idx]["_raw"] = text
         return idx
 
     def _add_heading(self, parent: int, text: str, level: int) -> int:
@@ -921,8 +932,8 @@ class TexWalker:
                     for part in parts[1:]:
                         p = part.strip()
                         if p:
-                            self._add(parent, text_label or "text", p,
-                                      text_label or "paragraph")
+                            self._add(parent, text_label or "paragraph",
+                                      p)
                 else:
                     buffer.append(text)
             elif isinstance(node, Macro):
@@ -1037,11 +1048,11 @@ class TexWalker:
         elif name in _CITATION:
             t = self._extract_macro_arg(node)
             if t:
-                self._add(parent, "text", f"[{t}]", "reference")
+                self._add(parent, "reference", f"[{t}]")
         elif name == "url":
             t = self._extract_macro_arg(node)
             if t:
-                self._add(parent, "text", t, "reference")
+                self._add(parent, "reference", t)
         elif name == "label":
             t = self._extract_macro_arg(node)
             if t:
@@ -1057,11 +1068,14 @@ class TexWalker:
         elif name == "includegraphics":
             path = self._extract_macro_arg(node)
             if path:
-                # the generated caption renders at the picture's
-                # position (docling md picture serialization: caption
-                # text then the image marker)
-                self._add(parent, "caption", f"Image: {path}", "caption")
-                _mk_item(self.items, parent, "picture", 1, "", "body")
+                # the generated caption is a BODY-level item (its own
+                # index and position) and is ALSO ref-printed under the
+                # picture — serializers dedup by first occurrence
+                cidx = self._add(0, "caption", f"Image: {path}")
+                pidx = _mk_item(self.items, parent, "picture",
+                                self.items[parent]["level"] + 1, "",
+                                "body")
+                self.items[pidx]["_cap_ref"] = cidx
         elif name == "\\":
             pass
         elif name in _IGNORED:
@@ -1088,7 +1102,7 @@ class TexWalker:
                 else:
                     link = url or disp
                 if link:
-                    self._add(parent, "text", link, "reference")
+                    self._add(parent, "reference", link)
         elif name in _SPACING:
             if name == "newline":
                 self._add(parent, "text", "\n", text_label or "text",
@@ -1172,11 +1186,13 @@ class TexWalker:
         elif name in ("table", "table*"):
             self.process_nodes(node.nodes, parent, text_label)
         elif name in ("figure", "figure*"):
-            gidx = _mk_item(self.items, parent, "section", 1, "figure",
+            gidx = _mk_item(self.items, parent, "section",
+                            self.items[parent]["level"] + 1, "figure",
                             "body")
             self.process_nodes(node.nodes, gidx, text_label)
         elif name == "tikzpicture":
-            _mk_item(self.items, parent, "picture", 1, "", "body")
+            _mk_item(self.items, parent, "picture",
+                         self.items[parent]["level"] + 1, "", "body")
         elif name in ("verbatim", "lstlisting", "minted"):
             content = self._verbatim_content(node, name)
             self._add(parent, "code", content, "code", esc=False)
@@ -1198,7 +1214,8 @@ class TexWalker:
         return self._verb(node)
 
     def _process_list(self, node: Env, parent: int, text_label) -> None:
-        gidx = _mk_item(self.items, parent, "list", 1, "list", "body")
+        gidx = _mk_item(self.items, parent, "list",
+                        self.items[parent]["level"] + 1, "list", "body")
         groups: list[list] = []
         current: list = []
         for n in (node.nodes or []):
@@ -1216,7 +1233,9 @@ class TexWalker:
             self.process_nodes(item_nodes, gidx, text_label="list_item")
 
     def _process_bibliography(self, node: Env, parent: int) -> None:
-        gidx = _mk_item(self.items, parent, "list", 1, "list", "body")
+        gidx = _mk_item(self.items, parent, "list",
+                        self.items[parent]["level"] + 1, "bibliography",
+                        "body")
         entries: list[tuple[str, list]] = []
         current: list = []
         key = ""
@@ -1361,7 +1380,8 @@ class TexWalker:
                         }
         text, nr, nc = _table_md({"grid": grid})
         if text:
-            idx = _mk_item(self.items, parent, "table", 1, text, "body")
+            idx = _mk_item(self.items, parent, "table",
+                           self.items[parent]["level"] + 1, text, "body")
             self.items[idx]["num_rows"] = nr
             self.items[idx]["num_cols"] = nc
 

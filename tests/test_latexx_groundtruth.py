@@ -1,104 +1,106 @@
+"""Pin the LaTeX engine against the reference's FULL groundtruth corpus:
+every source under tests/data/latex/sources (two example fixtures and
+six real multi-file arXiv papers) must serialize byte-exact to both the
+``.md`` and ``.itxt`` groundtruth exports.
+
+The three unpinned legacy sources (0005057, 0106220, 9802040 — LaTeX
+2.09-era, no groundtruth shipped) are totality-checked only: extraction
+must return without raising.
+"""
+
+from __future__ import annotations
+
+import io
+import pathlib
+import zipfile
 
 import pytest
 
+from docling_spark.engine.latexx import (
+    LatexError,
+    extract_latex,
+    extract_latex_archive,
+)
+from docling_spark.engine.serialize import serialize_itxt
 
-def test_subset_extensions() -> None:
-    """Round-3 robustness additions: nested formatting, verb, footnote,
-    href, math environments, verbatim, figure, description lists,
-    chapter/paragraph sectioning, display \\[..\\] and inline \\(..\\)."""
-    from docling_spark.engine.latexx import extract_latex
+BASE = pathlib.Path("/root/reference/tests/data/latex")
 
-    doc = r"""
-\title{T \textbf{B}}
-\begin{document}
-\maketitle
-\chapter{Intro}
-Nested \textbf{bold \textit{em}} then \verb|code_x| and
-fn\footnote{note} and \href{http://x.y}{link} and \(a+b\).
-\begin{align}
-x &= y
-\end{align}
-\begin{verbatim}
-def f():
-    return 1
-\end{verbatim}
-\begin{figure}
-\caption{Fig cap}
-\end{figure}
-\begin{description}
-\item[term] meaning
-\end{description}
-\[E = mc^2\]
-\end{document}
-"""
-    text, items, metrics = extract_latex(doc)
-    assert text.startswith("# T B")
-    assert "## Intro" in text
-    assert "bold em" in text and "code_x" in text
-    assert "fn (note)" in text
-    assert "[link](http://x.y)" in text
-    assert "$a+b$" in text
-    assert "$$x &= y$$" in text
-    assert "```\ndef f():\n    return 1\n```" in text
-    assert "<!-- image -->" in text and "Fig cap" in text
-    assert "- term meaning" in text
-    assert "$$E = mc^2$$" in text
+PINNED = [
+    "example_01.tex", "example_02.tex",
+    "1706.03762", "2305.03393", "2310.06825", "2412.19437",
+    "2501.00089", "arXiv-2501.01300v2",
+]
+UNPINNED = ["0005057", "0106220", "9802040"]
+
+pytestmark = pytest.mark.skipif(
+    not BASE.exists(), reason="reference checkout not available"
+)
 
 
-def test_archive_input_resolution() -> None:
-    """Zip tex tree: \\input inlined from members, circular includes
-    guarded, main file located by documentclass+begin{document}."""
-    import io
-    import zipfile
-
-    from docling_spark.engine.latexx import (
-        LatexError,
-        extract_latex_archive,
-    )
-
-    main = (
-        "\\documentclass{article}\\title{Arc}\\begin{document}"
-        "\\maketitle\\section{One}\\input{body}\\end{document}"
-    )
-    body = "Body text from an included file.\\input{loop}"
-    loop = "\\input{body}"  # circular
+def _zip_tree(d: pathlib.Path) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
-        z.writestr("main.tex", main)
-        z.writestr("body.tex", body)
-        z.writestr("loop.tex", loop)
-    text, items, m = extract_latex_archive(buf.getvalue())
-    assert text.startswith("# Arc")
-    assert "## One" in text
-    assert "Body text from an included file." in text
+        for f in sorted(d.rglob("*")):
+            if f.is_file():
+                z.writestr(str(f.relative_to(d)), f.read_bytes())
+    return buf.getvalue()
 
+
+def _extract(name: str):
+    p = BASE / "sources" / name
+    if p.is_file():
+        return extract_latex(p.read_text(errors="replace"))
+    return extract_latex_archive(_zip_tree(p))
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_latex_md_groundtruth(name: str) -> None:
+    gt_name = name if name.endswith(".tex") else name + "_main.tex"
+    text, _items, _m = _extract(name)
+    gt = (BASE / "groundtruth" / (gt_name + ".md")).read_text()
+    assert text.strip() == gt.strip(), name
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_latex_itxt_groundtruth(name: str) -> None:
+    gt_name = name if name.endswith(".tex") else name + "_main.tex"
+    _text, items, _m = _extract(name)
+    gt = (BASE / "groundtruth" / (gt_name + ".itxt")).read_text()
+    assert serialize_itxt(items).strip() == gt.strip(), name
+
+
+@pytest.mark.parametrize("name", UNPINNED)
+def test_latex_legacy_sources_total(name: str) -> None:
+    text, items, metrics = _extract(name)
+    assert isinstance(text, str)
+    assert items and items[0]["label"] == "unspecified"
+
+
+def test_rejects_non_latex() -> None:
+    with pytest.raises(LatexError):
+        extract_latex("just some text, no document env")
     with pytest.raises(LatexError):
         extract_latex_archive(b"not a zip")
 
 
-def test_archive_attention_paper_structure() -> None:
-    """The real 1706.03762 source tree (reference corpus) flattens to a
-    structured doc: correct title, all \\input sections present."""
-    import io
-    import pathlib
-    import zipfile
-
-    from docling_spark.engine.latexx import extract_latex_archive
-
-    src = pathlib.Path(
-        "/root/reference/tests/data/latex/sources/1706.03762")
-    if not src.exists():
-        pytest.skip("reference checkout not available")
+def test_archive_input_resolution() -> None:
+    """\\input{...} resolves from archive members with a circular guard."""
+    main = (
+        "\\documentclass{article}\\begin{document}"
+        "Intro.\n\n\\input{part1}\n\\end{document}"
+    )
+    part1 = "Part one body.\n\n\\input{part1}\n"
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
-        for p in src.rglob("*"):
-            if p.is_file() and p.suffix in (".tex", ".sty", ".bbl"):
-                z.writestr(p.name, p.read_text(errors="replace"))
-    text, items, m = extract_latex_archive(buf.getvalue())
-    assert "# Attention Is All You Need" in text
-    heads = [it["text"] for it in items
-             if it["label"] == "section_header"]
-    for expected in ("Introduction", "Background", "Model Architecture",
-                     "Why Self-Attention", "Training", "Results",
-                     "Conclusion"):
-        assert any(expected in h for h in heads), expected
+        z.writestr("main.tex", main)
+        z.writestr("part1.tex", part1)
+    text, items, _ = extract_latex_archive(buf.getvalue())
+    assert "Intro." in text
+    assert text.count("Part one body.") == 1  # circular include guarded
+
+
+def test_items_well_formed() -> None:
+    _text, items, _ = _extract("2310.06825")
+    for it in items[1:]:
+        assert 0 <= it["parent_idx"] < it["item_idx"]
+        assert it["level"] == items[it["parent_idx"]]["level"] + 1
