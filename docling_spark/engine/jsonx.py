@@ -73,12 +73,10 @@ def _md_piece(text: str, fmt: frozenset, href: str | None) -> str:
 
 def _node_piece(node: dict) -> str:
     if node.get("md_rendered"):
-        # our own JSON export: text is already-rendered markdown — only
-        # normalize whitespace, never re-escape
-        import re as _re
-
-        txt = _re.sub(r"[ \t\r\f\v]+", " ", node.get("text", ""))
-        return _re.sub(r" *\n+ *", "\n", txt).strip()
+        # our own JSON export: text is already-rendered markdown —
+        # emitted verbatim, never re-escaped or re-normalized (latex
+        # items carry significant interior whitespace and blank lines)
+        return node.get("text", "")
     return _md_piece(node.get("text", ""), _fmt_set(node),
                      node.get("hyperlink"))
 

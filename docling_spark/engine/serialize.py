@@ -530,7 +530,11 @@ def serialize_docling_json(items: list[dict], name: str = "document") -> str:
             node["data"] = _md_grid_to_tabledata(it.get("text", ""))
             node["captions"] = []
         elif kind == "pictures":
-            node["captions"] = []
+            cap = it.get("_cap_ref")
+            node["captions"] = (
+                [{"$ref": ref_of[cap]}]
+                if cap is not None and cap in ref_of else []
+            )
         return node
 
     for it in items_out:
@@ -573,7 +577,11 @@ def _md_grid_to_tabledata(md_table: str) -> dict:
         for line in md_table.splitlines()
         if line.strip()
     ]
-    body = [r for r in rows if not all(set(c) <= {"-", " ", ""} for c in r)]
+    # only the dash separator row drops; an ALL-EMPTY row is real data
+    # (the latex tabular trailing-row quirk must survive the JSON
+    # round-trip)
+    body = [r for r in rows
+            if not (r and all(c and set(c) <= {"-"} for c in r))]
     has_header = len(body) < len(rows)
     ncols = max((len(r) for r in body), default=0)
     cells = []

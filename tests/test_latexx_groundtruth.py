@@ -104,3 +104,17 @@ def test_items_well_formed() -> None:
     for it in items[1:]:
         assert 0 <= it["parent_idx"] < it["item_idx"]
         assert it["level"] == items[it["parent_idx"]]["level"] + 1
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_latex_json_roundtrip_lossless(name: str) -> None:
+    """items → DoclingDocument JSON sink → deserialize → identical md
+    (captions ref-wired, empty tabular trailing rows preserved)."""
+    from docling_spark.engine.htmlx import serialize_items
+    from docling_spark.engine.jsonx import extract_docling_json
+    from docling_spark.engine.serialize import serialize_docling_json
+
+    _text, items, _m = _extract(name)
+    md1 = serialize_items(items, layer="body")
+    md2, _items2, _m2 = extract_docling_json(serialize_docling_json(items))
+    assert md1.strip() == md2.strip(), name
