@@ -107,6 +107,33 @@ def _md_payload(key: int) -> str:
     return f"# {h1}\n\n{para}\n\n{lis}\n\n```python\n{code}\n```\n"
 
 
+def _latex_payload(key: int) -> str:
+    """Small LaTeX article: section + paragraphs with inline math and a
+    cite, display equation, itemize, tabular — drives the texwalk node
+    parser in the headline bench."""
+    sec = _words(_h(key, "lsec"), 3).title()
+    body = _sentence(_h(key, "lb1"), 10)
+    extra = _sentence(_h(key, "lb2"), 8)
+    items = "\n".join(
+        f"\\item {_words(_h(key, 'li', i), 4)}" for i in range(3))
+    rows = "\n".join(
+        f"{_words(_h(key, 'tc', r, 0), 1)} & "
+        f"{_words(_h(key, 'tc', r, 1), 1)} \\\\"
+        for r in range(3))
+    return (
+        "\\documentclass{article}\n"
+        "\\title{" + _words(_h(key, "lt"), 4).title() + "}\n"
+        "\\begin{document}\n\\maketitle\n\n"
+        "\\section{" + sec + "}\n\n"
+        + body + " \\textbf{" + _words(_h(key, "lbold"), 2) + "} "
+        "$x_{" + str(key % 97) + "}^2$ \\cite{src" + str(key % 13) + "}.\n\n"
+        "$$E_{" + str(key % 7) + "} = mc^2$$\n\n"
+        "\\begin{itemize}\n" + items + "\n\\end{itemize}\n\n"
+        "\\begin{tabular}{ll}\n" + rows + "\n\\end{tabular}\n\n"
+        + extra + "\n\\end{document}\n"
+    )
+
+
 def _csv_payload(key: int) -> str:
     delim = [",", ";", "\t", "|"][_h(key, "d") % 4]
     ncol = 3 + _h(key, "nc") % 3
@@ -273,8 +300,10 @@ def make_turn(conv_idx: int, turn_idx: int) -> dict:
         tool, text = "asciidoc", _asciidoc_payload(key)
     elif sel < 40:
         tool, text = "email", _email_payload(key)
-    elif sel < 60:
+    elif sel < 58:
         tool, text = "html", _html_payload(key)
+    elif sel < 60:
+        tool, text = "latex", _latex_payload(key)
     elif sel < 72:
         tool, text = "md", _md_payload(key)
     elif sel < 80:
