@@ -3121,6 +3121,84 @@ from documents
 """
 
 
+def q_caption_attach(spark, sf_dir):
+    """Caption/footnote→element attachment (readingorder_model.py:
+    631-649 el→captions / el→footnotes re-parenting; proximity rule
+    re-expressed, see spatial.attach_nearest) as an equi-join +
+    best-candidate window. Each doc carries a table and a picture host,
+    a caption just below the table, a caption just above the picture, a
+    footnote at the page bottom (nearest: picture), and a decoy with no
+    horizontal overlap that must produce no row."""
+    from docling_spark.operators.spatial import attach_nearest
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    table = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(0).alias("host_id"),
+        F.lit(0.0).alias("l"),
+        (100 + (F.col("doc_id") % 5) * 8).cast("double").alias("t"),
+        F.lit(100.0).alias("r"),
+        (140 + (F.col("doc_id") % 5) * 8).cast("double").alias("b"),
+    )
+    picture = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(1).alias("host_id"),
+        F.lit(0.0).alias("l"), F.lit(300.0).alias("t"),
+        F.lit(100.0).alias("r"), F.lit(350.0).alias("b"),
+    )
+    cap_below_table = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(0).alias("attach_id"),
+        F.lit(10.0).alias("l"),
+        (144 + (F.col("doc_id") % 5) * 8 + F.col("doc_id") % 3)
+        .cast("double").alias("t"),
+        F.lit(90.0).alias("r"),
+        (156 + (F.col("doc_id") % 5) * 8 + F.col("doc_id") % 3)
+        .cast("double").alias("b"),
+    )
+    cap_above_picture = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(1).alias("attach_id"),
+        F.lit(10.0).alias("l"),
+        (282 - F.col("doc_id") % 4).cast("double").alias("t"),
+        F.lit(90.0).alias("r"),
+        (294 - F.col("doc_id") % 4).cast("double").alias("b"),
+    )
+    footnote = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(2).alias("attach_id"),
+        F.lit(10.0).alias("l"), F.lit(400.0).alias("t"),
+        F.lit(90.0).alias("r"), F.lit(410.0).alias("b"),
+    )
+    decoy = d.select(
+        "doc_id", F.lit(0).alias("page"), F.lit(3).alias("attach_id"),
+        F.lit(150.0).alias("l"), F.lit(100.0).alias("t"),
+        F.lit(200.0).alias("r"), F.lit(110.0).alias("b"),
+    )
+    hosts = table.unionByName(picture)
+    attachments = (
+        cap_below_table.unionByName(cap_above_picture)
+        .unionByName(footnote).unionByName(decoy)
+    )
+    return attach_nearest(hosts, attachments)
+
+
+# gap arithmetic: caption 0 sits 4+(doc_id%3) below the table's bottom
+# edge; caption 1 sits 6+(doc_id%4) above the picture's top edge (and
+# ≥107 from the table, so the picture always wins); the footnote's
+# nearest host is the picture at a constant 50. The decoy (attach 3)
+# overlaps no host horizontally → no row.
+ORACLE_CAPTION_ATTACH = """
+select doc_id, cast(0 as int) as page, cast(0 as int) as attach_id,
+       cast(0 as int) as host_id,
+       cast(4 + doc_id % 3 as double) as gap, 'below' as pos
+from documents
+union all
+select doc_id, cast(0 as int), cast(1 as int), cast(1 as int),
+       cast(6 + doc_id % 4 as double), 'above'
+from documents
+union all
+select doc_id, cast(0 as int), cast(2 as int), cast(1 as int),
+       cast(50 as double), 'below'
+from documents
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """Composed training-data curation funnel over the documents table:
     quality gate → language gate → length gate → exact-dedup keep-first,
@@ -4354,6 +4432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chandra": q_extract_chandra,
         "extract_dots": q_extract_dots,
         "picture_cell_join": q_picture_cell_join,
+        "caption_attach": q_caption_attach,
         "curation_funnel": q_curation_funnel,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -4468,6 +4547,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_chandra": ORACLE_EXTRACT_CHANDRA,
         "extract_dots": ORACLE_EXTRACT_DOTS,
         "picture_cell_join": ORACLE_PICTURE_CELL_JOIN,
+        "caption_attach": ORACLE_CAPTION_ATTACH,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_pii": ORACLE_SCRUB_PII,

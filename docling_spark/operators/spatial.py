@@ -70,3 +70,77 @@ def containment_join(
                 & (F.col("coverage") >= min_coverage))
         .select(key, "child_id", "parent_id", "coverage")
     )
+
+
+def attach_nearest(
+    hosts: DataFrame,
+    attachments: DataFrame,
+    key: str = "doc_id",
+    max_gap: float | None = None,
+) -> DataFrame:
+    """Caption/footnote → element attachment as a proximity join.
+
+    The reference re-parents caption and footnote items under their host
+    table/picture/code element via el→captions / el→footnotes mappings
+    (readingorder_model.py:631-649, consumed at 382-398); the proximity
+    predictor itself lives in the external ``docling_ibm_models`` package
+    (not available in this environment), so the rule is re-expressed
+    from its published behavior: an attachment binds to the nearest host
+    on its page that overlaps it horizontally, where distance is the
+    vertical gap between the boxes (0 when they overlap vertically),
+    ties broken by the smaller ``host_id``.
+
+    Same scale shape as :func:`containment_join`: a hash equi-join on
+    ``(key, page)`` co-locates each page's elements, a JVM gap
+    expression scores candidates, and a per-attachment window keeps the
+    best. No cross-document or cross-page pairs ever form, and per-page
+    candidate counts are bounded by elements-per-page, so the join stays
+    linear at 100 TB.
+
+    Inputs carry ``(key, page, host_id|attach_id, l, t, r, b)`` with a
+    top-left origin (``t < b``). Output: one row per attached item —
+    ``(key, page, attach_id, host_id, gap, pos)`` with ``pos`` one of
+    ``below`` / ``above`` / ``overlap`` (attachment relative to host).
+    Attachments with no horizontally-overlapping host on their page —
+    or none within ``max_gap`` when set — produce no row (the reference
+    leaves such items as ordinary body text).
+    """
+    h = hosts.select(
+        F.col(key), F.col("page"), F.col("host_id"),
+        F.col("l").alias("hl"), F.col("t").alias("ht"),
+        F.col("r").alias("hr"), F.col("b").alias("hb"),
+    )
+    a = attachments.select(
+        F.col(key), F.col("page"), F.col("attach_id"),
+        F.col("l").alias("al"), F.col("t").alias("at"),
+        F.col("r").alias("ar"), F.col("b").alias("ab"),
+    )
+    j = a.join(h, [key, "page"])  # hash equi-join, per-doc-page pairs
+    h_overlap = (
+        F.least(F.col("ar"), F.col("hr"))
+        - F.greatest(F.col("al"), F.col("hl"))
+    )
+    gap = (
+        F.when(F.col("at") >= F.col("hb"), F.col("at") - F.col("hb"))
+        .when(F.col("ht") >= F.col("ab"), F.col("ht") - F.col("ab"))
+        .otherwise(F.lit(0.0))
+    )
+    pos = (
+        F.when(F.col("at") >= F.col("hb"), F.lit("below"))
+        .when(F.col("ht") >= F.col("ab"), F.lit("above"))
+        .otherwise(F.lit("overlap"))
+    )
+    j = (
+        j.filter(h_overlap > 0)
+        .withColumn("gap", F.round(gap.cast("double"), 6))
+        .withColumn("pos", pos)
+    )
+    if max_gap is not None:
+        j = j.filter(F.col("gap") <= F.lit(float(max_gap)))
+    w = Window.partitionBy(key, "attach_id").orderBy(
+        F.asc("gap"), F.asc("host_id"))
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(key, "page", "attach_id", "host_id", "gap", "pos")
+    )

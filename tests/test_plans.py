@@ -104,6 +104,16 @@ def test_containment_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_caption_attach_is_equi_join(spark):
+    """Caption/footnote attachment hash-joins on (doc, page) only —
+    no nested-loop pair enumeration."""
+    import __spark_entry__ as entry
+
+    plan = _formatted(spark, entry.q_caption_attach(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pack_sequences_no_global_window(spark):
     """Sequence packing must window on the shard key, never a
     single-partition global order (the vocab_topk r1 lesson)."""

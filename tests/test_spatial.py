@@ -1,0 +1,54 @@
+"""Unit semantics of the spatial attachment join (operators/spatial.py).
+
+Pins attach_nearest edge cases the contract query can't reach: vertical
+overlap → gap 0, equal-gap tie-break by host_id, the max_gap cutoff,
+and page isolation (an attachment never binds across pages).
+"""
+
+from docling_spark.operators.spatial import attach_nearest
+
+
+def _df(spark, rows, id_col):
+    return spark.createDataFrame(
+        rows, f"doc_id int, page int, {id_col} int, "
+              "l double, t double, r double, b double")
+
+
+def test_overlap_gap_zero_and_tiebreak(spark):
+    hosts = _df(spark, [
+        (1, 0, 5, 0.0, 100.0, 100.0, 200.0),   # overlaps attachment
+        (1, 0, 7, 0.0, 100.0, 100.0, 200.0),   # identical geometry
+    ], "host_id")
+    att = _df(spark, [(1, 0, 0, 10.0, 150.0, 90.0, 160.0)], "attach_id")
+    got = attach_nearest(hosts, att).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.host_id, row.gap, row.pos) == (5, 0.0, "overlap")
+
+
+def test_max_gap_cutoff(spark):
+    hosts = _df(spark, [(1, 0, 0, 0.0, 0.0, 100.0, 10.0)], "host_id")
+    att = _df(spark, [(1, 0, 0, 0.0, 60.0, 100.0, 70.0)], "attach_id")
+    assert attach_nearest(hosts, att, max_gap=49.0).count() == 0
+    kept = attach_nearest(hosts, att, max_gap=50.0).collect()
+    assert len(kept) == 1 and kept[0].pos == "below"
+
+
+def test_page_isolation(spark):
+    # the only host lives on page 1; the attachment on page 0 stays free
+    hosts = _df(spark, [(1, 1, 0, 0.0, 0.0, 100.0, 10.0)], "host_id")
+    att = _df(spark, [(1, 0, 0, 0.0, 20.0, 100.0, 30.0)], "attach_id")
+    assert attach_nearest(hosts, att).count() == 0
+
+
+def test_above_prefers_nearest(spark):
+    # attachment sits between two hosts; the lower host is nearer, and
+    # the attachment is *above* it
+    hosts = _df(spark, [
+        (1, 0, 0, 0.0, 0.0, 100.0, 10.0),      # 30 above attachment
+        (1, 0, 1, 0.0, 60.0, 100.0, 70.0),     # 10 below attachment
+    ], "host_id")
+    att = _df(spark, [(1, 0, 0, 0.0, 40.0, 100.0, 50.0)], "attach_id")
+    got = attach_nearest(hosts, att).collect()
+    assert len(got) == 1
+    assert (got[0].host_id, got[0].gap, got[0].pos) == (1, 10.0, "above")
