@@ -3199,6 +3199,85 @@ from documents
 """
 
 
+def q_enrich_items(spark, sf_dir):
+    """Pluggable enrichment stages over the items table
+    (base_model.py:218 prepare_element gate + batched __call__;
+    base_pipeline.py:107-129 driver loop): each doc contributes a text
+    item and a code item; Column stages (token count, lang-ID, quality)
+    fire only on textual labels, the model-shaped pandas stage
+    (code_score) only on code items — nulls prove the gates."""
+    from docling_spark.operators.enrich import default_stages, enrich_items
+
+    d = _docs(spark, sf_dir)
+    text_items = d.select(
+        "doc_id", F.lit(0).alias("item_idx"),
+        F.lit("text").alias("label"), F.col("text"),
+    )
+    code_items = d.select(
+        "doc_id", F.lit(1).alias("item_idx"),
+        F.lit("code").alias("label"),
+        F.concat(F.lit("print("), F.col("doc_id").cast("string"),
+                 F.lit(")")).alias("text"),
+    )
+    items = text_items.unionByName(code_items)
+    # sentinel-coalesce the gated nullables: a nullable int column turns
+    # float under the driver's pandas canonicalizer (the r1
+    # extract_metrics_by_format lesson) — keep the contract null-free
+    return enrich_items(items, default_stages()).select(
+        "doc_id", "item_idx", "label",
+        F.coalesce(F.col("n_tokens"), F.lit(-1)).cast("int")
+        .alias("n_tokens"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("quality"), F.lit(-1.0)).cast("double")
+        .alias("quality"),
+        F.coalesce(F.col("code_score"), F.lit(-1.0)).cast("double")
+        .alias("code_score"),
+    )
+
+
+# text-item formulas are the doc_stats kernels (same SQL mirrors);
+# code_score replays the deterministic model stub: first md5 byte / 255
+ORACLE_ENRICH_ITEMS = """
+with t as (
+  select doc_id, text,
+         string_split_regex(trim(text), '\\s+') toks,
+         string_split_regex(trim(lower(text)), '\\s+') ltoks
+  from documents
+),
+s as (
+  select doc_id,
+    case when trim(text) = '' then 0 else len(toks) end as n_tokens,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) as n_nospace,
+    len(list_filter(ltoks, x -> x in ('the','and','of','to','a','in','is','it','that'))) as hits_en,
+    len(list_filter(ltoks, x -> x in ('der','die','und','das','ist','nicht','ein','zu'))) as hits_de,
+    len(list_filter(ltoks, x -> x in ('le','la','et','les','des','est','un','une'))) as hits_fr,
+    len(list_filter(ltoks, x -> x in ('el','la','los','las','es','un','una','que'))) as hits_es
+  from t
+)
+select doc_id, cast(0 as int) as item_idx, 'text' as label,
+  cast(n_tokens as int) as n_tokens,
+  case
+    when hits_en > 0 and hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) then 'en'
+    when hits_de > 0 and hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) then 'de'
+    when hits_fr > 0 and hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) then 'fr'
+    when hits_es > 0 and hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) then 'es'
+    else 'und' end as lang,
+  round((
+      least(n_tokens / 20.0, 1.0)
+      + least(case when n_tokens > 0 then hits_en::double / n_tokens else 0.0 end * 5.0, 1.0)
+      + case when (case when n_tokens > 0 then n_nospace::double / n_tokens else 0.0 end)
+              between 2.0 and 12.0 then 1.0 else 0.0 end
+    ) / 3.0, 6) as quality,
+  cast(-1.0 as double) as code_score
+from s
+union all
+select doc_id, cast(1 as int), 'code',
+  cast(-1 as int), '', cast(-1.0 as double),
+  round(('0x' || substr(md5('print(' || doc_id || ')'), 1, 2))::int / 255.0, 6)
+from documents
+"""
+
+
 def q_curation_funnel(spark, sf_dir):
     """Composed training-data curation funnel over the documents table:
     quality gate → language gate → length gate → exact-dedup keep-first,
@@ -4433,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dots": q_extract_dots,
         "picture_cell_join": q_picture_cell_join,
         "caption_attach": q_caption_attach,
+        "enrich_items": q_enrich_items,
         "curation_funnel": q_curation_funnel,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -4548,6 +4628,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_dots": ORACLE_EXTRACT_DOTS,
         "picture_cell_join": ORACLE_PICTURE_CELL_JOIN,
         "caption_attach": ORACLE_CAPTION_ATTACH,
+        "enrich_items": ORACLE_ENRICH_ITEMS,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_pii": ORACLE_SCRUB_PII,
