@@ -1284,6 +1284,61 @@ where round(list_cosine_similarity(a.embedding::double[],
 """
 
 
+def q_ann_topk_batch(spark, sf_dir):
+    """Batch ANN serving: 5 query vectors (the corpus's first five ids)
+    probe their sign-LSH Hamming-1 ball as an exploded EQUI-join against
+    the bucketed corpus, top-3 per query by cosine. The query-side
+    explosion is what keeps the corpus join hashable at 100 TB — a
+    bit_count theta-join would pair-enumerate."""
+    from docling_spark.operators.similarity import ann_topk_batch
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann_topk_batch(
+        e, queries, k=3, n_planes=_ANN_PLANES, dim=_ANN_DIM)
+
+
+def _ann_topk_batch_oracle() -> str:
+    from docling_spark.operators.similarity import _plane
+
+    plane_sql = []
+    for b in range(_ANN_PLANES):
+        consts = ", ".join(repr(v) for v in _plane(_ANN_DIM, b))
+        plane_sql.append(
+            f"case when list_dot_product(embedding::double[], [{consts}]) > 0 "
+            f"then {2 ** b} else 0 end"
+        )
+    bucket = " + ".join(plane_sql)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(_ANN_PLANES)])
+    return f"""
+with c as (
+  select vec_id, embedding, cast({bucket} as bigint) as bucket from embeddings
+),
+q as (
+  select vec_id as query_id, embedding as qv, bucket from c where vec_id < 5
+),
+p as (
+  select query_id, qv, unnest([{probe_list}]) as bucket from q
+),
+s as (
+  select p.query_id, c.vec_id,
+         round(list_cosine_similarity(p.qv::double[],
+                                      c.embedding::double[]), 6) as score
+  from p join c on p.bucket = c.bucket
+),
+r as (
+  select query_id, vec_id, score,
+         row_number() over (partition by query_id
+                            order by score desc, vec_id asc) as rank
+  from s
+)
+select query_id, cast(rank as int) as rank, vec_id, score
+from r where rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal family (binary columns + typed metadata; decode is a
 # deterministic sha256 stub — the Spark plumbing is real)
@@ -4567,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "embed_knn_of_zero": q_embed_knn_of_zero,
         "ann_bucket_pairs": q_ann_bucket_pairs,
+        "ann_topk_batch": q_ann_topk_batch,
         "ivf_assign": q_ivf_assign,
         # relational operator classes
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4675,6 +4731,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_pairs": _cosine_pairs_oracle(),
         "embed_knn_of_zero": ORACLE_KNN_ZERO,
         "ann_bucket_pairs": _ann_oracle(),
+        "ann_topk_batch": _ann_topk_batch_oracle(),
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "agg_pricing_summary": ORACLE_PRICING,
         "window_order_rank": ORACLE_WINDOW_RANK,

@@ -269,6 +269,65 @@ def ivf_topk(
     )
 
 
+def ann_topk_batch(
+    emb: DataFrame, queries: DataFrame, k: int = 3,
+    n_planes: int = 8, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    q_vec_col: str = "embedding", q_id_col: str = "query_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Distributed batch ANN serving: a whole DataFrame of queries at
+    once, each scored only against corpus vectors whose LSH bucket lies
+    within ``multiprobe_hamming`` bits of the query's bucket, top-k kept
+    per query.
+
+    Scale shape: the Hamming ball is expanded on the QUERY side — each
+    query explodes into its probe buckets — so the corpus join stays a
+    hash EQUI-join on the bucket id (a ``bit_count(a^b) <= h`` join
+    predicate would degenerate to a nested-loop pair enumeration). The
+    corpus shuffles once on bucket; per-query candidate counts are
+    bounded by bucket occupancy; the per-query top-k is a window over
+    those candidates only, never a global sort. Supports
+    ``multiprobe_hamming`` in {0, 1} (ball sizes 1 and n_planes+1).
+
+    Output: ``(query_id, rank, vec_id, score)``, rank 1..k by cosine
+    descending, ties broken by ``vec_id``.
+    """
+    if multiprobe_hamming not in (0, 1):
+        raise ValueError("multiprobe_hamming must be 0 or 1")
+    from pyspark.sql.window import Window
+
+    corpus = lsh_buckets(emb, n_planes, dim, vec_col, id_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col("bucket"),
+    )
+    qb = lsh_buckets(queries, n_planes, dim, q_vec_col, q_id_col)
+    probes = [F.col("bucket")]
+    if multiprobe_hamming == 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(n_planes)
+        ]
+    qprobe = qb.select(
+        F.col(q_id_col),
+        F.col(q_vec_col).cast("array<double>").alias("_qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    scored = (
+        corpus.join(qprobe, "bucket")
+        .withColumn("score", F.round(cosine_fast(F.col("_qv"),
+                                                 F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "score")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     n_planes: int = 8, dim: int = 64,

@@ -231,6 +231,46 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def test_ann_topk_batch_recall_and_plan(spark):
+    """Batch serving path: per-query top-k agrees with brute force on a
+    separable corpus, the self-match ranks first, and the probe join is
+    a hash equi-join (never a nested-loop bit_count theta-join)."""
+    import math
+    import random
+
+    from docling_spark.operators.similarity import ann_topk_batch, topk_cosine
+
+    rng = random.Random(11)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+
+    def jitter(eps):
+        v = [b + rng.gauss(0, eps) for b in base]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, jitter(0.05)) for i in range(20)] + [
+        (100 + i, jitter(10.0)) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[1][1])],
+        "query_id long, embedding array<double>")
+    out = ann_topk_batch(emb, queries, k=5, n_planes=6, dim=dim)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for qid, vec in ((0, rows[0][1]), (1, rows[1][1])):
+        approx = [v for _, v in sorted(got[qid])]
+        assert approx[0] == qid  # self-match at rank 1
+        exact = [r.vec_id for r in topk_cosine(emb, vec, k=5).collect()]
+        assert len(set(exact) & set(approx)) >= 4
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_linear_quality_score_custom_weights(spark):
     """The trained-model path: a caller-supplied weight vector changes
     scores deterministically; the whole plan stays JVM-side (no
