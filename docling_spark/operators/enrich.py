@@ -105,7 +105,7 @@ def quality_stage(text_col: str = "text") -> ColumnStage:
     return ColumnStage(
         "quality",
         F.col("label").isin(*_TEXTUAL),
-        F.round(quality_score(F.col(text_col)), 6),
+        quality_score(F.col(text_col)),  # already rounded to 6 decimals
     )
 
 

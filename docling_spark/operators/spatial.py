@@ -137,7 +137,7 @@ def attach_nearest(
     )
     if max_gap is not None:
         j = j.filter(F.col("gap") <= F.lit(float(max_gap)))
-    w = Window.partitionBy(key, "attach_id").orderBy(
+    w = Window.partitionBy(key, "page", "attach_id").orderBy(
         F.asc("gap"), F.asc("host_id"))
     return (
         j.withColumn("_rk", F.row_number().over(w))

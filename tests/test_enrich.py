@@ -37,24 +37,31 @@ def test_gates_null_outside(spark):
     assert rows[2].n_tokens is None and rows[2].code_score is None
 
 
-def test_pandas_stage_sees_masked_batch(spark):
-    seen = []
+def test_pandas_stage_sees_masked_batch(spark, tmp_path):
+    # the kernel runs in the Python worker process, so record what it
+    # received through a side-channel file, not a driver-side list
+    marker = tmp_path / "seen.txt"
 
     def kernel(s: pd.Series) -> pd.Series:
-        seen.append(s.isna().sum())
+        with open(marker, "a") as f:
+            for v in s:
+                f.write(("NULL" if v is None else str(v)) + "\n")
         return s.map(lambda v: None if v is None else 1.0)
 
     st = PandasStage("flag", F.col("label") == "code", "text", kernel)
     out = enrich_items(_items(spark), [st]).collect()
     flags = {r.item_idx: r.flag for r in out}
     assert flags == {0: None, 1: 1.0, 2: None}
+    seen = set(marker.read_text().splitlines())
+    # only the gated row's text reaches the model un-masked
+    assert seen == {"NULL", "print(1)"}
 
 
 def test_no_shuffle_added(spark):
+    from tests.planutils import formatted_plan
+
     out = enrich_items(_items(spark), default_stages())
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted")
-    assert "Exchange" not in plan
+    assert "Exchange" not in formatted_plan(spark, out)
 
 
 def test_column_stage_composes(spark):

@@ -21,12 +21,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _formatted(spark, df) -> str:
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from tests.planutils import formatted_plan as _formatted  # noqa: E402
 
 
 def test_extraction_prunes_scan_columns(spark):

@@ -41,6 +41,23 @@ def test_page_isolation(spark):
     assert attach_nearest(hosts, att).count() == 0
 
 
+def test_same_attach_id_on_two_pages(spark):
+    # attach ids are page-scoped: the same id on two pages must yield
+    # one attachment PER PAGE (regression: a window keyed only on
+    # (doc, attach_id) collapsed these to a single row)
+    hosts = _df(spark, [
+        (1, 0, 0, 0.0, 0.0, 100.0, 10.0),
+        (1, 1, 1, 0.0, 0.0, 100.0, 10.0),
+    ], "host_id")
+    att = _df(spark, [
+        (1, 0, 0, 0.0, 15.0, 100.0, 25.0),   # gap 5 on page 0
+        (1, 1, 0, 0.0, 13.0, 100.0, 23.0),   # gap 3 on page 1
+    ], "attach_id")
+    got = {(r.page, r.attach_id): (r.host_id, r.gap)
+           for r in attach_nearest(hosts, att).collect()}
+    assert got == {(0, 0): (0, 5.0), (1, 0): (1, 3.0)}
+
+
 def test_above_prefers_nearest(spark):
     # attachment sits between two hosts; the lower host is nearer, and
     # the attachment is *above* it

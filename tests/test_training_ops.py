@@ -265,8 +265,9 @@ def test_ann_topk_batch_recall_and_plan(spark):
         assert approx[0] == qid  # self-match at rank 1
         exact = [r.vec_id for r in topk_cosine(emb, vec, k=5).collect()]
         assert len(set(exact) & set(approx)) >= 4
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted")
+    from tests.planutils import formatted_plan
+
+    plan = formatted_plan(spark, out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
