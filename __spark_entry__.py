@@ -4266,13 +4266,14 @@ winners as (
   from counted c join mx on mx.doc_id = c.doc_id and c.c = mx.mc
   group by 1
 )
-select d.doc_id, d.dup_line_frac, w.top_gram,
-       cast(w.mc as bigint) as top_count,
-       case when w.nch > 0
+select d.doc_id, d.dup_line_frac,
+       coalesce(w.top_gram, '') as top_gram,
+       cast(coalesce(w.mc, 0) as bigint) as top_count,
+       coalesce(case when w.nch > 0
             then round(least(1.0, w.mc * length(regexp_replace(w.top_gram,
                  '\\s+', '', 'g')) / w.nch::double), 6)
-            else 0.0 end as top_2gram_char_frac
-from dup d join winners w using (doc_id)
+            else 0.0 end, 0.0) as top_2gram_char_frac
+from dup d left join winners w using (doc_id)
 """
 
 
@@ -4387,7 +4388,7 @@ def q_pack_sequences(spark, sf_dir):
 ORACLE_PACK_SEQUENCES = """
 with t as (
   select doc_id,
-         (('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000)
+         (('0x' || substr(md5('shard:' || cast(doc_id as varchar)), 1, 8))::bigint % 10000)
            % 16 as shard,
          case when trim(text) = '' then 0
               else len(string_split_regex(trim(text), '\\s+')) end as n_tokens

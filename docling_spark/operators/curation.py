@@ -146,7 +146,7 @@ def top_bigram_stats(docs: DataFrame, text_col: str = "text",
         .agg(F.min("gram").alias("top_gram"))
     )
     gram_chars = F.length(F.regexp_replace(F.col("top_gram"), r"\s+", ""))
-    return winners.select(
+    scored = winners.select(
         F.col(id_col),
         F.col("top_gram"),
         F.col("max_cnt").cast("long").alias("top_count"),
@@ -157,17 +157,40 @@ def top_bigram_stats(docs: DataFrame, text_col: str = "text",
                    / F.col("n_chars").cast("double")), 6)
          ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
     )
+    # totality: a doc with < 2 tokens has no bigrams and would vanish
+    # through the explode — keep an accounting row (the cleaned corpus
+    # never silently loses documents, same contract as paragraph_dedup
+    # and dup_span_removal)
+    return (
+        docs.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("top_count"), F.lit(0).cast("long"))
+            .alias("top_count"),
+            F.coalesce(F.col("top_2gram_char_frac"), F.lit(0.0))
+            .alias("top_2gram_char_frac"),
+        )
+    )
 
 
-def strat_key(col) -> Column:
+def strat_key(col, salt: str = "") -> Column:
     """Deterministic uniform int in [0, 10000) from the row key: first 8
     md5 hex digits mod 10000 — identical formula on the DuckDB side.
 
     8 digits (32 bits), not 4: 65536 % 10000 != 0 made the low 5536
     residues 7/65536 likely vs 6/65536, over-sampling every fraction
-    ≤ 0.55 by ~6.8% relative; with 2^32 the residual bias is ~2e-6."""
+    ≤ 0.55 by ~6.8% relative; with 2^32 the residual bias is ~2e-6.
+
+    ``salt`` decorrelates independent uses of the key: sampling, shard
+    assignment, and skew-salting must not share one hash, or composing
+    the operators skews it (stratified_sample keeps key < threshold;
+    sharding those survivors by the SAME hash mod m leaves high shards
+    permanently empty)."""
+    keyed = (F.concat(F.lit(salt + ":"), col.cast("string"))
+             if salt else col.cast("string"))
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
         .cast("long") % 10000
     )
 
@@ -298,7 +321,7 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
     """
     staged = docs.select(
         F.col(id_col),
-        (strat_key(F.col(id_col)) % shard_mod).alias("shard"),
+        (strat_key(F.col(id_col), "shard") % shard_mod).alias("shard"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(id_col)
@@ -336,7 +359,7 @@ def domain_cap(docs: DataFrame, cap: int = 10, salt_mod: int = 16,
     """
     salted = docs.select(
         F.col(id_col), F.col(source_col),
-        (strat_key(F.col(id_col)) % salt_mod).alias("_salt"),
+        (strat_key(F.col(id_col), "salt") % salt_mod).alias("_salt"),
     )
     w1 = Window.partitionBy(source_col, "_salt").orderBy(id_col)
     stage1 = (
@@ -503,29 +526,38 @@ def dsir_weights(source: DataFrame, target: DataFrame, dim: int = 1024,
         )
 
     def lm(bucketed: DataFrame, name: str):
+        # totals stay IN the lazy plan (1-row agg over the dim-sized
+        # counts table, broadcast-crossed back in) — an eager
+        # bucketed.count() here ran the full tokenize+explode lineage as
+        # an extra job per corpus at plan-BUILD time, three corpus
+        # passes where one plan suffices (the unigram_logprob shape)
         counts = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
-        total = bucketed.count()  # driver scalar: one long, not data
-        return counts.select(
+        total = counts.agg(F.sum("c").cast("long").alias(f"_tot_{name}"))
+        lp = counts.crossJoin(F.broadcast(total)).select(
             "bucket",
-            F.log((F.col("c") + 1.0) / float(total + dim)).alias(name),
-        ), total
+            F.log((F.col("c") + 1.0)
+                  / (F.col(f"_tot_{name}") + dim)).alias(name),
+        )
+        unseen = total.select(
+            F.log(F.lit(1.0) / (F.col(f"_tot_{name}") + dim))
+            .alias(f"unseen_{name}"))
+        return lp, unseen
 
     src_b = buckets(source)
     tgt_b = buckets(target)
-    p_s, s_total = lm(src_b, "lp_s")
-    p_t, t_total = lm(tgt_b, "lp_t")
-    import math
-    unseen_s = math.log(1.0 / (s_total + dim))
-    unseen_t = math.log(1.0 / (t_total + dim))
+    p_s, u_s = lm(src_b, "lp_s")
+    p_t, u_t = lm(tgt_b, "lp_t")
     return (
         src_b.join(F.broadcast(p_t), "bucket", "left")
         .join(F.broadcast(p_s), "bucket", "left")
+        .crossJoin(F.broadcast(u_t))
+        .crossJoin(F.broadcast(u_s))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
             F.round(
-                F.sum(F.coalesce(F.col("lp_t"), F.lit(unseen_t))
-                      - F.coalesce(F.col("lp_s"), F.lit(unseen_s))),
+                F.sum(F.coalesce(F.col("lp_t"), F.col("unseen_lp_t"))
+                      - F.coalesce(F.col("lp_s"), F.col("unseen_lp_s"))),
                 6,
             ).alias("log_weight"),
         )

@@ -79,7 +79,10 @@ def export_items(extracted: DataFrame, fmt: str = "doctags",
             rendered = []
             for items in pdf["items"]:
                 its = [dict(it) for it in items] if items is not None else []
-                rendered.append(ser(its) if its else "")
+                # always consult the serializer: each format defines its
+                # own empty-document representation (json/yaml/dclx must
+                # stay parseable for items == []; "" would not be)
+                rendered.append(ser(its))
             out[fmt] = rendered
             yield pd.DataFrame(out)
 
@@ -122,10 +125,17 @@ def conversations_to_vtt(turns: DataFrame, text_col: str = "text",
             (sec % 60),
         )
 
+    # null-proof every concat leg: a null role (extract_ops fills None
+    # when the source lacks the column) or null text would null the
+    # whole cue, which array_join then silently drops while n_cues
+    # still counts it — the document would lose content with clean
+    # accounting
     cue = F.concat(
         tc(start), F.lit(" --> "), tc(end),
-        F.lit("\n<v "), F.col("role"), F.lit(">"),
-        F.regexp_replace(F.col(text_col), "\n", " "),
+        F.lit("\n<v "), F.coalesce(F.col("role"), F.lit("speaker")),
+        F.lit(">"),
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         "\n", " "),
     )
     seg = F.floor(F.col("turn_idx") / F.lit(segment_size)).alias("segment")
     level1 = turns.select(

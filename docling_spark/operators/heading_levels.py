@@ -189,11 +189,21 @@ def _pair_score(a_raw: Column, b_raw: Column) -> Column:
 def bookmark_heading_levels(
     headings: DataFrame, outline: DataFrame,
     doc_col: str = "doc_id", threshold: float = 0.7,
+    max_rounds: int = 8,
 ) -> DataFrame:
     """PDF-outline → heading fuzzy join: per bookmark keep the best-scoring
     unclaimed heading (ties → lowest heading_idx), one bookmark per heading,
     then compress the matched bookmark depths per doc into contiguous
     1-based levels. All ranking is windowed; the join is doc-partitioned.
+
+    Conflict resolution is the reference's sequential greedy
+    (heading_hierarchy_model.py:330-361): a bookmark whose best heading
+    was claimed by an earlier bookmark falls back to its next-best
+    unclaimed heading. That needs claim ROUNDS — within a round each
+    bookmark bids its best remaining heading and the lowest ``bm_idx``
+    wins each heading (= sequential order); losers rebid next round.
+    Round count is bounded by the longest claim chain (``max_rounds``
+    cap, warned past — real outlines resolve in 1-2 rounds).
 
     headings: (doc_id, heading_idx, text [, page_no])
     outline:  (doc_id, bm_idx, title, bm_level [, page_no])
@@ -224,14 +234,49 @@ def bookmark_heading_levels(
         )
         .filter(F.col("score") >= F.col("eff_threshold"))
     )
-    # best heading per bookmark, then first bookmark per heading
+    # claim rounds: best heading per bookmark, lowest bm_idx per heading;
+    # losers (bookmark claimed-out of its best heading) rebid next round
     w_bm = Window.partitionBy(doc_col, "bm_idx").orderBy(
         F.desc("score"), F.asc("heading_idx"))
     w_h = Window.partitionBy(doc_col, "heading_idx").orderBy(F.asc("bm_idx"))
-    matched = (
-        cand.withColumn("rk", F.row_number().over(w_bm)).filter("rk = 1")
-        .withColumn("rk2", F.row_number().over(w_h)).filter("rk2 = 1")
-    )
+    remaining = cand.select(
+        doc_col, "bm_idx", "bm_level", "heading_idx", "score")
+    matched = None
+    for _ in range(max_rounds):
+        round_match = (
+            remaining
+            .withColumn("rk", F.row_number().over(w_bm)).filter("rk = 1")
+            .withColumn("rk2", F.row_number().over(w_h)).filter("rk2 = 1")
+            .select(doc_col, "bm_idx", "bm_level", "heading_idx")
+            .localCheckpoint()
+        )
+        if round_match.isEmpty():
+            break
+        matched = (round_match if matched is None
+                   else matched.unionByName(round_match))
+        remaining = (
+            remaining
+            .join(round_match.select(doc_col, "bm_idx"),
+                  [doc_col, "bm_idx"], "left_anti")
+            .join(round_match.select(doc_col, "heading_idx"),
+                  [doc_col, "heading_idx"], "left_anti")
+            .localCheckpoint()
+        )
+        if remaining.isEmpty():
+            break
+    else:
+        if not remaining.isEmpty():
+            import warnings
+
+            warnings.warn(
+                f"bookmark claim chains deeper than max_rounds="
+                f"{max_rounds}; unresolved bookmarks left unmatched",
+                stacklevel=2,
+            )
+    if matched is None:
+        return headings.select(
+            doc_col, "heading_idx", F.lit(None).cast("int").alias("level"),
+        ).limit(0)
     # compress raw bookmark depths per doc into contiguous levels
     w_lvl = Window.partitionBy(doc_col).orderBy("bm_level")
     return matched.select(

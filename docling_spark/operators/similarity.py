@@ -47,11 +47,20 @@ def cosine_fast(a, b):
     from pyspark.sql.types import DoubleType
 
     def _cos(x, y):
-        xa = np.stack(x.to_numpy())
-        ya = np.stack(y.to_numpy())
-        num = np.einsum("ij,ij->i", xa, ya)
-        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
-        return pd.Series(num / den)
+        # null → null, like the JVM `cosine` expression this replaces —
+        # one null embedding must not np.stack-crash the whole task.
+        # Nullable Float64 (not float64/NaN): Spark orders NaN ABOVE
+        # every number, so a NaN score would win desc rankings; a true
+        # null drops out of filters and sorts last.
+        valid = (x.notna() & y.notna()).to_numpy()
+        out = pd.Series(pd.NA, index=x.index, dtype="Float64")
+        if valid.any():
+            xa = np.stack(x[valid].to_numpy())
+            ya = np.stack(y[valid].to_numpy())
+            num = np.einsum("ij,ij->i", xa, ya)
+            den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+            out[valid] = num / den
+        return out
 
     # real (non-string) hints: `from __future__ import annotations` would
     # otherwise stringify them and break pandas_udf signature inference

@@ -37,18 +37,26 @@ def containment_join(
     ``(key, child_id, parent_id, coverage)`` — children whose best
     coverage falls below ``min_coverage`` produce no row (the
     reference leaves them unattached).
+
+    When BOTH inputs carry a ``page`` column it joins the join key and
+    the per-child window: page-local coordinates on different pages of
+    one document must never form containment pairs (two pages both have
+    a box at (0,0,100,100)). Candidate counts are then bounded by
+    elements-per-page; page-less inputs keep the per-doc bound.
     """
+    paged = "page" in parents.columns and "page" in children.columns
+    keys = [key, "page"] if paged else [key]
     p = parents.select(
-        F.col(key), F.col("parent_id"),
+        *keys, F.col("parent_id"),
         F.col("l").alias("pl"), F.col("t").alias("pt"),
         F.col("r").alias("pr"), F.col("b").alias("pb"),
     )
     c = children.select(
-        F.col(key), F.col("child_id"),
+        *keys, F.col("child_id"),
         F.col("l").alias("cl"), F.col("t").alias("ct"),
         F.col("r").alias("cr"), F.col("b").alias("cb"),
     )
-    j = c.join(p, key)  # hash equi-join on the document key only
+    j = c.join(p, keys)  # hash equi-join on the doc (+page) key only
     iw = F.greatest(
         F.least(F.col("cr"), F.col("pr"))
         - F.greatest(F.col("cl"), F.col("pl")),
@@ -62,13 +70,13 @@ def containment_join(
     area = (F.col("cr") - F.col("cl")) * (F.col("cb") - F.col("ct"))
     coverage = F.when(area > 0, (iw * ih) / area).otherwise(F.lit(0.0))
     j = j.withColumn("coverage", F.round(coverage, 6))
-    w = Window.partitionBy(key, "child_id").orderBy(
+    w = Window.partitionBy(*keys, "child_id").orderBy(
         F.desc("coverage"), F.asc("parent_id"))
     return (
         j.withColumn("_rk", F.row_number().over(w))
         .filter((F.col("_rk") == 1)
                 & (F.col("coverage") >= min_coverage))
-        .select(key, "child_id", "parent_id", "coverage")
+        .select(*keys, "child_id", "parent_id", "coverage")
     )
 
 

@@ -86,6 +86,35 @@ def test_top_bigram_stats(spark):
     assert rows[2].top_gram == "a b" and rows[2].top_count == 1
 
 
+def test_top_bigram_stats_totality(spark):
+    # docs with < 2 tokens have no bigrams but must keep an accounting
+    # row (regression: explode silently dropped them)
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in top_bigram_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for short in (1, 2):
+        assert rows[short].top_gram == ""
+        assert rows[short].top_count == 0
+        assert rows[short].top_2gram_char_frac == 0.0
+    assert rows[3].top_gram == "two words"
+
+
+def test_strat_key_salt_decorrelates(spark):
+    # composing sample → shard must not leave shards empty: the shard
+    # hash is salted away from the sampling hash
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    kept = docs.where(strat_key(F.col("doc_id")) < 500)  # 5% sample
+    shards = {
+        r.s for r in kept.select(
+            (strat_key(F.col("doc_id"), "shard") % 16).alias("s")
+        ).distinct().collect()
+    }
+    assert shards == set(range(16))
+
+
 def test_stratified_sample_deterministic_and_rate(spark):
     docs = spark.range(0, 4000).select(
         F.col("id").alias("doc_id"),

@@ -40,6 +40,38 @@ def test_vtt_export_roundtrip(spark) -> None:  # noqa: F811
     assert [it["text"] for it in dialogue] == ["hello world", "hi there"]
 
 
+def test_vtt_export_null_role_keeps_cue(spark) -> None:  # noqa: F811
+    """A null role must not null (and thus silently drop) the whole cue
+    while n_cues still counts it — regression for the coalesce fix."""
+    from docling_spark.operators.export import conversations_to_vtt
+
+    turns = spark.createDataFrame(
+        [("c1", 0, None, "content survives")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    row = conversations_to_vtt(turns).collect()[0]
+    assert row["n_cues"] == 1
+    assert "<v speaker>content survives" in row["vtt_text"]
+
+
+def test_export_items_empty_is_valid_per_format(spark) -> None:  # noqa: F811
+    """items == [] (failed/timeout extraction) must render each format's
+    own empty-document representation, not '' (json.loads('') raises)."""
+    import json
+
+    from docling_spark.operators.export import export_items
+
+    df = spark.createDataFrame(
+        [("c1", 0, [])],
+        "conv_id string, turn_idx int, items array<struct<"
+        "item_idx:int,parent_idx:int,label:string,level:int,"
+        "text:string,content_layer:string>>",
+    )
+    out = export_items(df, fmt="json").collect()[0]["json"]
+    doc = json.loads(out)
+    assert doc["schema_name"] == "DoclingDocument"
+
+
 def test_vtt_export_segmented_fold_matches_single(spark) -> None:  # noqa: F811
     from docling_spark.operators.export import conversations_to_vtt
 

@@ -70,6 +70,29 @@ def test_bookmark_join_claims_and_compresses(spark):
     assert got == {0: 1, 1: 2}
 
 
+def test_bookmark_greedy_fallback(spark):
+    """Sequential-greedy conflict resolution (heading_hierarchy_model.py:
+    330-361): both bookmarks' best heading is H0; the earlier bookmark
+    claims it and the later one falls back to its next-best unclaimed
+    heading instead of being dropped."""
+    from docling_spark.operators.heading_levels import bookmark_heading_levels
+
+    headings = spark.createDataFrame(
+        [(1, 0, "Results"), (1, 1, "Main Results and Discussion here")],
+        "doc_id long, heading_idx int, text string",
+    )
+    outline = spark.createDataFrame(
+        # bm 0: exact on H0 (1.0). bm 1: ALSO exact on H0 (1.0) and
+        # containment on H1 (0.92) — loses H0 to bm 0 by order, must
+        # fall back to H1
+        [(1, 0, "Results", 0), (1, 1, "Results", 1)],
+        "doc_id long, bm_idx int, title string, bm_level int",
+    )
+    got = {r.heading_idx: r.level
+           for r in bookmark_heading_levels(headings, outline).collect()}
+    assert got == {0: 1, 1: 2}
+
+
 def test_bookmark_containment_match(spark):
     from docling_spark.operators.heading_levels import bookmark_heading_levels
 

@@ -5,7 +5,28 @@ overlap → gap 0, equal-gap tie-break by host_id, the max_gap cutoff,
 and page isolation (an attachment never binds across pages).
 """
 
-from docling_spark.operators.spatial import attach_nearest
+from docling_spark.operators.spatial import attach_nearest, containment_join
+
+
+def test_containment_join_page_scoped(spark):
+    # page-local coordinates: the page-7 cell at (0,0,100,100) must NOT
+    # capture the page-2 picture even though both share the doc key
+    parents = spark.createDataFrame(
+        [(1, 2, 0, 200.0, 200.0, 300.0, 300.0),
+         (1, 7, 1, 0.0, 0.0, 100.0, 100.0)],
+        "doc_id int, page int, parent_id int, "
+        "l double, t double, r double, b double")
+    children = spark.createDataFrame(
+        [(1, 2, 0, 10.0, 10.0, 60.0, 60.0)],
+        "doc_id int, page int, child_id int, "
+        "l double, t double, r double, b double")
+    got = containment_join(parents, children).collect()
+    assert got == []  # page-2 cell doesn't cover it; page-7 is out of scope
+
+    # page-less inputs keep the doc-only join (legacy contract)
+    got2 = containment_join(
+        parents.drop("page"), children.drop("page")).collect()
+    assert len(got2) == 1 and got2[0].parent_id == 1
 
 
 def _df(spark, rows, id_col):

@@ -272,6 +272,24 @@ def test_ann_topk_batch_recall_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_fast_null_embedding(spark):
+    """A null embedding must yield a null score (like the JVM cosine
+    expression), not crash the Arrow batch — and null, not NaN, so it
+    can't win a descending rank (Spark orders NaN above all numbers)."""
+    from docling_spark.operators.similarity import cosine_fast
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], [1.0, 0.0]),
+         (1, None, [1.0, 0.0]),
+         (2, [0.0, 1.0], None)],
+        "i int, a array<double>, b array<double>",
+    )
+    got = {r.i: r.c for r in
+           df.select("i", cosine_fast(F.col("a"), F.col("b"))
+                     .alias("c")).collect()}
+    assert got[0] == 1.0 and got[1] is None and got[2] is None
+
+
 def test_linear_quality_score_custom_weights(spark):
     """The trained-model path: a caller-supplied weight vector changes
     scores deterministically; the whole plan stays JVM-side (no
