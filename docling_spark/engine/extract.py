@@ -401,15 +401,17 @@ def extract_payload(
             # job-level password list (the reference's per-document
             # backend_options password, datamodel/backend_options.py);
             # the engine always tries the empty user password itself
-            for pw in ("",) + tuple(pdf_passwords):
+            pw_list = ("",) + tuple(pdf_passwords)
+            for pw_i, pw in enumerate(pw_list):
                 try:
                     extracted, items, metrics = pdfx.extract_pdf(
                         raw_p, password=pw)
                     break
                 except pdfx.PdfError as exc:
-                    if "password" not in str(exc) or pw == (
-                            tuple(pdf_passwords)[-1]
-                            if pdf_passwords else ""):
+                    # exhaust by POSITION, not value: a duplicate or an
+                    # early password equal to the last entry must not
+                    # abort the retries before every password is tried
+                    if "password" not in str(exc) or pw_i == len(pw_list) - 1:
                         raise
         elif fmt == "ebcdic":
             from docling_spark.engine import ebcdicx
@@ -516,7 +518,7 @@ def extract_payload(
         "items": [
             {k: it.get(k) for k in ("item_idx", "parent_idx", "label", "level",
                                     "text", "content_layer", "span_start",
-                                    "span_end")}
+                                    "span_end", "code_language")}
             for it in items
         ],
         "errors": errors,

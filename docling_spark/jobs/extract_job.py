@@ -60,9 +60,13 @@ def salt_skew(df: DataFrame, parallelism: int) -> DataFrame:
     )
 
 
-def sidecar_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+def sidecar_metrics(extracted: DataFrame, run_id: str,
+                    wall_ms: int = 0) -> DataFrame:
     """Per-physical-partition lineage counters (one narrow agg, no extra
-    pass over payloads)."""
+    pass over payloads). ``partition_id`` reflects the partitions of the
+    frame HANDED IN — pass the pre-write frame for extraction-stage
+    lineage, or the read-back frame for file-split lineage (what
+    run_extract records: one row per output split)."""
     return (
         extracted.select(
             F.spark_partition_id().alias("partition_id"),
@@ -81,7 +85,7 @@ def sidecar_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
             F.avg("boilerplate_ratio").alias("boilerplate_ratio"),
         )
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("wall_ms", F.lit(0).cast("long"))
+        .withColumn("wall_ms", F.lit(int(wall_ms)).cast("long"))
     )
 
 
@@ -112,11 +116,28 @@ def run_extract(
     if state_path:
         try:
             state = spark.read.parquet(state_path)
+            # bucket ids are only meaningful under the n_buckets that
+            # computed them — resuming with a different modulus would
+            # skip DIFFERENT conversation sets than the ones completed
+            if "n_buckets" in state.columns:
+                prior = [
+                    r["n_buckets"] for r in
+                    state.select("n_buckets").distinct().collect()
+                    if r["n_buckets"] is not None
+                ]
+                if prior and set(prior) != {n_buckets}:
+                    raise ValueError(
+                        f"state at {state_path} was written with "
+                        f"n_buckets={sorted(set(prior))}, this run uses "
+                        f"{n_buckets}; rerun with the original bucket "
+                        f"count or start a fresh state table")
             done_buckets = {
                 r["conv_bucket"]
                 for r in state.filter(F.col("status") == "done")
                 .select("conv_bucket").distinct().collect()
             }
+        except ValueError:
+            raise
         except Exception:
             done_buckets = set()
         if done_buckets:
@@ -137,6 +158,10 @@ def run_extract(
         .parquet(output_path)
     )
 
+    # ONE read-back frame feeds counts, sidecar, and the state bucket
+    # list; prior-run buckets are excluded up front so a resumed run's
+    # sidecar/counters never double-report turns completed by earlier
+    # runs (they were already recorded under those runs' run_ids)
     out = spark.read.schema(OUTPUT_SCHEMA).parquet(output_path)
     if done_buckets:
         out = out.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
@@ -146,18 +171,20 @@ def run_extract(
     }
 
     if metrics_path:
-        sidecar_metrics(spark.read.schema(OUTPUT_SCHEMA).parquet(output_path), run_id) \
+        sidecar_metrics(out, run_id,
+                        wall_ms=int((time.time() - t0) * 1000)) \
             .write.mode("append").parquet(metrics_path)
 
     if state_path:
-        all_buckets = [
-            r["conv_bucket"]
-            for r in spark.read.schema(OUTPUT_SCHEMA).parquet(output_path)
-            .select("conv_bucket").distinct().collect()
-        ]
-        state_rows = [(run_id, int(b), "done") for b in all_buckets]
+        new_buckets = {
+            int(r["conv_bucket"])
+            for r in out.select("conv_bucket").distinct().collect()
+        }
+        state_rows = [(run_id, b, "done", n_buckets)
+                      for b in sorted(done_buckets | new_buckets)]
         spark.createDataFrame(
-            state_rows, "run_id string, conv_bucket int, status string"
+            state_rows,
+            "run_id string, conv_bucket int, status string, n_buckets int",
         ).withColumn("ts", F.current_timestamp()) \
             .write.mode("overwrite").parquet(state_path)
 

@@ -57,7 +57,8 @@ def main(argv: list[str] | None = None) -> int:
         from docling_spark.streaming.stream_extract import run_stream
 
         q = run_stream(spark, args.input_table, args.output_table,
-                       args.checkpoint or args.output_table + "_ckpt")
+                       args.checkpoint or args.output_table + "_ckpt",
+                       pdf_passwords=tuple(args.password))
         q.awaitTermination()
         print(json.dumps({"status": "stream_done"}))
         return 0
@@ -79,9 +80,13 @@ def main(argv: list[str] | None = None) -> int:
         pdf_passwords=tuple(args.password),
     )
     if args.to:
+        from docling_spark.jobs.extract_job import OUTPUT_SCHEMA
         from docling_spark.operators.export import _SERIALIZERS, export_items
 
-        extracted = spark.read.parquet(args.output_table)
+        # explicit schema: an empty output (fully-resumed rerun, empty
+        # input) has no data files to infer from and would fail the job
+        # AFTER extraction succeeded
+        extracted = spark.read.schema(OUTPUT_SCHEMA).parquet(args.output_table)
         for fmt in [f.strip() for f in args.to.split(",") if f.strip()]:
             if fmt not in _SERIALIZERS:
                 raise SystemExit(f"unknown export format: {fmt} "

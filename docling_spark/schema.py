@@ -26,6 +26,7 @@ ITEM_SCHEMA = T.StructType(
         T.StructField("content_layer", T.StringType(), True),
         T.StructField("span_start", T.IntegerType(), True),
         T.StructField("span_end", T.IntegerType(), True),
+        T.StructField("code_language", T.StringType(), True),
     ]
 )
 

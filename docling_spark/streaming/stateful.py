@@ -73,8 +73,13 @@ def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
             return
         idxs, texts = ([], []) if not state.exists else [list(x) for x in state.get]
         for pdf in pdfs:
-            idxs.extend(int(v) for v in pdf["turn_idx"])
-            texts.extend(str(v) for v in pdf["extracted_text"])
+            for i, v in zip(pdf["turn_idx"], pdf["extracted_text"]):
+                # the batch twin's array_join skips null elements —
+                # str(None) would inject the literal "None" here
+                if v is None or (not isinstance(v, str) and pd.isna(v)):
+                    continue
+                idxs.append(int(i))
+                texts.append(str(v))
         state.update((idxs, texts))
         state.setTimeoutDuration(idle_ms)
         return

@@ -34,9 +34,10 @@ def read_transcript_stream(
     )
 
 
-def stream_extract(transcripts: DataFrame) -> DataFrame:
+def stream_extract(transcripts: DataFrame,
+                   pdf_passwords: tuple[str, ...] = ()) -> DataFrame:
     """The streaming plan: identical operator, streaming semantics free."""
-    return extract_turns(transcripts)
+    return extract_turns(transcripts, pdf_passwords=pdf_passwords)
 
 
 def stream_metrics(
@@ -44,8 +45,15 @@ def stream_metrics(
 ) -> DataFrame:
     """Windowed extraction metrics with late-data handling: per (window,
     status) counts under a 1-hour watermark (north-rule sidecar, streaming
-    flavor)."""
-    ext = extract_turns(transcripts.withWatermark("ts", watermark))
+    flavor).
+
+    The watermark is applied AFTER extract_turns: mapInPandas discards
+    the event-time watermark of its input (applying it before left the
+    window aggregation unwatermarked — append mode rejected the plan,
+    update mode never evicted state or dropped late rows). ``ts`` passes
+    through extraction unchanged, so watermarking the extracted frame is
+    semantically identical."""
+    ext = extract_turns(transcripts).withWatermark("ts", watermark)
     return (
         ext.groupBy(F.window("ts", window), "status")
         .agg(F.count("*").alias("n"))
@@ -63,11 +71,12 @@ def run_stream(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    pdf_passwords: tuple[str, ...] = (),
 ):
     """Launch the extraction stream (availableNow=True → catch-up batch
     semantics, the reference's batch-polling analog)."""
     src = read_transcript_stream(spark, input_path)
-    out = stream_extract(src)
+    out = stream_extract(src, pdf_passwords=pdf_passwords)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)

@@ -97,6 +97,38 @@ def test_spans_consistent(extracted):
         assert 0 <= r["span_start"] <= r["span_end"] <= len(r["extracted_text"])
 
 
+def test_resume_rejects_bucket_count_change(spark, transcripts, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    run_extract(spark, transcripts, out, run_id="r1", n_buckets=8,
+                state_path=state)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extract(spark, transcripts, out, run_id="r2", n_buckets=16,
+                    state_path=state)
+
+
+def test_resume_metrics_not_double_counted(spark, transcripts, tmp_path):
+    """A resumed run's sidecar rows cover only the buckets IT completed:
+    summing n_turns across run_ids equals the corpus exactly once."""
+    from docling_spark.jobs.extract_job import bucket_col
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    metrics = str(tmp_path / "metrics")
+    half = transcripts.withColumn("b", bucket_col(8)) \
+        .filter(F.col("b") < 4).drop("b")
+    run_extract(spark, half, out, run_id="r1", n_buckets=8,
+                state_path=state, metrics_path=metrics)
+    run_extract(spark, transcripts, out, run_id="r2", n_buckets=8,
+                state_path=state, metrics_path=metrics)
+    m = spark.read.parquet(metrics)
+    assert m.agg(F.sum("n_turns")).collect()[0][0] == transcripts.count()
+    # wall_ms is recorded, not the dead 0 column
+    assert m.filter(F.col("wall_ms") > 0).count() > 0
+
+
 def test_resume_idempotence(spark, transcripts, tmp_path):
     out = str(tmp_path / "out")
     state = str(tmp_path / "state")

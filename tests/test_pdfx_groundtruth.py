@@ -230,6 +230,12 @@ def test_extract_routing_media_and_passwords(spark) -> None:
     assert "DocLayNet" in got[1].extracted_text
     nopw = {r.turn_idx: r for r in extract_turns(df).collect()}
     assert nopw[1].status == "failure"
+    # password retries exhaust by POSITION, not value: a trailing ""
+    # (equal to the engine's built-in first try) must not abort the
+    # loop before "1234" is tried
+    dup = {r.turn_idx: r for r in
+           extract_turns(df, pdf_passwords=("1234", "")).collect()}
+    assert dup[1].status == "success"
 
 
 def test_corrupted_pdfs_always_contained() -> None:

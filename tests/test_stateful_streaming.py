@@ -74,6 +74,46 @@ def test_stateful_assembly_matches_batch(spark, tmp_path):
 
 
 @pytest.mark.timeout(600)
+def test_assembler_skips_null_text():
+    """Null extracted_text must be skipped (the batch twin's array_join
+    drops null elements) — not stringified into the literal 'None'."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_assembler
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    fn = make_assembler()
+    st = FakeState()
+    pdf = pd.DataFrame({"turn_idx": [0, 1, 2],
+                        "extracted_text": ["a", None, "c"]})
+    assert list(fn(("c1",), iter([pdf]), st)) == []
+    st.hasTimedOut = True
+    out = list(fn(("c1",), iter([]), st))[0]
+    assert out["conversation_text"].iloc[0] == "a\n\nc"
+    assert int(out["n_turns"].iloc[0]) == 2
+
+
 def test_stream_dedup_keeps_first_across_microbatches(spark, tmp_path):
     """Exact-dedup over a stream: duplicates arriving in LATER
     micro-batches are dropped; each fingerprint emits exactly once."""
