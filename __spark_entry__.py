@@ -3050,11 +3050,12 @@ def q_export_docling_json(spark, sf_dir):
     def run(batches):
         from docling_spark.engine.jsonx import extract_docling_json
         from docling_spark.engine.serialize import serialize_docling_json
+        from docling_spark.operators.export import clean_item
 
         for pdf in batches:
             ids, texts = [], []
             for conv_id, items in zip(pdf["conv_id"], pdf["items"]):
-                its = [dict(it) for it in items]
+                its = [clean_item(it) for it in items]
                 j = serialize_docling_json(its)
                 t2, _items2, _m = extract_docling_json(j)
                 ids.append(int(conv_id))
@@ -3550,11 +3551,12 @@ def q_export_html(spark, sf_dir):
     def run(batches):
         from docling_spark.engine.htmlx import extract_html
         from docling_spark.engine.serialize import serialize_html
+        from docling_spark.operators.export import clean_item
 
         for pdf in batches:
             ids, texts = [], []
             for conv_id, items in zip(pdf["conv_id"], pdf["items"]):
-                its = [dict(it) for it in items]
+                its = [clean_item(it) for it in items]
                 html = serialize_html(its)
                 t2, _items2 = extract_html(html)
                 ids.append(int(conv_id))

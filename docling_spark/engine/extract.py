@@ -518,7 +518,10 @@ def extract_payload(
         "items": [
             {k: it.get(k) for k in ("item_idx", "parent_idx", "label", "level",
                                     "text", "content_layer", "span_start",
-                                    "span_end", "code_language")}
+                                    "span_end", "code_language",
+                                    "page_no", "_hlevel", "_marker", "_start",
+                                    "_inline", "_raw", "_cap_ref",
+                                    "_table_caption", "num_rows", "num_cols")}
             for it in items
         ],
         "errors": errors,

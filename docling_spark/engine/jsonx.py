@@ -347,6 +347,13 @@ class _Converter:
                     rest.append(c)
             text = " ".join(p for p in pieces if p)
             idx = _mk_item(self.items, parent, "list_item", level, text, layer)
+            # restore the explicit marker the export emitted: without it
+            # a re-imported ordered list re-numbers from the group start
+            # ("3."/"4." collapse to "1."/"2.") and a literal "-" marker
+            # item loses its bullet on the md round-trip
+            marker = node.get("marker", "")
+            if marker:
+                self.items[idx]["_marker"] = marker
             for c in rest:
                 self.walk(c, idx, level + 1)
         elif label == "code":

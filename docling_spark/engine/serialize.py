@@ -35,15 +35,31 @@ def _children_map(items: list[dict]) -> dict[int, list[dict]]:
     return by_parent
 
 
-def _otsl(md_table: str) -> str:
-    """Markdown grid (the table item's text) → OTSL token sequence."""
+def _parse_md_grid(md_table: str) -> tuple[list[list[str]], bool]:
+    """Shared markdown-grid parse for every table-consuming sink:
+    (body rows, has_header). ONE rule for all formats — only the dash
+    separator row drops (every cell non-empty and dashes-only); an
+    ALL-EMPTY row is real data (the latex tabular trailing-row quirk
+    must render identically in doctags/html/json), and the md pipe
+    escape ``&#124;`` is undone here because no sink keeps md's pipe
+    delimiter constraint."""
     rows = [
         [c.strip() for c in line.strip().strip("|").split("|")]
         for line in md_table.splitlines()
         if line.strip()
     ]
-    body = [r for r in rows if not all(set(c) <= {"-", " ", ""} for c in r)]
-    has_header = len(body) < len(rows)  # an md separator row marks row 0 as header
+    body = [
+        [c.replace("&#124;", "|") for c in r]
+        for r in rows
+        if not (r and all(c and set(c) <= {"-"} for c in r))
+    ]
+    has_header = len(body) < len(rows)  # a separator marks row 0 as header
+    return body, has_header
+
+
+def _otsl(md_table: str) -> str:
+    """Markdown grid (the table item's text) → OTSL token sequence."""
+    body, has_header = _parse_md_grid(md_table)
     out = ["<otsl>"]
     for ri, row in enumerate(body):
         cell_tag = "<ched>" if (has_header and ri == 0) else "<fcel>"
@@ -258,7 +274,7 @@ def serialize_html(items: list[dict], layer: str = "body",
         # md rule); re-emit each block as its own element so
         # re-extraction rebuilds the same join: image markers → <img/>,
         # fenced ``` code ``` → <pre>, other blocks → <p>
-        c = c.replace("&#124;", "|")
+        # (&#124; already undone by _parse_md_grid)
         blocks = [b for b in c.split("  ")]
         if len(blocks) == 1 and "<!-- image -->" not in c:
             m = _re.fullmatch(r"``` (.*) ```", c)
@@ -279,13 +295,7 @@ def serialize_html(items: list[dict], layer: str = "body",
         return "".join(parts)
 
     def table_html(md_table: str) -> str:
-        rows = [
-            [c.strip() for c in line.strip().strip("|").split("|")]
-            for line in md_table.splitlines()
-            if line.strip()
-        ]
-        body = [r for r in rows
-                if not all(set(c) <= {"-", " ", ""} for c in r)]
+        body, _has_header = _parse_md_grid(md_table)
         parts = ["<table>"]
         for row in body:
             parts.append("<tr>" + "".join(
@@ -410,13 +420,30 @@ def serialize_html_split_page(items: list[dict], layer: str = "body",
     """
     by_page: dict[int, list[dict]] = {}
     root = items[0] if items else None
+    by_idx = {it["item_idx"]: it for it in items}
     for it in items[1:] if items else []:
         by_page.setdefault(int(it.get("page_no", 1)), []).append(it)
     pages_html: list[str] = []
     for page_no in sorted(by_page):
+        page_items = by_page[page_no]
+        page_set = {it["item_idx"] for it in page_items}
+        # continuation stubs: a group that opened on an earlier page
+        # (list, section) is cloned onto this page so its children keep
+        # their structure — remapping them to root rendered cross-page
+        # list items as bare paragraphs
+        stubs: list[dict] = []
+        for it in page_items:
+            p = it["parent_idx"]
+            while p > 0 and p not in page_set:
+                anc = by_idx.get(p)
+                if anc is None or anc["label"] not in _GROUP_LABELS:
+                    break
+                page_set.add(p)
+                stubs.append(anc)
+                p = anc["parent_idx"]
         sub = [dict(root)] if root else []
         remap = {0: 0}
-        for it in by_page[page_no]:
+        for it in sorted(stubs + page_items, key=lambda x: x["item_idx"]):
             remap[it["item_idx"]] = len(sub)
             it2 = dict(it, item_idx=len(sub),
                        parent_idx=remap.get(it["parent_idx"], 0))
@@ -506,10 +533,21 @@ def serialize_docling_json(items: list[dict], name: str = "document") -> str:
             if label == "code" and it.get("code_language"):
                 node["code_language"] = it["code_language"]
             if label == "list_item":
+                # reference shape (html groundtruth json): marker is ""
+                # unless the numbering is explicit ("42."); enumerated
+                # derives from the owning group for counter-numbered
+                # items. Keeping "" for the default makes export/import
+                # invertible — a default emitted as "-" was
+                # indistinguishable from a literal "-" marker item.
                 m = it.get("_marker", "")
                 numeric = m.endswith(".") and m[:-1].isdigit()
-                node["enumerated"] = numeric
-                node["marker"] = m if m else "-"
+                in_ordered = False
+                p = it.get("parent_idx", -1)
+                if 0 <= p < len(items) and items[p]["label"] == "list":
+                    in_ordered = str(
+                        items[p].get("text", "")).startswith("ordered list")
+                node["enumerated"] = numeric or in_ordered
+                node["marker"] = m
         elif kind == "groups":
             if label == "list":
                 ordered = it.get("text") == "ordered list" or any(
@@ -572,17 +610,7 @@ def serialize_docling_json(items: list[dict], name: str = "document") -> str:
 
 def _md_grid_to_tabledata(md_table: str) -> dict:
     """Markdown grid (the table item's text) → TableData dict."""
-    rows = [
-        [c.strip() for c in line.strip().strip("|").split("|")]
-        for line in md_table.splitlines()
-        if line.strip()
-    ]
-    # only the dash separator row drops; an ALL-EMPTY row is real data
-    # (the latex tabular trailing-row quirk must survive the JSON
-    # round-trip)
-    body = [r for r in rows
-            if not (r and all(c and set(c) <= {"-"} for c in r))]
-    has_header = len(body) < len(rows)
+    body, has_header = _parse_md_grid(md_table)
     ncols = max((len(r) for r in body), default=0)
     cells = []
     grid = []
@@ -594,7 +622,7 @@ def _md_grid_to_tabledata(md_table: str) -> dict:
                 "row_span": 1, "col_span": 1,
                 "start_row_offset_idx": ri, "end_row_offset_idx": ri + 1,
                 "start_col_offset_idx": ci, "end_col_offset_idx": ci + 1,
-                "text": text.replace("&#124;", "|"),
+                "text": text,  # &#124; already undone by _parse_md_grid
                 "column_header": bool(has_header and ri == 0),
                 "row_header": False, "row_section": False, "fillable": False,
             }

@@ -50,7 +50,9 @@ def expand_ligatures_col(c: Column) -> Column:
     a following space (page_assemble_model.py:37-54 semantics)."""
     for lig, rep in LIGATURE_MAP.items():
         if "ﬀ" <= lig <= "ﬆ":
-            c = F.regexp_replace(c, lig + " (?=\\w)", rep)
+            # (?U): Java \w is ASCII-only by default; the Python twin's
+            # \w is Unicode, so "ﬁ über" must absorb the space too
+            c = F.regexp_replace(c, lig + " (?U)(?=\\w)", rep)
         c = F.regexp_replace(c, lig, rep)
     return c
 

@@ -67,6 +67,30 @@ _SERIALIZERS = {
 }
 
 
+# integer item fields: Arrow→pandas lifts nullable int struct fields
+# to float (2 → 2.0, null → NaN); restore engine-side types so the
+# serializers see what the engine produced
+_INT_ITEM_KEYS = frozenset(
+    {"item_idx", "parent_idx", "level", "span_start", "span_end",
+     "page_no", "_hlevel", "_start", "_cap_ref", "num_rows", "num_cols"})
+
+
+def clean_item(it) -> dict:
+    """Spark items struct → engine-shaped dict: drop null fields (the
+    serializers distinguish absent from present — ``"num_rows" in it``,
+    ``.get("_start", 1)`` — and a struct materializes every field) and
+    undo Arrow's nullable-int→float lift. EVERY consumer feeding Spark
+    items back into the engine serializers must route through this."""
+    out = {}
+    for k, v in dict(it).items():
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        if k in _INT_ITEM_KEYS and isinstance(v, float):
+            v = int(v)
+        out[k] = v
+    return out
+
+
 def export_items(extracted: DataFrame, fmt: str = "doctags",
                  keep_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
     """(keep_cols..., items) → (keep_cols..., <fmt> string column)."""
@@ -78,7 +102,8 @@ def export_items(extracted: DataFrame, fmt: str = "doctags",
             out = {c: pdf[c].tolist() for c in cols}
             rendered = []
             for items in pdf["items"]:
-                its = [dict(it) for it in items] if items is not None else []
+                its = ([clean_item(it) for it in items]
+                       if items is not None else [])
                 # always consult the serializer: each format defines its
                 # own empty-document representation (json/yaml/dclx must
                 # stay parseable for items == []; "" would not be)

@@ -66,3 +66,88 @@ def test_itxt_matches_vtt_reference_shape():
     assert itxt.splitlines()[0] == "item-0 at level 0: unspecified: group _root_"
     assert "inline: group WebVTT cue span" in itxt
     assert "  item-1 at level 1: text: plain" in itxt
+
+
+def test_spark_path_exports_match_engine_path(spark):
+    """The Spark items projection must carry every key the serializers
+    consume: export_items over extract_turns output is byte-identical to
+    serializing the raw engine items (regression: the projection
+    stripped _hlevel/_marker/_start/num_rows/..., silently flattening
+    heading ranks, list markers, and table shapes on the pipeline
+    path)."""
+    from docling_spark.engine.serialize import (
+        serialize_docling_json,
+        serialize_doctags,
+        serialize_itxt,
+    )
+    from docling_spark.operators.export import export_items
+    from docling_spark.operators.extract_ops import extract_turns
+
+    html = (
+        "<h1>Top</h1><p>intro</p>"
+        "<h3>Deep section</h3>"
+        "<ol start='3'><li>third</li><li>fourth</li></ol>"
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b|c</td></tr></table>"
+        "<pre><code class='language-python'>print(1)</code></pre>"
+    )
+    _text, engine_items = extract_html(html)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, html, "html")],
+        "conv_id string, turn_idx int, role string, ts timestamp, "
+        "text string, tool string",
+    )
+    ext = extract_turns(df)
+    for fmt, ser in (("doctags", serialize_doctags),
+                     ("itxt", serialize_itxt),
+                     ("json", serialize_docling_json)):
+        got = export_items(ext, fmt=fmt).collect()[0][fmt]
+        assert got == ser(engine_items), fmt
+
+
+def test_json_roundtrip_explicit_list_markers():
+    """Explicit list numbering ('3.', '4.' — docx numbering) must survive
+    items → JSON → items: the export emits marker/enumerated and the
+    import restores _marker (regression: re-imported lists re-numbered
+    from 1)."""
+    from docling_spark.engine.htmlx import serialize_items
+    from docling_spark.engine.jsonx import extract_docling_json
+    from docling_spark.engine.serialize import serialize_docling_json
+
+    items = [
+        {"item_idx": 0, "parent_idx": -1, "label": "unspecified",
+         "level": 0, "text": "_root_", "content_layer": "body"},
+        {"item_idx": 1, "parent_idx": 0, "label": "list", "level": 1,
+         "text": "ordered list", "content_layer": "body"},
+        {"item_idx": 2, "parent_idx": 1, "label": "list_item", "level": 2,
+         "text": "third thing", "content_layer": "body", "_marker": "3."},
+        {"item_idx": 3, "parent_idx": 1, "label": "list_item", "level": 2,
+         "text": "fourth thing", "content_layer": "body", "_marker": "4."},
+    ]
+    md1 = serialize_items(items, layer="body")
+    assert "3. third thing" in md1 and "4. fourth thing" in md1
+    _text, items2, _m = extract_docling_json(serialize_docling_json(items))
+    md2 = serialize_items(items2, layer="body")
+    assert md2 == md1
+
+
+def test_split_page_cross_page_list_keeps_structure():
+    """A list whose group opened on page 1 but whose items continue on
+    page 2 must render as list items inside a continuation <ul> on page
+    2 — not as bare paragraphs reparented to the root."""
+    from docling_spark.engine.serialize import serialize_html_split_page
+
+    items = [
+        {"item_idx": 0, "parent_idx": -1, "label": "unspecified",
+         "level": 0, "text": "_root_", "content_layer": "body"},
+        {"item_idx": 1, "parent_idx": 0, "label": "list", "level": 1,
+         "text": "list", "content_layer": "body", "page_no": 1},
+        {"item_idx": 2, "parent_idx": 1, "label": "list_item", "level": 2,
+         "text": "on page one", "content_layer": "body", "page_no": 1},
+        {"item_idx": 3, "parent_idx": 1, "label": "list_item", "level": 2,
+         "text": "on page two", "content_layer": "body", "page_no": 2},
+    ]
+    html = serialize_html_split_page(items)
+    page2 = html.split('data-page="2">', 1)[1]
+    assert "<li>on page two</li>" in page2
+    assert "<ul>" in page2

@@ -20,6 +20,7 @@ DIRT_CASES = [
     "ellipsis… and soft­hyphen",
     "narrow space and word⁠joiner",
     "ligatures: ﬁ eld ﬂow aﬃx ﬅop Ĳsselmeer ĳs",
+    "ﬁ über ﬂ äche",  # non-ASCII \w: Java needs (?U) to absorb the space
     "stx\x02cell",
     "  collapse   lots\n of \t whitespace  ",
     "mixed — ﬁ nal…  case\x02!",

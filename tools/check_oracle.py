@@ -17,7 +17,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # case-INSENSITIVE sort, matching the column-name gate: Spark
+    # 'Status' vs DuckDB 'status' must align to the same position or
+    # per-row tuples pair different columns and the hash false-fails
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     canon = sorted(
         tuple(_norm_cell(row[i]) for i in order) for row in rows
     )

@@ -40,11 +40,23 @@ def load(name: str) -> tuple[str, dict[str, str]]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
     maxlines = 60
-    for i, a in enumerate(sys.argv):
-        if a == "-m":
-            maxlines = int(sys.argv[i + 1])
+    context = 1
+    argv = sys.argv[1:]
+    args: list[str] = []
+    i = 0
+    while i < len(argv):  # flag VALUES must not leak into the name list
+        if argv[i] == "-m":
+            maxlines = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "-n":
+            context = int(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("-"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     names = args or [
         "example_01.tex", "example_02.tex",
         "1706.03762", "2305.03393", "2310.06825", "2412.19437",
@@ -72,7 +84,7 @@ def main() -> None:
         ratio = difflib.SequenceMatcher(None, g, text).ratio()
         d = list(difflib.unified_diff(
             g.strip().splitlines(), text.strip().splitlines(),
-            "groundtruth", "ours", lineterm="", n=1))
+            "groundtruth", "ours", lineterm="", n=context))
         print(f"{name}: DIFF ratio={ratio:.4f} difflines={len(d)}")
         for line in d[:maxlines]:
             print("  " + repr(line)[1:-1][:240])

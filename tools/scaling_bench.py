@@ -184,15 +184,20 @@ def main() -> None:
         "Status counts (identical across levels — determinism witness): "
         + json.dumps(lo["status"]),
     ]
+    # verify the determinism witness BEFORE writing the evidence file —
+    # never leave an "identical across levels" claim on disk that the
+    # run itself refuted
+    if lo["status"] != hi["status"]:
+        print("WARNING: status counts differ between levels! "
+              f"lo={json.dumps(lo['status'])} hi={json.dumps(hi['status'])}")
+        print("BENCH/BASELINE.md NOT written")
+        sys.exit(1)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write("\n".join(md) + "\n")
     print(f"wrote {path}")
-    if lo["status"] != hi["status"]:
-        print("WARNING: status counts differ between levels!")
-        sys.exit(1)
 
 
 if __name__ == "__main__":
