@@ -162,6 +162,30 @@ def detect_format(text: str, tool: str = "") -> str:
     return "plain"
 
 
+# serializer-facing extras carried as ONE sparse stringified map (see
+# schema.ITEM_SCHEMA: ten mostly-null struct fields measurably halved
+# extraction throughput); operators/export.clean_item restores types
+_ITEM_BASE_KEYS = ("item_idx", "parent_idx", "label", "level", "text",
+                   "content_layer", "span_start", "span_end",
+                   "code_language")
+_ITEM_EXTRA_KEYS = ("page_no", "_hlevel", "_marker", "_start", "_inline",
+                    "_raw", "_cap_ref", "_table_caption", "num_rows",
+                    "num_cols")
+
+
+def _project_item(it: dict) -> dict:
+    out = {k: it.get(k) for k in _ITEM_BASE_KEYS}
+    extras = None
+    for k in _ITEM_EXTRA_KEYS:
+        v = it.get(k)
+        if v is not None:
+            if extras is None:
+                extras = {}
+            extras[k] = str(v)
+    out["extras"] = extras
+    return out
+
+
 _EMPTY_METRICS = {
     "pages_parsed": 0,
     "parse_score": 0.0,
@@ -515,15 +539,7 @@ def extract_payload(
         "status": status,
         "format": fmt,
         "extracted_text": extracted,
-        "items": [
-            {k: it.get(k) for k in ("item_idx", "parent_idx", "label", "level",
-                                    "text", "content_layer", "span_start",
-                                    "span_end", "code_language",
-                                    "page_no", "_hlevel", "_marker", "_start",
-                                    "_inline", "_raw", "_cap_ref",
-                                    "_table_caption", "num_rows", "num_cols")}
-            for it in items
-        ],
+        "items": [_project_item(it) for it in items],
         "errors": errors,
         "metrics": metrics,
     }

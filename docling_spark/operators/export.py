@@ -73,21 +73,36 @@ _SERIALIZERS = {
 _INT_ITEM_KEYS = frozenset(
     {"item_idx", "parent_idx", "level", "span_start", "span_end",
      "page_no", "_hlevel", "_start", "_cap_ref", "num_rows", "num_cols"})
+_BOOL_ITEM_KEYS = frozenset({"_inline", "_table_caption"})
 
 
 def clean_item(it) -> dict:
     """Spark items struct → engine-shaped dict: drop null fields (the
     serializers distinguish absent from present — ``"num_rows" in it``,
-    ``.get("_start", 1)`` — and a struct materializes every field) and
-    undo Arrow's nullable-int→float lift. EVERY consumer feeding Spark
-    items back into the engine serializers must route through this."""
+    ``.get("_start", 1)`` — and a struct materializes every field), undo
+    Arrow's nullable-int→float lift, and unpack the stringified
+    ``extras`` map (extract.py _project_item) back into typed keys.
+    EVERY consumer feeding Spark items back into the engine serializers
+    must route through this."""
     out = {}
+    extras = None
     for k, v in dict(it).items():
+        if k == "extras":
+            extras = v
+            continue
         if v is None or (isinstance(v, float) and v != v):
             continue
         if k in _INT_ITEM_KEYS and isinstance(v, float):
             v = int(v)
         out[k] = v
+    if extras:
+        for k, v in extras.items():
+            if k in _INT_ITEM_KEYS:
+                out[k] = int(v)
+            elif k in _BOOL_ITEM_KEYS:
+                out[k] = v == "True"
+            else:
+                out[k] = v
     return out
 
 
