@@ -736,10 +736,14 @@ class HtmlExtractor:
 
     def _handle_heading(self, node: Element) -> None:
         hlevel = int(node.tag[1])
-        if node is self.first_header or not self.seen_first_header:
-            if self.infer_furniture and self.first_header is not None:
-                self.layer = "body"
-            self.seen_first_header = True
+        # EVERY heading switches the layer to body — not just the first
+        # (html_backend.py:2161 sets BODY unconditionally); furniture
+        # contexts (footer) save/restore the layer around their subtree.
+        # The r2 first-header gate dropped the whole document when the
+        # first heading sat inside a footer: the switch was consumed
+        # there, clobbered by the footer's restore, and never re-armed.
+        self.layer = "body"
+        self.seen_first_header = True
         parent_idx, level = self._heading_parent(hlevel)
         self._flush(parent_idx, level)
         saved_buf, self.buffer = self.buffer, []
@@ -1572,18 +1576,6 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
         out.append(text)
         pos += len(text)
 
-    def list_depth(it: Item) -> int:
-        depth = 0
-        cur = it
-        while cur["parent_idx"] >= 0:
-            parent = items[cur["parent_idx"]]
-            if parent["label"] == "list":
-                if parent["text"] != cur.get("_x", object()):
-                    pass
-                depth += 1 if items[cur["parent_idx"]]["label"] == "list" else 0
-            cur = parent
-        return depth
-
     def render_list(group: Item, indent: int, buf: list[str], counters: bool):
         n = group.get("_start", 1) - 1
         for ch in by_parent.get(group["item_idx"], []):
@@ -1612,7 +1604,6 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                                          if item_text else inline_txt)
                     line = "    " * indent + f"{marker} " + item_text
                     buf.append(line)
-                    ch["_line_ref"] = len(buf) - 1
                 for sub in by_parent.get(ch["item_idx"], []):
                     if sub["label"] == "list":
                         render_list(sub, child_indent, buf,
@@ -1646,11 +1637,9 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 if buf:
                     block = "\n".join(buf)
                     emit(block, it)
-                    # fix up per-line spans for list items
-                    off = it["span_start"]
-                    for line in buf:
-                        pass
-                    _assign_list_spans(items, it, by_parent, block, off)
+                    # per-line spans for the list items
+                    _assign_list_spans(items, it, by_parent, block,
+                                       it["span_start"])
             elif label == "code":
                 emit("```\n" + it["text"] + "\n```", it)
             elif label == "table":
@@ -1711,20 +1700,15 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
     return "\n\n".join(out)
 
 
+_LIST_LINE_RE = re.compile(r"^\s*(?:[-*+]|\d+\.)\s")
+
+
 def _assign_list_spans(items, group, by_parent, block, off):
-    cursor = off
-    for line in block.split("\n"):
-        cursor_end = cursor + len(line)
-        cursor = cursor_end + 1
-    # per-item spans: locate each list_item line by its recorded order
-    cursor = off
-    def rec(g):
-        nonlocal cursor
-        for ch in by_parent.get(g["item_idx"], []):
-            if ch["label"] == "list_item" and "_line_ref" in ch:
-                # the line content = indent + marker + space + text
-                pass
-    # simple approach: sequential scan
+    """Span offsets for list items: pair each RENDERED list line with the
+    item that produced it. Items that emit no line (empty text, no
+    marker) are skipped on the item side; caption / ``<!-- image -->``
+    lines are skipped on the line side — a positional zip across the raw
+    sequences shifted every span after the first image or empty item."""
     lines = block.split("\n")
     line_starts = []
     c = off
@@ -1733,17 +1717,25 @@ def _assign_list_spans(items, group, by_parent, block, off):
         c += len(ln) + 1
 
     li_items = []
+
     def gather(g):
         for ch in by_parent.get(g["item_idx"], []):
             if ch["label"] == "list_item":
-                li_items.append(ch)
+                # mirror the renderer's gate: only items that emitted a
+                # line participate (htmlx list renderer skips empty text
+                # without an explicit marker)
+                if ch["text"] or ch.get("_marker"):
+                    li_items.append(ch)
                 for sub in by_parent.get(ch["item_idx"], []):
                     if sub["label"] == "list":
                         gather(sub)
             elif ch["label"] == "list":
                 gather(ch)
+
     gather(group)
-    for ch, ln, st in zip(li_items, lines, line_starts):
+    li_lines = [(ln, st) for ln, st in zip(lines, line_starts)
+                if _LIST_LINE_RE.match(ln)]
+    for ch, (ln, st) in zip(li_items, li_lines):
         stripped = ln.lstrip()
         indent = len(ln) - len(stripped)
         marker_len = stripped.find(" ") + 1 if " " in stripped else 0

@@ -184,7 +184,25 @@ def filter_cells(cells: list[dict]) -> list[dict]:
 def dedup_cells(cells: list[dict]) -> list[dict]:
     """Overlap dedup: same page, intersection_over_self > 0.8 either way →
     keep higher conf, then larger area, then earlier index
-    (layout_postprocessor.py:505-560 best-of-group)."""
+    (layout_postprocessor.py:505-560 best-of-group).
+
+    Grouped by page FIRST: overlaps can only exist within a page, so the
+    quadratic pass runs per page (sum of per-page n²), not over every
+    cell of a 500-page document at once."""
+    by_page: dict = {}
+    for c in cells:
+        by_page.setdefault(c["page_no"], []).append(c)
+    result: list[dict] = []
+    for page_no in by_page:
+        result.extend(_dedup_cells_one_page(by_page[page_no]))
+    if len(by_page) > 1:
+        # keep global input order (pages may interleave in the input)
+        order = {id(c): i for i, c in enumerate(cells)}
+        result.sort(key=lambda c: order[id(c)])
+    return result
+
+
+def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
     out: list[dict] = []
     removed = [False] * len(cells)
     for i, a in enumerate(cells):
@@ -194,8 +212,6 @@ def dedup_cells(cells: list[dict]) -> list[dict]:
             if removed[j]:
                 continue
             b = cells[j]
-            if a["page_no"] != b["page_no"]:
-                continue
             if (
                 _iou_over_self(a["bbox"], b["bbox"]) > 0.8
                 or _iou_over_self(b["bbox"], a["bbox"]) > 0.8

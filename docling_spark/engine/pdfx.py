@@ -340,6 +340,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.gens: dict[int, int] = {}
+        self.offsets: dict[int, int] = {}
         self._scan_objects()
         self._decrypt_if_needed(password)
         self._expand_object_streams()
@@ -411,6 +412,7 @@ class PdfDocument:
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
             self.gens[num] = int(m.group(2))
+            self.offsets[num] = m.start()
             try:
                 obj, end = parse_object(data, m.end())
             except (PdfError, IndexError, RecursionError):
@@ -444,6 +446,7 @@ class PdfDocument:
                 n = int(self.resolve(o.d.get("N")) or 0)
                 first = int(self.resolve(o.d.get("First")) or 0)
                 header = body[:first].split()
+                container_off = self.offsets.get(num, -1)
                 for k in range(n):
                     onum = int(header[2 * k])
                     off = int(header[2 * k + 1])
@@ -451,8 +454,17 @@ class PdfDocument:
                         obj, _ = parse_object(body, first + off)
                     except (PdfError, IndexError):
                         continue
-                    # direct objects never shadow a later full definition
-                    self.objects.setdefault(onum, obj)
+                    # "later in the file wins" applies to compressed
+                    # members too: an incremental update that rewrites an
+                    # object INTO an ObjStm must shadow the stale raw
+                    # definition left earlier in the file (and vice
+                    # versa — a raw update after the stream wins)
+                    prior_off = self.offsets.get(onum)
+                    if onum not in self.objects or (
+                            prior_off is not None
+                            and container_off > prior_off):
+                        self.objects[onum] = obj
+                        self.offsets[onum] = container_off
             except Exception:
                 continue
 
@@ -719,7 +731,17 @@ def load_fonts(doc: PdfDocument, page: dict) -> dict[str, Font]:
         res = res.d
     fonts_d = doc.resolve(res.get("Font")) or {}
     out: dict[str, Font] = {}
+    # doc-level cache keyed by the font's indirect reference: a shared
+    # CID font's multi-thousand-entry ToUnicode CMap would otherwise be
+    # re-decoded once per page and once per Form XObject
+    cache = getattr(doc, "_font_cache", None)
+    if cache is None:
+        cache = doc._font_cache = {}
     for fname, fref in (fonts_d.items() if isinstance(fonts_d, dict) else []):
+        key = tuple(fref) if isinstance(fref, Ref) else None
+        if key is not None and key in cache:
+            out[str(fname)] = cache[key]
+            continue
         fd = doc.resolve(fref)
         if isinstance(fd, Stream):
             fd = fd.d
@@ -792,6 +814,8 @@ def load_fonts(doc: PdfDocument, page: dict) -> dict[str, Font]:
                 f.widths = [
                     float(doc.resolve(w) or 0) for w in ws
                 ]
+        if key is not None:
+            cache[key] = f
         out[str(fname)] = f
     return out
 
@@ -839,7 +863,11 @@ def interpret_page(doc: PdfDocument, page: dict, page_no: int,
     page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
     content = doc.page_content(page)
     runs: list[_Run] = []
-    _interpret(doc, content, page.get("Resources"), _ID, page_no, runs, 0,
+    # normalize a non-zero MediaBox origin into the base CTM: downstream
+    # geometry (furniture zones, column bands) works in [0, w]x[0, h]
+    base = _ID if (mb[0] == 0.0 and mb[1] == 0.0) else \
+        (1.0, 0.0, 0.0, 1.0, -mb[0], -mb[1])
+    _interpret(doc, content, page.get("Resources"), base, page_no, runs, 0,
                rules_out)
     return runs, (page_w, page_h)
 
@@ -880,16 +908,13 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
         y0 = m[5]
         eff = abs(size * (tm[3] if tm[3] else 1.0) * (ctm[3] if ctm[3] else 1.0))
         parts: list[str] = []
-        adv_total = 0.0
         for it in items:
             if isinstance(it, (int, float)):
                 shift = -float(it) / 1000.0 * size * th
-                adv_total += shift
                 # large negative kern = inter-word gap some generators use
                 if float(it) < -180:
                     parts.append(" ")
-                tx = shift
-                tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                tm = _mat_mul((1, 0, 0, 1, shift, 0), tm)
                 continue
             if not isinstance(it, bytes):
                 continue
@@ -897,7 +922,6 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 wadv = tf.advance(code) * size
                 spacing = tc + (tw if code == 32 and not tf.two_byte else 0.0)
                 tx = (wadv + spacing) * th
-                adv_total += tx
                 tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
                 parts.append(ch)
         text = "".join(parts)
@@ -1013,10 +1037,14 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 elif op == b"cm" and len(stack) >= 6:
                     ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
                 elif op == b"q":
-                    gstack.append((ctm,))
+                    # the text state (font, size, Tc/Tw/Tz/TL) is part of
+                    # the graphics state (PDF 32000 §8.4.2) — saving only
+                    # the CTM leaked an inner 'q /F2 Tf ... Q' font into
+                    # the text that follows the restore
+                    gstack.append((ctm, tf, size, tc, tw, th, tl))
                 elif op == b"Q":
                     if gstack:
-                        (ctm,) = gstack.pop()
+                        ctm, tf, size, tc, tw, th, tl = gstack.pop()
                 elif op == b"BI":
                     # inline image: skip to EI
                     e = content.find(b"EI", i)
@@ -1435,6 +1463,38 @@ def detect_ruled_tables(
     vs = [sg for sg in rules if abs(sg[2] - sg[0]) < 0.7]
     if len(hs) < 3 or len(vs) < 2:
         return [], set()
+    # BAND-SPLIT first: all painted rules on a page are NOT one grid — a
+    # footnote separator or a second stacked table hundreds of points
+    # away would otherwise extend the lattice and swallow the body text
+    # between them into phantom cells. Horizontal rules whose vertical
+    # gaps stay within a band (≤ max(72pt, 4x the band's median gap))
+    # form one candidate grid; each band is evaluated independently.
+    ys_desc = sorted({round((sg[1] + sg[3]) / 2.0, 1) for sg in hs},
+                     reverse=True)
+    gaps = [ys_desc[k] - ys_desc[k + 1] for k in range(len(ys_desc) - 1)]
+    pos = sorted(g for g in gaps if g > 2.0)
+    med = pos[len(pos) // 2] if pos else 0.0
+    split_at = max(72.0, 4.0 * med)
+    bands: list[tuple[float, float]] = []
+    start = 0
+    for k, g in enumerate(gaps):
+        if g > split_at:
+            bands.append((ys_desc[start], ys_desc[k]))
+            start = k + 1
+    bands.append((ys_desc[start], ys_desc[-1]))
+    if len(bands) > 1:
+        all_cells: list[dict] = []
+        all_consumed: set[int] = set()
+        for top, bot in bands:
+            band_hs = [sg for sg in hs
+                       if bot - 1.0 <= (sg[1] + sg[3]) / 2.0 <= top + 1.0]
+            band_vs = [sg for sg in vs
+                       if min(sg[1], sg[3]) <= top + 2.0
+                       and max(sg[1], sg[3]) >= bot - 2.0]
+            c, used = detect_ruled_tables(band_hs + band_vs, runs, page_h)
+            all_cells.extend(c)
+            all_consumed |= used
+        return all_cells, all_consumed
     # grid extent: the span the rules actually cover
     x_lo = min(min(sg[0], sg[2]) for sg in hs) - 2.0
     x_hi = max(max(sg[0], sg[2]) for sg in hs) + 2.0

@@ -12,9 +12,12 @@ Scale notes:
 - extraction is per-row (embarrassingly parallel): no shuffle is introduced
   by this operator; partition pruning and column pruning pass through
   (mapInPandas declares the needed input columns only).
-- per-turn wall-clock guard mirrors the reference's document timeout →
-  PARTIAL/FAILURE rows instead of task failures
-  (base_pipeline.py:301-320).
+- per-BATCH wall-clock budget mirrors the reference's document timeout
+  (base_pipeline.py:301-320, same granularity: checked between
+  documents, a running parse is not interrupted): once exhausted, the
+  batch's remaining never-attempted rows come back as SKIPPED rows with
+  a timeout error record — never task failures, and never "failure"
+  (a rerun must distinguish "never ran" from "parsed and broke").
 """
 
 from __future__ import annotations
@@ -28,9 +31,6 @@ from pyspark.sql import functions as F
 
 from docling_spark.engine.extract import DEFAULT_MAX_BYTES, extract_payload
 from docling_spark.schema import EXTRACTED_SCHEMA
-
-_PASSTHROUGH = ("conv_id", "turn_idx", "role", "ts")
-
 
 def _extract_batches(
     batches: Iterator[pd.DataFrame],
@@ -58,13 +58,21 @@ def _extract_batches(
         tools = pdf["tool"].tolist() if "tool" in pdf else [""] * len(pdf)
         for text, tool in zip(texts, tools):
             if t_deadline is not None and time.monotonic() > t_deadline:
+                # the budget is per Arrow BATCH and checked BETWEEN rows
+                # (a row already running cannot be interrupted in-process
+                # — the reference's document timeout has the same
+                # granularity, base_pipeline.py:301-320). Rows never
+                # attempted are SKIPPED, not failed: a rerun must be able
+                # to tell "never ran" from "parsed and broke"
                 res = {
-                    "status": "failure",
+                    "status": "skipped",
                     "format": "plain",
                     "extracted_text": "",
                     "items": [],
                     "errors": [
-                        {"module": "operator", "message": "batch time budget exceeded",
+                        {"module": "operator",
+                         "message": "batch time budget exceeded before "
+                                    "this row was attempted",
                          "category": "timeout"}
                     ],
                     "metrics": {"pages_parsed": 0, "boilerplate_ratio": 0.0,

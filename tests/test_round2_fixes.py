@@ -222,3 +222,157 @@ def test_vocab_topk_no_global_window_exchange(spark):
     # the top-k must ride TakeOrderedAndProject, not a global sort of the
     # whole vocabulary into one partition
     assert "TakeOrderedAndProject" in plan
+
+
+# --- engine review fixes (round 2, third sweep) ---------------------------
+
+
+def test_footer_first_heading_does_not_eat_document():
+    """A first heading inside a <footer> must not consume the
+    furniture→body switch: every heading sets body
+    (html_backend.py:2161), the footer restores around its subtree."""
+    from docling_spark.engine.htmlx import extract_html
+
+    t, items = extract_html(
+        "<body><footer><h2>Footer nav</h2></footer>"
+        "<h1>Main Title</h1><p>real content here</p></body>")
+    assert "Main Title" in t and "real content here" in t
+
+
+def test_list_spans_skip_image_lines():
+    """Span assignment pairs items with the lines they rendered; image /
+    caption lines and no-line items must not shift the zip."""
+    from docling_spark.engine.htmlx import extract_html
+
+    t, items = extract_html(
+        '<h1>T</h1><ul><li><img alt="pic caption"></li>'
+        "<li>hello world</li></ul>")
+    li = [it for it in items
+          if it["label"] == "list_item" and it["text"] == "hello world"][0]
+    assert t[li["span_start"]:li["span_end"]] == "hello world"
+
+
+def test_ruled_tables_band_split():
+    """A footnote separator rule far below a table must not extend the
+    grid and swallow the body text in between."""
+    from docling_spark.engine.pdfx import detect_ruled_tables
+
+    class R:
+        def __init__(s, x, y, w, text):
+            s.x, s.y, s.w, s.text, s.size, s.page_no = x, y, w, text, 10.0, 1
+
+    rules = [
+        (50, 740, 550, 740), (50, 720, 550, 720), (50, 700, 550, 700),
+        (50, 740, 50, 700), (300, 740, 300, 700), (550, 740, 550, 700),
+        (50, 100, 550, 100),  # footnote separator, 600pt away
+    ]
+    runs = [R(60, 728, 100, "cell a"), R(310, 728, 100, "cell b"),
+            R(60, 708, 100, "cell c"), R(310, 708, 100, "cell d"),
+            R(60, 400, 300, "body paragraph text")]
+    cells, consumed = detect_ruled_tables(rules, runs, 792.0)
+    assert 4 not in consumed  # the paragraph stays body text
+    assert sorted(c["text"] for c in cells) == \
+        ["cell a", "cell b", "cell c", "cell d"]
+
+
+def test_dedup_cells_grouped_by_page():
+    """Page grouping: identical bboxes on different pages never dedup;
+    same-page overlaps still do."""
+    from docling_spark.engine.layoutx import dedup_cells
+
+    mk = lambda page, conf: {"page_no": page, "bbox": (0, 0, 10, 10),
+                             "conf": conf, "label": "text", "text": "x"}
+    out = dedup_cells([mk(1, 0.9), mk(2, 0.9), mk(1, 0.5)])
+    pages = sorted(c["page_no"] for c in out)
+    assert pages == [1, 2]  # the page-1 dup dropped, page-2 kept
+
+
+def _mini_pdf(body_objs: str, content: str, extra: str = "",
+              mediabox: str = "[0 0 612 792]") -> bytes:
+    pdf = (
+        "%PDF-1.5\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + body_objs +
+        "4 0 obj << /Type /Font /Subtype /Type1 "
+        "/BaseFont /Helvetica >> endobj\n"
+        f"5 0 obj << /Length {len(content)} >> stream\n"
+        f"{content}endstream endobj\n"
+        + extra +
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf.encode("latin-1")
+
+
+def test_pdf_q_restores_text_state():
+    """q/Q saves the text state too (PDF 32000 §8.4.2): a font/size set
+    inside q..Q must not leak into the text after Q."""
+    from docling_spark.engine.pdfx import PdfDocument, interpret_page
+
+    content = (
+        "BT /F1 11 Tf 72 700 Td (before) Tj ET\n"
+        "q BT /F1 30 Tf 72 500 Td (inner) Tj ET Q\n"
+        "BT 72 300 Td (after) Tj ET\n"
+    )
+    page_objs = (
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+    )
+    doc = PdfDocument(_mini_pdf(page_objs, content))
+    page = doc.pages()[0]
+    runs, _ = interpret_page(doc, page, 1)
+    sizes = {r.text: r.size for r in runs}
+    assert sizes["inner"] == 30.0
+    assert sizes["after"] == 11.0  # leaked 30.0 before the fix
+
+
+def test_pdf_mediabox_origin_normalized():
+    """A non-zero MediaBox origin shifts into the base CTM so device
+    coordinates live in [0,w]x[0,h]."""
+    from docling_spark.engine.pdfx import PdfDocument, interpret_page
+
+    content = "BT /F1 11 Tf 72 850 Td (hello) Tj ET\n"
+    page_objs = (
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 100 612 892] "
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+    )
+    doc = PdfDocument(_mini_pdf(page_objs, content))
+    runs, (w, h) = interpret_page(doc, doc.pages()[0], 1)
+    assert (w, h) == (612.0, 792.0)
+    assert abs(runs[0].y - 750.0) < 0.01  # 850 - origin 100
+
+
+def test_pdf_objstm_overrides_earlier_raw_object():
+    """Incremental-update semantics: an object rewritten INTO an ObjStm
+    later in the file shadows the stale raw definition."""
+    import zlib
+
+    from docling_spark.engine.pdfx import PdfDocument, interpret_page
+
+    new_content = "BT /F1 11 Tf 72 700 Td (new text) Tj ET\n"
+    extra = (
+        f"6 0 obj << /Length {len(new_content)} >> stream\n"
+        f"{new_content}endstream endobj\n"
+    )
+    # ObjStm redefining page 3 to point at contents 6
+    member = ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              "/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>")
+    header = f"3 0 "
+    body = (header + member).encode("latin-1")
+    raw = zlib.compress(body)
+    objstm = (
+        f"7 0 obj << /Type /ObjStm /N 1 /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(raw)} >> stream\n"
+    ).encode("latin-1") + raw + b"\nendstream endobj\n"
+
+    old_content = "BT /F1 11 Tf 72 700 Td (old text) Tj ET\n"
+    page_objs = (
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+    )
+    pdf = _mini_pdf(page_objs, old_content,
+                    extra=extra).replace(b"trailer",
+                                         objstm + b"trailer")
+    doc = PdfDocument(pdf)
+    runs, _ = interpret_page(doc, doc.pages()[0], 1)
+    assert " ".join(r.text for r in runs).strip() == "new text"

@@ -9,7 +9,7 @@ from docling_spark.operators.extract_ops import extract_turns, with_turn_rank
 from docling_spark.schema import TRANSCRIPTS_SCHEMA
 
 
-def test_time_budget_produces_failure_rows(spark):
+def test_time_budget_produces_skipped_rows(spark):
     rows = [("c1", i, "user", None, "<h1>T</h1><p>body %d</p>" % i, "html")
             for i in range(50)]
     df = spark.createDataFrame(
@@ -17,10 +17,12 @@ def test_time_budget_produces_failure_rows(spark):
               "text string, tool string"
     ).coalesce(1)
     out = extract_turns(df, timeout_s=0.0).collect()
-    # budget 0 → every row still comes back, as timeout failures
+    # budget 0 → every row still comes back; rows never attempted are
+    # SKIPPED (not failed — a rerun must distinguish "never ran" from
+    # "parsed and broke"), each carrying the timeout error record
     assert len(out) == 50
     cats = {e["category"] for r in out for e in r["errors"]}
-    assert all(r["status"] == "failure" for r in out)
+    assert all(r["status"] == "skipped" for r in out)
     assert cats == {"timeout"}
 
 
