@@ -203,12 +203,44 @@ def dedup_cells(cells: list[dict]) -> list[dict]:
 
 
 def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
+    """Candidate pairs come from a coarse spatial grid, not all-pairs:
+    a dense page (20k vector cells from a map or a spammy generator)
+    made the plain n² pass burn minutes of a batch's time budget. Cells
+    register in every grid bucket their bbox touches, so any pair with
+    nonzero intersection shares a bucket; pairs that never intersect
+    have IoU 0 on both sides and can never trip the >0.8 rule, making
+    the skip exact. Candidates are visited in ascending index order so
+    the order-dependent keep/remove outcome is byte-identical to the
+    sequential pass."""
+    n = len(cells)
+    side = 64.0
+    if n:
+        ws = sorted(c["bbox"][2] - c["bbox"][0] for c in cells)
+        hs = sorted(c["bbox"][3] - c["bbox"][1] for c in cells)
+        side = max(8.0, min(128.0, ws[n // 2], hs[n // 2]))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    spans: list[tuple[int, int, int, int]] = []
+    for idx, c in enumerate(cells):
+        left, top, right, bot = c["bbox"]
+        gx0, gx1 = int(left // side), int(right // side)
+        gy0, gy1 = int(top // side), int(bot // side)
+        spans.append((gx0, gx1, gy0, gy1))
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                buckets.setdefault((gx, gy), []).append(idx)
     out: list[dict] = []
-    removed = [False] * len(cells)
+    removed = [False] * n
     for i, a in enumerate(cells):
         if removed[i]:
             continue
-        for j in range(i + 1, len(cells)):
+        gx0, gx1, gy0, gy1 = spans[i]
+        cand: set[int] = set()
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                for j in buckets[(gx, gy)]:
+                    if j > i:
+                        cand.add(j)
+        for j in sorted(cand):
             if removed[j]:
                 continue
             b = cells[j]

@@ -768,14 +768,19 @@ class TexWalker:
 
     # -- custom macro invocation (handlers/macros.py:577-633) ---------------
 
-    def _expand_custom_invocation(self, node: Macro,
-                                  following) -> tuple[str, int]:
+    def _expand_custom_invocation(self, node: Macro, nodes,
+                                  start: int) -> tuple[str, int]:
+        """``nodes[start:]`` are the siblings after the invocation. Passed
+        as (list, index) — materializing the tail per macro call made a
+        macro-heavy document quadratic (every \\textbf copied the rest
+        of the paragraph's node list)."""
         expected = self.custom_nargs.get(node.name, 0)
         if expected <= 0:
             return self.custom[node.name], 0
         values: list[str] = []
         consumed = 0
-        for nxt in following:
+        for k in range(start, len(nodes)):
+            nxt = nodes[k]
             if len(values) >= expected:
                 break
             if isinstance(nxt, Chars) and not nxt.chars.strip():
@@ -795,7 +800,7 @@ class TexWalker:
 
     # -- text assembly (utils/text.py:117-196) ------------------------------
 
-    def _macro_node_to_text(self, node: Macro, following) -> tuple:
+    def _macro_node_to_text(self, node: Macro, nodes, start: int) -> tuple:
         consumed = 0
         if node.name in (_TEXT_FORMATTING | _TEXT_STYLE):
             return (self._extract_macro_arg(node) or "", consumed)
@@ -820,7 +825,7 @@ class TexWalker:
             return (node.name, consumed)
         if node.name in self.custom:
             expansion, consumed = self._expand_custom_invocation(
-                node, following)
+                node, nodes, start)
             if self.custom_nargs.get(node.name, 0) > 0:
                 return (self._parse_fragment_to_text(expansion), consumed)
             return (expansion, consumed)
@@ -849,7 +854,7 @@ class TexWalker:
                 parts.append(self._nodes_to_text(node.nodes))
             elif isinstance(node, Macro):
                 text, consumed = self._macro_node_to_text(
-                    node, nodes[idx + 1:])
+                    node, nodes, idx + 1)
                 if text:
                     parts.append(text)
             elif isinstance(node, MathN):
@@ -939,7 +944,7 @@ class TexWalker:
             elif isinstance(node, Macro):
                 consumed = self._process_macro_inline(
                     node, parent, text_label, buffer, flush,
-                    nodes[idx + 1:])
+                    nodes, idx + 1)
             elif isinstance(node, Env):
                 flush()
                 self._process_environment(node, parent, text_label)
@@ -968,7 +973,7 @@ class TexWalker:
 
     def _process_macro_inline(self, node: Macro, parent: int,
                               text_label, buffer, flush,
-                              following) -> int:
+                              nodes, start: int) -> int:
         name = node.name
         if name in _INLINE_VERBATIM:
             buffer.append(" " if name == "~" else name)
@@ -980,7 +985,7 @@ class TexWalker:
                 buffer.append(t)
         elif name in self.custom:
             expansion, consumed = self._expand_custom_invocation(
-                node, following)
+                node, nodes, start)
             if expansion:
                 if self.custom_nargs.get(name, 0) > 0:
                     buffer.append(self._parse_fragment_to_text(expansion))

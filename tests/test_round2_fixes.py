@@ -376,3 +376,92 @@ def test_pdf_objstm_overrides_earlier_raw_object():
     doc = PdfDocument(pdf)
     runs, _ = interpret_page(doc, doc.pages()[0], 1)
     assert " ".join(r.text for r in runs).strip() == "new text"
+
+
+def test_dedup_cells_grid_matches_sequential_pass():
+    """The spatial-grid candidate index in _dedup_cells_one_page must be
+    invisible: byte-identical keep/remove outcome vs the plain ordered
+    n² pass it replaced (only provably non-intersecting pairs may be
+    skipped — their IoU is 0 both ways)."""
+    import random
+
+    from docling_spark.engine.layoutx import dedup_cells
+
+    def seq_dedup(cells):
+        def iou(a, b):
+            il, it = max(a[0], b[0]), max(a[1], b[1])
+            ir, ib = min(a[2], b[2]), min(a[3], b[3])
+            if ir <= il or ib <= it:
+                return 0.0
+            return (ir - il) * (ib - it) / max(
+                (a[2] - a[0]) * (a[3] - a[1]), 1e-9)
+
+        out, removed = [], [False] * len(cells)
+        for i, a in enumerate(cells):
+            if removed[i]:
+                continue
+            for j in range(i + 1, len(cells)):
+                if removed[j]:
+                    continue
+                b = cells[j]
+                if iou(a["bbox"], b["bbox"]) > 0.8 or \
+                        iou(b["bbox"], a["bbox"]) > 0.8:
+                    aa = (a["bbox"][2] - a["bbox"][0]) * \
+                         (a["bbox"][3] - a["bbox"][1])
+                    ab = (b["bbox"][2] - b["bbox"][0]) * \
+                         (b["bbox"][3] - b["bbox"][1])
+                    if (b["conf"], ab) > (a["conf"], aa):
+                        removed[i] = True
+                        break
+                    removed[j] = True
+            if not removed[i]:
+                out.append(a)
+        return out
+
+    rng = random.Random(3)
+    for _ in range(60):
+        cells = []
+        for k in range(rng.randrange(0, 120)):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 700)
+            w, h = rng.uniform(1, 150), rng.uniform(1, 40)
+            cells.append({"page_no": 1, "bbox": (x, y, x + w, y + h),
+                          "conf": round(rng.uniform(0.3, 1.0), 2),
+                          "label": "text", "text": f"t{k}"})
+        got = [c["text"] for c in dedup_cells(list(cells))]
+        want = [c["text"] for c in seq_dedup(list(cells))]
+        assert got == want
+
+
+def test_dense_single_page_dedup_is_not_quadratic():
+    """20k cells on ONE page must dedup in well under the per-document
+    budget (the all-pairs pass took minutes; the grid index is ~linear
+    for non-overlapping text grids)."""
+    import time
+
+    from docling_spark.engine.layoutx import dedup_cells
+
+    cells = [{"page_no": 1,
+              "bbox": ((i % 140) * 4.0, 790.0 - (i // 140) * 5 % 780,
+                       (i % 140) * 4.0 + 3, 792.0 - (i // 140) * 5 % 780),
+              "conf": 0.9, "label": "text", "text": f"w{i}"}
+             for i in range(20000)]
+    t0 = time.monotonic()
+    out = dedup_cells(cells)
+    assert time.monotonic() - t0 < 30.0  # was ~260 s before the grid
+    assert len(out) > 1000
+
+
+def test_macro_heavy_latex_is_linear():
+    """Inline-macro handling passes (nodes, start), never a tail copy:
+    a \\textbf-per-word document was quadratic in the macro count."""
+    import time
+
+    from docling_spark.engine.extract import extract_payload
+
+    p = ("\\documentclass{article}\\begin{document}"
+         + "\\textbf{x} " * 30000 + "\\end{document}")
+    t0 = time.monotonic()
+    r = extract_payload(p, "latex")
+    assert time.monotonic() - t0 < 20.0  # was ~6 s at 30k, quadratic
+    assert r["status"] == "success"
+    assert r["extracted_text"].count("x") == 30000
