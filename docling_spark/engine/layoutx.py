@@ -275,18 +275,23 @@ def _detect_columns(cells: list[dict], page_width: float) -> float | None:
     lo, hi = 0.25 * page_width, 0.75 * page_width
     candidates = {page_width / 2.0}
     candidates.update(c["bbox"][0] - 1.0 for c in body)
+    # counts per candidate via two binary searches over the sorted edge
+    # arrays (identical tallies to a scan: right<=s cells always have
+    # left<s, so crossers = #{left<s} - #{right<=s}) — the per-candidate
+    # cell scan was O(n²) on pages where every line has a distinct left
+    # edge (ragged OCR output, dense vector pages)
+    from bisect import bisect_left, bisect_right
+
+    lefts = sorted(c["bbox"][0] for c in body)
+    rights = sorted(c["bbox"][2] for c in body)
+    n_body = len(body)
     best = None  # (min(left,right), split)
     for split in candidates:
         if not lo <= split <= hi:
             continue
-        crossers = left = right = 0
-        for c in body:
-            if c["bbox"][0] < split < c["bbox"][2]:
-                crossers += 1
-            elif c["bbox"][2] <= split:
-                left += 1
-            else:
-                right += 1
+        left = bisect_right(rights, split)
+        crossers = bisect_left(lefts, split) - left
+        right = n_body - left - crossers
         # a handful of crossers (mis-merged lines, inline figures) must
         # not veto an otherwise overwhelming two-column structure; they
         # become band separators in reading_order

@@ -465,3 +465,55 @@ def test_macro_heavy_latex_is_linear():
     assert time.monotonic() - t0 < 20.0  # was ~6 s at 30k, quadratic
     assert r["status"] == "success"
     assert r["extracted_text"].count("x") == 30000
+
+
+def test_detect_columns_bisect_matches_scan():
+    """The sorted-edge bisect tallies in _detect_columns must equal the
+    per-candidate cell scan they replaced, on random mixed layouts."""
+    import random
+
+    from docling_spark.engine.layoutx import _detect_columns
+
+    def ref_detect(cells, page_width):
+        body = [c for c in cells if c["label"] in ("text", "list_item")]
+        if len(body) < 4:
+            return None
+        lo, hi = 0.25 * page_width, 0.75 * page_width
+        candidates = {page_width / 2.0}
+        candidates.update(c["bbox"][0] - 1.0 for c in body)
+        best = None
+        for split in candidates:
+            if not lo <= split <= hi:
+                continue
+            crossers = left = right = 0
+            for c in body:
+                if c["bbox"][0] < split < c["bbox"][2]:
+                    crossers += 1
+                elif c["bbox"][2] <= split:
+                    left += 1
+                else:
+                    right += 1
+            if crossers <= max(0, int(0.06 * len(body))) \
+                    and left >= 2 and right >= 2:
+                score = min(left, right)
+                if best is None or score > best[0]:
+                    best = (score, split)
+        return best[1] if best else None
+
+    rng = random.Random(11)
+    for trial in range(150):
+        n = rng.randrange(0, 60)
+        w = rng.choice([400.0, 600.0, 612.0])
+        cells = []
+        for k in range(n):
+            if rng.random() < 0.5:
+                x = rng.choice([40.0, w / 2 + 10]) + rng.uniform(-2, 2)
+            else:
+                x = rng.uniform(0, w - 50)
+            y = rng.uniform(0, 700)
+            cw = rng.uniform(10, w / 2 - 20)
+            cells.append({"page_no": 1, "bbox": (x, y, x + cw, y + 10),
+                          "conf": 0.9, "text": "t",
+                          "label": rng.choice(
+                              ["text", "list_item", "title"])})
+        assert _detect_columns(list(cells), w) == ref_detect(list(cells), w)
