@@ -211,8 +211,13 @@ def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
     have IoU 0 on both sides and can never trip the >0.8 rule, making
     the skip exact. Candidates are visited in ascending index order so
     the order-dependent keep/remove outcome is byte-identical to the
-    sequential pass."""
+    sequential pass.
+
+    Typical pages (tens of cells) skip the index: below the crossover
+    the plain pass is cheaper than building buckets."""
     n = len(cells)
+    if n <= 48:
+        return _dedup_cells_all_pairs(cells)
     side = 64.0
     if n:
         ws = sorted(c["bbox"][2] - c["bbox"][0] for c in cells)
@@ -241,6 +246,31 @@ def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
                     if j > i:
                         cand.add(j)
         for j in sorted(cand):
+            if removed[j]:
+                continue
+            b = cells[j]
+            if (
+                _iou_over_self(a["bbox"], b["bbox"]) > 0.8
+                or _iou_over_self(b["bbox"], a["bbox"]) > 0.8
+            ):
+                area_a = (a["bbox"][2] - a["bbox"][0]) * (a["bbox"][3] - a["bbox"][1])
+                area_b = (b["bbox"][2] - b["bbox"][0]) * (b["bbox"][3] - b["bbox"][1])
+                if (b["conf"], area_b) > (a["conf"], area_a):
+                    removed[i] = True
+                    break
+                removed[j] = True
+        if not removed[i]:
+            out.append(a)
+    return out
+
+
+def _dedup_cells_all_pairs(cells: list[dict]) -> list[dict]:
+    out: list[dict] = []
+    removed = [False] * len(cells)
+    for i, a in enumerate(cells):
+        if removed[i]:
+            continue
+        for j in range(i + 1, len(cells)):
             if removed[j]:
                 continue
             b = cells[j]
