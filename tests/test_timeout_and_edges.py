@@ -114,3 +114,29 @@ def test_legacy_office_contained_failure():
         r = extract_payload("\xd0\xcfbinary junk", hint)
         assert r["status"] == "failure"
         assert r["format"] == fmt
+
+
+def test_hostile_boundary_rows_survive_arrow(spark):
+    """Lone surrogates, NUL bytes, and null text/tool columns must cross
+    the Arrow boundary and come back as contained result rows — at scale
+    one poisoned string that raises in serialization would fail the
+    whole task, not one row."""
+    rows = [
+        ("c1", 0, "user", None, "\ud800 lone surrogate", "html"),
+        ("c1", 1, "user", None, "ok \udfff tail", ""),
+        ("c1", 2, "user", None, None, "html"),
+        ("c1", 3, "user", None, "<p>fine</p>", None),
+        ("c1", 4, "user", None, "\x00null byte\x00", ""),
+        ("c1", 5, "user", None, "a" * 10, "\ud800"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="conv_id string, turn_idx int, role string, "
+                     "ts timestamp, text string, tool string")
+    out = {r["turn_idx"]: r for r in extract_turns(df).collect()}
+    assert len(out) == 6  # every input row yields exactly one result row
+    assert out[2]["status"] in ("failure", "skipped") and out[2]["errors"]
+    assert out[3]["status"] == "success"
+    assert out[3]["extracted_text"] == "fine"
+    for r in out.values():
+        assert r["status"] in ("success", "partial_success",
+                               "failure", "skipped")
