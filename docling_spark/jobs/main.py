@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
         SparkSession.builder.appName("docling-spark-extract")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # the row cap alone is not a memory bound: 2000 rows of multi-MB
+        # payloads would be a multi-GB Arrow batch. Spark 4's byte cap
+        # splits batches earlier; pinned explicitly so executor sizing
+        # can rely on it (64 MB/batch/core) rather than on a default.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .getOrCreate()
     )
 
