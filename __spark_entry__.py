@@ -598,6 +598,97 @@ where inter::double / (sa.sz + sb.sz - inter) >= 0.1
 """
 
 
+def _shingle_sql(table: str) -> str:
+    """_SHINGLE_SQL retargeted at another relation (e.g. a split CTE)."""
+    return _SHINGLE_SQL.replace("from documents)", f"from {table})")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """New-batch dedup against a persisted corpus signature index — the
+    continuous-ingestion shape: the corpus is represented ONLY by its
+    minhash signature table (K longs/doc, written when each earlier batch
+    was accepted); the incoming batch alone is shingled. Candidates are a
+    (band_id, bucket) equi-join of batch bands vs index bands; the verdict
+    screen is signature agreement. Corpus/batch split is deterministic
+    (doc_id % 10) so the oracle reproduces it."""
+    from docling_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # stands in for the persisted index table a real deployment would read
+    index_sigs = minhash_signatures(
+        shingles(docs.filter(F.col("doc_id") % 10 < 7)), 8)
+    batch_sigs = minhash_signatures(
+        shingles(docs.filter(F.col("doc_id") % 10 >= 7)), 8)
+    return incremental_dedup(batch_sigs, index_sigs, 8, 2, threshold=0.5)
+
+
+def _bands_sql(sig_cte: str) -> str:
+    return " union all ".join(
+        f"select doc_id, {b} as band_id, "
+        f"md5(mh_{2 * b} || ',' || mh_{2 * b + 1}) as bucket from {sig_cte}"
+        for b in range(4)
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+with corpus_docs as (select * from documents where doc_id % 10 < 7),
+batch_docs as (select * from documents where doc_id % 10 >= 7),
+sh_c as ({_shingle_sql("corpus_docs")}),
+sh_b as ({_shingle_sql("batch_docs")}),
+sig_c as (select doc_id, {_mh_sql(8)} from sh_c group by doc_id),
+sig_b as (select doc_id, {_mh_sql(8)} from sh_b group by doc_id),
+bands_c as ({_bands_sql("sig_c")}),
+bands_b as ({_bands_sql("sig_b")}),
+cand_ci as (
+  select distinct b.doc_id as bdoc, c.doc_id as cdoc
+  from bands_b b join bands_c c
+    on b.band_id = c.band_id and b.bucket = c.bucket
+),
+corpus_hit as (
+  select bdoc, min(cdoc) as corpus_dup_of
+  from cand_ci
+  join sig_b sb on sb.doc_id = bdoc
+  join sig_c sc on sc.doc_id = cdoc
+  where ({" + ".join(
+    f"case when sb.mh_{j} = sc.mh_{j} then 1 else 0 end" for j in range(8)
+  )}) / 8.0 >= 0.5
+  group by 1
+),
+cand_bb as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands_b a join bands_b b
+    on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+),
+pass_bb as (
+  select doc_a, doc_b
+  from cand_bb
+  join sig_b sa on sa.doc_id = doc_a
+  join sig_b s2 on s2.doc_id = doc_b
+  where ({" + ".join(
+    f"case when sa.mh_{j} = s2.mh_{j} then 1 else 0 end" for j in range(8)
+  )}) / 8.0 >= 0.5
+),
+batch_hit as (
+  select doc_b as bdoc, min(doc_a) as batch_dup_of
+  from pass_bb
+  where doc_a not in (select bdoc from corpus_hit)
+  group by 1
+)
+select s.doc_id,
+  case when ch.bdoc is not null then 'dup_corpus'
+       when bh.bdoc is not null then 'dup_batch'
+       else 'new' end as verdict,
+  coalesce(ch.corpus_dup_of, bh.batch_dup_of, s.doc_id) as dup_of
+from sig_b s
+left join corpus_hit ch on ch.bdoc = s.doc_id
+left join batch_hit bh on bh.bdoc = s.doc_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate clusters: connected components (iterative min-label
     propagation — the distributed UnionFind) over n-gram Jaccard pairs."""
@@ -4618,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -4728,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": ORACLE_JACCARD,
         "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
         "minhash_jaccard_est": ORACLE_MINHASH_EST,
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "simhash": ORACLE_SIMHASH,
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,

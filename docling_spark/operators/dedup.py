@@ -101,15 +101,13 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Band the signature (rows of ``band_size`` hashes → md5 bucket key),
-    self-join per band bucket → distinct candidate pairs (a < b).
-
-    At scale this is the whole point: the join key is (band_id, bucket) so
-    only docs agreeing on a band ever meet in the shuffle.
-    """
+    """(doc_id, band_id, bucket): the LSH band rows of a signature table —
+    rows of ``band_size`` consecutive hashes md5'd into a bucket key.
+    This IS the persistable LSH index shape: band it once when a corpus
+    is ingested, store it, and every later batch joins against it."""
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
@@ -133,9 +131,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("bd")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (rows of ``band_size`` hashes → md5 bucket key),
+    self-join per band bucket → distinct candidate pairs (a < b).
+
+    At scale this is the whole point: the join key is (band_id, bucket) so
+    only docs agreeing on a band ever meet in the shuffle.
+    """
+    banded = band_signatures(sigs, num_hashes, band_size)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -174,6 +184,116 @@ def minhash_jaccard_estimate(
             "doc_a", "doc_b",
             F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
         )
+    )
+
+
+def incremental_dedup(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verdict for every document of a NEW batch against a persisted
+    corpus signature index — without touching corpus text.
+
+    The production shape for continuous ingestion at 100 TB: the index is
+    K longs per corpus document (the minhash signature table, written once
+    when each earlier batch was accepted — ~64 bytes/doc, petabyte corpus →
+    a few TB of index, partitionable like any table). The incoming batch
+    alone is shingled and minhashed; the corpus is NEVER re-scanned.
+
+    Plan shape: candidates come from a (band_id, bucket) hash equi-join of
+    batch bands against index bands — only docs agreeing on a band ever
+    meet in a shuffle — and the verdict screen is pure signature agreement
+    (``#matching mins / K >= threshold``), so no shingle set is ever
+    reassembled for a corpus doc. Batch-internal duplicates reuse the same
+    banding self-joined (the batch is the small side; at 100 TB scale the
+    index side dwarfs it, and both joins stay keyed).
+
+    Verdict per batch doc (single-hop, deterministic):
+
+    - ``dup_corpus`` — some index candidate passes the screen;
+      ``dup_of`` = smallest such corpus doc_id;
+    - ``dup_batch`` — else, a passing batch-internal candidate with a
+      smaller doc_id exists that is itself not dup_corpus;
+      ``dup_of`` = smallest such;
+    - ``new`` — else; ``dup_of`` = own doc_id (these rows are the index
+      delta: their signatures join the index for the next batch).
+
+    Single-hop keeps the op one fixed DAG (no iteration); full transitive
+    clustering stays :func:`connected_components`' job.
+    """
+    cols = [f"mh_{j}" for j in range(num_hashes)]
+
+    def _est(a_pref: str, b_pref: str):
+        matches = sum(
+            F.when(F.col(f"{a_pref}{c}") == F.col(f"{b_pref}{c}"), 1).otherwise(0)
+            for c in cols
+        )
+        return matches / F.lit(float(num_hashes))
+
+    bands_b = band_signatures(batch_sigs, num_hashes, band_size)
+    bands_i = band_signatures(index_sigs, num_hashes, band_size)
+
+    # batch × index candidates → signature-agreement screen → best corpus hit
+    cand_ci = (
+        bands_b.alias("b")
+        .join(
+            bands_i.alias("i"),
+            (F.col("b.band_id") == F.col("i.band_id"))
+            & (F.col("b.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("bdoc"), F.col("i.doc_id").alias("cdoc"))
+        .distinct()
+    )
+    sig_b = batch_sigs.select(
+        F.col("doc_id").alias("bdoc"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    sig_i = index_sigs.select(
+        F.col("doc_id").alias("cdoc"), *[F.col(c).alias(f"i_{c}") for c in cols]
+    )
+    corpus_hit = (
+        cand_ci.join(sig_b, "bdoc")
+        .join(sig_i, "cdoc")
+        .filter(_est("b_", "i_") >= threshold)
+        .groupBy("bdoc")
+        .agg(F.min("cdoc").alias("corpus_dup_of"))
+    )
+
+    # batch-internal passing pairs (a < b), a not itself dup_corpus
+    pass_bb = (
+        lsh_candidate_pairs(batch_sigs, num_hashes, band_size)
+        .join(sig_b.withColumnRenamed("bdoc", "doc_a")
+              .select("doc_a", *[F.col(f"b_{c}").alias(f"a_{c}") for c in cols]),
+              "doc_a")
+        .join(sig_b.withColumnRenamed("bdoc", "doc_b"), "doc_b")
+        .filter(_est("a_", "b_") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    batch_hit = (
+        pass_bb.join(
+            corpus_hit.select(F.col("bdoc").alias("doc_a")), "doc_a", "left_anti"
+        )
+        .groupBy(F.col("doc_b").alias("bdoc"))
+        .agg(F.min("doc_a").alias("batch_dup_of"))
+    )
+
+    out = (
+        batch_sigs.select(F.col("doc_id"))
+        .join(corpus_hit, batch_sigs.doc_id == corpus_hit.bdoc, "left")
+        .drop("bdoc")
+        .join(batch_hit, batch_sigs.doc_id == batch_hit.bdoc, "left")
+        .drop("bdoc")
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("corpus_dup_of").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("batch_dup_of").isNotNull(), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce(F.col("corpus_dup_of"), F.col("batch_dup_of"), F.col("doc_id"))
+        .alias("dup_of"),
     )
 
 

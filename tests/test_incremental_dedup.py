@@ -1,0 +1,87 @@
+"""incremental_dedup: new-batch dedup against a persisted corpus
+signature index (continuous-ingestion shape — corpus text never touched,
+only its minhash signature table)."""
+
+from __future__ import annotations
+
+from tests.planutils import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sigs(spark, rows):
+    """(doc_id, text) rows → minhash signature table."""
+    from docling_spark.operators.dedup import minhash_signatures, shingles
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return minhash_signatures(shingles(df), 8)
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1, "completely unrelated corpus material about spark physical planning"),
+    (2, "another unrelated corpus document concerning parquet column pruning"),
+]
+
+BATCH = [
+    # near-identical to corpus doc 0 → dup_corpus
+    (17, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    # 27/37 duplicates of each other, novel vs corpus → 27 new, 37 dup_batch
+    (27, "batch only text that repeats enough tokens to shingle and match its twin"),
+    (37, "batch only text that repeats enough tokens to shingle and match its twin"),
+    # unique → new
+    (47, "entirely novel batch document with no duplicate anywhere at all"),
+]
+
+
+def test_verdicts(spark):
+    from docling_spark.operators.dedup import incremental_dedup
+
+    out = incremental_dedup(_sigs(spark, BATCH), _sigs(spark, CORPUS), 8, 2, 0.5)
+    got = {r["doc_id"]: (r["verdict"], r["dup_of"]) for r in out.collect()}
+    assert got[17] == ("dup_corpus", 0)
+    assert got[27] == ("new", 27)
+    assert got[37] == ("dup_batch", 27)
+    assert got[47] == ("new", 47)
+
+
+def test_corpus_precedence_over_batch(spark):
+    """A batch doc matching BOTH the index and an earlier batch doc is
+    dup_corpus (and its batch twin may not claim it)."""
+    from docling_spark.operators.dedup import incremental_dedup
+
+    batch = [
+        (7, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (97, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    ]
+    out = incremental_dedup(_sigs(spark, batch), _sigs(spark, CORPUS), 8, 2, 0.5)
+    got = {r["doc_id"]: (r["verdict"], r["dup_of"]) for r in out.collect()}
+    assert got[7] == ("dup_corpus", 0)
+    assert got[97] == ("dup_corpus", 0)
+
+
+def test_batch_hop_requires_keeper_head(spark):
+    """dup_batch only points at a batch doc that is itself NOT dup_corpus:
+    if the smaller twin is dup_corpus, the larger twin matching only the
+    twin (not the corpus) stays 'new' — single-hop, no chain."""
+    from docling_spark.operators.dedup import incremental_dedup
+
+    out = incremental_dedup(_sigs(spark, BATCH), _sigs(spark, CORPUS), 8, 2, 0.5)
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    # structural guarantee exercised by construction in BATCH; here just
+    # assert nothing points at a dup_corpus doc
+    dup_of = {r["doc_id"]: r["dup_of"] for r in out.collect()}
+    corpus_dups = {d for d, v in got.items() if v == "dup_corpus"}
+    for d, v in got.items():
+        if v == "dup_batch":
+            assert dup_of[d] not in corpus_dups
+
+
+def test_plan_no_pair_enumeration(spark):
+    """The contract query's physical plan: every join keyed (band/bucket or
+    doc_id) — no CartesianProduct, no BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(spark, entry.q_incremental_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
