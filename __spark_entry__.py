@@ -4554,6 +4554,51 @@ from (
 """
 
 
+# Target mixture for the mixture_plan contract query: deliberately uneven
+# over four sources so keep_fractions differ and exactly one source binds.
+MIXTURE_TARGETS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Data-mixing plan (Pile/DoReMi shape): per-source keep fractions
+    that realize a target token mixture without oversampling any source —
+    one corpus scan + partial-agg groupBy(source), broadcast target table,
+    one-row scalar min attached back."""
+    from docling_spark.operators.curation import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), MIXTURE_TARGETS)
+
+
+ORACLE_MIXTURE_PLAN = f"""
+with targets(source, w) as (values {", ".join(
+    f"('{s}', {w})" for s, w in sorted(MIXTURE_TARGETS.items())
+)}),
+norm as (
+  select source, w / (select sum(w) from targets) as share from targets
+),
+tok as (
+  select d.source,
+         sum(case when trim(text) = '' then 0
+                  else len(string_split_regex(trim(text), '\\s+')) end)
+           as tokens_avail
+  from documents d
+  join targets t on t.source = d.source
+  group by 1
+),
+n as (
+  select min(tokens_avail / share) as nmax
+  from tok join norm using (source)
+)
+select tok.source,
+       tokens_avail,
+       round(share, 6) as target_share,
+       round(share * nmax / tokens_avail, 6) as keep_fraction,
+       cast(floor(share * nmax) as bigint) as tokens_planned
+from tok
+join norm using (source), n
+"""
+
+
 def q_dedup_canonical(spark, sf_dir):
     """End of the dedup pipeline: every document mapped to its duplicate-
     cluster canonical (smallest doc id in its Jaccard>=0.2 connected
@@ -4672,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_topk": q_tfidf_topk,
         "domain_cap": q_domain_cap,
+        "mixture_plan": q_mixture_plan,
         "dedup_canonical": q_dedup_canonical,
         "dup_span_removal": q_dup_span_removal,
         "semantic_dedup": q_semantic_dedup,
@@ -4790,6 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "tfidf_topk": ORACLE_TFIDF_TOPK,
         "domain_cap": ORACLE_DOMAIN_CAP,
+        "mixture_plan": ORACLE_MIXTURE_PLAN,
         "dedup_canonical": ORACLE_DEDUP_CANONICAL,
         "dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
         "semantic_dedup": _semantic_dedup_oracle(),

@@ -566,3 +566,54 @@ def dsir_weights(source: DataFrame, target: DataFrame, dim: int = 1024,
             (F.col("log_weight") > 0).cast("int").alias("keep"),
         )
     )
+
+
+def mixture_plan(docs: DataFrame, targets: dict[str, float],
+                 text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source sampling plan realizing a target token mixture (the
+    Pile / DoReMi data-mixing step: "the training corpus should be w_s
+    web, w_s' code, ..." given unequal availability).
+
+    Given available whitespace-token counts T_s per source and target
+    shares w_s (normalized over ``targets``' keys), the largest corpus
+    achievable WITHOUT oversampling any source is N = min_s(T_s / w_s);
+    source s then keeps ``keep_fraction = w_s·N / T_s`` of its tokens
+    (equality for the binding source, < 1 for the rest). Applying the
+    plan is :func:`stratified_sample` with these fractions.
+
+    Plan shape at 100 TB: one partial-agg groupBy(source) over the corpus
+    (sum of a per-row token count), a broadcast join against the literal
+    target table, and a one-row global min attached back as a scalar —
+    the only data-sized cost is the single corpus scan.
+
+    Output: (source, tokens_avail, target_share, keep_fraction,
+    tokens_planned), one row per targeted source.
+    """
+    spark = docs.sparkSession
+    total_w = float(sum(targets.values()))
+    tgt = spark.createDataFrame(
+        [(s, float(w) / total_w) for s, w in sorted(targets.items())],
+        f"{source_col} string, target_share double",
+    )
+    tok = (
+        docs.join(F.broadcast(tgt.select(source_col)), source_col, "left_semi")
+        .groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("tokens_avail"))
+    )
+    per_src = tok.join(F.broadcast(tgt), source_col)
+    nmax = per_src.agg(
+        F.min(F.col("tokens_avail") / F.col("target_share")).alias("nmax"))
+    return (
+        per_src.crossJoin(F.broadcast(nmax))  # one-row scalar attach
+        .select(
+            F.col(source_col).alias("source"),
+            "tokens_avail",
+            F.round("target_share", 6).alias("target_share"),
+            F.round(
+                F.col("target_share") * F.col("nmax") / F.col("tokens_avail"), 6
+            ).alias("keep_fraction"),
+            F.floor(F.col("target_share") * F.col("nmax")).cast("long")
+            .alias("tokens_planned"),
+        )
+    )

@@ -136,6 +136,47 @@ def band_signatures(
     )
 
 
+def minhash_signature_array(
+    text_col, num_hashes: int = 8, k: int = 3
+) -> "F.Column":
+    """Row-local minhash signature as one ``array<long>`` column — the
+    shuffle-free twin of :func:`shingles` + :func:`minhash_signatures`
+    (same hash family, bit-identical values, asserted by test).
+
+    Why it exists: Structured Streaming cannot run the explode+groupBy
+    signature aggregation upstream of a stateful operator (a streaming agg
+    before ``applyInPandasWithState`` is rejected / needs its own state).
+    Computing the signature per ROW with JVM higher-order functions
+    (transform + array_min over the shingle array) keeps the streaming
+    plan a pure projection. Batch keeps the explode form, whose partial
+    aggregation is friendlier when one doc is huge.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array(hash60(F.concat_ws(" ", toks))))
+    sh = F.array_distinct(sh)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: F.pmod(
+                        F.lit(a) * F.pmod(s, F.lit(MH_H_MOD)) + F.lit(b),
+                        F.lit(MH_P),
+                    ),
+                )
+            )
+            for (a, b) in mh_consts(num_hashes)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:

@@ -175,3 +175,147 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-duplicate detection (LSH-bucket-keyed state)
+# ---------------------------------------------------------------------------
+
+NEAR_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band_id", T.IntegerType(), True),
+        T.StructField("bucket", T.StringType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("dup_of", T.LongType(), True),
+        T.StructField("jaccard_est", T.DoubleType(), True),
+    ]
+)
+
+# flattened signatures: doc i owns sigs[i*K : (i+1)*K] — nested arrays are
+# avoided in state on purpose (flat columnar state serializes smaller)
+NEAR_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("sigs", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def make_stream_near_dedup(num_hashes: int = 8, threshold: float = 0.5,
+                           max_bucket: int = 64):
+    """(key, batches, state) function for LSH-bucket-keyed near-dup state.
+
+    Per (band_id, bucket) the state holds the signatures of the first
+    ``max_bucket`` docs that landed in the bucket. Each incoming doc is
+    screened by signature agreement against the stored set (and earlier
+    docs of the same micro-batch, in doc_id order — deterministic under
+    replay); a passing doc emits ONE row pointing at the smallest passing
+    predecessor. Docs beyond ``max_bucket`` still screen but are not
+    stored — a hot bucket means mass duplication, and its first
+    ``max_bucket`` representatives are screen enough; the cap is what
+    bounds state at 100 TB.
+    """
+
+    def near(key, pdfs, state: GroupState):
+        band_id, bucket = key
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        if state.exists:
+            doc_ids, sigs = state.get
+            doc_ids = list(doc_ids)
+            sigs = list(sigs)
+        else:
+            doc_ids, sigs = [], []
+        rows = []
+        incoming = []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                incoming.append((int(doc_id), [int(x) for x in sig]))
+        incoming.sort(key=lambda t: t[0])
+        changed = False
+        for doc_id, sig in incoming:
+            if doc_id in doc_ids:
+                continue  # replayed / duplicated input row
+            best = None
+            for i, prev_id in enumerate(doc_ids):
+                prev = sigs[i * num_hashes:(i + 1) * num_hashes]
+                est = sum(1 for a, b in zip(sig, prev) if a == b) / num_hashes
+                if est >= threshold and (best is None or prev_id < best[0]):
+                    best = (prev_id, est)
+            if best is not None:
+                rows.append((band_id, bucket, doc_id, best[0], round(best[1], 6)))
+            if len(doc_ids) < max_bucket:
+                doc_ids.append(doc_id)
+                sigs.extend(sig)
+                changed = True
+        if changed:
+            state.update((doc_ids, sigs))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["band_id", "bucket", "doc_id", "dup_of",
+                               "jaccard_est"])
+
+    return near
+
+
+def near_dedup_stream(docs: DataFrame, text_col: str = "text",
+                      num_hashes: int = 8, band_size: int = 2,
+                      threshold: float = 0.5,
+                      max_bucket: int = 64) -> DataFrame:
+    """Streaming near-duplicate detection: minhash signatures computed
+    row-locally (no shuffle — ``minhash_signature_array``), banded, then
+    keyed by (band_id, bucket) into ``applyInPandasWithState``. The
+    streaming twin of ``incremental_dedup``: duplicates arriving
+    micro-batches (or days) apart are caught by the bucket state.
+
+    Emits one row per (band, passing doc): (band_id, bucket, doc_id,
+    dup_of, jaccard_est). A doc near-matching on several bands emits once
+    per band — consolidation to a per-doc verdict is a batch concern
+    (groupBy doc_id → min dup_of over the emitted feed); keeping the
+    stream append-only avoids a second stateful stage.
+
+    State per bucket: ≤ ``max_bucket`` (doc_id, K-long signature) entries;
+    the grouping key space is the band/bucket universe, so state is
+    O(corpus · n_bands) longs worst case and bounded per key.
+    """
+    from pyspark.sql import functions as F
+
+    from docling_spark.operators.dedup import minhash_signature_array
+
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be divisible by band_size")
+    n_bands = num_hashes // band_size
+    sig = minhash_signature_array(F.col(text_col), num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * band_size + i + 1)
+                            .cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        docs.select(F.col("doc_id"), sig.alias("sig"))
+        .select("doc_id", "sig", F.explode(bands).alias("bd"))
+        .select("doc_id", "sig",
+                F.col("bd.band_id").alias("band_id"),
+                F.col("bd.bucket").alias("bucket"))
+    )
+    return banded.groupBy("band_id", "bucket").applyInPandasWithState(
+        make_stream_near_dedup(num_hashes, threshold, max_bucket),
+        outputStructType=NEAR_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

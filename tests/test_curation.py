@@ -344,3 +344,39 @@ def test_dsir_weights_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # no global rank — threshold keep only
+
+
+def test_mixture_plan_binding_source_and_shares(spark):
+    """The binding source (scarcest relative to its target share) keeps
+    everything; planned tokens realize the target proportions exactly."""
+    from docling_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [  # web: 100 tokens avail; code: 20; books: 40
+            (1, "w " * 100, "web"),
+            (2, "c " * 20, "code"),
+            (3, "b " * 40, "books"),
+            (4, "x " * 999, "ignored-source"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    plan = {r["source"]: r for r in mixture_plan(
+        docs, {"web": 0.5, "code": 0.25, "books": 0.25}).collect()}
+    assert set(plan) == {"web", "code", "books"}
+    # N = min(100/.5, 20/.25, 40/.25) = 80, bound by code
+    assert plan["code"]["keep_fraction"] == 1.0
+    assert plan["web"]["tokens_planned"] == 40
+    assert plan["code"]["tokens_planned"] == 20
+    assert plan["books"]["tokens_planned"] == 20
+    assert abs(plan["books"]["keep_fraction"] - 0.5) < 1e-9
+
+
+def test_mixture_plan_single_source_degenerate(spark):
+    from docling_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "only")], "doc_id long, text string, source string")
+    row = mixture_plan(docs, {"only": 7.0}).collect()[0]
+    assert row["target_share"] == 1.0
+    assert row["keep_fraction"] == 1.0
+    assert row["tokens_planned"] == 3

@@ -30,6 +30,7 @@ BNLJ_SCALAR_ATTACH = {
     "ann_topk_batch",     # broadcast hyperplane set (fixed, tiny)
     "ivf_assign",         # IVF codebook (k centroids, k fixed)
     "semantic_dedup",     # codebook attach, same shape as ivf_assign
+    "mixture_plan",       # global max-feasible-corpus min (1 row)
 }
 
 pytestmark = pytest.mark.skipif(

@@ -154,3 +154,112 @@ def test_stream_dedup_keeps_first_across_microbatches(spark, tmp_path):
     # normalized fingerprints: 'alpha beta' == 'alpha  beta' == 'ALPHA beta'
     assert len(got) == 3  # alpha-beta, gamma-delta, epsilon-zeta
     assert sorted(got.values()) == [1, 2, 5]
+
+
+def test_signature_array_matches_batch_signatures(spark):
+    """minhash_signature_array (row-local, streaming-safe) is bit-identical
+    to the batch shingles→minhash_signatures aggregation."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.operators.dedup import (
+        minhash_signature_array,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "tiny"),
+         (3, "a b"),
+         (4, "Repeat repeat REPEAT  repeat tokens tokens everywhere again")],
+        "doc_id long, text string")
+    batch = {r["doc_id"]: [r[f"mh_{j}"] for j in range(8)]
+             for r in minhash_signatures(shingles(docs), 8).collect()}
+    rowlocal = {r["doc_id"]: list(r["sig"]) for r in docs.select(
+        "doc_id", minhash_signature_array(F.col("text"), 8).alias("sig")
+    ).collect()}
+    assert batch == rowlocal
+
+
+def test_stream_near_dedup_across_microbatches(spark, tmp_path):
+    """Near-duplicates arriving in LATER micro-batches are caught by the
+    LSH-bucket state; unrelated docs emit nothing."""
+    from docling_spark.streaming.stateful import near_dedup_stream
+
+    inp = str(tmp_path / "nin")
+    ckpt = str(tmp_path / "nckpt")
+    out = str(tmp_path / "nout")
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows1 = [(1, base), (2, "completely different material about query planning")]
+    rows2 = [(9, base + " today"), (10, "novel text with no twin anywhere at all")]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(inp + "/b0")
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(inp + "/b1")
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        near_dedup_stream(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).collect()
+    assert got, "near-pair across micro-batches not detected"
+    # per-doc consolidation (the documented batch step over the feed)
+    verdicts = {}
+    for r in got:
+        cur = verdicts.get(r["doc_id"])
+        if cur is None or r["dup_of"] < cur:
+            verdicts[r["doc_id"]] = r["dup_of"]
+    assert verdicts == {9: 1}
+
+
+def test_stream_near_dedup_bucket_cap():
+    """Docs beyond max_bucket still screen against stored signatures but
+    are not added to state."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_stream_near_dedup
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    fn = make_stream_near_dedup(num_hashes=4, threshold=0.5, max_bucket=2)
+    st = FakeState()
+    # docs 1,2 fill the bucket (identical sigs → 2 matches 1)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "sig": [[7, 8, 9, 10]] * 2})
+    out = list(fn((0, "k"), iter([pdf]), st))
+    assert out and list(out[0]["doc_id"]) == [2]
+    assert list(st.get[0]) == [1, 2]
+    # doc 3 screens (matches 1) but is NOT stored
+    pdf2 = pd.DataFrame({"doc_id": [3], "sig": [[7, 8, 9, 10]]})
+    out2 = list(fn((0, "k"), iter([pdf2]), st))
+    assert list(out2[0]["dup_of"]) == [1]
+    assert list(st.get[0]) == [1, 2]
