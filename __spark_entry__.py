@@ -1435,6 +1435,76 @@ from r where rank <= 3
 # deterministic sha256 stub — the Spark plumbing is real)
 # ---------------------------------------------------------------------------
 
+def q_kmeans_codebook(spark, sf_dir):
+    """Lloyd's k-means codebook training (deterministic: id-prefix init,
+    6-dp-rounded means/cosines) — k=4 centroids, 2 iterations; output
+    exploded to (centroid_id, n_members, dim_idx, value) rows so the
+    contract carries no array column (driver-canonicalizer rule)."""
+    from docling_spark.operators.similarity import kmeans_codebook
+
+    cb = kmeans_codebook(_emb(spark, sf_dir), k=4, iters=2)
+    return cb.select(
+        "centroid_id", "n_members",
+        F.posexplode(F.col("cvec")).alias("pos", "value"),
+    ).select(
+        "centroid_id", "n_members",
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        F.col("value"),
+    )
+
+
+def _kmeans_assign_sql(cents_cte: str) -> str:
+    return f"""
+  select vec_id, centroid_id from (
+    select e.vec_id, c.centroid_id,
+      row_number() over (partition by e.vec_id
+        order by round(list_cosine_similarity(e.embedding::double[], c.cvec), 6)
+                   desc, c.centroid_id) as rk
+    from embeddings e cross join {cents_cte} c) t where rk = 1
+"""
+
+
+def _kmeans_step_sql(asg_cte: str, prev_cte: str, means_cte: str) -> str:
+    """One Lloyd update: per-dim member means (6-dp) with empty-cluster
+    carry-over of the previous centroid."""
+    return f"""
+  select p.centroid_id, coalesce(n.cvec, p.cvec) as cvec
+  from {prev_cte} p left join (
+    select centroid_id, list(mval order by pos) as cvec
+    from {means_cte} group by 1) n using (centroid_id)
+"""
+
+
+_KMEANS_MEANS_SQL = """
+  select a.centroid_id, u.pos, round(avg(e.embedding[u.pos]::double), 6) as mval
+  from {asg} a join embeddings e using (vec_id),
+       unnest(generate_series(1, len(e.embedding))) as u(pos)
+  group by 1, 2
+"""
+
+ORACLE_KMEANS_CODEBOOK = f"""
+with c0 as (
+  select vec_id as centroid_id, embedding::double[] as cvec
+  from embeddings where vec_id < 4
+),
+a0 as ({_kmeans_assign_sql("c0")}),
+m0 as ({_KMEANS_MEANS_SQL.format(asg="a0")}),
+c1 as ({_kmeans_step_sql("a0", "c0", "m0")}),
+a1 as ({_kmeans_assign_sql("c1")}),
+m1 as ({_KMEANS_MEANS_SQL.format(asg="a1")}),
+c2 as ({_kmeans_step_sql("a1", "c1", "m1")}),
+af as ({_kmeans_assign_sql("c2")}),
+sizes as (select centroid_id, count(*) as n from af group by 1)
+select c.centroid_id,
+       cast(coalesce(s.n, 0) as bigint) as n_members,
+       cast(u.pos as int) as dim_idx,
+       c.cvec[u.pos] as value
+from c2 c
+left join sizes s using (centroid_id),
+     unnest(generate_series(1, len(c.cvec))) as u(pos)
+"""
+
+
 def q_ivf_assign(spark, sf_dir):
     """IVF coarse quantization (deterministic codebook = first 8 vectors):
     every vector's nearest centroid by cosine — the scale path partitions
@@ -4765,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_pairs": q_ann_bucket_pairs,
         "ann_topk_batch": q_ann_topk_batch,
         "ivf_assign": q_ivf_assign,
+        "kmeans_codebook": q_kmeans_codebook,
         # relational operator classes
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_order_rank": q_window_order_rank,
@@ -4876,6 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bucket_pairs": _ann_oracle(),
         "ann_topk_batch": _ann_topk_batch_oracle(),
         "ivf_assign": ORACLE_IVF_ASSIGN,
+        "kmeans_codebook": ORACLE_KMEANS_CODEBOOK,
         "agg_pricing_summary": ORACLE_PRICING,
         "window_order_rank": ORACLE_WINDOW_RANK,
         "anti_join_no_orders": ORACLE_ANTI_JOIN,

@@ -216,12 +216,24 @@ def ivf_assign(
     partitioned by ``centroid_id`` — probes read one partition per probed
     list instead of the full table.
     """
-    from pyspark.sql.window import Window
-
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
+    return assign_codebook(emb, cents, vec_col, id_col)
+
+
+def assign_codebook(
+    emb: DataFrame, cents: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, cos): best centroid per vector under an arbitrary
+    ``(centroid_id, cvec)`` codebook — broadcast scalar attach (the
+    codebook is k rows, fixed) + per-vector rank window. Cosines are
+    rounded to 6 dp BEFORE ranking so the argmin is reproducible across
+    engines."""
+    from pyspark.sql.window import Window
+
     scored = (
         emb.select(F.col(id_col),
                    F.col(vec_col).cast("array<double>").alias("v"))
@@ -233,6 +245,66 @@ def ivf_assign(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(id_col, "centroid_id", "cos")
+    )
+
+
+def kmeans_codebook(
+    emb: DataFrame, k: int = 4, iters: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: trains the IVF codebook that
+    ``ivf_assign``/``ivf_topk`` consume (their round-1 codebook was the
+    untrained id-prefix; this closes that gap).
+
+    Init: the first ``k`` vectors by id (no RNG — reproducible across
+    engines, runs, and cluster sizes). Each iteration: (1) assign every
+    vector to its best centroid by 6-dp-rounded cosine via a broadcast of
+    the k-row codebook, (2) recompute each centroid as the per-dimension
+    mean of its members (posexplode → partial-agg groupBy(centroid, dim):
+    the shuffle carries k·D partial sums per map task, never the vectors),
+    each mean rounded to 6 dp so the next iteration's assignment is
+    engine-reproducible. A cluster that loses all members keeps its
+    previous centroid. Driver never holds more than the plan; the codebook
+    stays k·D floats.
+
+    Output: (centroid_id, n_members, cvec) under the final codebook.
+    """
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    dims = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    for _ in range(iters):
+        asg = assign_codebook(emb, cents, vec_col, id_col)
+        means = (
+            dims.join(asg.select(id_col, "centroid_id"), id_col)
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cvec")
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cvec").alias("old"))
+            .join(newc, "centroid_id", "left")
+            .select("centroid_id",
+                    F.coalesce("cvec", "old").alias("cvec"))
+        )
+    sizes = (
+        assign_codebook(emb, cents, vec_col, id_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+    return cents.join(sizes, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        "cvec",
     )
 
 

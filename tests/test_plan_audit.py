@@ -31,6 +31,7 @@ BNLJ_SCALAR_ATTACH = {
     "ivf_assign",         # IVF codebook (k centroids, k fixed)
     "semantic_dedup",     # codebook attach, same shape as ivf_assign
     "mixture_plan",       # global max-feasible-corpus min (1 row)
+    "kmeans_codebook",    # codebook attach per Lloyd iteration (k rows)
 }
 
 pytestmark = pytest.mark.skipif(

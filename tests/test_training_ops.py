@@ -306,3 +306,39 @@ def test_linear_quality_score_custom_weights(spark):
     assert got[2].score == 0.5 and got[2].n_tokens == 0
     plan = all_pos._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_kmeans_codebook_separated_clusters(spark):
+    """Two well-separated direction clusters, k=2: members split exactly
+    and each trained centroid is the 6-dp per-dim mean of its members."""
+    from docling_spark.operators.similarity import kmeans_codebook
+
+    rows = [
+        # ids 0,1 seed the two clusters (id-prefix init)
+        (0, [10.0, 0.0, 0.1]), (1, [0.0, 10.0, 0.1]),
+        (2, [9.0, 1.0, 0.0]), (3, [11.0, 0.5, 0.2]),
+        (4, [1.0, 9.0, 0.0]), (5, [0.5, 11.0, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["centroid_id"]: r for r in
+           kmeans_codebook(emb, k=2, iters=2).collect()}
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 3
+    c0 = [round(v, 6) for v in
+          [(10.0 + 9.0 + 11.0) / 3, (0.0 + 1.0 + 0.5) / 3,
+           (0.1 + 0.0 + 0.2) / 3]]
+    c1 = [round(v, 6) for v in
+          [(0.0 + 1.0 + 0.5) / 3, (10.0 + 9.0 + 11.0) / 3,
+           (0.1 + 0.0 + 0.3) / 3]]
+    assert [round(v, 6) for v in out[0]["cvec"]] == c0
+    assert [round(v, 6) for v in out[1]["cvec"]] == c1
+
+
+def test_kmeans_codebook_counts_cover_corpus(spark, sf_dir):
+    """n_members across centroids partitions the corpus (every vector
+    assigned exactly once)."""
+    from docling_spark.operators.similarity import kmeans_codebook
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = kmeans_codebook(emb, k=4, iters=1).collect()
+    assert sum(r["n_members"] for r in cb) == emb.count()
+    assert len(cb) == 4
