@@ -312,15 +312,23 @@ def ivf_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     n_centroids: int = 8, n_probe: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: score only vectors assigned to the query's ``n_probe``
-    nearest centroids. Driver-side work is one tiny codebook collect."""
-    cents = (
-        emb.filter(F.col(id_col) < n_centroids)
+    nearest centroids. Driver-side work is one tiny codebook collect.
+
+    ``codebook`` (a (centroid_id, cvec) frame, e.g. ``kmeans_codebook``
+    output) replaces the deterministic id-prefix codebook — the full
+    train → index → serve loop."""
+    cents_df = (
+        codebook.select("centroid_id", F.col("cvec").cast("array<double>")
+                        .alias("cvec"))
+        if codebook is not None
+        else emb.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).cast("array<double>").alias("cvec"))
-        .collect()
     )
+    cents = cents_df.collect()
 
     def dot(a, b):
         return sum(x * y for x, y in zip(a, b))
@@ -335,7 +343,11 @@ def ivf_topk(
                          / (qn * norm(r["cvec"]) or 1.0)), r["centroid_id"]),
     )
     probe_ids = [r["centroid_id"] for r in ranked[:n_probe]]
-    assigned = ivf_assign(emb, n_centroids, vec_col, id_col)
+    assigned = (
+        assign_codebook(emb, cents_df, vec_col, id_col)
+        if codebook is not None
+        else ivf_assign(emb, n_centroids, vec_col, id_col)
+    )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         emb.join(assigned.filter(F.col("centroid_id").isin(probe_ids))

@@ -342,3 +342,22 @@ def test_kmeans_codebook_counts_cover_corpus(spark, sf_dir):
     cb = kmeans_codebook(emb, k=4, iters=1).collect()
     assert sum(r["n_members"] for r in cb) == emb.count()
     assert len(cb) == 4
+
+
+def test_ivf_topk_with_trained_codebook(spark, sf_dir):
+    """train -> index -> serve loop: probing with the kmeans codebook
+    returns k hits whose top result matches brute-force top-1 on this
+    corpus (the query IS a corpus vector, so its own cluster holds it)."""
+    from docling_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_codebook,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = kmeans_codebook(emb, k=4, iters=2).select("centroid_id", "cvec")
+    qvec = [float(v) for v in emb.filter("vec_id = 42").collect()[0]["embedding"]]
+    served = ivf_topk(emb, qvec, k=5, n_probe=2, codebook=cb).collect()
+    brute = topk_cosine(emb, qvec, k=1).collect()
+    assert len(served) == 5
+    assert served[0]["vec_id"] == brute[0]["vec_id"] == 42
