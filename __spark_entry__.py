@@ -2160,6 +2160,57 @@ limit 30
 """
 
 
+BM25_QUERY_TERMS = ["spark", "join", "vector", "hash"]
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    (the retrieval-side twin of tfidf_topk — RAG-recall / corpus-search
+    scoring). Plan: token explode filtered to the query terms BEFORE any
+    shuffle, one (doc, term) partial-agg groupBy, broadcast df join,
+    one-row scalar (N, avgdl) attach — nothing pairwise, one corpus
+    scan."""
+    from docling_spark.operators.textstats import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+ORACLE_BM25 = """
+with lens as (
+  select doc_id,
+         case when trim(text) = '' then 0
+              else len(string_split_regex(trim(text), '\\s+')) end as dl
+  from documents
+),
+stats as (select count(*) as n_docs, avg(dl) as avgdl from lens),
+toks as (
+  select doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) as tok
+  from documents
+),
+hits as (
+  select * from toks where tok in ('spark', 'join', 'vector', 'hash')
+),
+tf as (select doc_id, tok, count(*) as tf from hits group by 1, 2),
+dfq as (select tok, count(*) as df from tf group by 1),
+parts as (
+  select tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)),
+           8) as part
+  from tf
+  join dfq using (tok)
+  join lens using (doc_id)
+  cross join stats
+)
+select doc_id, cast(count(*) as bigint) as n_hit_terms,
+       round(sum(part), 6) as score
+from parts group by doc_id
+"""
+
+
 def q_extract_doc_rich(spark, sf_dir):
     """Legacy .doc with the round-2 structure layers: a real Word binary
     carrying a PAPX FKP (sprmPIlfo list bindings + fInTable/fTtp cell
@@ -4755,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
         "bigram_lm": q_bigram_lm,
+        "bm25_scores": q_bm25_scores,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
         "extract_xlsx": q_extract_xlsx,
@@ -4875,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_xls": ORACLE_EXTRACT_XLS,
         "extract_ppt": ORACLE_EXTRACT_PPT,
         "bigram_lm": ORACLE_BIGRAM_LM,
+        "bm25_scores": ORACLE_BM25,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,
         "extract_xlsx": ORACLE_EXTRACT_XLSX,

@@ -374,3 +374,70 @@ def bigram_lm(docs: DataFrame, k: int = 30, min_count: int = 2,
         F.round(F.col("n2") / F.col("n1"), 6).alias("cond_p"),
     )
     return scored.orderBy(F.desc("pair_count"), "w1", "w2").limit(k)
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set —
+    the retrieval-side twin of ``tfidf_topk`` (corpus search / RAG-recall
+    scoring over extracted text).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene idf: ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any shuffle, so the (doc, term) groupBy carries only matching pairs;
+    document frequency is a second partial agg over that tiny table and
+    joins back broadcast; corpus size and average doc length are a
+    one-row scalar attach. The full corpus is scanned exactly once for
+    lengths + tokens; nothing pairwise anywhere.
+
+    Output: (doc_id, n_hit_terms, score) for documents matching ≥1 term.
+    Per-term partials are rounded to 8 dp before the sum and the sum to
+    6 dp, so the result is engine-reproducible regardless of float
+    summation order.
+    """
+    terms = [t.lower() for t in query_terms]
+    lens = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(norm_text(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok").isin(terms))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))  # 1-row scalar attach
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b)
+                       + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part_raw"),
+        )
+        .select(id_col, "tok", F.round("part_raw", 8).alias("part"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.round(F.sum("part"), 6).alias("score"),
+        )
+    )

@@ -380,3 +380,39 @@ def test_mixture_plan_single_source_degenerate(spark):
     assert row["target_share"] == 1.0
     assert row["keep_fraction"] == 1.0
     assert row["tokens_planned"] == 3
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from docling_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            bm25_scores(docs, ["apple", "cherry"]).collect()}
+    # doc 3 matches no term -> absent
+    assert set(rows) == {1, 2}
+    avgdl = (3 + 2 + 1) / 3.0
+
+    def bm25(tf, df, dl, n=3, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        part = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * dl / avgdl))
+        return round(round(part, 8), 6)
+
+    assert rows[1].n_hit_terms == 1
+    assert rows[1].score == bm25(tf=2, df=1, dl=3)
+    assert rows[2].n_hit_terms == 1
+    assert rows[2].score == bm25(tf=1, df=1, dl=2)
+
+
+def test_bm25_query_terms_case_folded(spark):
+    from docling_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "Apple pie"), (2, "no match")], "doc_id long, text string")
+    rows = bm25_scores(docs, ["APPLE"]).collect()
+    assert [r.doc_id for r in rows] == [1]

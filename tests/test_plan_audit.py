@@ -24,6 +24,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_SCALAR_ATTACH = {
     "unigram_logprob",    # corpus token total (1 row)
     "tfidf_topk",         # corpus doc count (1 row)
+    "bm25_scores",        # corpus (N, avgdl) stats (1 row)
     "dsir_weights",       # source/target distribution totals (1 row each)
     "diversity_sample",   # cluster-size total (1 row)
     "embed_knn_of_zero",  # the fixed query vector (1 row)

@@ -146,3 +146,18 @@ def test_bigram_lm_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(doc" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """The query-term filter lands below the (doc, term) aggregation so
+    only matching tokens shuffle; the df and scalar-stats sides broadcast;
+    nothing nested-loops over the corpus pairwise."""
+    from docling_spark.operators.textstats import bm25_scores
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, bm25_scores(d, ["spark", "join"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # formatted explain prints each node in the tree AND the detail list,
+    # so the single 1-row stats attach appears at most twice
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
