@@ -999,6 +999,58 @@ from orders group by 1
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: every click event picks up the most recent
+    view (ts <= click ts, same user) — expressed WITHOUT a range join:
+    union both sides tagged, ONE shuffle on user_id, and a
+    last(ignorenulls) running window carries the latest view forward.
+    No join operator in the plan; same cost shape as sessionize."""
+    from docling_spark.operators.relational import asof_join
+
+    _utc(spark)
+    e = _read(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts",
+        F.round("value", 4).alias("view_value"))
+    j = asof_join(clicks, views, on="user_id", ts="ts", seq="event_id",
+                  right_cols=("view_value",), suffix="_view")
+    return j.select(
+        "user_id", "click_id",
+        F.unix_timestamp("ts").alias("click_ts"),
+        F.unix_timestamp("ts_view").alias("view_ts"),
+        "view_value_view",
+    ).withColumnRenamed("view_value_view", "view_value")
+
+
+ORACLE_ASOF_JOIN = """
+with u as (
+  select user_id, ts, event_id, 0 as side,
+         case when event_type = 'view' then round(value, 4) end as vval
+  from events where event_type = 'view'
+  union all
+  select user_id, ts, event_id, 1 as side, null
+  from events where event_type = 'click'
+),
+m as (
+  select *,
+         last_value(case when side = 0 then vval end ignore nulls)
+           over w as view_value,
+         last_value(case when side = 0 then ts end ignore nulls)
+           over w as view_ts
+  from u
+  window w as (partition by user_id order by ts, side, event_id
+               rows between unbounded preceding and current row)
+)
+select user_id, event_id as click_id,
+       floor(epoch(ts))::bigint as click_ts,
+       floor(epoch(view_ts))::bigint as view_ts,
+       view_value
+from m where side = 1
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30 min): the tabular form of the
     reference's run-length list grouping (readingorder_model.py:538-587) —
@@ -4894,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_no_orders": q_anti_join_no_orders,
         "broadcast_brand_revenue": q_broadcast_brand_revenue,
         "percentile_confidence": q_percentile_confidence,
+        "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "events_hourly": q_events_hourly,
     }
@@ -5006,6 +5059,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_no_orders": ORACLE_ANTI_JOIN,
         "broadcast_brand_revenue": ORACLE_BRAND_REVENUE,
         "percentile_confidence": ORACLE_PERCENTILE,
+        "asof_join": ORACLE_ASOF_JOIN,
         "sessionize_events": ORACLE_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
     }

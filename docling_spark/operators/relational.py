@@ -1,0 +1,92 @@
+"""Relational operators the engine needs beyond plain DataFrame calls —
+currently the as-of (most-recent-prior) join, expressed in its
+scale-correct distributed form.
+
+A naive as-of join is `left JOIN right ON key AND right.ts <= left.ts`
++ a per-left-row max — a range join that Spark plans as a nested loop
+(or an exploding theta-join) and that dies at 100 TB. The classic
+distributed re-expression used here: UNION the two sides tagged by
+origin, shuffle ONCE on the key, and carry the latest right-side row
+forward with a `last(..., ignorenulls)` running window. Cost is one
+exchange + one sort per key partition — the same price as the
+sessionize window, with no join at all.
+
+Reference anchor: the reference's caption/footnote proximity
+attachment (docling layout postprocessing) is the same
+"nearest-preceding item" shape; see docling_spark/operators/spatial.py
+for the 2-D variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    seq: str | None = None,
+    right_cols: tuple[str, ...] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right.ts <= left.ts`` for the same ``on`` key (backward as-of,
+    ties included — DuckDB ``ASOF JOIN``'s ``>=`` semantics). Left rows
+    with no prior right row keep nulls (left-outer semantics).
+
+    ``seq`` breaks exact-``ts`` ties among right rows deterministically
+    (the greatest ``seq`` wins); required for an engine-reproducible
+    result when the timestamp column can collide.
+
+    Plan shape: one hashpartitioning exchange on ``on`` + one
+    partition-local sort; no join operator anywhere. Right-side values
+    travel as a single struct so the running window carries one column
+    regardless of ``right_cols`` width.
+    """
+    tie = [seq] if seq else []
+    rstruct = F.struct(
+        F.col(ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts).alias("__t"),
+        *[F.col(c).alias(f"__tie_{i}") for i, c in enumerate(tie)],
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts).alias("__t"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tie_{i}")
+          for i, c in enumerate(tie)],
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
+    # exact-ts right row is visible to the left row — the `<=` contract.
+    order = ["__t", "__side"] + [f"__tie_{i}" for i in range(len(tie))]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    out = matched.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        F.col("__m").getField("__ts").alias(f"{ts}{suffix}"),
+        *[F.col("__m").getField(c).alias(f"{c}{suffix}")
+          for c in right_cols],
+    )
+    return out

@@ -1,0 +1,86 @@
+"""as-of join: value correctness on a hand-built frame plus the plan
+contract the module docstring promises — ONE exchange on the key and no
+join operator anywhere (the union+running-window re-expression)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from docling_spark.operators.relational import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 10:00:00"), "c1"),
+            ("u1", _ts("2026-01-01 10:05:00"), "c2"),
+            ("u1", _ts("2026-01-01 09:00:00"), "c0"),  # before any view
+            ("u2", _ts("2026-01-01 12:00:00"), "c3"),
+            ("u3", _ts("2026-01-01 12:00:00"), "c4"),  # key with no views
+        ],
+        "user_id string, ts timestamp, click_id string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 09:30:00"), 1, 10.0),
+            ("u1", _ts("2026-01-01 10:00:00"), 2, 20.0),  # exact-ts tie
+            ("u1", _ts("2026-01-01 10:00:00"), 3, 30.0),  # greatest seq wins
+            ("u2", _ts("2026-01-01 11:00:00"), 4, 40.0),
+        ],
+        "user_id string, ts timestamp, event_id int, view_value double",
+    )
+    return left, right
+
+
+def test_asof_join_values(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", ts="ts", seq="event_id",
+        right_cols=("view_value",), suffix="_view",
+    )
+    rows = {r["click_id"]: r for r in out.collect()}
+    assert len(rows) == 5  # left-outer: every click survives
+    # c0 precedes every view -> nulls
+    assert rows["c0"]["ts_view"] is None
+    assert rows["c0"]["view_value_view"] is None
+    # c1 at 10:00 sees the exact-ts views; greatest event_id (3) wins
+    assert rows["c1"]["view_value_view"] == 30.0
+    assert rows["c1"]["ts_view"] == _ts("2026-01-01 10:00:00")
+    # c2 at 10:05 still carries the latest prior view
+    assert rows["c2"]["view_value_view"] == 30.0
+    # u2's click sees u2's view, never u1's
+    assert rows["c3"]["view_value_view"] == 40.0
+    # u3 has no right rows at all -> nulls, row kept
+    assert rows["c4"]["view_value_view"] is None
+
+
+def test_asof_join_plan_one_exchange_no_join(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", ts="ts", seq="event_id",
+        right_cols=("view_value",),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator of any kind
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_left_columns_untouched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="user_id", ts="ts", seq="event_id",
+                    right_cols=("view_value",))
+    for c in left.columns:
+        assert c in out.columns
+    assert out.count() == left.count()
+    # left schema types preserved
+    lt = dict((f.name, f.dataType) for f in left.schema.fields)
+    ot = dict((f.name, f.dataType) for f in out.schema.fields)
+    for c in left.columns:
+        assert ot[c] == lt[c]
