@@ -1120,6 +1120,41 @@ from events group by 1, 2
 """
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical rollup (day → event_type → grand total) in one pass:
+    Spark plans ROLLUP as a single Expand + partial/final hash aggregate —
+    one shuffle total regardless of how many grouping levels, vs three
+    separate groupBys (three shuffles) a naive union-of-aggs would cost.
+    grouping_id() disambiguates rollup-NULLs from data-NULLs."""
+    _utc(spark)
+    e = _read(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "gid", "n", "total_value",
+        )
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+select coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') as day,
+       coalesce(event_type, 'ALL') as event_type,
+       cast(grouping(date_trunc('day', ts), event_type) as bigint) as gid,
+       count(*) as n, round(sum(value), 4) as total_value
+from events
+group by rollup(date_trunc('day', ts), event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # pdfish layout family (reading order / hyphen merge / spans — the
 # north-star "PDF layout parse" path, engine end-to-end)
@@ -4543,6 +4578,99 @@ from dup d left join winners w using (doc_id)
 """
 
 
+def q_c4_line_clean(spark, sf_dir):
+    """C4 cleaning recipe (Raffel et al. 2020 §2.2): line filter (terminal
+    punctuation + ≥3 words + no "javascript") then page filter (no curly
+    braces / "lorem ipsum", ≥5 sentences). All per-row JVM array work —
+    zero shuffle. Payload plants a mix of good sentences, short lines,
+    JS boilerplate, and a mod-5 curly-brace page so every rule fires."""
+    from docling_spark.operators.curation import c4_kept_lines, c4_page_keep
+
+    nl = F.lit("\n")
+    payload = F.concat(
+        F.col("text"), F.lit("."), nl,
+        F.lit("This is a proper sentence with plenty of words."), nl,
+        F.lit("too short."), nl,
+        F.lit("Enable JavaScript and cookies to continue browsing now."), nl,
+        F.lit("no terminal punctuation on this line at all"), nl,
+        F.lit("Another good sentence ends right here!"), nl,
+        F.lit("Does a question also survive the line filter?"), nl,
+        F.lit('A quoted ending counts as terminal too."'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nif (x) { return; }"))
+        .otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", payload.alias("page"))
+    kept = c4_kept_lines(F.col("page"))
+    out = docs.select(
+        "doc_id",
+        F.size(F.filter(
+            F.transform(F.split(F.col("page"), "\n"), lambda l: F.trim(l)),
+            lambda t: t != "")).alias("n_lines_in"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    return out.select(
+        "doc_id", "n_lines_in", "n_lines_kept",
+        F.length("clean_text").alias("clean_len"),
+        c4_page_keep(
+            F.concat_ws("\n", F.col("clean_text"),
+                        F.when(F.col("doc_id") % 5 == 0,
+                               F.lit("if (x) { return; }"))),
+            F.col("clean_text"),
+        ).alias("page_keep"),
+    )
+
+
+ORACLE_C4_LINE_CLEAN = """
+with pages as (
+  select doc_id,
+         text || '.' || chr(10)
+           || 'This is a proper sentence with plenty of words.' || chr(10)
+           || 'too short.' || chr(10)
+           || 'Enable JavaScript and cookies to continue browsing now.'
+           || chr(10)
+           || 'no terminal punctuation on this line at all' || chr(10)
+           || 'Another good sentence ends right here!' || chr(10)
+           || 'Does a question also survive the line filter?' || chr(10)
+           || 'A quoted ending counts as terminal too."'
+           || case when doc_id % 5 = 0
+                   then chr(10) || 'if (x) { return; }' else '' end as page
+  from documents
+),
+lines as (
+  select doc_id, page,
+         list_transform(string_split(page, chr(10)), l -> trim(l)) as ls
+  from pages
+),
+kept as (
+  select doc_id, page,
+         len(list_filter(ls, t -> t <> '')) as n_lines_in,
+         list_filter(ls, t ->
+           regexp_matches(t, '[.!?"]$')
+           and len(string_split_regex(t, '\\s+')) >= 3
+           and not contains(lower(t), 'javascript')) as keep_ls
+  from lines
+),
+clean as (
+  select doc_id, n_lines_in,
+         len(keep_ls) as n_lines_kept,
+         array_to_string(keep_ls, chr(10)) as clean_text,
+         case when doc_id % 5 = 0
+              then array_to_string(keep_ls, chr(10)) || chr(10)
+                   || 'if (x) { return; }'
+              else array_to_string(keep_ls, chr(10)) end as page_after
+  from kept
+)
+select doc_id, n_lines_in, n_lines_kept,
+       length(clean_text) as clean_len,
+       (not contains(lower(page_after), '{')
+        and not contains(lower(page_after), '}')
+        and not contains(lower(page_after), 'lorem ipsum')
+        and len(regexp_extract_all(clean_text, '[.!?]')) >= 5) as page_keep
+from clean
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language hash-mod sampling: en kept at 50%, de at
     25%, everything else at 10%. No RNG — a row's fate is a pure function
@@ -4885,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "repetition_stats": q_repetition_stats,
+        "c4_line_clean": q_c4_line_clean,
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "unigram_logprob": q_unigram_logprob,
@@ -4949,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -5007,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_pii": ORACLE_SCRUB_PII,
         "repetition_stats": ORACLE_REPETITION_STATS,
+        "c4_line_clean": ORACLE_C4_LINE_CLEAN,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
@@ -5062,4 +5193,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": ORACLE_ASOF_JOIN,
         "sessionize_events": ORACLE_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
+        "events_rollup": ORACLE_EVENTS_ROLLUP,
     }

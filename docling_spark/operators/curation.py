@@ -617,3 +617,35 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
             .alias("tokens_planned"),
         )
     )
+
+
+def c4_kept_lines(text_col: Column) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, the c4.en recipe):
+    keep a line only if it (a) ends in a terminal punctuation mark
+    (``. ! ? "``), (b) has at least 3 words, and (c) does not contain the
+    word "javascript" (boilerplate cookie/JS banners). Pure per-row JVM
+    array work — splits on newline, filters with a higher-order lambda,
+    zero shuffle. Returns the kept-lines array (trimmed)."""
+    lines = F.transform(F.split(text_col, "\n"), lambda l: F.trim(l))
+    return F.filter(
+        lines,
+        lambda t: t.rlike('[.!?"]$')
+        & (F.size(F.split(t, r"\s+")) >= 3)
+        & ~F.lower(t).contains("javascript"),
+    )
+
+
+def c4_page_keep(text_col: Column, clean_col: Column,
+                 min_sentences: int = 5) -> Column:
+    """C4 page-level filters: drop pages containing a curly bracket
+    (leaked code/templates), the phrase "lorem ipsum", or fewer than
+    ``min_sentences`` sentences after line cleaning (sentences counted as
+    terminal-punctuation marks in the kept text). Per-row, zero shuffle."""
+    low = F.lower(text_col)
+    n_sent = F.regexp_count(clean_col, F.lit(r"[.!?]"))
+    return (
+        ~low.contains("{")
+        & ~low.contains("}")
+        & ~low.contains("lorem ipsum")
+        & (n_sent >= min_sentences)
+    )

@@ -161,3 +161,32 @@ def test_bm25_filters_before_shuffle(spark):
     # formatted explain prints each node in the tree AND the detail list,
     # so the single 1-row stats attach appears at most twice
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_c4_line_clean_no_shuffle(spark):
+    """C4 cleaning is pure per-row array work — the plan must contain no
+    exchange at all (line + page filters both row-local)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_c4_line_clean(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_events_rollup_single_expand_shuffle(spark):
+    """ROLLUP plans as one Expand feeding one partial/final aggregate —
+    exactly one shuffle for all three grouping levels."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_events_rollup(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_asof_join_contract_plan(spark):
+    """The as-of contract query keeps the no-join shape end-to-end."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_asof_join(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
