@@ -1051,6 +1051,40 @@ from m where side = 1
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join: clicks land in 1-hour windows opened by
+    views of the same user. The naive BETWEEN theta-join degenerates to a
+    nested loop; this is the bucketed re-expression (quantize → explode
+    intervals over covered buckets → equi-join → exact refine) — hash
+    shuffles only, replication factor 2."""
+    from docling_spark.operators.relational import interval_join
+
+    _utc(spark)
+    e = _read(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    j = interval_join(clicks, views, on="user_id", ts="ts",
+                      start="start_ts", end="end_ts", bucket_s=3600)
+    return j.select(
+        "user_id", "click_id", "view_id",
+        F.unix_timestamp("ts").alias("click_ts"))
+
+
+ORACLE_INTERVAL_JOIN = """
+select c.user_id, c.event_id as click_id, v.event_id as view_id,
+       floor(epoch(c.ts))::bigint as click_ts
+from events c
+join events v
+  on v.user_id = c.user_id
+ and c.ts between v.ts and v.ts + interval 1 hour
+where c.event_type = 'click' and v.event_type = 'view'
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30 min): the tabular form of the
     reference's run-length list grouping (readingorder_model.py:538-587) —
@@ -5076,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_brand_revenue": q_broadcast_brand_revenue,
         "percentile_confidence": q_percentile_confidence,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "sessionize_events": q_sessionize_events,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
@@ -5191,6 +5226,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_brand_revenue": ORACLE_BRAND_REVENUE,
         "percentile_confidence": ORACLE_PERCENTILE,
         "asof_join": ORACLE_ASOF_JOIN,
+        "interval_join": ORACLE_INTERVAL_JOIN,
         "sessionize_events": ORACLE_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_rollup": ORACLE_EVENTS_ROLLUP,

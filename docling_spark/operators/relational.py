@@ -90,3 +90,49 @@ def asof_join(
           for c in right_cols],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Point-in-interval (range) join: every ``points`` row pairs with every
+    ``intervals`` row of the same ``on`` key whose closed interval
+    ``[start, end]`` contains the point's ``ts``.
+
+    The naive spelling — ``JOIN ON key AND ts BETWEEN start AND end`` —
+    makes Spark fall back to a broadcast-nested-loop/theta join (the range
+    predicate can't hash). The distributed re-expression: quantize time
+    into ``bucket_s``-second buckets, EXPLODE each interval over the
+    buckets it covers, map each point to its single bucket, equi-join on
+    ``(key, bucket)``, then refine with the exact range predicate. One
+    hash shuffle per side; replication factor = interval_length /
+    bucket_s + 1, so pick ``bucket_s`` near the typical interval length
+    (e.g. 1 h windows → 3600). A point meets an interval in exactly one
+    bucket (its own), so no post-join dedup is needed.
+
+    Both ``ts``/``start``/``end`` are timestamp columns; interval bounds
+    are inclusive (SQL BETWEEN semantics).
+    """
+    b = F.lit(int(bucket_s))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(F.unix_timestamp(F.col(end)) / b),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(ts)) / b)
+    )
+    joined = pt.join(iv, [on, "__bucket"]).where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.drop("__bucket")

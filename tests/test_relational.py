@@ -84,3 +84,53 @@ def test_asof_join_left_columns_untouched(spark):
     ot = dict((f.name, f.dataType) for f in out.schema.fields)
     for c in left.columns:
         assert ot[c] == lt[c]
+
+
+def _iv_frames(spark):
+    points = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 10:30:00"), "p1"),  # inside w1
+            ("u1", _ts("2026-01-01 11:00:00"), "p2"),  # == w1 end (inclusive)
+            ("u1", _ts("2026-01-01 10:00:00"), "p3"),  # == w1 start
+            ("u1", _ts("2026-01-01 12:30:00"), "p4"),  # outside all
+            ("u2", _ts("2026-01-01 10:30:00"), "p5"),  # other key
+        ],
+        "user_id string, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", "w1", _ts("2026-01-01 10:00:00"), _ts("2026-01-01 11:00:00")),
+            # crosses a bucket boundary with bucket_s=3600
+            ("u1", "w2", _ts("2026-01-01 10:45:00"), _ts("2026-01-01 11:15:00")),
+            ("u2", "w3", _ts("2026-01-01 10:00:00"), _ts("2026-01-01 11:00:00")),
+        ],
+        "user_id string, wid string, start_ts timestamp, end_ts timestamp",
+    )
+    return points, intervals
+
+
+def test_interval_join_values(spark):
+    from docling_spark.operators.relational import interval_join
+
+    points, intervals = _iv_frames(spark)
+    out = interval_join(points, intervals, on="user_id", ts="ts",
+                        bucket_s=3600)
+    pairs = {(r["pid"], r["wid"]) for r in out.collect()}
+    assert pairs == {
+        ("p1", "w1"),            # plain containment
+        ("p2", "w1"), ("p2", "w2"),  # inclusive end; cross-bucket interval
+        ("p3", "w1"),            # inclusive start
+        ("p5", "w3"),            # key isolation
+    }
+    # no duplicate pairs despite the interval explode
+    assert out.count() == len(pairs)
+
+
+def test_interval_join_plan_no_theta(spark):
+    from docling_spark.operators.relational import interval_join
+
+    points, intervals = _iv_frames(spark)
+    out = interval_join(points, intervals, on="user_id", ts="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
