@@ -1085,6 +1085,29 @@ where c.event_type = 'click' and v.event_type = 'view'
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-proof salted join: events (150 users, Zipf-ish hot keys) ×
+    customer dim on user_id = c_custkey, forced down the shuffle path
+    (shuffle_hash hint) to demonstrate the salt spreading hot keys across
+    reducers. Values identical to the plain equi-join — the oracle IS the
+    plain join."""
+    from docling_spark.operators.relational import salted_join
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name").hint("shuffle_hash")
+    j = salted_join(e, c, on_big="user_id", on_small="c_custkey",
+                    n_salts=16)
+    return j.select("event_id", "user_id", "c_name", "value")
+
+
+ORACLE_SALTED_JOIN = """
+select event_id, user_id, c_name, round(value, 4) as value
+from events join customer on user_id = c_custkey
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30 min): the tabular form of the
     reference's run-length list grouping (readingorder_model.py:538-587) —
@@ -4925,7 +4948,7 @@ n as (
   from tok join norm using (source)
 )
 select tok.source,
-       tokens_avail,
+       cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
        round(share * nmax / tokens_avail, 6) as keep_fraction,
        cast(floor(share * nmax) as bigint) as tokens_planned
@@ -5111,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_confidence": q_percentile_confidence,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "salted_join": q_salted_join,
         "sessionize_events": q_sessionize_events,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
@@ -5227,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_confidence": ORACLE_PERCENTILE,
         "asof_join": ORACLE_ASOF_JOIN,
         "interval_join": ORACLE_INTERVAL_JOIN,
+        "salted_join": ORACLE_SALTED_JOIN,
         "sessionize_events": ORACLE_SESSIONIZE,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_rollup": ORACLE_EVENTS_ROLLUP,

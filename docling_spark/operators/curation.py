@@ -608,7 +608,7 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
         per_src.crossJoin(F.broadcast(nmax))  # one-row scalar attach
         .select(
             F.col(source_col).alias("source"),
-            "tokens_avail",
+            F.col("tokens_avail").cast("long").alias("tokens_avail"),
             F.round("target_share", 6).alias("target_share"),
             F.round(
                 F.col("target_share") * F.col("nmax") / F.col("tokens_avail"), 6

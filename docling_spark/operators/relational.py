@@ -136,3 +136,39 @@ def interval_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
     )
     return joined.drop("__bucket")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on_big: str,
+    on_small: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the big side's hot keys are spread over
+    ``n_salts`` partitions by appending a deterministic per-row salt to the
+    join key; the small side is replicated once per salt value (explode),
+    so every (key, salt) pair still meets its match. Join cardinality and
+    values are identical to ``big.join(small, key)`` — only the shuffle
+    distribution changes: a key holding 50% of the rows now occupies
+    ``n_salts`` reducers instead of one straggler.
+
+    The salt is ``xxhash64(all big columns) % n_salts`` — deterministic
+    (reproducible across runs and cluster sizes, unlike ``rand()``) and
+    row-uniform. Small-side replication costs ``n_salts ×`` its size, so
+    this is for small-but-unbroadcastable dimensions or when AQE's
+    skew-join split can't fire (e.g. under a required output ordering).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("__salt_l", salt)
+    s = small.withColumn(
+        "__salt_r",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    cond = (b[on_big] == s[on_small]) & (
+        b["__salt_l"] == s["__salt_r"]
+    )
+    return b.join(s, cond, how).drop("__salt_l", "__salt_r")

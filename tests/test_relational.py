@@ -134,3 +134,32 @@ def test_interval_join_plan_no_theta(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from docling_spark.operators.relational import salted_join
+
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("rid"))
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "never")], "k2 int, name string")
+    out = salted_join(big, small, on_big="k", on_small="k2", n_salts=8)
+    plain = big.join(small, big["k"] == small["k2"])
+    assert out.count() == plain.count() == 2000
+    got = {(r["rid"], r["name"]) for r in out.collect()}
+    want = {(r["rid"], r["name"]) for r in plain.collect()}
+    assert got == want
+    # composite join key includes the salt
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_join_left_outer(spark):
+    from docling_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (5, "y")], "k int, v string")
+    small = spark.createDataFrame([(1, "m")], "k2 int, name string")
+    out = salted_join(big, small, on_big="k", on_small="k2",
+                      n_salts=4, how="left")
+    rows = {r["v"]: r["name"] for r in out.collect()}
+    assert rows == {"x": "m", "y": None}
