@@ -603,6 +603,56 @@ def _shingle_sql(table: str) -> str:
     return _SHINGLE_SQL.replace("from documents)", f"from {table})")
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """Exact Levenshtein refinement over the LSH candidate set — the
+    second-stage screen that catches small in-place edits Jaccard dilutes.
+    Candidate gate keeps the O(len²) kernel linear in corpus size."""
+    from docling_spark.operators.dedup import (
+        edit_distance_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(shingles(docs), 8), 8, band_size=2)
+    return edit_distance_pairs(docs, cands)
+
+
+ORACLE_EDIT_DISTANCE = f"""
+with sh as ({_SHINGLE_SQL}),
+sigs as (
+  select doc_id,
+    {_mh_sql(8)}
+  from sh group by doc_id
+),
+bands as (
+  {" union all ".join(
+    f"select doc_id, {b} as band_id, md5(mh_{2*b} || ',' || mh_{2*b+1}) as bucket from sigs"
+    for b in range(4)
+  )}
+),
+cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+),
+txt as (
+  select doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
+  from documents
+)
+select doc_a, doc_b,
+       levenshtein(ta.t, tb.t) as edit_dist,
+       round(1.0 - levenshtein(ta.t, tb.t)::double
+             / greatest(length(ta.t), length(tb.t), 1), 6) as edit_sim
+from cands
+join txt ta on ta.doc_id = doc_a
+join txt tb on tb.doc_id = doc_b
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """New-batch dedup against a persisted corpus signature index — the
     continuous-ingestion shape: the corpus is represented ONLY by its
@@ -5114,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "incremental_dedup": q_incremental_dedup,
         "dedup_components": q_dedup_components,
@@ -5233,6 +5284,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": ORACLE_MINHASH,
         "dedup_jaccard": ORACLE_JACCARD,
         "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+        "dedup_edit_distance": ORACLE_EDIT_DISTANCE,
         "minhash_jaccard_est": ORACLE_MINHASH_EST,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "dedup_components": ORACLE_DEDUP_COMPONENTS,

@@ -594,3 +594,48 @@ def keep_canonical(docs: DataFrame, components: DataFrame,
         canonical.alias("canonical_id"),
         (F.col(id_col) == canonical).cast("int").alias("is_canonical"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Candidate-confined Levenshtein refinement: exact character-level
+    edit distance over an LSH/SimHash candidate set — the standard second
+    stage when shingle Jaccard is too coarse (catches small in-place edits
+    that shift every shingle).
+
+    Never call without ``candidates``: Levenshtein is O(len²) per pair and
+    pair-enumeration is O(n²) — the candidate gate is what keeps this
+    linear in corpus size. Two doc-id equi-joins attach the normalized
+    texts (whitespace-collapsed lowercase, the exact_dedup fingerprint
+    normalization); ``F.levenshtein`` runs JVM-side per pair.
+
+    Output: (doc_a, doc_b, edit_dist, edit_sim) where edit_sim =
+    1 - dist / max(len_a, len_b) — 1.0 for identical, 0.0 for disjoint.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    texts = docs.select(F.col(id_col), norm.alias("__txt"))
+    out = (
+        candidates
+        .join(texts.select(F.col(id_col).alias("doc_a"),
+                           F.col("__txt").alias("__txt_a")), "doc_a")
+        .join(texts.select(F.col(id_col).alias("doc_b"),
+                           F.col("__txt").alias("__txt_b")), "doc_b")
+        .withColumn("edit_dist", F.levenshtein("__txt_a", "__txt_b"))
+        .withColumn(
+            "edit_sim",
+            F.round(
+                1.0
+                - F.col("edit_dist")
+                / F.greatest(F.length("__txt_a"), F.length("__txt_b"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("edit_dist") <= max_dist)
+    return out.select("doc_a", "doc_b", "edit_dist", "edit_sim")
