@@ -86,3 +86,40 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def join_streams_within(
+    turns: DataFrame,
+    annotations: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    turn_ts: str = "ts",
+    ann_ts: str = "ann_ts",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each turn with the
+    annotations that arrive for it within ``tolerance`` of the turn's
+    event time (same key columns).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict join state instead of
+    buffering either stream forever — the two requirements for an
+    unbounded-stream join to run with bounded memory. State per key lives
+    for watermark + tolerance, independent of stream length. Works
+    identically on batch frames (the time bound becomes a plain filter).
+    """
+    t = turns.withWatermark(turn_ts, watermark)
+    a = annotations.withWatermark(ann_ts, watermark)
+    cond = None
+    for k in keys:
+        c = t[k] == a[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (a[ann_ts] >= t[turn_ts])
+        & (a[ann_ts] <= t[turn_ts] + F.expr(f"INTERVAL {tolerance}"))
+    )
+    out = t.join(a, cond, "inner")
+    for k in keys:
+        out = out.drop(a[k])
+    return out

@@ -44,3 +44,54 @@ def test_stream_matches_batch(spark, tmp_path):
     q2 = run_stream(spark, inp, out, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_in
+
+
+@pytest.mark.timeout(600)
+def test_stream_stream_join_within_tolerance(spark, tmp_path):
+    """Watermarked stream-stream join matches the batch join and only
+    pairs annotations within the event-time tolerance."""
+    import datetime
+
+    from docling_spark.streaming.stream_extract import join_streams_within
+
+    def ts(m):
+        return datetime.datetime(2026, 1, 1, 10, m, 0)
+
+    turns = spark.createDataFrame(
+        [("c1", 0, ts(0), "a"), ("c1", 1, ts(10), "b"), ("c2", 0, ts(0), "c")],
+        "conv_id string, turn_idx int, ts timestamp, text string",
+    )
+    anns = spark.createDataFrame(
+        [
+            ("c1", 0, ts(5), "good"),     # within 1h of turn
+            ("c1", 0, ts(59), "late-ok"),  # still within
+            ("c1", 1, ts(5), "early"),     # BEFORE the turn -> dropped
+            ("c2", 0, ts(0), "exact"),     # same instant -> kept
+            ("c9", 0, ts(5), "nokey"),     # unmatched key
+        ],
+        "conv_id string, turn_idx int, ann_ts timestamp, label string",
+    )
+    t_in, a_in = str(tmp_path / "t"), str(tmp_path / "a")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    turns.write.parquet(t_in)
+    anns.write.parquet(a_in)
+
+    ts_stream = spark.readStream.schema(turns.schema).parquet(t_in)
+    ann_stream = spark.readStream.schema(anns.schema).parquet(a_in)
+    joined = join_streams_within(ts_stream, ann_stream)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r["conv_id"], r["turn_idx"], r["label"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("c1", 0, "good"), ("c1", 0, "late-ok"), ("c2", 0, "exact"),
+    }
+    # batch twin: identical pairs through the same operator
+    batch = {(r["conv_id"], r["turn_idx"], r["label"])
+             for r in join_streams_within(turns, anns).collect()}
+    assert batch == got
