@@ -102,6 +102,10 @@ def main() -> None:
         "broadcast_brand_revenue",
         "sessionize_events",
         "events_hourly",
+        "events_rollup",
+        "asof_join",
+        "interval_join",
+        "c4_line_clean",
         "curation_funnel",
         "export_vtt",
     ]
