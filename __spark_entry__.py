@@ -1725,6 +1725,73 @@ r as (
 select vec_id, centroid_id, cos from r where rk = 1
 """
 
+_PQ_SLICE_SQL = """
+e as (select vec_id, embedding::double[] as v from embeddings),
+sub as (select unnest(generate_series(0, 7)) as s),
+sl as (select vec_id, s, v[8*s+1 : 8*s+8] as sv from e cross join sub),
+cb as (select vec_id as code, s, sv as cv from sl where vec_id < 16)
+"""
+
+_PQ_CODES_SQL = """
+d as (
+  select sl.vec_id, sl.s, cb.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (sl.sv[i] - cb.cv[i]) * (sl.sv[i] - cb.cv[i]))), 6)
+           as dist2
+  from sl join cb using (s)
+),
+r as (select *, row_number() over (partition by vec_id, s
+                                   order by dist2, code) as rk from d)
+"""
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim vectors →
+    8 one-byte codes via per-subspace argmin against a broadcast m×k
+    codebook. Distances rounded 6 dp before ranking so both engines pick
+    identical codes."""
+    from docling_spark.operators.similarity import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir), m=8, dim=64, k=16)
+
+
+ORACLE_PQ_ENCODE = f"""
+with {_PQ_SLICE_SQL},
+{_PQ_CODES_SQL}
+select vec_id, cast(s as int) as subspace, cast(code as int) as code, dist2
+from r where rk = 1
+"""
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k serving: query (vec 0) stays exact,
+    corpus is its codes; distance = sum of m lookup-table entries —
+    no per-pair vector math at query time. Ends in a distributed
+    TakeOrdered, never a global rank window."""
+    from docling_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir), query_id=0,
+                       m=8, dim=64, k=16, topk=10)
+
+
+ORACLE_PQ_ADC_TOPK = f"""
+with {_PQ_SLICE_SQL},
+{_PQ_CODES_SQL},
+q as (select s, sv as qv from sl where vec_id = 0),
+lut as (
+  select cb.s, cb.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i]))), 6) as qd
+  from cb join q using (s)
+),
+codes as (select vec_id, s, code from r where rk = 1)
+select vec_id, round(sum(qd), 6) as adc_dist
+from codes join lut using (s, code)
+group by vec_id
+order by adc_dist, vec_id
+limit 10
+"""
+
 
 def _media_df(spark, sf_dir):
     d = _docs(spark, sf_dir)
@@ -5176,6 +5243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucket_pairs": q_ann_bucket_pairs,
         "ann_topk_batch": q_ann_topk_batch,
         "ivf_assign": q_ivf_assign,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
         "kmeans_codebook": q_kmeans_codebook,
         # relational operator classes
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5295,6 +5364,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bucket_pairs": _ann_oracle(),
         "ann_topk_batch": _ann_topk_batch_oracle(),
         "ivf_assign": ORACLE_IVF_ASSIGN,
+        "pq_encode": ORACLE_PQ_ENCODE,
+        "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
         "kmeans_codebook": ORACLE_KMEANS_CODEBOOK,
         "agg_pricing_summary": ORACLE_PRICING,
         "window_order_rank": ORACLE_WINDOW_RANK,

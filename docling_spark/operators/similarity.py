@@ -451,3 +451,109 @@ def ann_topk_lsh(
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def _pq_slices(
+    df: DataFrame, m: int, dsub: int,
+    id_col: str, vec_col: str, out_id: str,
+) -> DataFrame:
+    """(out_id, sub, sv): the vector split into m contiguous dsub-dim
+    subvectors — one inline'd array build, no shuffle."""
+    arr = F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("sub"),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    1 + dsub * s, dsub).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    return df.select(F.col(id_col).alias(out_id), F.inline(arr))
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two double arrays — zip_with + left-fold, all
+    JVM-side; multiplication (not pow) so DuckDB reproduces it exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    emb: DataFrame, m: int = 8, dim: int = 64, k: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into ``m`` subvectors; per subspace, assign the nearest of
+    ``k`` centroids by squared L2. Storage drops from dim×4 bytes to m
+    byte-sized codes per vector — the standard billion-vector ANN
+    compression.
+
+    Deterministic codebook: the sub-slices of the first ``k`` vectors by
+    id (a trained per-subspace k-means slots in behind the same shape —
+    see ``kmeans_codebook``). The codebook is m×k rows, broadcast; the
+    argmin is a per-(vector, subspace) rank window over k rows with
+    distances rounded to 6 dp BEFORE ranking (engine-reproducible), ties
+    to the smallest code. No shuffle proportional to k; corpus side
+    shuffles once for the rank window.
+
+    Output: (id, subspace, code, dist2).
+    """
+    from pyspark.sql.window import Window
+
+    dsub = dim // m
+    sl = _pq_slices(emb, m, dsub, id_col, vec_col, id_col)
+    cb = _pq_slices(
+        emb.filter(F.col(id_col) < k), m, dsub, id_col, vec_col, "code"
+    ).withColumnRenamed("sv", "cv")
+    d = (
+        sl.join(F.broadcast(cb), "sub")
+        .withColumn("dist2", F.round(_sq_l2(F.col("sv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("dist2", "code")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("sub").alias("subspace"),
+                F.col("code").cast("int").alias("code"), "dist2")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_id: int = 0, m: int = 8, dim: int = 64,
+    k: int = 16, topk: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, the corpus is its codes. A lookup table of m×k query-to-centroid
+    squared distances is built once (tiny, broadcast); each corpus vector's
+    approximate distance is the SUM of m table lookups — no per-pair
+    vector math at query time, which is the entire point of PQ serving.
+
+    Ends in ``orderBy().limit(topk)`` — a distributed TakeOrdered, never a
+    single-partition global rank window.
+    """
+    dsub = dim // m
+    cb = _pq_slices(
+        emb.filter(F.col(id_col) < k), m, dsub, id_col, vec_col, "code"
+    ).withColumnRenamed("sv", "cv")
+    qsl = _pq_slices(
+        emb.filter(F.col(id_col) == query_id), m, dsub, id_col, vec_col, "qid"
+    ).withColumnRenamed("sv", "qv").drop("qid")
+    lut = (
+        cb.join(F.broadcast(qsl), "sub")
+        .select("sub", "code",
+                F.round(_sq_l2(F.col("qv"), F.col("cv")), 6).alias("qd"))
+    )
+    codes = pq_encode(emb, m=m, dim=dim, k=k,
+                      vec_col=vec_col, id_col=id_col)
+    return (
+        codes.join(F.broadcast(lut),
+                   (codes["subspace"] == lut["sub"])
+                   & (codes["code"] == lut["code"]))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
