@@ -314,6 +314,47 @@ from documents group by 1
 """
 
 
+def q_extract_format_policy(spark, sf_dir):
+    """Allowed-format policy gate (document_converter.py:738-752): the
+    corpus alternates html/markdown payloads but only html is allowed —
+    markdown rows come back SKIPPED with a POLICY-category error, never
+    attempted; html rows extract normally."""
+    from docling_spark.operators.extract_ops import extract_turns
+
+    is_html = F.col("doc_id") % 2 == 0
+    payload = F.when(is_html, F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+    )).otherwise(F.concat(
+        F.lit("# Doc "), F.col("doc_id").cast("string"),
+        F.lit("\n\n"), F.col("text"),
+    ))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"),
+        F.when(is_html, F.lit("html")).otherwise(F.lit("md")).alias("tool"),
+    )
+    out = extract_turns(d, allowed_formats=("html",))
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "status",
+        F.col("format").alias("fmt"),
+        # F.get is out-of-bounds-null (ANSI-safe; success rows have no errors)
+        F.get("errors", 0)["category"].alias("error_category"),
+    )
+
+
+ORACLE_FORMAT_POLICY = """
+select doc_id,
+       case when doc_id % 2 = 0 then 'success' else 'skipped' end as status,
+       case when doc_id % 2 = 0 then 'html' else 'md' end as fmt,
+       case when doc_id % 2 = 0 then null else 'policy' end as error_category
+from documents
+"""
+
+
 def q_turn_ordering(spark, sf_dir):
     """Stable (conv_id, turn_idx) ordering via window rank after an
     adversarial shuffle — the north rule's ordering invariant."""
@@ -5142,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_csv_table": q_extract_csv_table,
         "extract_md_doc": q_extract_md_doc,
         "extract_status_counts": q_extract_status_counts,
+        "extract_format_policy": q_extract_format_policy,
         "turn_ordering": q_turn_ordering,
         # pdfish layout path
         "extract_pdfish_reading_order": q_extract_pdfish_reading_order,
@@ -5272,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_csv_table": ORACLE_CSV,
         "extract_md_doc": ORACLE_MD,
         "extract_status_counts": ORACLE_STATUS_COUNTS,
+        "extract_format_policy": ORACLE_FORMAT_POLICY,
         "turn_ordering": ORACLE_TURN_ORDERING,
         "extract_pdfish_reading_order": ORACLE_PDFISH_READING_ORDER,
         "extract_pdfish_hyphen_merge": ORACLE_PDFISH_HYPHEN,

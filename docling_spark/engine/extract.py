@@ -254,6 +254,7 @@ def extract_payload(
     tool: str = "",
     max_bytes: int = DEFAULT_MAX_BYTES,
     pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: frozenset[str] | set[str] | tuple[str, ...] | None = None,
 ) -> dict:
     """One turn in → one result dict out; never raises.
 
@@ -282,6 +283,22 @@ def extract_payload(
             "metrics": dict(_EMPTY_METRICS),
         }
     fmt = detect_format(text, tool)
+    if allowed_formats is not None and fmt not in allowed_formats:
+        # allowed-format policy (document_converter.py:738-752): a
+        # disallowed format is SKIPPED with a POLICY-category error —
+        # never attempted, never a failure. The gate sits after format
+        # detection and before any engine runs, mirroring the reference's
+        # pre-pipeline check in _process_document.
+        return {
+            "status": STATUS_SKIPPED,
+            "format": fmt,
+            "extracted_text": "",
+            "items": [],
+            "errors": [{"module": "user_input",
+                        "message": f"File format not allowed: {fmt}",
+                        "category": "policy"}],
+            "metrics": dict(_EMPTY_METRICS),
+        }
     if fmt == "media":
         # the reference's ASR path needs ffmpeg + whisper
         # (asr_transcriber.py MISSING_FFMPEG_MESSAGE); absent runtimes are

@@ -99,6 +99,7 @@ def run_extract(
     state_path: str | None = None,
     metrics_path: str | None = None,
     pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: tuple[str, ...] | None = None,
 ) -> dict:
     """Execute the pipeline; returns summary counters.
 
@@ -145,7 +146,8 @@ def run_extract(
 
     df = salt_skew(df, parallelism)
     extracted = extract_turns(df.drop("conv_bucket"),
-                              pdf_passwords=pdf_passwords)
+                              pdf_passwords=pdf_passwords,
+                              allowed_formats=allowed_formats)
     extracted = extracted.withColumn("conv_bucket", bucket_col(n_buckets))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -34,6 +34,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--password", action="append", default=[],
                    help="password to try for encrypted PDF payloads "
                         "(repeatable) — the reference CLI's --password")
+    p.add_argument("--from", dest="from_formats", default=None,
+                   help="comma-separated allowed input formats (the "
+                        "reference CLI's --from / DocumentConverter "
+                        "allowed_formats); detected formats outside the "
+                        "set become SKIPPED rows with a policy error")
     p.add_argument("--to", default=None,
                    help="comma-separated extra export sinks over the "
                         "item table (doctags,itxt,html,html_split_page,"
@@ -84,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         parallelism=args.parallelism,
         state_path=args.state_table, metrics_path=args.metrics_table,
         pdf_passwords=tuple(args.password),
+        allowed_formats=(tuple(f.strip() for f in
+                               args.from_formats.split(",") if f.strip())
+                         if args.from_formats else None),
     )
     if args.to:
         from docling_spark.jobs.extract_job import OUTPUT_SCHEMA

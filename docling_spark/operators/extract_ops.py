@@ -37,6 +37,7 @@ def _extract_batches(
     max_bytes: int,
     timeout_s: float | None,
     pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: frozenset[str] | None = None,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         t_deadline = (
@@ -84,6 +85,7 @@ def _extract_batches(
                     tool or "",
                     max_bytes=max_bytes,
                     pdf_passwords=pdf_passwords,
+                    allowed_formats=allowed_formats,
                 )
             out["status"].append(res["status"])
             out["format"].append(res["format"])
@@ -99,6 +101,7 @@ def extract_turns(
     max_bytes: int = DEFAULT_MAX_BYTES,
     timeout_s: float | None = None,
     pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: frozenset[str] | set[str] | tuple[str, ...] | None = None,
 ) -> DataFrame:
     """transcripts DataFrame → extracted DataFrame (one row per input turn).
 
@@ -106,13 +109,18 @@ def extract_turns(
     boundary so the parquet scan reads only what the UDF consumes.
     ``pdf_passwords`` is the job-level analog of the reference's
     per-document backend_options password (encrypted PDFs try the empty
-    user password, then each listed one).
+    user password, then each listed one). ``allowed_formats`` is the
+    allowed-format policy (document_converter.py:738-752): detected
+    formats outside the set come back as SKIPPED rows with a
+    POLICY-category error, never attempted.
     """
+    allowed = frozenset(allowed_formats) if allowed_formats is not None else None
     cols = [c for c in ("conv_id", "turn_idx", "role", "ts", "text", "tool")
             if c in df.columns]
     pruned = df.select(*cols)
     return pruned.mapInPandas(
-        lambda it: _extract_batches(it, max_bytes, timeout_s, pdf_passwords),
+        lambda it: _extract_batches(it, max_bytes, timeout_s, pdf_passwords,
+                                    allowed),
         schema=EXTRACTED_SCHEMA,
     )
 

@@ -140,3 +140,40 @@ def test_hostile_boundary_rows_survive_arrow(spark):
     for r in out.values():
         assert r["status"] in ("success", "partial_success",
                                "failure", "skipped")
+
+
+def test_allowed_formats_policy_kernel():
+    """document_converter.py:738-752: a detected format outside
+    allowed_formats is SKIPPED with a POLICY error, never attempted."""
+    from docling_spark.engine.extract import extract_payload
+
+    ok = extract_payload("<h1>T</h1><p>b</p>", "html",
+                         allowed_formats={"html"})
+    assert ok["status"] == "success"
+
+    rej = extract_payload("# Title\n\nbody", "md",
+                          allowed_formats={"html"})
+    assert rej["status"] == "skipped"
+    assert rej["format"] == "md"
+    assert rej["extracted_text"] == "" and rej["items"] == []
+    assert [e["category"] for e in rej["errors"]] == ["policy"]
+    assert "File format not allowed" in rej["errors"][0]["message"]
+
+    # None (default) = everything allowed — behavior unchanged
+    assert extract_payload("# Title\n\nbody", "md")["status"] == "success"
+
+
+def test_allowed_formats_policy_operator(spark):
+    rows = [("c1", 0, "user", None, "<h1>T</h1><p>b</p>", "html"),
+            ("c1", 1, "user", None, "# Title\n\nbody", "md"),
+            ("c1", 2, "user", None, "a,b\n1,2\n3,4", "csv")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    )
+    out = {r["turn_idx"]: r for r in
+           extract_turns(df, allowed_formats=("html", "csv")).collect()}
+    assert out[0]["status"] == "success"
+    assert out[2]["status"] == "success"
+    assert out[1]["status"] == "skipped"
+    assert [e["category"] for e in out[1]["errors"]] == ["policy"]
