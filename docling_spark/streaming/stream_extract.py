@@ -34,10 +34,14 @@ def read_transcript_stream(
     )
 
 
-def stream_extract(transcripts: DataFrame,
-                   pdf_passwords: tuple[str, ...] = ()) -> DataFrame:
+def stream_extract(
+    transcripts: DataFrame,
+    pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: tuple[str, ...] | None = None,
+) -> DataFrame:
     """The streaming plan: identical operator, streaming semantics free."""
-    return extract_turns(transcripts, pdf_passwords=pdf_passwords)
+    return extract_turns(transcripts, pdf_passwords=pdf_passwords,
+                         allowed_formats=allowed_formats)
 
 
 def stream_metrics(
@@ -72,11 +76,13 @@ def run_stream(
     checkpoint_path: str,
     available_now: bool = True,
     pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: tuple[str, ...] | None = None,
 ):
     """Launch the extraction stream (availableNow=True → catch-up batch
     semantics, the reference's batch-polling analog)."""
     src = read_transcript_stream(spark, input_path)
-    out = stream_extract(src, pdf_passwords=pdf_passwords)
+    out = stream_extract(src, pdf_passwords=pdf_passwords,
+                         allowed_formats=allowed_formats)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)

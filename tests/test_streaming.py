@@ -95,3 +95,29 @@ def test_stream_stream_join_within_tolerance(spark, tmp_path):
     batch = {(r["conv_id"], r["turn_idx"], r["label"])
              for r in join_streams_within(turns, anns).collect()}
     assert batch == got
+
+
+@pytest.mark.timeout(600)
+def test_stream_allowed_formats_policy(spark, tmp_path):
+    """The allowed-format policy gate (document_converter.py:738-752)
+    applies identically under the streaming wrapper: disallowed formats
+    come back as SKIPPED rows with a policy error."""
+    rows = [("c1", 0, "user", None, "<h1>T</h1><p>b</p>", "html"),
+            ("c1", 1, "user", None, "# Title\n\nbody", "md"),
+            ("c1", 2, "user", None, "a,b\n1,2\n3,4", "csv")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, "
+              "text string, tool string"
+    )
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    df.write.parquet(inp)
+
+    q = run_stream(spark, inp, out, ckpt, available_now=True,
+                   allowed_formats=("html", "csv"))
+    q.awaitTermination(300)
+
+    got = {r["turn_idx"]: r for r in spark.read.parquet(out).collect()}
+    assert got[0]["status"] == "success"
+    assert got[2]["status"] == "success"
+    assert got[1]["status"] == "skipped"
+    assert [e["category"] for e in got[1]["errors"]] == ["policy"]
