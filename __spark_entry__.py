@@ -5171,6 +5171,68 @@ from documents d left join comp c on c.doc_id = d.doc_id
 """
 
 
+def q_extract_template_kv(spark, sf_dir):
+    """Templated KV extraction (DocumentExtractor.extract analog,
+    document_extractor.py:127-146): a synthetic invoice-ish page per
+    document, a 6-field typed template (one field absent), all coercion
+    paths exercised. Fully JVM-side: regexp parse + broadcast template
+    join + first-match window (template_extract.py)."""
+    from docling_spark.operators.template_extract import extract_templated
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    payload = F.concat(
+        F.lit("Invoice No: "), F.col("doc_id").cast("string"),
+        F.lit("\nCustomer Name: "), F.element_at(toks, 1),
+        F.lit(" "), F.element_at(toks, 2),
+        F.lit("\nTotal Amount = "), F.col("doc_id").cast("string"),
+        F.lit(".25\nPaid: "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("yes")).otherwise(F.lit("no")),
+        F.lit("\nShip Date: 2026-03-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("\n\n"), F.col("text"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.lit(0).alias("turn_idx"),
+        payload.alias("extracted_text"),
+    )
+    template = {
+        "Invoice No": "int", "Customer Name": "str",
+        "Total Amount": "float", "Paid": "bool",
+        "Ship Date": "date", "PO Number": "str",  # absent -> no rows
+    }
+    out = extract_templated(d, template, id_cols=("doc_id", "turn_idx"))
+    return out.select("doc_id", "page_no", "field", "value_raw", "value", "ok")
+
+
+ORACLE_TEMPLATE_KV = """
+with d as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id, 1 as page_no, 'invoice no' as field,
+       cast(doc_id as varchar) as value_raw,
+       cast(doc_id as varchar) as value, true as ok
+from d
+union all
+select doc_id, 1, 'customer name', toks[1] || ' ' || toks[2],
+       toks[1] || ' ' || toks[2], true
+from d
+union all
+select doc_id, 1, 'total amount', doc_id || '.25',
+       printf('%.6f', doc_id + 0.25), true
+from d
+union all
+select doc_id, 1, 'paid',
+       case when doc_id % 2 = 0 then 'yes' else 'no' end,
+       case when doc_id % 2 = 0 then 'true' else 'false' end, true
+from d
+union all
+select doc_id, 1, 'ship date',
+       '2026-03-' || lpad(cast(doc_id % 28 + 1 as varchar), 2, '0'),
+       '2026-03-' || lpad(cast(doc_id % 28 + 1 as varchar), 2, '0'), true
+from d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5260,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         # export sinks
         "export_doctags": q_export_doctags,
+        "extract_template_kv": q_extract_template_kv,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5387,6 +5450,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": ORACLE_ROLLING_FINGERPRINT,
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
+        "extract_template_kv": ORACLE_TEMPLATE_KV,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,
