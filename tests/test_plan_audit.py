@@ -54,3 +54,15 @@ def test_no_scale_killers_in_plan(spark, name):
         # nested loop
         assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan \
             or "BroadcastNestedLoopJoin BuildLeft, Cross" in plan, name
+    # the r1 vocab_topk bug class: a Window whose child is
+    # Exchange SinglePartition funnels the whole table through one task.
+    # (A global agg's SinglePartition exchange is fine — only partial
+    # rows flow — but a Window materializes every input row in one
+    # partition.) No query ships one; keep it that way.
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window " in ln or ln.strip().startswith("Window"):
+            for j in range(i + 1, min(i + 3, len(lines))):
+                assert "Exchange SinglePartition" not in lines[j], (
+                    f"{name}: Window over Exchange SinglePartition — "
+                    f"use orderBy().limit(k) / keyed windows instead")
