@@ -69,7 +69,10 @@ def main(argv: list[str] | None = None) -> int:
 
         q = run_stream(spark, args.input_table, args.output_table,
                        args.checkpoint or args.output_table + "_ckpt",
-                       pdf_passwords=tuple(args.password))
+                       pdf_passwords=tuple(args.password),
+                       allowed_formats=(tuple(
+                           f.strip() for f in args.from_formats.split(",")
+                           if f.strip()) if args.from_formats else None))
         q.awaitTermination()
         print(json.dumps({"status": "stream_done"}))
         return 0
