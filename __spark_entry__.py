@@ -2508,7 +2508,10 @@ parts as (
   cross join stats
 )
 select doc_id, cast(count(*) as bigint) as n_hit_terms,
-       round(sum(part), 6) as score
+       -- same 1e-9 boundary nudge as bm25_scores (textstats.py): 8dp
+       -- parts sum onto exact 6dp half boundaries, where engine double
+       -- rounding diverges by a sum ulp
+       round(sum(part) + 1e-9, 6) as score
 from parts group by doc_id
 """
 

@@ -434,10 +434,19 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         )
         .select(id_col, "tok", F.round("part_raw", 8).alias("part"))
     )
+    # The 1e-9 nudge before the 6dp round: parts are exact multiples of
+    # 1e-8, so document sums frequently land EXACTLY on a 6dp half
+    # boundary (…x50), where two engines' double rounding can disagree
+    # by 1 ulp of the sum (observed: 2/4900 docs at sf0.1 flipped
+    # between Spark and DuckDB). Adding 1e-9 — far above the ~1e-15
+    # accumulated float error, far below the 1e-8 part quantum — moves
+    # every such sum decisively above its boundary, which is exactly
+    # what ideal HALF_UP would do, and never crosses any other decision
+    # point. Parts are non-negative, so the nudge is always upward-safe.
     return (
         scored.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_hit_terms"),
-            F.round(F.sum("part"), 6).alias("score"),
+            F.round(F.sum("part") + F.lit(1e-9), 6).alias("score"),
         )
     )
