@@ -5236,6 +5236,158 @@ from d
 """
 
 
+def _diar_windows(spark, sf_dir):
+    """Synthetic speaker-embedding windows per document: 12 windows in
+    three blocks of 4; block b belongs to speaker b % k with k = 2 +
+    doc_id % 2 (so even docs have a SPEAKER_00 → 01 → 00 recurrence and
+    odd docs a 3-speaker sequence). Embeddings are one-hot-ish with a
+    tiny deterministic jitter — separable by construction, so Ward +
+    silhouette must recover exactly k and the block partition."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("win_idx")
+    )
+    k = (F.col("doc_id") % 2 + 2)
+    spk = (F.floor(F.col("win_idx") / 4) % k).cast("int")
+    jit = F.col("win_idx") * 0.01
+    return w.select(
+        "doc_id", "win_idx",
+        (F.col("win_idx") * 0.5).alias("ts"),
+        F.array(
+            F.when(spk == 0, 10.0).otherwise(0.0) + jit,
+            F.when(spk == 1, 10.0).otherwise(0.0),
+            F.when(spk == 2, 10.0).otherwise(0.0),
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+
+
+def q_diarize_windows(spark, sf_dir):
+    """Per-conversation speaker clustering (speaker_diarization.py
+    diarize(), :110-190): bounded Ward + silhouette auto-k inside one
+    applyInPandas group per document; labels canonical by first
+    appearance. The oracle derives the labels arithmetically from the
+    generator — the kernel must reproduce them exactly, auto-k included."""
+    from docling_spark.operators.diarize import diarize_windows
+
+    out = diarize_windows(_diar_windows(spark, sf_dir), conv_col="doc_id")
+    return out.select("doc_id", "win_idx", F.round("ts", 6).alias("ts"),
+                      "speaker")
+
+
+ORACLE_DIARIZE_WINDOWS = """
+select d.doc_id, w.win_idx,
+       round(w.win_idx * 0.5, 6) as ts,
+       'SPEAKER_0' || ((w.win_idx // 4) % (2 + d.doc_id % 2)) as speaker
+from documents d
+cross join (select unnest(generate_series(0, 11)) as win_idx) w
+"""
+
+
+def _diar_labeled(spark, sf_dir):
+    """Labeled windows for the segment-merge stage, independent of the
+    clustering kernel: 10 windows per doc, speaker flips every 3 windows,
+    audio length fixed at 6.0 s (past the last window's raw end)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("win_idx")
+    )
+    return w.select(
+        "doc_id", "win_idx",
+        (F.col("win_idx") * 0.5).alias("ts"),
+        F.concat(F.lit("SPEAKER_0"),
+                 (F.floor(F.col("win_idx") / 3) % 2).cast("string")
+                 ).alias("speaker"),
+        F.lit(6.0).alias("audio_len"),
+    )
+
+
+def q_speaker_segments(spark, sf_dir):
+    """Consecutive same-speaker windows → segments
+    (speaker_diarization.py:168-184): lag/run-id window chain, last
+    segment extended to the audio end. One conversation-keyed shuffle."""
+    from docling_spark.operators.diarize import speaker_segments
+
+    seg = speaker_segments(_diar_labeled(spark, sf_dir), conv_col="doc_id",
+                           audio_len_col="audio_len")
+    return seg.select("doc_id", "seg_idx",
+                      F.round("start_time", 6).alias("start_time"),
+                      F.round("end_time", 6).alias("end_time"), "speaker")
+
+
+ORACLE_SPEAKER_SEGMENTS = """
+-- runs of 3 windows (ts = win*0.5): [0..2] S0, [3..5] S1, [6..8] S0,
+-- [9] S1; end = last ts + 0.5 except the final run extends to 6.0
+select d.doc_id, s.seg_idx,
+       round(s.seg_idx * 1.5, 6) as start_time,
+       round(case when s.seg_idx = 3 then 6.0
+                  else s.seg_idx * 1.5 + 1.5 end, 6) as end_time,
+       'SPEAKER_0' || (s.seg_idx % 2) as speaker
+from documents d
+cross join (select unnest(generate_series(0, 3)) as seg_idx) s
+"""
+
+
+def q_speaker_assign(spark, sf_dir):
+    """Max-overlap speaker assignment (assign_speakers,
+    speaker_diarization.py:199-230) of three transcript items per doc
+    against the 4-segment diarization of q_speaker_segments: keyed
+    equi-join + argmax window, ties to the earliest segment, no-overlap
+    items keep NULL."""
+    from docling_spark.operators.diarize import (
+        assign_speakers, speaker_segments)
+
+    segs = speaker_segments(_diar_labeled(spark, sf_dir), conv_col="doc_id",
+                            audio_len_col="audio_len")
+    d = _docs(spark, sf_dir).select("doc_id")
+    items = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("item_idx"),
+    ).select(
+        "doc_id", "item_idx",
+        (F.col("item_idx") * 2.0 + 0.25).alias("start_time"),
+        (F.col("item_idx") * 2.0 + 1.75).alias("end_time"),
+    )
+    out = assign_speakers(items, segs, conv_col="doc_id")
+    return out.select("doc_id", "item_idx",
+                      F.round("start_time", 6).alias("start_time"),
+                      F.round("end_time", 6).alias("end_time"), "speaker")
+
+
+ORACLE_SPEAKER_ASSIGN = """
+with segs as (
+  select d.doc_id, s.seg_idx,
+         s.seg_idx * 1.5 as s0,
+         case when s.seg_idx = 3 then 6.0 else s.seg_idx * 1.5 + 1.5 end as s1,
+         'SPEAKER_0' || (s.seg_idx % 2) as speaker
+  from documents d
+  cross join (select unnest(generate_series(0, 3)) as seg_idx) s
+),
+items as (
+  select d.doc_id, i.item_idx,
+         i.item_idx * 2.0 + 0.25 as start_time,
+         i.item_idx * 2.0 + 1.75 as end_time
+  from documents d
+  cross join (select unnest(generate_series(0, 2)) as item_idx) i
+),
+ov as (
+  select i.doc_id, i.item_idx, i.start_time, i.end_time, g.seg_idx, g.speaker,
+         greatest(0.0, least(i.end_time, g.s1) - greatest(i.start_time, g.s0))
+           as ovl
+  from items i join segs g using (doc_id)
+),
+best as (
+  select *, row_number() over (partition by doc_id, item_idx
+                               order by ovl desc, seg_idx) as rk
+  from ov
+)
+select doc_id, item_idx,
+       round(start_time, 6) as start_time, round(end_time, 6) as end_time,
+       case when ovl > 0 then speaker end as speaker
+from best where rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5326,6 +5478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # export sinks
         "export_doctags": q_export_doctags,
         "extract_template_kv": q_extract_template_kv,
+        "diarize_windows": q_diarize_windows,
+        "speaker_segments": q_speaker_segments,
+        "speaker_assign": q_speaker_assign,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5454,6 +5609,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "export_doctags": ORACLE_EXPORT_DOCTAGS,
         "extract_template_kv": ORACLE_TEMPLATE_KV,
+        "diarize_windows": ORACLE_DIARIZE_WINDOWS,
+        "speaker_segments": ORACLE_SPEAKER_SEGMENTS,
+        "speaker_assign": ORACLE_SPEAKER_ASSIGN,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

@@ -1,0 +1,269 @@
+"""Speaker diarization — distributed re-expression of the reference's
+audio speaker pipeline (utils/speaker_diarization.py).
+
+The reference diarizes ONE wav file at a time: Resemblyzer encodes 1.5 s
+sliding windows (step 0.5 s) into speaker embeddings, sklearn
+AgglomerativeClustering (Ward) groups them — speaker count auto-selected
+by silhouette score over n ∈ [2, 8] (speaker_diarization.py:45-68) —
+consecutive same-speaker windows merge into segments
+(:168-184), and each ASR transcript item takes the label of the
+max-overlap segment (assign_speakers, :199-230).
+
+Here the unit of work is a conversation, not a process: millions of
+conversations diarize in parallel, each one's windows bounded by its
+audio length, so the clustering kernel is a bounded-size
+``applyInPandas`` group (the voice-encoder model is the stubbed
+boundary — windows arrive WITH embedding vectors, mirroring how
+multimodal.py stubs decode kernels). Everything around the kernel is
+JVM-side: run merging is a lag/sum window chain (classic
+sessionization) and speaker assignment is a conversation-keyed
+equi-join + argmax window — no per-row Python, no unbounded state.
+
+Clustering is a from-scratch Ward agglomeration (Lance-Williams
+update) with deterministic tie-breaking, and the silhouette score is
+computed directly from its definition — both pure numpy, no sklearn in
+the container. Speaker ids are canonicalized by FIRST APPEARANCE TIME
+(SPEAKER_00 = first heard), which makes labels deterministic and
+oracle-derivable where sklearn's cluster indices are arbitrary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_SPEAKERS = 2   # speaker_diarization.py:19
+MAX_SPEAKERS = 8   # speaker_diarization.py:21
+WINDOW_STEP = 0.5  # speaker_diarization.py:23
+
+
+# ---------------------------------------------------------------- kernel --
+
+def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Ward agglomerative clustering, from scratch.
+
+    Lance-Williams recurrence for Ward linkage on squared euclidean
+    distances: when clusters i and j merge,
+        d²(k, i∪j) = ((n_i+n_k) d²(k,i) + (n_j+n_k) d²(k,j)
+                      − n_k d²(i,j)) / (n_i+n_j+n_k).
+    Ties break on the smallest (i, j) pair, so the dendrogram is
+    deterministic. O(m³) worst case over m windows per conversation —
+    m is bounded by audio length (the reference's per-file regime), so
+    the kernel cost is constant per conversation, never corpus-scale.
+    """
+    m = len(x)
+    if n_clusters >= m:
+        return np.arange(m)
+    diff = x[:, None, :] - x[None, :, :]
+    d2 = (diff * diff).sum(axis=2) / 2.0  # Ward d² between singletons
+    np.fill_diagonal(d2, np.inf)
+    sizes = np.ones(m)
+    active = list(range(m))
+    # members[c] = row indices belonging to cluster c
+    members: dict[int, list[int]] = {i: [i] for i in range(m)}
+    for _ in range(m - n_clusters):
+        best = (np.inf, -1, -1)
+        for ai in range(len(active)):
+            i = active[ai]
+            row = d2[i]
+            for aj in range(ai + 1, len(active)):
+                j = active[aj]
+                v = row[j]
+                if v < best[0]:
+                    best = (v, i, j)
+        dij, i, j = best
+        ni, nj = sizes[i], sizes[j]
+        for k in active:
+            if k == i or k == j:
+                continue
+            nk = sizes[k]
+            dk = ((ni + nk) * d2[k, i] + (nj + nk) * d2[k, j] - nk * dij) / (
+                ni + nj + nk
+            )
+            d2[k, i] = d2[i, k] = dk
+        sizes[i] = ni + nj
+        members[i].extend(members.pop(j))
+        active.remove(j)
+        d2[j, :] = np.inf
+        d2[:, j] = np.inf
+    labels = np.empty(m, dtype=np.int64)
+    for c, key in enumerate(sorted(members, key=lambda c: min(members[c]))):
+        labels[np.array(members[key])] = c
+    return labels
+
+
+def silhouette(x: np.ndarray, labels: np.ndarray) -> float:
+    """Mean silhouette coefficient, straight from the definition:
+    s(i) = (b(i) − a(i)) / max(a(i), b(i)) with a = mean intra-cluster
+    distance (excluding self), b = min over other clusters of the mean
+    distance to that cluster; singleton clusters score 0."""
+    m = len(x)
+    diff = x[:, None, :] - x[None, :, :]
+    d = np.sqrt((diff * diff).sum(axis=2))
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return -1.0
+    s = np.zeros(m)
+    for i in range(m):
+        own = labels[i]
+        same = labels == own
+        n_same = same.sum()
+        if n_same <= 1:
+            s[i] = 0.0
+            continue
+        a = d[i][same].sum() / (n_same - 1)
+        b = min(d[i][labels == c].mean() for c in uniq if c != own)
+        s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+    return float(s.mean())
+
+
+def estimate_num_speakers(x: np.ndarray) -> int:
+    """speaker_diarization.py:45-68: best silhouette over n ∈ [2, 8]
+    (capped below the window count); ties keep the smaller n."""
+    best_n, best_score = MIN_SPEAKERS, -1.0
+    for n in range(MIN_SPEAKERS, min(MAX_SPEAKERS + 1, len(x))):
+        labels = ward_labels(x, n)
+        if len(np.unique(labels)) < 2:
+            continue
+        score = silhouette(x, labels)
+        if score > best_score:
+            best_n, best_score = n, score
+    return best_n
+
+
+def _diarize_one(pdf: pd.DataFrame, num_speakers: int | None) -> pd.DataFrame:
+    pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    if len(x) == 0:
+        return pdf.assign(speaker=pd.Series([], dtype=str))
+    if len(x) == 1:
+        return pdf.assign(speaker="SPEAKER_00")
+    n = num_speakers if num_speakers is not None else estimate_num_speakers(x)
+    raw = ward_labels(x, min(n, len(x)))
+    # canonical ids by first appearance time: SPEAKER_00 = first heard
+    order: dict[int, int] = {}
+    for lab in raw:
+        if lab not in order:
+            order[lab] = len(order)
+    pdf["speaker"] = [f"SPEAKER_{order[lab]:02d}" for lab in raw]
+    return pdf
+
+
+def diarize_windows(
+    windows: DataFrame,
+    num_speakers: int | None = None,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """(conv, ts, embedding) windows → per-window speaker labels.
+
+    One applyInPandas group per conversation: the reference's per-file
+    clustering (speaker_diarization.py:165-166) becomes per-conversation
+    work, parallel across the corpus. ``num_speakers=None`` auto-selects
+    by silhouette exactly as the reference does.
+    """
+    conv_type = {fl.name: fl.dataType.simpleString()
+                 for fl in windows.schema.fields}[conv_col]
+    schema = f"{conv_col} {conv_type}, win_idx int, ts double, speaker string"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _diarize_one(pdf, num_speakers)
+        return got[[conv_col, "win_idx", "ts", "speaker"]]
+
+    cols = [conv_col, "win_idx", "ts", "embedding"]
+    return windows.select(*cols).groupBy(conv_col).applyInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------- JVM plans --
+
+def speaker_segments(
+    labeled: DataFrame,
+    step: float = WINDOW_STEP,
+    conv_col: str = "conv_id",
+    audio_len_col: str | None = None,
+) -> DataFrame:
+    """Merge consecutive same-speaker windows into segments
+    (speaker_diarization.py:168-184): a segment runs from its first
+    window's ts to last-window ts + step; the conversation's LAST
+    segment extends to the audio end (len(wav)/sr) when an audio-length
+    column is supplied.
+
+    Pure window functions: label-change flag → running sum = run id →
+    groupBy run. One shuffle keyed by conversation.
+    """
+    w = Window.partitionBy(conv_col).orderBy("ts")
+    runs = (
+        labeled.withColumn(
+            "chg",
+            (F.lag("speaker").over(w).isNull()
+             | (F.lag("speaker").over(w) != F.col("speaker"))).cast("int"),
+        )
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    aggs = [
+        F.min("ts").alias("start_time"),
+        (F.max("ts") + F.lit(step)).alias("end_raw"),
+        F.first("speaker").alias("speaker"),
+    ]
+    if audio_len_col:
+        aggs.append(F.max(audio_len_col).alias("_alen"))
+    seg = runs.groupBy(conv_col, "run_id").agg(*aggs)
+    wc = Window.partitionBy(conv_col)
+    if audio_len_col:
+        seg = seg.withColumn(
+            "end_time",
+            F.when(F.col("run_id") == F.max("run_id").over(wc), F.col("_alen"))
+            .otherwise(F.col("end_raw")),
+        ).drop("_alen")
+    else:
+        seg = seg.withColumn("end_time", F.col("end_raw"))
+    return seg.select(
+        conv_col, (F.col("run_id") - 1).cast("int").alias("seg_idx"),
+        "start_time", "end_time", "speaker",
+    )
+
+
+def assign_speakers(
+    items: DataFrame,
+    segments: DataFrame,
+    conv_col: str = "conv_id",
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+) -> DataFrame:
+    """Label each transcript item with the speaker of its max-overlap
+    diarization segment (assign_speakers, speaker_diarization.py:199-230):
+    overlap = max(0, min(ends) − max(starts)); strictly-positive overlap
+    required; ties keep the earliest segment (the reference's
+    strictly-greater scan keeps the first maximum). Items with no
+    overlapping segment keep a NULL speaker.
+
+    Plan: conversation-keyed equi-join (items and segments of the same
+    conversation co-locate; segment counts per conversation are bounded
+    by audio length) + one argmax window per item. No interval
+    cross-product, no broadcast of corpus-sized state.
+    """
+    seg = segments.select(
+        F.col(conv_col).alias("_c"),
+        F.col("seg_idx"),
+        F.col("start_time").alias("_s0"),
+        F.col("end_time").alias("_s1"),
+        F.col("speaker").alias("_spk"),
+    )
+    j = items.join(seg, items[conv_col] == seg["_c"], "left")
+    overlap = F.greatest(
+        F.lit(0.0),
+        F.least(F.col(end_col), F.col("_s1"))
+        - F.greatest(F.col(start_col), F.col("_s0")),
+    )
+    j = j.withColumn("_ov", overlap)
+    item_key = [conv_col, start_col, end_col]
+    w = Window.partitionBy(*[items[c] for c in item_key]).orderBy(
+        F.desc("_ov"), F.asc("seg_idx"))
+    ranked = j.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return ranked.select(
+        *[items[c] for c in items.columns],
+        F.when(F.col("_ov") > 0, F.col("_spk")).alias("speaker"),
+    )
