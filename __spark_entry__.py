@@ -5388,6 +5388,112 @@ from best where rk = 1
 """
 
 
+def _scene_probes(spark, sf_dir):
+    """Synthetic probe-diff signal per document: 60 probes at 1 fps,
+    ambient diff 0.02 with 0.92 cut spikes at t = 7+o, 22+o, 37+o, 52+o
+    (o = doc_id % 3) — flat ambient puts the MAD at zero, so the auto
+    prominence is max(floor, median) = 0.02 and exactly the four spikes
+    survive; expected scene bounds are pure arithmetic."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    p = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("probe_idx")
+    )
+    o = F.col("doc_id") % 3
+    is_spike = ((F.col("probe_idx") - 7 - o) % 15 == 0) & \
+        (F.col("probe_idx") >= 7 + o) & (F.col("probe_idx") <= 52 + o)
+    return p.select(
+        "doc_id", "probe_idx",
+        F.col("probe_idx").cast("double").alias("ts"),
+        F.when(is_spike, 0.92).otherwise(0.02).alias("diff"),
+    )
+
+
+def q_scene_detect(spark, sf_dir):
+    """Scene-cut detection (SimpleSceneChangeFrameSampler.detect_scenes,
+    video_frame_sampling.py:424-483): from-scratch find_peaks (plateau
+    midpoints, height-priority distance selection, prominence filter)
+    with per-video auto prominence, one bounded kernel group per video."""
+    from docling_spark.operators.scenes import detect_scenes
+
+    out = detect_scenes(_scene_probes(spark, sf_dir), media_col="doc_id")
+    return out.select("doc_id", "scene_id",
+                      F.round("start_time", 6).alias("start_time"),
+                      F.round("end_time", 6).alias("end_time"))
+
+
+ORACLE_SCENE_DETECT = """
+-- boundaries per doc: [0, 7+o, 22+o, 37+o, 52+o], last scene ends at 59
+with s as (select unnest(generate_series(0, 4)) as scene_id)
+select d.doc_id, s.scene_id,
+       round(case when s.scene_id = 0 then 0.0
+                  else (s.scene_id - 1) * 15 + 7 + d.doc_id % 3 end, 6)
+         as start_time,
+       round(case when s.scene_id = 4 then 59.0
+                  else s.scene_id * 15 + 7 + d.doc_id % 3 end, 6) as end_time
+from documents d cross join s
+"""
+
+
+def q_scene_keyframes(spark, sf_dir):
+    """Sharpest-keyframe selection (_best_frame,
+    video_frame_sampling.py:378-432) chained onto q_scene_detect's
+    scenes: candidate frames at every integer second with an arithmetic
+    sharpness (the stubbed Laplacian-variance kernel), argmax within the
+    central 40% band of each scene, ties to the earliest frame. The JVM
+    plan is a video-keyed equi-join + one argmax window."""
+    from docling_spark.operators.scenes import (
+        detect_scenes, scene_best_frames)
+
+    scenes = detect_scenes(_scene_probes(spark, sf_dir), media_col="doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
+    cands = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("fidx")
+    ).select(
+        "doc_id",
+        F.col("fidx").cast("double").alias("ts"),
+        ((F.col("fidx") * 7 + F.col("doc_id")) % 13).cast("double")
+        .alias("sharpness"),
+    )
+    out = scene_best_frames(cands, scenes, media_col="doc_id")
+    return out.select("doc_id", "scene_id",
+                      F.round("frame_ts", 6).alias("frame_ts"),
+                      F.round("sharpness", 6).alias("sharpness"))
+
+
+ORACLE_SCENE_KEYFRAMES = """
+with s as (select unnest(generate_series(0, 4)) as scene_id),
+scenes as (
+  select d.doc_id, s.scene_id,
+         case when s.scene_id = 0 then 0.0
+              else (s.scene_id - 1) * 15 + 7 + d.doc_id % 3 end as s0,
+         case when s.scene_id = 4 then 59.0
+              else s.scene_id * 15 + 7 + d.doc_id % 3 end as s1
+  from documents d cross join s
+),
+cands as (
+  select d.doc_id, f.fidx * 1.0 as ts,
+         cast((f.fidx * 7 + d.doc_id) % 13 as double) as sharpness
+  from documents d
+  cross join (select unnest(generate_series(0, 59)) as fidx) f
+),
+banded as (
+  select sc.doc_id, sc.scene_id, c.ts, c.sharpness
+  from scenes sc
+  join cands c on c.doc_id = sc.doc_id
+   and c.ts >= greatest(sc.s0, (sc.s0 + sc.s1) / 2 - (sc.s1 - sc.s0) * 0.2)
+   and c.ts <= least(sc.s1, (sc.s0 + sc.s1) / 2 + (sc.s1 - sc.s0) * 0.2)
+),
+best as (
+  select *, row_number() over (partition by doc_id, scene_id
+                               order by sharpness desc, ts) as rk
+  from banded
+)
+select doc_id, scene_id, round(ts, 6) as frame_ts,
+       round(sharpness, 6) as sharpness
+from best where rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5481,6 +5587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diarize_windows": q_diarize_windows,
         "speaker_segments": q_speaker_segments,
         "speaker_assign": q_speaker_assign,
+        "scene_detect": q_scene_detect,
+        "scene_keyframes": q_scene_keyframes,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5612,6 +5720,8 @@ def oracle_sql() -> dict[str, str]:
         "diarize_windows": ORACLE_DIARIZE_WINDOWS,
         "speaker_segments": ORACLE_SPEAKER_SEGMENTS,
         "speaker_assign": ORACLE_SPEAKER_ASSIGN,
+        "scene_detect": ORACLE_SCENE_DETECT,
+        "scene_keyframes": ORACLE_SCENE_KEYFRAMES,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,
