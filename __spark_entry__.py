@@ -5494,6 +5494,79 @@ from best where rk = 1
 """
 
 
+def q_quality_lr_train(spark, sf_dir):
+    """Trainable quality classifier (the learnable twin of
+    quality_classifier/linear_quality_score): 3 full-batch
+    logistic-regression GD iterations, each one corpus scan + a single
+    4-value integer-quantized gradient aggregate + an O(d) driver weight
+    update re-broadcast as literals. The oracle unrolls the identical
+    iterations in SQL — bigint gradient sums make the whole training
+    trajectory order-independent and bit-identical across engines."""
+    from docling_spark.operators.textstats import train_quality_lr
+
+    scored, _w = train_quality_lr(_docs(spark, sf_dir))
+    return scored.select("doc_id", "label", "score", "pred")
+
+
+def _lr_sigma_sql(wcte: str) -> str:
+    return (f"1.0 / (1.0 + exp(-({wcte}.w0 * x.x0 + {wcte}.w1 * x.x1 "
+            f"+ {wcte}.w2 * x.x2 + {wcte}.w3 * x.x3)))")
+
+
+def _lr_grad_sql(wcte: str) -> str:
+    s = _lr_sigma_sql(wcte)
+    cols = ", ".join(
+        f"sum(cast(round(({s} - x.y) * x.x{j} * 1000000.0) as bigint)) as g{j}"
+        for j in range(4))
+    return f"select {cols} from x cross join {wcte}"
+
+
+def _lr_step_sql(wcte: str, gcte: str) -> str:
+    cols = ", ".join(
+        f"{wcte}.w{j} - 0.5 * ({gcte}.g{j} / ((select c from n) * 1000000.0)) as w{j}"
+        for j in range(4))
+    return f"select {cols} from {wcte} cross join {gcte}"
+
+
+ORACLE_QUALITY_LR_TRAIN = f"""
+with f as (
+  select doc_id,
+         case when trim(text) = '' then 0
+              else len(string_split_regex(trim(text), '\\s+')) end as n_tok,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) as n_nospace,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t in ('the','and','of','to','a','in','is','it','that')))
+           as hits_en
+  from documents
+),
+x as (
+  select doc_id,
+         1.0 as x0,
+         n_tok / 100.0 as x1,
+         (case when n_tok > 0 then n_nospace::double / n_tok
+               else 0.0 end) / 10.0 as x2,
+         case when n_tok > 0 then hits_en::double / n_tok
+              else 0.0 end as x3,
+         cast((n_tok + doc_id) % 2 as double) as y
+  from f
+),
+n as (select count(*)::double as c from x),
+w0 as (select 0.0 as w0, 0.0 as w1, 0.0 as w2, 0.0 as w3),
+g0 as ({_lr_grad_sql("w0")}),
+w1 as ({_lr_step_sql("w0", "g0")}),
+g1 as ({_lr_grad_sql("w1")}),
+w2 as ({_lr_step_sql("w1", "g1")}),
+g2 as ({_lr_grad_sql("w2")}),
+w3 as ({_lr_step_sql("w2", "g2")}),
+scored as (
+  select x.doc_id, cast(x.y as int) as label,
+         round({_lr_sigma_sql("w3")}, 6) as score
+  from x cross join w3
+)
+select doc_id, label, score, cast(score > 0.5 as int) as pred from scored
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5589,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaker_assign": q_speaker_assign,
         "scene_detect": q_scene_detect,
         "scene_keyframes": q_scene_keyframes,
+        "quality_lr_train": q_quality_lr_train,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5722,6 +5796,7 @@ def oracle_sql() -> dict[str, str]:
         "speaker_assign": ORACLE_SPEAKER_ASSIGN,
         "scene_detect": ORACLE_SCENE_DETECT,
         "scene_keyframes": ORACLE_SCENE_KEYFRAMES,
+        "quality_lr_train": ORACLE_QUALITY_LR_TRAIN,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

@@ -450,3 +450,67 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
             F.round(F.sum("part") + F.lit(1e-9), 6).alias("score"),
         )
     )
+
+
+def _lr_features(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The dense feature row for the trainable quality classifier:
+    x = [1 (bias), n_tokens/100, avg_token_len/10, en-stopword ratio],
+    label y = (n_tokens + doc_id) % 2 — a deterministic, balanced synthetic
+    target (the *math* is the contract; a real labeled set drops in via
+    the same columns). All features are ratios of integer counts, so both
+    engines compute bit-identical doubles."""
+    n_tok = token_count(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.lit(1.0).alias("x0"),
+        (n_tok.cast("double") / 100.0).alias("x1"),
+        (avg_token_len(F.col(text_col)) / 10.0).alias("x2"),
+        stopword_ratio(F.col(text_col)).alias("x3"),
+        ((n_tok + F.col(id_col)) % 2).cast("double").alias("y"),
+    )
+
+
+def train_quality_lr(docs: DataFrame, iters: int = 3, lr: float = 0.5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> tuple[DataFrame, list[float]]:
+    """Full-batch logistic-regression TRAINING for a quality classifier —
+    the learnable twin of ``linear_quality_score`` (which serves fixed
+    weights). The distributed-ML shape: each iteration is one corpus scan
+    ending in a single 4-value gradient aggregate (map-side partial sums,
+    one tiny shuffle), the weight update is O(d) driver work, and the new
+    weights re-enter the plan as literals — the classic
+    broadcast-weights / aggregate-gradients loop, d bounded, never a
+    per-row Python step.
+
+    Engine-reproducible by construction: each row's gradient contribution
+    (sigmoid(w.x) − y)·x_j is quantized to 1e-6 and summed as BIGINTS, so
+    the gradient is order-independent and bit-identical across engines
+    (the bm25 lesson, taken one step further: integer sums instead of a
+    nudged float round). The only cross-engine float risk left is a
+    ~1-ulp libm exp() divergence landing within 1e-10 of a quantization
+    boundary — negligible.
+
+    Returns (scored DataFrame (id, label, score, pred), final weights).
+    """
+    feats = _lr_features(docs, text_col, id_col).cache()
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = ["x0", "x1", "x2", "x3"]
+    for _ in range(iters):
+        z = sum((F.lit(w[j]) * F.col(xs[j]) for j in range(4)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(*[
+            F.sum(F.round((p - F.col("y")) * F.col(xs[j]) * 1e6, 0)
+                  .cast("bigint")).alias(f"g{j}")
+            for j in range(4)
+        ]).collect()[0]
+        w = [w[j] - lr * (row[f"g{j}"] / (n * 1e6)) for j in range(4)]
+    z = sum((F.lit(w[j]) * F.col(xs[j]) for j in range(4)), F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = feats.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("label"),
+        score.alias("score"),
+        (score > 0.5).cast("int").alias("pred"),
+    )
+    return scored, w

@@ -416,3 +416,33 @@ def test_bm25_query_terms_case_folded(spark):
         [(1, "Apple pie"), (2, "no match")], "doc_id long, text string")
     rows = bm25_scores(docs, ["APPLE"]).collect()
     assert [r.doc_id for r in rows] == [1]
+
+
+def test_train_quality_lr_learns_separable_labels(spark):
+    """Full-batch GD actually learns: on a corpus where the label is a
+    clean threshold on one feature, training must beat the 50% prior and
+    move the weights off zero in the discriminative direction."""
+    from docling_spark.operators.textstats import train_quality_lr
+
+    rows = [(i, ("word " * (5 if i % 2 else 61)).strip()) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # label y = (n_tok + doc_id) % 2: 61 tokens on even ids -> y=1,
+    # 5 tokens on odd ids -> y=0 — i.e. exactly the long documents
+    scored, w = train_quality_lr(docs, iters=8, lr=1.0)
+    got = scored.collect()
+    acc = sum(1 for r in got if r["pred"] == r["label"]) / len(got)
+    assert acc > 0.9
+    assert w[1] > 0  # token-count feature must carry positive weight
+
+
+def test_train_quality_lr_deterministic_across_partitionings(spark):
+    """Integer-quantized gradient sums make the trained weights invariant
+    to partitioning/summation order."""
+    from docling_spark.operators.textstats import train_quality_lr
+
+    rows = [(i, f"alpha beta {'x ' * (i % 7)}gamma") for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    _, wa = train_quality_lr(a, iters=3)
+    _, wb = train_quality_lr(b, iters=3)
+    assert wa == wb
