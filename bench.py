@@ -108,6 +108,10 @@ def main() -> None:
         "c4_line_clean",
         "curation_funnel",
         "export_vtt",
+        "extract_template_kv",
+        "scene_detect",
+        "speaker_assign",
+        "quality_lr_train",
     ]
     for name in bench_queries:
         # untimed warm-up first: the first execution of a query pays

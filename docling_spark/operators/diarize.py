@@ -61,32 +61,30 @@ def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
     d2 = (diff * diff).sum(axis=2) / 2.0  # Ward d² between singletons
     np.fill_diagonal(d2, np.inf)
     sizes = np.ones(m)
-    active = list(range(m))
+    active = np.ones(m, dtype=bool)
     # members[c] = row indices belonging to cluster c
     members: dict[int, list[int]] = {i: [i] for i in range(m)}
     for _ in range(m - n_clusters):
-        best = (np.inf, -1, -1)
-        for ai in range(len(active)):
-            i = active[ai]
-            row = d2[i]
-            for aj in range(ai + 1, len(active)):
-                j = active[aj]
-                v = row[j]
-                if v < best[0]:
-                    best = (v, i, j)
-        dij, i, j = best
+        # row-major argmin = lexicographically-smallest (i, j) among ties,
+        # the deterministic dendrogram guarantee; vectorized so a
+        # minutes-long conversation (hundreds of windows) stays fast
+        flat = int(np.argmin(d2))
+        i, j = divmod(flat, m)
+        if i > j:
+            i, j = j, i
+        dij = d2[i, j]
         ni, nj = sizes[i], sizes[j]
-        for k in active:
-            if k == i or k == j:
-                continue
-            nk = sizes[k]
-            dk = ((ni + nk) * d2[k, i] + (nj + nk) * d2[k, j] - nk * dij) / (
-                ni + nj + nk
-            )
-            d2[k, i] = d2[i, k] = dk
+        act = np.flatnonzero(active)
+        act = act[(act != i) & (act != j)]
+        nk = sizes[act]
+        dk = ((ni + nk) * d2[act, i] + (nj + nk) * d2[act, j] - nk * dij) / (
+            ni + nj + nk
+        )
+        d2[act, i] = dk
+        d2[i, act] = dk
         sizes[i] = ni + nj
         members[i].extend(members.pop(j))
-        active.remove(j)
+        active[j] = False
         d2[j, :] = np.inf
         d2[:, j] = np.inf
     labels = np.empty(m, dtype=np.int64)
