@@ -166,12 +166,44 @@ def diarize_windows(
                  for fl in windows.schema.fields}[conv_col]
     schema = f"{conv_col} {conv_type}, win_idx int, ts double, speaker string"
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _diarize_one(pdf, num_speakers)
-        return got[[conv_col, "win_idx", "ts", "speaker"]]
+    # pack each conversation's windows into one row JVM-side, then run
+    # the kernel over Arrow-batched conversations in a single mapInPandas
+    # pass — thousands of conversations per pandas call instead of one
+    # pandas group per conversation (the scenes.py lesson: per-group
+    # applyInPandas overhead dominated a cheap kernel ~8x)
+    packed = windows.groupBy(conv_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "win_idx", "embedding"))
+        ).alias("wins")
+    )
+    # packed rows are BYTE-small but CPU-heavy (Ward + 7x silhouette per
+    # conversation). A hash repartition on conv is elided by Catalyst
+    # (the agg exchange already satisfies it) and the surviving
+    # ENSURE_REQUIREMENTS exchange gets AQE-coalesced to ONE partition by
+    # byte size — measured 23 s single-core vs 1.4 s fanned out. The
+    # column-less round-robin repartition is user-pinned (never elided,
+    # never coalesced) and balances kernel work perfectly.
+    packed = packed.repartition(
+        windows.sparkSession.sparkContext.defaultParallelism)
 
-    cols = [conv_col, "win_idx", "ts", "embedding"]
-    return windows.select(*cols).groupBy(conv_col).applyInPandas(run, schema=schema)
+    def run(batches):
+        for pdf in batches:
+            out = {conv_col: [], "win_idx": [], "ts": [], "speaker": []}
+            for cid, wins in zip(pdf[conv_col], pdf["wins"]):
+                one = pd.DataFrame({
+                    conv_col: [cid] * len(wins),
+                    "win_idx": [int(r["win_idx"]) for r in wins],
+                    "ts": [float(r["ts"]) for r in wins],
+                    "embedding": [r["embedding"] for r in wins],
+                })
+                got = _diarize_one(one, num_speakers)
+                out[conv_col].extend(got[conv_col])
+                out["win_idx"].extend(got["win_idx"])
+                out["ts"].extend(got["ts"])
+                out["speaker"].extend(got["speaker"])
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(run, schema=schema)
 
 
 # ------------------------------------------------------------- JVM plans --

@@ -165,23 +165,45 @@ def detect_scenes(
     schema = (f"{media_col} {media_type}, scene_id int, "
               f"start_time double, end_time double")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("probe_idx", kind="mergesort")
-        ts = pdf["ts"].to_numpy(dtype=np.float64)
-        diffs = pdf["diff"].to_numpy(dtype=np.float64)[:-1]
-        scenes = detect_scenes_kernel(
-            ts, diffs, probe_fps=probe_fps, prominence=prominence,
-            min_scene_duration_seconds=min_scene_duration_seconds,
-            smooth_window=smooth_window)
-        mid = pdf[media_col].iloc[0]
-        return pd.DataFrame(
-            [(mid, sid, s0, s1) for sid, s0, s1 in scenes],
-            columns=[media_col, "scene_id", "start_time", "end_time"],
-        )
+    # One JVM aggregation packs each video's signal into a single row
+    # (array_sort on the struct orders by probe_idx), then ONE
+    # mapInPandas pass runs the kernel over Arrow-batched videos —
+    # thousands of videos per pandas call instead of one pandas group
+    # per video (applyInPandas per-group overhead measured 8.3 s vs
+    # ~1 s for the same sf0.1 corpus). State per row stays bounded by
+    # video duration x probe_fps, the same invariant as before.
+    packed = probes.groupBy(media_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("probe_idx", "ts", "diff"))
+        ).alias("sig")
+    )
+    # byte-small, CPU-bearing rows: the column-less round-robin
+    # repartition is user-pinned, so neither Catalyst (redundant-with-agg
+    # elision) nor AQE (size-based coalescing) can serialize the kernel
+    # onto one core (see diarize.py for the measured 16x)
+    packed = packed.repartition(
+        probes.sparkSession.sparkContext.defaultParallelism)
 
-    cols = [media_col, "probe_idx", "ts", "diff"]
-    return probes.select(*cols).groupBy(media_col).applyInPandas(
-        run, schema=schema)
+    def run(batches):
+        for pdf in batches:
+            out = {media_col: [], "scene_id": [], "start_time": [],
+                   "end_time": []}
+            for mid, sig in zip(pdf[media_col], pdf["sig"]):
+                ts = np.array([r["ts"] for r in sig], dtype=np.float64)
+                diffs = np.array([r["diff"] for r in sig],
+                                 dtype=np.float64)[:-1]
+                for sid, s0, s1 in detect_scenes_kernel(
+                        ts, diffs, probe_fps=probe_fps,
+                        prominence=prominence,
+                        min_scene_duration_seconds=min_scene_duration_seconds,
+                        smooth_window=smooth_window):
+                    out[media_col].append(mid)
+                    out["scene_id"].append(sid)
+                    out["start_time"].append(s0)
+                    out["end_time"].append(s1)
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(run, schema=schema)
 
 
 def scene_best_frames(
