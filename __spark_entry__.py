@@ -5112,7 +5112,9 @@ select tok.source,
        cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
        round(share * nmax / tokens_avail, 6) as keep_fraction,
-       cast(floor(share * nmax) as bigint) as tokens_planned
+       -- +1e-6 nudge mirrors mixture_plan: the binding source's
+       -- share*nmax is an exact integer in real arithmetic
+       cast(floor(share * nmax + 1e-6) as bigint) as tokens_planned
 from tok
 join norm using (source), n
 """
@@ -5567,6 +5569,40 @@ select doc_id, label, score, cast(score > 0.5 as int) as pred from scored
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based source mixing (mC4/XLM-R sampling rule):
+    p_s ∝ T_s^0.3 upweights low-resource sources; keep fractions sized
+    so no source oversamples. One corpus scan + groupBy(source), then
+    two one-row scalar attaches (Z normalizer, max-feasible-corpus)."""
+    from docling_spark.operators.curation import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), alpha=0.3)
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+with tok as (
+  select source,
+         sum(case when trim(text) = '' then 0
+                  else len(string_split_regex(trim(text), '\\s+')) end)
+           as tokens_avail
+  from documents group by 1
+),
+z as (select sum(pow(tokens_avail::double, 0.3)) as z from tok),
+per as (
+  select source, tokens_avail,
+         pow(tokens_avail::double, 0.3) / (select z from z) as share
+  from tok
+),
+n as (select min(tokens_avail / share) as nmax from per)
+select source,
+       cast(tokens_avail as bigint) as tokens_avail,
+       round(share, 6) as target_share,
+       round(least(share * nmax / tokens_avail, 1.0), 6) as keep_fraction,
+       cast(floor(share * nmax + 1e-6) as bigint) as tokens_planned
+from per, n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5663,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_detect": q_scene_detect,
         "scene_keyframes": q_scene_keyframes,
         "quality_lr_train": q_quality_lr_train,
+        "temperature_mixture": q_temperature_mixture,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5797,6 +5834,7 @@ def oracle_sql() -> dict[str, str]:
         "scene_detect": ORACLE_SCENE_DETECT,
         "scene_keyframes": ORACLE_SCENE_KEYFRAMES,
         "quality_lr_train": ORACLE_QUALITY_LR_TRAIN,
+        "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

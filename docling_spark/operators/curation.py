@@ -613,8 +613,10 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
             F.round(
                 F.col("target_share") * F.col("nmax") / F.col("tokens_avail"), 6
             ).alias("keep_fraction"),
-            F.floor(F.col("target_share") * F.col("nmax")).cast("long")
-            .alias("tokens_planned"),
+            # +1e-6 before floor: same binding-source integer-landing
+            # guard as temperature_mixture
+            F.floor(F.col("target_share") * F.col("nmax") + F.lit(1e-6))
+            .cast("long").alias("tokens_planned"),
         )
     )
 
@@ -648,4 +650,50 @@ def c4_page_keep(text_col: Column, clean_col: Column,
         & ~low.contains("}")
         & ~low.contains("lorem ipsum")
         & (n_sent >= min_sentences)
+    )
+
+
+def temperature_mixture(docs: DataFrame, alpha: float = 0.3,
+                        text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """Temperature-based source mixing (the mC4/XLM-R multilingual
+    sampling rule): target share p_s ∝ T_s^alpha with alpha < 1
+    upweighting low-resource sources — the implicit-targets twin of
+    :func:`mixture_plan` (which takes explicit shares).
+
+    Same scale shape: one corpus scan into a partial-agg
+    groupBy(source), a one-row Z = Σ T_s^alpha normalizer and a one-row
+    max-feasible-corpus min, each attached back as broadcast scalars.
+    keep_fraction = p_s·N / T_s with N = min_s(T_s / p_s), so no source
+    oversamples; applying the plan is :func:`stratified_sample`.
+
+    Output: (source, tokens_avail, target_share, keep_fraction,
+    tokens_planned), one row per source.
+    """
+    tok = docs.groupBy(source_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("tokens_avail"))
+    z = tok.agg(F.sum(F.pow(F.col("tokens_avail").cast("double"), alpha))
+                .alias("z"))
+    per = tok.crossJoin(F.broadcast(z)).select(
+        source_col, "tokens_avail",
+        (F.pow(F.col("tokens_avail").cast("double"), alpha) / F.col("z"))
+        .alias("share"),
+    )
+    nmax = per.agg(F.min(F.col("tokens_avail") / F.col("share")).alias("nmax"))
+    return (
+        per.crossJoin(F.broadcast(nmax))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col("tokens_avail").cast("long").alias("tokens_avail"),
+            F.round("share", 6).alias("target_share"),
+            F.round(F.least(
+                F.col("share") * F.col("nmax") / F.col("tokens_avail"),
+                F.lit(1.0)), 6).alias("keep_fraction"),
+            # +1e-6 before floor: the binding source's share*nmax is an
+            # exact integer in real arithmetic, so cross-engine ulp noise
+            # (libm pow) could flip the floor; the nudge is far above the
+            # noise, far below 1 (the bm25 boundary lesson)
+            F.floor(F.col("share") * F.col("nmax") + F.lit(1e-6))
+            .cast("long").alias("tokens_planned"),
+        )
     )

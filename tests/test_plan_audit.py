@@ -32,6 +32,7 @@ BNLJ_SCALAR_ATTACH = {
     "ivf_assign",         # IVF codebook (k centroids, k fixed)
     "semantic_dedup",     # codebook attach, same shape as ivf_assign
     "mixture_plan",       # global max-feasible-corpus min (1 row)
+    "temperature_mixture",  # Z normalizer + corpus min (1 row each)
     "kmeans_codebook",    # codebook attach per Lloyd iteration (k rows)
 }
 
