@@ -5603,6 +5603,81 @@ from per, n
 """
 
 
+def q_chart_cells(spark, sf_dir):
+    """Chart→table post-processing (granite_vision.py:124-193): the
+    VLM's CSV grid answer (stubbed: synthesized per document, 3/4 with a
+    textual header row + a textual row-header cell, 1/4 all-numeric so
+    no header is inferred) explodes into typed unit-span cells. Fully
+    JVM: posexplode x2 + per-chart forall header vote."""
+    from docling_spark.operators.charts import chart_table_cells
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grid = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("2019,"), F.col("doc_id").cast("string"),
+                 F.lit("\n2020,"), (F.col("doc_id") + 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("year,"), F.element_at(toks, 1),
+                 F.lit("\n2020,"), F.col("doc_id").cast("string"),
+                 F.lit("\n"), F.element_at(toks, 2), F.lit(",7")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", grid.alias("grid"))
+    return chart_table_cells(d, id_cols=("doc_id",)).select(
+        "doc_id", "row_idx", "col_idx", "text",
+        F.col("column_header").cast("int").alias("column_header"),
+        F.col("row_header").cast("int").alias("row_header"),
+    )
+
+
+ORACLE_CHART_CELLS = """
+with t as (
+  select doc_id,
+         string_split_regex(trim(text), '\\s+') toks,
+         doc_id % 4 = 0 as numeric_grid
+  from documents
+),
+flags as (
+  select doc_id, toks, numeric_grid,
+         -- header vote: 'year' is always non-numeric, so the vote is
+         -- tok1's numericness; data row-header vote is tok2's
+         (trim(toks[1]) = '' or try_cast(toks[1] as double) is null) as t1_nn,
+         (trim(toks[2]) = '' or try_cast(toks[2] as double) is null) as t2_nn
+  from t
+)
+-- all-numeric grids: 2x2 cells, no headers anywhere
+select doc_id, r.row_idx, c.col_idx,
+       case when c.col_idx = 0 then cast(2019 + r.row_idx as varchar)
+            else cast(doc_id + r.row_idx as varchar) end as text,
+       0 as column_header, 0 as row_header
+from flags
+cross join (select unnest(generate_series(0, 1)) as row_idx) r
+cross join (select unnest(generate_series(0, 1)) as col_idx) c
+where numeric_grid
+union all
+-- worded grids: 3x2 cells; header iff tok1 non-numeric
+select doc_id, r.row_idx, c.col_idx,
+       case
+         when r.row_idx = 0 and c.col_idx = 0 then 'year'
+         when r.row_idx = 0 then toks[1]
+         when r.row_idx = 1 and c.col_idx = 0 then '2020'
+         when r.row_idx = 1 then cast(doc_id as varchar)
+         when c.col_idx = 0 then toks[2]
+         else '7' end as text,
+       cast(r.row_idx = 0 and t1_nn as int) as column_header,
+       cast(case
+         -- no header inferred -> row 0 is data: 'year' is non-numeric
+         when r.row_idx = 0 and c.col_idx = 0 then not t1_nn
+         when r.row_idx = 0 then false  -- tok1 numeric when row 0 is data
+         when r.row_idx = 1 then false  -- '2020' and doc_id are numeric
+         when c.col_idx = 1 then false  -- '7' is numeric
+         else t2_nn end as int) as row_header
+from flags
+cross join (select unnest(generate_series(0, 2)) as row_idx) r
+cross join (select unnest(generate_series(0, 1)) as col_idx) c
+where not numeric_grid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5700,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_keyframes": q_scene_keyframes,
         "quality_lr_train": q_quality_lr_train,
         "temperature_mixture": q_temperature_mixture,
+        "chart_cells": q_chart_cells,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5835,6 +5911,7 @@ def oracle_sql() -> dict[str, str]:
         "scene_keyframes": ORACLE_SCENE_KEYFRAMES,
         "quality_lr_train": ORACLE_QUALITY_LR_TRAIN,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
+        "chart_cells": ORACLE_CHART_CELLS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,
