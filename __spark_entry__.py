@@ -5678,6 +5678,260 @@ where not numeric_grid
 """
 
 
+def q_code_formula_post(spark, sf_dir):
+    """CodeFormula enrichment post-processing
+    (code_formula_model.py:161-283): the VLM answer (stubbed:
+    synthesized per document — known-language tag / unknown tag /
+    untagged code, and formulas with the loc sentinel) is cleaned
+    (stop-token cut, tag removal, lstrip) and its ``<_language_>`` tag
+    popped through exact enum membership. Pure JVM."""
+    from docling_spark.operators.vlm_post import code_formula_post
+
+    d = F.col("doc_id")
+    label = F.when(d % 3 == 2, "formula").otherwise("code")
+    word = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    answer = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<_Python_>def f_"), d.cast("string"),
+            F.lit("():\n    return "), word,
+            F.lit("\n</code><end_of_utterance>assistant tail")))
+        .when((d % 3 == 1) & (d % 2 == 0), F.concat(
+            F.lit("<_proto_>message M"), d.cast("string"),
+            F.lit(" {}</code><loc_0><loc_0><loc_500><loc_500><end_of_utterance>")))
+        .when(d % 3 == 1, F.concat(
+            F.lit("x = "), word, F.lit(" + "), d.cast("string"), F.lit("</code>")))
+        .otherwise(F.concat(
+            F.lit(" \n E_{"), d.cast("string"),
+            F.lit("} = mc^2</formula><end_of_utterance>")))
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id", label.alias("label"), answer.alias("vlm_answer"))
+    return code_formula_post(base).select(
+        "doc_id", "label", "text", "code_language")
+
+
+ORACLE_CODE_FORMULA_POST = """
+with a as (
+  select doc_id,
+         case when doc_id % 3 = 2 then 'formula' else 'code' end as label,
+         string_split_regex(trim(text), '\\s+')[1] as word
+  from documents
+),
+ans as (
+  select doc_id, label,
+    case
+      when doc_id % 3 = 0 then '<_Python_>def f_' || doc_id ||
+        '():' || chr(10) || '    return ' || word || chr(10) ||
+        '</code><end_of_utterance>assistant tail'
+      when doc_id % 3 = 1 and doc_id % 2 = 0 then '<_proto_>message M' ||
+        doc_id || ' {}</code><loc_0><loc_0><loc_500><loc_500><end_of_utterance>'
+      when doc_id % 3 = 1 then 'x = ' || word || ' + ' || doc_id || '</code>'
+      else ' ' || chr(10) || ' E_{' || doc_id ||
+        '} = mc^2</formula><end_of_utterance>'
+    end as raw
+  from a
+),
+clean as (
+  select doc_id, label,
+         regexp_replace(
+           replace(replace(replace(split_part(raw, '<end_of_utterance>', 1),
+             '</code>', ''), '</formula>', ''),
+             '<loc_0><loc_0><loc_500><loc_500>', ''),
+           '^\\s+', '') as cleaned
+  from ans
+),
+lang as (
+  select doc_id, label, cleaned,
+         case when label = 'code'
+              then regexp_extract(cleaned, '^<_([^_>]+)_>', 1) else '' end as tag
+  from clean
+)
+select doc_id, label,
+       case when tag <> '' then regexp_replace(cleaned, '^<_[^_>]+_>\\s*', '')
+            else cleaned end as text,
+       case when label = 'code'
+            then (case when tag in ('Python') then tag else 'unknown' end)
+       end as code_language
+from lang
+"""
+
+
+def q_vlm_image_size(spark, sf_dir):
+    """Qwen2.5-VL smart_resize arithmetic (vlm_utils.py:26-75): page
+    raster dimensions (stubbed: synthesized per document to hit the
+    longest-side clamp, the max-pixel shrink, the min-pixel grow, and
+    the no-op path) → the model-input resolution. Ties-to-even rounding
+    matches Python round() via bround on Spark and an explicit
+    half-even CASE in the oracle."""
+    from docling_spark.operators.vlm_post import qwen_smart_resize
+
+    d = F.col("doc_id")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        (200 + (d * 37) % 4000).alias("width"),
+        (150 + (d * 53) % 3000).alias("height"),
+        F.when(d % 3 == 0, 1.0).when(d % 3 == 1, 2.0).otherwise(0.5)
+         .alias("scale"),
+        F.when(d % 4 == 0, 1024).otherwise(F.lit(None).cast("int"))
+         .alias("max_size"),
+    )
+    return qwen_smart_resize(base).select(
+        "doc_id", "width", "height", "w_bar", "h_bar")
+
+
+ORACLE_VLM_IMAGE_SIZE = """
+with inp as (
+  select doc_id,
+         200 + (doc_id * 37) % 4000 as width,
+         150 + (doc_id * 53) % 3000 as height,
+         case when doc_id % 3 = 0 then 1.0
+              when doc_id % 3 = 1 then 2.0 else 0.5 end as scale,
+         case when doc_id % 4 = 0 then 1024 end as max_size
+  from documents
+),
+scaled as (
+  select *, floor(width * scale) as mw0, floor(height * scale) as mh0
+  from inp
+),
+clamped as (
+  select doc_id, width, height,
+         case when max_size is not null and greatest(mw0, mh0) > max_size
+              then floor(mw0 * (max_size / greatest(mw0, mh0))) else mw0
+         end as mw,
+         case when max_size is not null and greatest(mw0, mh0) > max_size
+              then floor(mh0 * (max_size / greatest(mw0, mh0))) else mh0
+         end as mh
+  from scaled
+),
+-- Python round() is half-even: on exact .5 pick the even integer
+rounded as (
+  select *,
+    cast(case when mh/28.0 - floor(mh/28.0) = 0.5
+         then floor(mh/28.0) + (cast(floor(mh/28.0) as bigint) % 2)
+         else round(mh/28.0) end as bigint) * 28 as h_bar0,
+    cast(case when mw/28.0 - floor(mw/28.0) = 0.5
+         then floor(mw/28.0) + (cast(floor(mw/28.0) as bigint) % 2)
+         else round(mw/28.0) end as bigint) * 28 as w_bar0
+  from clamped
+)
+select doc_id, cast(width as bigint) as width, cast(height as bigint) as height,
+  cast(case
+    when h_bar0 * w_bar0 > 2500000
+      then greatest(28, floor(mw / sqrt(mh * mw / 2500000.0) / 28.0) * 28)
+    when h_bar0 * w_bar0 < 200704
+      then ceil(mw * sqrt(200704.0 / (mh * mw)) / 28.0) * 28
+    else w_bar0 end as bigint) as w_bar,
+  cast(case
+    when h_bar0 * w_bar0 > 2500000
+      then greatest(28, floor(mh / sqrt(mh * mw / 2500000.0) / 28.0) * 28)
+    when h_bar0 * w_bar0 < 200704
+      then ceil(mh * sqrt(200704.0 / (mh * mw)) / 28.0) * 28
+    else h_bar0 end as bigint) as h_bar
+from rounded
+"""
+
+
+def q_ocr_rotate_boxes(spark, sf_dir):
+    """Tesseract OSD post-processing (ocr_utils.py:11-69,
+    orientation.py:9-65): per-document OSD output (stubbed: script name
+    + clockwise orientation synthesized, one invalid angle slice for
+    row-level failure containment) → docling script key, CCW angle, and
+    the rotated/rescaled corner rectangle. Pure column CASE arithmetic."""
+    from docling_spark.operators.vlm_post import (
+        map_tesseract_script, tesseract_box_rotate)
+
+    d = F.col("doc_id")
+    scripts = ["Katakana", "Hiragana", "Han", "Korean", "Latin", "Arabic"]
+    script = scripts[0]
+    expr = F.lit("Latin")
+    for i, s in enumerate(scripts):
+        expr = F.when(d % 6 == i, s).otherwise(expr)
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        expr.alias("script"),
+        # one slice (d%5==4) reports an off-grid angle → null corners
+        F.when(d % 5 == 4, 45).otherwise((d % 4) * 90).alias("tess_orientation"),
+        (d % 300).cast("double").alias("l"),
+        ((d * 3) % 200).cast("double").alias("t"),
+        (50 + d % 40).cast("double").alias("box_w"),
+        (20 + d % 30).cast("double").alias("box_h"),
+        F.lit(800.0).alias("im_w"), F.lit(600.0).alias("im_h"),
+        F.lit(2.0).alias("ocr_scale"),
+    )
+    out = tesseract_box_rotate(base)
+    return out.select(
+        "doc_id",
+        map_tesseract_script(F.col("script")).alias("script"),
+        # double, not int: a nullable int column round-trips through
+        # pandas as float on one engine but not the other — the same
+        # canonicalization drift that burned extract_metrics_by_format
+        # in round 1
+        F.col("angle_ccw").cast("double").alias("angle_ccw"),
+        *[F.round(c, 6).alias(c)
+          for c in ("r_x0", "r_y0", "r_x1", "r_y1",
+                    "r_x2", "r_y2", "r_x3", "r_y3")],
+    )
+
+
+ORACLE_OCR_ROTATE_BOXES = """
+with inp as (
+  select doc_id,
+    case doc_id % 6 when 0 then 'Katakana' when 1 then 'Hiragana'
+         when 2 then 'Han' when 3 then 'Korean' when 4 then 'Latin'
+         else 'Arabic' end as script,
+    case when doc_id % 5 = 4 then 45 else (doc_id % 4) * 90 end as o,
+    cast(doc_id % 300 as double) as l,
+    cast((doc_id * 3) % 200 as double) as t,
+    cast(50 + doc_id % 40 as double) as bw,
+    cast(20 + doc_id % 30 as double) as bh,
+    800.0 as im_w, 600.0 as im_h, 2.0 as sc
+  from documents
+),
+ang as (
+  select *, case when o in (0, 90, 180, 270)
+                 then ((-o) % 360 + 360) % 360 end as a
+  from inp
+),
+c as (
+  -- searched CASE with no ELSE: null angle (invalid orientation)
+  -- propagates null corners, matching the engine's row-level
+  -- failure containment
+  select *,
+    case when a = 0 then l          when a = 90 then t + bh
+         when a = 180 then im_w - l when a = 270 then im_h - (t + bh) end as x0,
+    case when a = 0 then t + bh     when a = 90 then im_w - l
+         when a = 180 then im_h - (t + bh) when a = 270 then l end as y0
+  from ang
+),
+r as (
+  select doc_id, script, a, sc, x0, y0,
+    case when a = 0 then x0 + bw when a = 90 then x0
+         when a = 180 then x0 - bw when a = 270 then x0 end as x1,
+    case when a = 0 then y0      when a = 90 then y0 - bw
+         when a = 180 then y0    when a = 270 then y0 + bw end as y1,
+    case when a = 0 then x0 + bw when a = 90 then x0 - bh
+         when a = 180 then x0 - bw when a = 270 then x0 + bh end as x2,
+    case when a = 0 then y0 - bh when a = 90 then y0 - bw
+         when a = 180 then y0 + bh when a = 270 then y0 + bw end as y2,
+    case when a = 0 then x0      when a = 90 then x0 - bh
+         when a = 180 then x0    when a = 270 then x0 + bh end as x3,
+    case when a = 0 then y0 - bh when a = 90 then y0
+         when a = 180 then y0 + bh when a = 270 then y0 end as y3
+  from c
+)
+select doc_id,
+  case script when 'Katakana' then 'Japanese' when 'Hiragana' then 'Japanese'
+       when 'Han' then 'HanS' when 'Korean' then 'Hangul'
+       else script end as script,
+  cast(a as double) as angle_ccw,
+  round(x0 / sc, 6) as r_x0, round(y0 / sc, 6) as r_y0,
+  round(x1 / sc, 6) as r_x1, round(y1 / sc, 6) as r_y1,
+  round(x2 / sc, 6) as r_x2, round(y2 / sc, 6) as r_y2,
+  round(x3 / sc, 6) as r_x3, round(y3 / sc, 6) as r_y3
+from r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -5776,6 +6030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": q_quality_lr_train,
         "temperature_mixture": q_temperature_mixture,
         "chart_cells": q_chart_cells,
+        "code_formula_post": q_code_formula_post,
+        "vlm_image_size": q_vlm_image_size,
+        "ocr_rotate_boxes": q_ocr_rotate_boxes,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -5912,6 +6169,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_train": ORACLE_QUALITY_LR_TRAIN,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "chart_cells": ORACLE_CHART_CELLS,
+        "code_formula_post": ORACLE_CODE_FORMULA_POST,
+        "vlm_image_size": ORACLE_VLM_IMAGE_SIZE,
+        "ocr_rotate_boxes": ORACLE_OCR_ROTATE_BOXES,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,
