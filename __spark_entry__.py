@@ -5678,6 +5678,87 @@ where not numeric_grid
 """
 
 
+def q_extract_glm(spark, sf_dir):
+    """Legacy GLM layout-JSON scan (utils/glm_utils.py:70-361 →
+    engine/glmx.py): per-document GLM payload with heading, paragraph,
+    list grouping, figure+caption re-attachment, a 2x2 table, an
+    empty-text formula, furniture footer, and one unresolved iref
+    (warning containment) — run through the real extraction operator."""
+    d = F.col("doc_id").cast("string")
+    t1, t2 = _tok(1), _tok(2)
+
+    def mt(text_col):
+        return F.concat(F.lit('{"text": "'), text_col, F.lit('"}'))
+
+    def pe(i, name, ptype, iref):
+        return (f'{{"type": "{ptype}", "name": "{name}", "span": [0, 4096], '
+                f'"iref": "{iref}", "page": 1, "bbox": [0.0, 0.0, 100.0, 10.0]}}')
+
+    cap = F.concat(F.lit("Figure "), d, F.lit(": "), t1, F.lit(" chart"))
+    payload = F.concat(
+        F.lit('{"file-info": {"filename": "doc.pdf", "document-hash": "'),
+        d,
+        F.lit('"}, "page-dimensions": [{"page": 1, "width": 612.0, '
+              '"height": 792.0}], "main-text": ['),
+        mt(F.concat(F.lit("Doc "), d)), F.lit(", "),
+        mt(F.col("text")), F.lit(", "),
+        mt(F.concat(F.lit("alpha "), t1)), F.lit(", "),
+        mt(F.concat(F.lit("beta "), t2)), F.lit(", "),
+        mt(F.lit("x^2")), F.lit(", "),
+        mt(F.concat(F.lit("p "), d)),
+        F.lit('], "figures": [{"captions": [{"text": "'),
+        cap,
+        F.lit('", "prov": [{"$ref": "#/page-elements/5"}]}], '
+              '"payload": null}], '
+              '"tables": [{"#-rows": 2, "#-cols": 2, "captions": [], '
+              '"data": [['
+              '{"bbox": null, "text": "h1", "type": "col_header", '
+              '"spans": [[0, 0]], "row-span": [0, 1], "col-span": [0, 1]}, '
+              '{"bbox": null, "text": "h2", "type": "col_header", '
+              '"spans": [[0, 1]], "row-span": [0, 1], "col-span": [1, 2]}], '
+              '[{"bbox": null, "text": "'),
+        t1,
+        F.lit('", "type": "body", "spans": [[1, 0]], "row-span": [1, 2], '
+              '"col-span": [0, 1]}, '
+              '{"bbox": null, "text": "'),
+        d,
+        F.lit('", "type": "body", "spans": [[1, 1]], "row-span": [1, 2], '
+              '"col-span": [1, 2]}]]}], '
+              '"page-elements": ['
+              + pe(0, "section_header", "paragraph", "#/main-text/0") + ", "
+              + pe(1, "text", "paragraph", "#/main-text/1") + ", "
+              + pe(2, "list_item", "paragraph", "#/main-text/2") + ", "
+              + pe(3, "list_item", "paragraph", "#/main-text/3") + ", "
+              + pe(4, "picture", "figure", "#/figures/0") + ", "
+              + pe(5, "caption", "paragraph", "#/figures/0/captions/0") + ", "
+              + pe(6, "table", "table", "#/tables/0") + ", "
+              + pe(7, "formula", "paragraph", "#/main-text/4") + ", "
+              + pe(8, "page_footer", "paragraph", "#/main-text/5") + ", "
+              + pe(9, "text", "paragraph", "#/main-text/99")
+              + "]}"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "glm")
+
+
+ORACLE_EXTRACT_GLM = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+  '## Doc ' || doc_id || chr(10) || chr(10)
+  || text || chr(10) || chr(10)
+  || '- alpha ' || toks[1] || chr(10) || '- beta ' || toks[2]
+  || chr(10) || chr(10)
+  || 'Figure ' || doc_id || ': ' || toks[1] || ' chart' || chr(10) || chr(10)
+  || '<!-- image -->' || chr(10) || chr(10)
+  || '| h1 | h2 |' || chr(10) || '| - | - |' || chr(10)
+  || '| ' || toks[1] || ' | ' || doc_id || ' |' || chr(10) || chr(10)
+  || '<!-- formula-not-decoded -->' as extracted_text
+from t
+"""
+
+
 def q_code_formula_post(spark, sf_dir):
     """CodeFormula enrichment post-processing
     (code_formula_model.py:161-283): the VLM answer (stubbed:
@@ -5932,6 +6013,123 @@ from r
 """
 
 
+def q_ocr_tsv_cells(spark, sf_dir):
+    """Tesseract TSV stdout → OCR text cells
+    (tesseract_ocr_cli_model.py:195-217, 360-389): header-positional
+    column resolution, empty-text row filter, bbox/conf arithmetic.
+    Tesseract is the stubbed boundary (the TSV arrives as a column:
+    3 word rows per doc, one of them whitespace-only so it drops, plus
+    tesseract's headerless structural rows with empty text)."""
+    from docling_spark.operators.ocr_merge import tsv_ocr_cells
+
+    d = F.col("doc_id")
+    t1, t2 = _tok(1), _tok(2)
+    hdr = ("level\tpage_num\tblock_num\tpar_num\tline_num\tword_num"
+           "\tleft\ttop\twidth\theight\tconf\ttext")
+
+    def row(level, left, top, w, h, conf, text_col):
+        return F.concat(
+            F.lit(f"\n{level}\t1\t1\t1\t1\t0\t"),
+            left.cast("string"), F.lit("\t"), top.cast("string"),
+            F.lit(f"\t{w}\t{h}\t{conf}\t"), text_col)
+
+    tsv = F.concat(
+        F.lit(hdr),
+        row(2, d % 100, d % 50, 200, 30, -1, F.lit("")),      # block row
+        row(5, d % 100, d % 50, 80, 20, 91, t1),
+        row(5, (d % 100) + 90, d % 50, 60, 20, 72, t2),
+        row(5, d % 100, (d % 50) + 25, 40, 20, 55, F.lit("   ")),
+        row(5, (d % 100) + 160, d % 50, 50, 20, 88,
+            F.concat(F.lit("w"), d.cast("string"))),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", tsv.alias("tsv"))
+    return tsv_ocr_cells(base).select(
+        "doc_id", "cell_idx", "text",
+        F.round("conf", 6).alias("conf"), "l", "t", "r", "b")
+
+
+ORACLE_OCR_TSV_CELLS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks,
+         cast(doc_id % 100 as double) x, cast(doc_id % 50 as double) y
+  from documents
+)
+select doc_id, 0 as cell_idx, toks[1] as text, 91/100.0 as conf,
+       x as l, y as t, x + 80 as r, y + 20 as b from t
+union all
+select doc_id, 1, toks[2], 72/100.0, x + 90, y, x + 150, y + 20 from t
+union all
+select doc_id, 2, 'w' || doc_id, 88/100.0, x + 160, y, x + 210, y + 20 from t
+"""
+
+
+def q_ocr_merge_cells(spark, sf_dir):
+    """OCR/PDF cell merge (base_ocr_model.py:274-340) as a page-keyed
+    overlap LEFT ANTI join: PDF_FIRST priority keeps every programmatic
+    cell and only the OCR cells that overlap none of them. Per doc: 2
+    PDF cells; 3 OCR cells of which one overlaps a PDF cell (dropped),
+    one touches at the boundary (closed-interval intersection — also
+    dropped), one is disjoint (kept)."""
+    from docling_spark.operators.ocr_merge import merge_ocr_pdf_cells
+
+    d = F.col("doc_id")
+    base = _docs(spark, sf_dir).select("doc_id", _tok(1).alias("tok"))
+    pdf = base.select(
+        "doc_id", F.col("tok").alias("text"), F.lit(1.0).alias("conf"),
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("t"),
+        F.lit(100.0).alias("r"), F.lit(20.0).alias("b"),
+    ).unionByName(base.select(
+        "doc_id", F.concat(F.lit("p"), d.cast("string")).alias("text"),
+        F.lit(1.0).alias("conf"), F.lit(0.0).alias("l"),
+        F.lit(40.0).alias("t"), F.lit(100.0).alias("r"),
+        F.lit(60.0).alias("b"),
+    ))
+    ocr = base.select(
+        "doc_id", F.lit("overlapping").alias("text"),
+        F.lit(0.9).alias("conf"), F.lit(50.0).alias("l"),
+        F.lit(10.0).alias("t"), F.lit(150.0).alias("r"),
+        F.lit(30.0).alias("b"),
+    ).unionByName(base.select(
+        "doc_id", F.lit("touching").alias("text"),
+        F.lit(0.8).alias("conf"), F.lit(100.0).alias("l"),
+        F.lit(0.0).alias("t"), F.lit(160.0).alias("r"),
+        F.lit(20.0).alias("b"),
+    )).unionByName(base.select(
+        "doc_id", F.concat(F.lit("kept"), d.cast("string")).alias("text"),
+        F.lit(0.7).alias("conf"), F.lit(200.0).alias("l"),
+        F.lit(80.0).alias("t"), F.lit(260.0).alias("r"),
+        F.lit(95.0).alias("b"),
+    ))
+    merged = merge_ocr_pdf_cells(ocr, pdf, priority="pdf_cells_first")
+    return merged.select(
+        "doc_id", "text", F.round("conf", 6).alias("conf"),
+        "l", "t", "r", "b",
+        F.col("from_ocr").cast("int").alias("from_ocr"))
+
+
+ORACLE_OCR_MERGE_CELLS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+')[1] tok
+  from documents
+)
+select doc_id, tok as text, cast(1.0 as double) as conf,
+       cast(0.0 as double) as l, cast(0.0 as double) as t,
+       cast(100.0 as double) as r, cast(20.0 as double) as b,
+       0 as from_ocr from t
+union all
+select doc_id, 'p' || doc_id, cast(1.0 as double), cast(0.0 as double),
+       cast(40.0 as double), cast(100.0 as double), cast(60.0 as double),
+       0 from t
+union all
+-- 'overlapping' intersects pdf cell 1; 'touching' shares the l=100 edge
+-- (closed-interval rtree intersection drops it too); only the disjoint
+-- cell survives the anti-join
+select doc_id, 'kept' || doc_id, cast(0.7 as double), cast(200.0 as double),
+       cast(80.0 as double), cast(260.0 as double), cast(95.0 as double),
+       1 from t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -6030,9 +6228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": q_quality_lr_train,
         "temperature_mixture": q_temperature_mixture,
         "chart_cells": q_chart_cells,
+        "extract_glm": q_extract_glm,
         "code_formula_post": q_code_formula_post,
         "vlm_image_size": q_vlm_image_size,
         "ocr_rotate_boxes": q_ocr_rotate_boxes,
+        "ocr_tsv_cells": q_ocr_tsv_cells,
+        "ocr_merge_cells": q_ocr_merge_cells,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -6169,9 +6370,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_train": ORACLE_QUALITY_LR_TRAIN,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "chart_cells": ORACLE_CHART_CELLS,
+        "extract_glm": ORACLE_EXTRACT_GLM,
         "code_formula_post": ORACLE_CODE_FORMULA_POST,
         "vlm_image_size": ORACLE_VLM_IMAGE_SIZE,
         "ocr_rotate_boxes": ORACLE_OCR_ROTATE_BOXES,
+        "ocr_tsv_cells": ORACLE_OCR_TSV_CELLS,
+        "ocr_merge_cells": ORACLE_OCR_MERGE_CELLS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

@@ -38,7 +38,7 @@ KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
                  "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "xbrl", "image", "plain")
+                 "xbrl", "image", "glm_json", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -77,8 +77,10 @@ def detect_format(text: str, tool: str = "") -> str:
                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
-                "mets_gbs", "mets", "chandra", "dots", "xbrl"):
-        return {"dclx": "doclang", "mets": "mets_gbs"}.get(hint, hint)
+                "mets_gbs", "mets", "chandra", "dots", "xbrl",
+                "glm", "glm_json"):
+        return {"dclx": "doclang", "mets": "mets_gbs",
+                "glm": "glm_json"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
 
@@ -87,6 +89,10 @@ def detect_format(text: str, tool: str = "") -> str:
     if text and text.lstrip().startswith("{") and \
             '"schema_name": "DoclingDocument"' in text[:2048]:
         return "docling_json"
+    if text and text.lstrip().startswith("{") and \
+            '"page-elements"' in text[:4096] and '"file-info"' in text[:4096]:
+        # legacy GLM layout-model JSON (utils/glm_utils.py input shape)
+        return "glm_json"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
     if text and "http://www.xbrl.org/2003/instance" in text[:4096] \
@@ -370,6 +376,10 @@ def extract_payload(
             from docling_spark.engine import jsonx
 
             extracted, items, metrics = jsonx.extract_docling_json(text)
+        elif fmt == "glm_json":
+            from docling_spark.engine import glmx
+
+            extracted, items, metrics = glmx.extract_glm(text)
         elif fmt == "epub":
             # binary formats travel base64-encoded in the text column
             import base64

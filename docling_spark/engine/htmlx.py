@@ -1671,9 +1671,15 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 emit("<!-- missing-key-value-item -->", it)
             elif label == "formula":
                 # block formula: verbatim LaTeX in $$ $$; formulas lifted
-                # out of running text keep single-$ delimiters
-                d = "$" if it.get("_inline") else "$$"
-                emit(d + it["text"] + d, it)
+                # out of running text keep single-$ delimiters. An
+                # empty-text formula (GLM stores the source only in orig,
+                # glm_utils.py:311-314) serializes as the docling-core
+                # not-decoded marker instead of bare delimiters
+                if not it["text"]:
+                    emit("<!-- formula-not-decoded -->", it)
+                else:
+                    d = "$" if it.get("_inline") else "$$"
+                    emit(d + it["text"] + d, it)
             elif label == "inline":
                 block = _inline_group_text(by_parent, it)
                 if block:
