@@ -6130,6 +6130,113 @@ select doc_id, 'kept' || doc_id, cast(0.7 as double), cast(200.0 as double),
 """
 
 
+def q_ocr_regions(spark, sf_dir):
+    """PDF-aware OCR region selection (base_ocr_model.py:106-153): a
+    layout cluster becomes an OCR region iff it overlaps a bitmap rect
+    OR overlaps no programmatic text cell. Per doc: cluster A overlaps
+    the bitmap (kept), B overlaps only a text cell (eliminated), C is
+    empty space (kept). Pure page-keyed semi/anti joins."""
+    from docling_spark.operators.ocr_merge import ocr_regions
+
+    base = _docs(spark, sf_dir).select("doc_id")
+
+    def box(cid, l, t, r, b):
+        return base.select(
+            "doc_id", F.lit(cid).alias("cluster_id"),
+            F.lit(float(l)).alias("l"), F.lit(float(t)).alias("t"),
+            F.lit(float(r)).alias("r"), F.lit(float(b)).alias("b"))
+
+    clusters = box(0, 0, 0, 100, 50).unionByName(
+        box(1, 200, 0, 300, 50)).unionByName(box(2, 400, 0, 500, 50))
+    bitmaps = base.select(
+        "doc_id", F.lit(50.0).alias("l"), F.lit(10.0).alias("t"),
+        F.lit(80.0).alias("r"), F.lit(40.0).alias("b"))
+    texts = base.select(
+        "doc_id", F.lit(210.0).alias("l"), F.lit(10.0).alias("t"),
+        F.lit(290.0).alias("r"), F.lit(30.0).alias("b"))
+    return ocr_regions(clusters, texts, bitmaps).select(
+        "doc_id", "cluster_id", "l", "t", "r", "b")
+
+
+ORACLE_OCR_REGIONS = """
+select doc_id, 0 as cluster_id, cast(0 as double) as l,
+       cast(0 as double) as t, cast(100 as double) as r,
+       cast(50 as double) as b
+from documents
+union all
+select doc_id, 2, cast(400 as double), cast(0 as double),
+       cast(500 as double), cast(50 as double)
+from documents
+"""
+
+
+def q_ocr_dedup_rects(spark, sf_dir):
+    """OCR rect dedup + page coverage (base_ocr_model.py:155-210,
+    _deduplicate_rects re-expressed at rect level): per doc three layout
+    rects — two whose 20px-dilated boxes overlap (merged into one
+    enclosing region) and one isolated (every 7th doc shifted so its
+    dilation clips at the right page edge). Coverage = exact union area
+    of the dilated clipped rects / page area. Packed per-page kernel
+    (collect_list + one batched mapInPandas behind a pinned round-robin
+    repartition)."""
+    from docling_spark.operators.ocr_merge import dedup_rects
+
+    d = F.col("doc_id")
+    dx = (d % 50).cast("double")
+    dy = ((d * 3) % 40).cast("double")
+    base = _docs(spark, sf_dir).select("doc_id", dx.alias("dx"),
+                                       dy.alias("dy"))
+
+    def box(l, t, r, b):
+        return base.select(
+            "doc_id", l.alias("l"), t.alias("t"), r.alias("r"), b.alias("b"))
+
+    dxc, dyc = F.col("dx"), F.col("dy")
+    r1 = box(100 + dxc, 100 + dyc, 150 + dxc, 130 + dyc)
+    r2 = box(160 + dxc, 140 + dyc, 200 + dxc, 160 + dyc)
+    clip = (d % 7 == 0)
+    r3 = base.select(
+        "doc_id",
+        F.when(clip, 560.0).otherwise(400.0).alias("l"),
+        (100 + dyc).alias("t"),
+        F.when(clip, 610.0).otherwise(450.0).alias("r"),
+        (120 + dyc).alias("b"))
+    rects = r1.unionByName(r2).unionByName(r3)
+    out = dedup_rects(rects, page_w=612.0, page_h=792.0, dilation_size=20)
+    return out.select("doc_id", "region_idx", "l", "t", "r", "b",
+                      F.round("coverage", 6).alias("coverage"))
+
+
+ORACLE_OCR_DEDUP_RECTS = """
+with t as (
+  select doc_id,
+         cast(doc_id % 50 as double) dx,
+         cast((doc_id * 3) % 40 as double) dy,
+         doc_id % 7 = 0 as clip
+  from documents
+),
+c as (
+  -- dilated union areas: merged pair 70x50 + 60x40 - 10x10 = 5800;
+  -- isolated rect 70x40 = 2800, or 62x40 = 2480 when its dilation
+  -- clips at the 612pt page edge
+  select *, round((5800 + case when clip then 2480 else 2800 end)
+                  / (612.0 * 792.0), 6) as cov
+  from t
+)
+select doc_id, 0 as region_idx,
+       90 + dx as l, 90 + dy as t, 210 + dx as r, 170 + dy as b,
+       cov as coverage
+from c
+union all
+select doc_id, 1,
+       case when clip then 550 else 390 end,
+       90 + dy,
+       case when clip then 612 else 460 end,
+       130 + dy, cov
+from c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -6234,6 +6341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_rotate_boxes": q_ocr_rotate_boxes,
         "ocr_tsv_cells": q_ocr_tsv_cells,
         "ocr_merge_cells": q_ocr_merge_cells,
+        "ocr_regions": q_ocr_regions,
+        "ocr_dedup_rects": q_ocr_dedup_rects,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -6376,6 +6485,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_rotate_boxes": ORACLE_OCR_ROTATE_BOXES,
         "ocr_tsv_cells": ORACLE_OCR_TSV_CELLS,
         "ocr_merge_cells": ORACLE_OCR_MERGE_CELLS,
+        "ocr_regions": ORACLE_OCR_REGIONS,
+        "ocr_dedup_rects": ORACLE_OCR_DEDUP_RECTS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

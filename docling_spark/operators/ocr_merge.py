@@ -136,6 +136,151 @@ def merge_ocr_pdf_cells(
     return prio.unionByName(survivors)
 
 
+def ocr_regions(
+    clusters: DataFrame,
+    text_cells: DataFrame,
+    bitmap_rects: DataFrame,
+    page_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """PDF-aware OCR region selection
+    (base_ocr_model.py:106-153, _find_pdf_aware_layout_ocr_rects): a
+    layout cluster becomes an OCR input region iff it overlaps at least
+    one non-text (bitmap) rect, OR it overlaps no programmatic text
+    cell. Inputs need ``page_cols`` + (l, t, r, b); clusters may carry
+    extra columns (cluster_id, label) that pass through.
+
+    Spark shape: one page-keyed LEFT SEMI join (bitmap overlap) union
+    one LEFT ANTI + LEFT ANTI chain (no bitmap, no text) — the two
+    branches are disjoint by construction, so the union is exact, and
+    every join is an equi-join on the page key with the closed-interval
+    overlap predicate applied post-match (the reference's per-page
+    R-tree pruning, relationally)."""
+    c, bm, tx = clusters.alias("s"), bitmap_rects.alias("p"), \
+        text_cells.alias("p2")
+
+    def on(right: str) -> Column:
+        cond = F.lit(True)
+        for k in page_cols:
+            cond = cond & (F.col(f"s.{k}") == F.col(f"{right}.{k}"))
+        return cond
+
+    with_bitmap = c.join(bm, on("p") & _overlaps("s", "p"), "left_semi")
+    no_bitmap = c.join(bm, on("p") & _overlaps("s", "p"), "left_anti")
+    no_pdf_at_all = no_bitmap.alias("s").join(
+        tx, on("p2") & _overlaps("s", "p2"), "left_anti")
+    return with_bitmap.unionByName(no_pdf_at_all)
+
+
+def dedup_rects(
+    rects: DataFrame,
+    page_w: float,
+    page_h: float,
+    dilation_size: int = 20,
+    page_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Rect-level re-expression of ``_deduplicate_rects``
+    (base_ocr_model.py:155-210): rects are rounded, clipped to the page,
+    grown by ``dilation_size/2`` on every side, and transitively merged
+    into enclosing boxes; per page it also yields the covered-area
+    fraction (union of the dilated rects / page area).
+
+    Documented deviation from the reference: it rasterizes (PIL draw →
+    dilate → connected components), so pixel-level effects — diagonal
+    adjacency, even-kernel anchor asymmetry, inclusive endpoint fills —
+    differ at ±1 px; this operator merges two rects when their clipped
+    dilated boxes intersect (closed intervals) and computes the exact
+    union area by scanline, which is the raster's limit at infinite
+    resolution. Output: (page…, region_idx, l, t, r, b, coverage).
+
+    Spark shape: per-page collect_list pack + ONE batched mapInPandas
+    (thousands of pages per Arrow batch — the per-group applyInPandas
+    overhead pattern measured in scenes.py), behind a pinned
+    round-robin repartition so AQE cannot serialize the CPU-bearing
+    byte-small rows onto one core."""
+    import pandas as pd
+
+    m = dilation_size / 2.0
+    types = {fl.name: fl.dataType.simpleString()
+             for fl in rects.schema.fields}
+    key_schema = ", ".join(f"{k} {types[k]}" for k in page_cols)
+    schema = (f"{key_schema}, region_idx int, l double, t double, "
+              f"r double, b double, coverage double")
+
+    packed = rects.groupBy(*page_cols).agg(
+        F.collect_list(F.struct("l", "t", "r", "b")).alias("rs"))
+    packed = packed.repartition(
+        rects.sparkSession.sparkContext.defaultParallelism)
+
+    def merge_page(rs: list) -> tuple[list, float]:
+        boxes = []
+        for rec in rs:
+            x0 = max(0.0, min(round(rec["l"]) - m, page_w))
+            y0 = max(0.0, min(round(rec["t"]) - m, page_h))
+            x1 = max(0.0, min(round(rec["r"]) + m, page_w))
+            y1 = max(0.0, min(round(rec["b"]) + m, page_h))
+            if x1 > x0 and y1 > y0:
+                boxes.append([x0, y0, x1, y1])
+        n = len(boxes)
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = boxes[i], boxes[j]
+                if a[0] <= b[2] and a[2] >= b[0] and \
+                        a[1] <= b[3] and a[3] >= b[1]:
+                    parent[find(i)] = find(j)
+        comp: dict[int, list] = {}
+        for i in range(n):
+            root = find(i)
+            e = comp.setdefault(root, [*boxes[i]])
+            e[0] = min(e[0], boxes[i][0])
+            e[1] = min(e[1], boxes[i][1])
+            e[2] = max(e[2], boxes[i][2])
+            e[3] = max(e[3], boxes[i][3])
+        # exact union area by x-scanline over rect edges
+        xs = sorted({b[0] for b in boxes} | {b[2] for b in boxes})
+        area = 0.0
+        for x_lo, x_hi in zip(xs, xs[1:]):
+            ys = sorted((b[1], b[3]) for b in boxes
+                        if b[0] <= x_lo and b[2] >= x_hi)
+            cov_y = last = 0.0
+            for y0, y1 in ys:
+                lo = max(y0, last)
+                if y1 > lo:
+                    cov_y += y1 - lo
+                    last = y1
+            area += cov_y * (x_hi - x_lo)
+        # reading order: top-to-bottom then left-to-right
+        out = sorted(comp.values(), key=lambda e: (e[1], e[0]))
+        return out, area / (page_w * page_h)
+
+    def run(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in page_cols}
+            cols.update(region_idx=[], l=[], t=[], r=[], b=[],
+                        coverage=[])
+            for _, row in pdf.iterrows():
+                regions, cov = merge_page(row["rs"])
+                for ri, (x0, y0, x1, y1) in enumerate(regions):
+                    for k in page_cols:
+                        cols[k].append(row[k])
+                    cols["region_idx"].append(ri)
+                    cols["l"].append(x0)
+                    cols["t"].append(y0)
+                    cols["r"].append(x1)
+                    cols["b"].append(y1)
+                    cols["coverage"].append(cov)
+            yield pd.DataFrame(cols)
+
+    return packed.mapInPandas(run, schema=schema)
+
+
 def ocr_score(cells: DataFrame,
               page_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Per-page mean confidence of the OCR-sourced merged cells

@@ -106,3 +106,77 @@ def test_merge_plan_is_not_cartesian(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- OCR region selection + rect dedup (base_ocr_model.py:106-210) ---
+
+from docling_spark.operators.ocr_merge import dedup_rects, ocr_regions  # noqa: E402
+
+
+def _boxes(spark, rows, extra=""):
+    return spark.createDataFrame(
+        rows, f"doc_id int{extra}, l double, t double, r double, b double")
+
+
+def test_ocr_regions_bitmap_or_no_pdf_rule(spark):
+    clusters = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0, 100.0, 50.0),     # overlaps bitmap -> kept
+         (1, 1, 200.0, 0.0, 300.0, 50.0),   # overlaps text only -> dropped
+         (1, 2, 400.0, 0.0, 500.0, 50.0)],  # overlaps nothing -> kept
+        "doc_id int, cluster_id int, l double, t double, r double, b double")
+    bitmaps = _boxes(spark, [(1, 50.0, 10.0, 80.0, 40.0)])
+    texts = _boxes(spark, [(1, 210.0, 10.0, 290.0, 30.0)])
+    got = {r["cluster_id"]
+           for r in ocr_regions(clusters, texts, bitmaps).collect()}
+    assert got == {0, 2}
+
+
+def test_ocr_regions_bitmap_overlap_beats_text_overlap(spark):
+    # a cluster overlapping BOTH a text cell and a bitmap is kept
+    # (base_ocr_model.py:141-143: non-text overlap wins)
+    clusters = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0, 100.0, 50.0)],
+        "doc_id int, cluster_id int, l double, t double, r double, b double")
+    bitmaps = _boxes(spark, [(1, 10.0, 10.0, 20.0, 20.0)])
+    texts = _boxes(spark, [(1, 30.0, 10.0, 60.0, 20.0)])
+    assert ocr_regions(clusters, texts, bitmaps).count() == 1
+
+
+def test_dedup_rects_merges_within_dilation_and_reports_coverage(spark):
+    rects = _boxes(spark, [
+        (1, 100.0, 100.0, 150.0, 130.0),
+        (1, 160.0, 140.0, 200.0, 160.0),   # dilated boxes overlap r1's
+        (1, 400.0, 100.0, 450.0, 120.0),   # isolated
+    ])
+    out = sorted(
+        dedup_rects(rects, page_w=612.0, page_h=792.0,
+                    dilation_size=20).collect(),
+        key=lambda r: r["region_idx"])
+    assert len(out) == 2
+    assert (out[0]["l"], out[0]["t"], out[0]["r"], out[0]["b"]) == \
+        (90.0, 90.0, 210.0, 170.0)
+    assert (out[1]["l"], out[1]["t"], out[1]["r"], out[1]["b"]) == \
+        (390.0, 90.0, 460.0, 130.0)
+    # union area: (70*50 + 60*40 - 10*10) + 70*40 = 8600
+    assert out[0]["coverage"] == pytest.approx(8600 / (612.0 * 792.0))
+
+
+def test_dedup_rects_clips_to_page(spark):
+    rects = _boxes(spark, [(1, 560.0, 100.0, 610.0, 120.0)])
+    out = dedup_rects(rects, page_w=612.0, page_h=792.0,
+                      dilation_size=20).collect()[0]
+    assert (out["l"], out["r"]) == (550.0, 612.0)
+    assert out["coverage"] == pytest.approx(62 * 40 / (612.0 * 792.0))
+
+
+def test_dedup_rects_transitive_chain_merges(spark):
+    # a-b overlap and b-c overlap but a-c don't: one component
+    rects = _boxes(spark, [
+        (1, 100.0, 100.0, 120.0, 110.0),
+        (1, 130.0, 100.0, 150.0, 110.0),
+        (1, 160.0, 100.0, 180.0, 110.0),
+    ])
+    out = dedup_rects(rects, page_w=612.0, page_h=792.0,
+                      dilation_size=20).collect()
+    assert len(out) == 1
+    assert (out[0]["l"], out[0]["r"]) == (90.0, 190.0)
