@@ -6013,6 +6013,64 @@ from r
 """
 
 
+def q_extract_doctags(spark, sf_dir):
+    """DocTags VLM-answer scan (vlm_pipeline.py:447-465 →
+    engine/doctagsx.py, the inverse of the DocTags sink): per-document
+    payload with title, leveled heading, ordered list, OTSL grid with
+    an lcel column span, unknown-language code, empty formula (→
+    not-decoded marker), captioned picture, checkbox, furniture footer,
+    a page break, and loc tokens throughout. 56/61 reference
+    groundtruth files round-trip byte-exact (5 marker-lossiness
+    exclusions documented in tests/test_doctagsx_groundtruth.py)."""
+    d = F.col("doc_id").cast("string")
+    t1, t2 = _tok(1), _tok(2)
+    payload = F.concat(
+        F.lit("<doctag><title><loc_10><loc_10><loc_100><loc_20>T "), d,
+        F.lit("</title>\n<section_header_level_1><loc_1><loc_2><loc_3>"
+              "<loc_4>Doc "), d,
+        F.lit("</section_header_level_1>\n<text>"), F.col("text"),
+        F.lit("</text>\n<ordered_list><list_item><loc_5><loc_6><loc_7>"
+              "<loc_8>alpha "), t1,
+        F.lit("</list_item><list_item>beta "), t2,
+        F.lit("</list_item></ordered_list>\n<picture><loc_20><loc_20>"
+              "<loc_90><loc_80><caption><loc_1><loc_2><loc_3><loc_4>Fig "),
+        d, F.lit(" caption</caption></picture>\n"
+                 "<otsl><loc_1><loc_2><loc_3><loc_4><ched>a<ched>span"
+                 "<lcel><nl><fcel>"),
+        t1, F.lit("<fcel>"), d,
+        F.lit("<fcel>7<nl></otsl>\n<page_break>\n<code><loc_9><loc_9>"
+              "<loc_9><loc_9><_unknown_>print("), d,
+        F.lit(")</code>\n<formula><loc_1><loc_2><loc_3><loc_4></formula>\n"
+              "<checkbox_selected>opt "), t2,
+        F.lit("</checkbox_selected>\n<page_footer>p. 2</page_footer>\n"
+              "</doctag>"),
+    )
+    return _extract_docs(spark, sf_dir, payload, "doctags")
+
+
+ORACLE_EXTRACT_DOCTAGS = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id, 'success' as status,
+  '# T ' || doc_id || chr(10) || chr(10)
+  || '## Doc ' || doc_id || chr(10) || chr(10)
+  || text || chr(10) || chr(10)
+  || '1. alpha ' || toks[1] || chr(10) || '2. beta ' || toks[2]
+  || chr(10) || chr(10)
+  || 'Fig ' || doc_id || ' caption' || chr(10) || chr(10)
+  || '<!-- image -->' || chr(10) || chr(10)
+  || '| a | span | span |' || chr(10) || '| - | - | - |' || chr(10)
+  || '| ' || toks[1] || ' | ' || doc_id || ' | 7 |' || chr(10) || chr(10)
+  || '```' || chr(10) || 'print(' || doc_id || ')' || chr(10) || '```'
+  || chr(10) || chr(10)
+  || '<!-- formula-not-decoded -->' || chr(10) || chr(10)
+  || '- [x] opt ' || toks[2] as extracted_text
+from t
+"""
+
+
 def q_ocr_tsv_cells(spark, sf_dir):
     """Tesseract TSV stdout → OCR text cells
     (tesseract_ocr_cli_model.py:195-217, 360-389): header-positional
@@ -6336,6 +6394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "chart_cells": q_chart_cells,
         "extract_glm": q_extract_glm,
+        "extract_doctags": q_extract_doctags,
         "code_formula_post": q_code_formula_post,
         "vlm_image_size": q_vlm_image_size,
         "ocr_rotate_boxes": q_ocr_rotate_boxes,
@@ -6480,6 +6539,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "chart_cells": ORACLE_CHART_CELLS,
         "extract_glm": ORACLE_EXTRACT_GLM,
+        "extract_doctags": ORACLE_EXTRACT_DOCTAGS,
         "code_formula_post": ORACLE_CODE_FORMULA_POST,
         "vlm_image_size": ORACLE_VLM_IMAGE_SIZE,
         "ocr_rotate_boxes": ORACLE_OCR_ROTATE_BOXES,

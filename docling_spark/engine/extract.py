@@ -38,7 +38,7 @@ KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
                  "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "xbrl", "image", "glm_json", "plain")
+                 "xbrl", "image", "glm_json", "doctags", "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -78,7 +78,7 @@ def detect_format(text: str, tool: str = "") -> str:
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
                 "mets_gbs", "mets", "chandra", "dots", "xbrl",
-                "glm", "glm_json"):
+                "glm", "glm_json", "doctags"):
         return {"dclx": "doclang", "mets": "mets_gbs",
                 "glm": "glm_json"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
@@ -95,6 +95,9 @@ def detect_format(text: str, tool: str = "") -> str:
         return "glm_json"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
+    if text and text.lstrip().startswith("<doctag>"):
+        # SmolDocling-style VLM DocTags answer (vlm_pipeline.py:447-465)
+        return "doctags"
     if text and "http://www.xbrl.org/2003/instance" in text[:4096] \
             and "<" in text[:64]:
         return "xbrl"
@@ -380,6 +383,10 @@ def extract_payload(
             from docling_spark.engine import glmx
 
             extracted, items, metrics = glmx.extract_glm(text)
+        elif fmt == "doctags":
+            from docling_spark.engine import doctagsx
+
+            extracted, items, metrics = doctagsx.extract_doctags(text)
         elif fmt == "epub":
             # binary formats travel base64-encoded in the text column
             import base64

@@ -1665,6 +1665,11 @@ def serialize_items(items: list[Item], layer: str = "body") -> str:
                 # html/kvp_data_example.html.md)
                 emit("<!-- missing-text -->", it)
                 walk(it["item_idx"])
+            elif label in ("checkbox_selected", "checkbox_unselected"):
+                # docling-core md export renders checkboxes as task-list
+                # items (reference right_to_left_03.md: '- [x] ...')
+                mark = "x" if label == "checkbox_selected" else " "
+                emit(f"- [{mark}] " + it["text"], it)
             elif label == "key_value_region":
                 # docling-core md serializer has no KVP renderer; it emits
                 # the missing-item marker (xbrl groundtruth md tail)
