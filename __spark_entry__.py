@@ -6188,6 +6188,63 @@ select doc_id, 'kept' || doc_id, cast(0.7 as double), cast(200.0 as double),
 """
 
 
+def q_asr_segments(spark, sf_dir):
+    """ASR segment post-processing (asr_transcriber.py:44-177): whisper
+    is the stubbed boundary (segments arrive as rows — per doc: a
+    normal one, a zero-duration one repaired with the 1ms epsilon, a
+    null-timestamp one and a blank one both dropped, a speakerless one
+    defaulting to speaker-{id}); start-ordered rank + the to_string
+    transcript line. Pure JVM."""
+    from docling_spark.operators.asr_post import asr_segments_post
+
+    d = F.col("doc_id")
+    t1 = _tok(1)
+    base = _docs(spark, sf_dir)
+
+    def seg(start, end, spk, spk_id, text_col):
+        return base.select(
+            "doc_id",
+            F.lit(start).cast("double").alias("start_time"),
+            F.lit(end).cast("double").alias("end_time"),
+            F.lit(spk).cast("string").alias("speaker"),
+            F.lit(spk_id).cast("int").alias("speaker_id"),
+            text_col.alias("text"),
+        )
+
+    segs = (
+        seg(0.0, 2.5, "alice", None, F.concat(F.lit("hello "), t1))
+        .unionByName(seg(2.5, 2.5, None, 1, F.lit("quick")))
+        .unionByName(seg(None, 4.0, None, None, F.lit("lost")))
+        .unionByName(seg(5.0, 7.25, None, None,
+                         F.concat(F.lit("bye "), d.cast("string"))))
+        .unionByName(seg(8.0, 9.0, "bob", None, F.lit("   ")))
+    )
+    return asr_segments_post(segs).select(
+        "doc_id", "seg_rank", "start_time", "end_time", "speaker", "line")
+
+
+ORACLE_ASR_SEGMENTS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+')[1] tok
+  from documents
+)
+select doc_id, 0 as seg_rank, cast(0.0 as double) as start_time,
+       cast(2.5 as double) as end_time, 'alice' as speaker,
+       '[time: 0.0-2.5] [speaker:alice] hello ' || tok as line
+from t
+union all
+select doc_id, 1, cast(2.5 as double),
+       cast(2.5 + 0.001 as double), 'speaker-1',
+       '[time: 2.5-' || cast(cast(2.5 + 0.001 as double) as varchar)
+       || '] [speaker:speaker-1] quick'
+from t
+union all
+select doc_id, 2, cast(5.0 as double), cast(7.25 as double), null,
+       '[time: 5.0-7.25] bye ' || doc_id
+from t
+"""
+
+
 def q_ocr_regions(spark, sf_dir):
     """PDF-aware OCR region selection (base_ocr_model.py:106-153): a
     layout cluster becomes an OCR region iff it overlaps a bitmap rect
@@ -6402,6 +6459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_merge_cells": q_ocr_merge_cells,
         "ocr_regions": q_ocr_regions,
         "ocr_dedup_rects": q_ocr_dedup_rects,
+        "asr_segments": q_asr_segments,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -6547,6 +6605,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_merge_cells": ORACLE_OCR_MERGE_CELLS,
         "ocr_regions": ORACLE_OCR_REGIONS,
         "ocr_dedup_rects": ORACLE_OCR_DEDUP_RECTS,
+        "asr_segments": ORACLE_ASR_SEGMENTS,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

@@ -112,6 +112,8 @@ def main() -> None:
         "scene_detect",
         "speaker_assign",
         "quality_lr_train",
+        "extract_doctags",
+        "ocr_dedup_rects",
     ]
     for name in bench_queries:
         # untimed warm-up first: the first execution of a query pays

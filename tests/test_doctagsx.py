@@ -72,3 +72,23 @@ def test_routing_and_containment():
     bad = extract_payload("no tags here", tool="doctags")
     assert bad["status"] == "failure"
     assert bad["errors"][0]["category"] == "parse_error"
+
+
+def test_roundtrip_sink_to_parser_preserves_markdown():
+    # serialize an extracted document to DocTags (engine/serialize.py),
+    # parse it back (doctagsx), and the markdown must survive — the
+    # same closure the reference gets from DocTagsDocument round-trips
+    from docling_spark.engine.extract import extract_payload
+    from docling_spark.engine.serialize import serialize_doctags
+
+    html = ("<h1>Title</h1><p>Some body text.</p>"
+            "<ul><li>alpha</li><li>beta</li></ul>"
+            "<table><tr><th>h1</th><th>h2</th></tr>"
+            "<tr><td>a</td><td>b</td></tr></table>"
+            "<pre>x = 1</pre>")
+    first = extract_payload(html, tool="html")
+    assert first["status"] == "success"
+    tags = serialize_doctags([dict(it) for it in first["items"]])
+    second = extract_payload(tags, tool="doctags")
+    assert second["status"] == "success"
+    assert second["extracted_text"] == first["extracted_text"]
