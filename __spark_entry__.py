@@ -6188,6 +6188,62 @@ select doc_id, 'kept' || doc_id, cast(0.7 as double), cast(200.0 as double),
 """
 
 
+def q_export_yaml(spark, sf_dir):
+    """YAML export sink + round-trip witness (the CLI's save_as_yaml,
+    docling/cli/main.py:434,494-498): extract → serialize_yaml →
+    extract_docling_yaml → markdown. The oracle predicts the markdown,
+    so the hash only matches if the YAML export+import preserve the
+    document exactly — 2/2 reference .md.yaml groundtruth files also
+    pin the loader byte-exact (tests/test_yamlx.py)."""
+    import pandas as pd
+
+    from docling_spark.operators.extract_ops import extract_turns
+
+    payload = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>item "), _tok(1), F.lit("</li></ul>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        payload.alias("text"), F.lit("html").alias("tool"),
+    )
+
+    def run(batches):
+        from docling_spark.engine.jsonx import extract_docling_yaml
+        from docling_spark.engine.serialize import serialize_yaml
+        from docling_spark.operators.export import clean_item
+
+        for pdf in batches:
+            ids, texts = [], []
+            for conv_id, items in zip(pdf["conv_id"], pdf["items"]):
+                its = [clean_item(it) for it in items]
+                y = serialize_yaml(its)
+                t2, _items2, _m = extract_docling_yaml(y)
+                ids.append(int(conv_id))
+                texts.append(t2)
+            yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
+
+    return (
+        extract_turns(d).select("conv_id", "items")
+        .mapInPandas(run, "doc_id long, roundtrip_text string")
+    )
+
+
+ORACLE_EXPORT_YAML = """
+with t as (
+  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  from documents
+)
+select doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10) || text
+       || chr(10) || chr(10) || '- item ' || toks[1] as roundtrip_text
+from t
+"""
+
+
 def q_asr_segments(spark, sf_dir):
     """ASR segment post-processing (asr_transcriber.py:44-177): whisper
     is the stubbed boundary (segments arrive as rows — per doc: a
@@ -6460,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_regions": q_ocr_regions,
         "ocr_dedup_rects": q_ocr_dedup_rects,
         "asr_segments": q_asr_segments,
+        "export_yaml": q_export_yaml,
         # metrics sidecar / confidence
         "extract_metrics_by_format": q_extract_metrics_by_format,
         "confidence_report": q_confidence_report,
@@ -6606,6 +6663,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_regions": ORACLE_OCR_REGIONS,
         "ocr_dedup_rects": ORACLE_OCR_DEDUP_RECTS,
         "asr_segments": ORACLE_ASR_SEGMENTS,
+        "export_yaml": ORACLE_EXPORT_YAML,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,
         "confidence_report": ORACLE_CONFIDENCE_REPORT,
         "training_pairs": ORACLE_TRAINING_PAIRS,

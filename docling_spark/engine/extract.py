@@ -38,7 +38,8 @@ KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
                  "asciidoc", "epub", "docling_json", "docx", "deepseek",
                  "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
                  "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "xbrl", "image", "glm_json", "doctags", "plain")
+                 "xbrl", "image", "glm_json", "doctags", "docling_yaml",
+                 "plain")
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
@@ -78,9 +79,9 @@ def detect_format(text: str, tool: str = "") -> str:
                 "xlsx", "pptx", "ebcdic", "boxnote", "jats",
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
                 "mets_gbs", "mets", "chandra", "dots", "xbrl",
-                "glm", "glm_json", "doctags"):
+                "glm", "glm_json", "doctags", "yaml", "docling_yaml"):
         return {"dclx": "doclang", "mets": "mets_gbs",
-                "glm": "glm_json"}.get(hint, hint)
+                "glm": "glm_json", "yaml": "docling_yaml"}.get(hint, hint)
     if text and "<|ref|>" in text[:8192]:
         from docling_spark.engine import deepseekx
 
@@ -93,6 +94,10 @@ def detect_format(text: str, tool: str = "") -> str:
             '"page-elements"' in text[:4096] and '"file-info"' in text[:4096]:
         # legacy GLM layout-model JSON (utils/glm_utils.py input shape)
         return "glm_json"
+    if text and "schema_name: DoclingDocument" in text[:4096] and \
+            not text.lstrip().startswith(("{", "<")):
+        # the CLI's save_as_yaml artifact (same model as the JSON export)
+        return "docling_yaml"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"
     if text and text.lstrip().startswith("<doctag>"):
@@ -387,6 +392,10 @@ def extract_payload(
             from docling_spark.engine import doctagsx
 
             extracted, items, metrics = doctagsx.extract_doctags(text)
+        elif fmt == "docling_yaml":
+            from docling_spark.engine import jsonx
+
+            extracted, items, metrics = jsonx.extract_docling_yaml(text)
         elif fmt == "epub":
             # binary formats travel base64-encoded in the text column
             import base64

@@ -60,6 +60,9 @@ def _md_piece(text: str, fmt: frozenset, href: str | None) -> str:
         txt = (txt.replace("&", "&amp;").replace("<", "&lt;")
                .replace(">", "&gt;"))
         txt = _re.sub(r"(?<!\\)_", r"\\_", txt)
+    if "code" not in fmt or fmt - {"code"}:
+        # bold/italic/strike wrap code spans too (md corpus yaml
+        # groundtruth: italic code renders *`formatted_code`*)
         if "bold" in fmt:
             txt = "**" + txt + "**"
         if "italic" in fmt:
@@ -286,16 +289,30 @@ class _Converter:
                 self.walk(self.resolve(ch), parent, level)
             return
 
-        if label == "title":
-            idx = _mk_item(self.items, parent, "title", level,
-                           _node_piece(node), layer)
-            self.items[idx]["_hlevel"] = 1
-            self._children(node, idx, level + 1)
-        elif label == "section_header":
-            idx = _mk_item(self.items, parent, "section_header", level,
-                           _node_piece(node), layer)
-            self.items[idx]["_hlevel"] = int(node.get("level", 1)) + 1
-            self._children(node, idx, level + 1)
+        if label in ("title", "section_header"):
+            # an EMPTY heading's inline-group children ARE its text (md
+            # corpus yaml groundtruth: partially-formatted heading =
+            # empty text + one inline child); a heading with its own
+            # text keeps every child as a real paragraph under it
+            own = _node_piece(node)
+            pieces = [own]
+            rest: list[dict] = []
+            for ch in node.get("children", []):
+                c = self.resolve(ch)
+                if not own and c.get("label") == "inline":
+                    sub = [p for p in
+                           (_node_piece(self.resolve(g))
+                            for g in c.get("children", [])) if p]
+                    if sub:
+                        pieces.append(" ".join(sub))
+                else:
+                    rest.append(c)
+            text = " ".join(p for p in pieces if p)
+            idx = _mk_item(self.items, parent, label, level, text, layer)
+            self.items[idx]["_hlevel"] = 1 if label == "title" else \
+                int(node.get("level", 1)) + 1
+            for c in rest:
+                self.walk(c, idx, level + 1)
         elif label == "inline":
             pieces = []
             for ch in node.get("children", []):
@@ -310,7 +327,12 @@ class _Converter:
             lis = [self.resolve(ch) for ch in node.get("children", [])]
             if not lis:
                 return
-            ordered = name.startswith("ordered list")
+            # orderedness: our export names the group "ordered list";
+            # docling-core's model instead marks each child
+            # enumerated=true (md corpus .md.yaml groundtruth) — honor
+            # both encodings
+            ordered = name.startswith("ordered list") or any(
+                li.get("enumerated") for li in lis)
             gidx = _mk_item(self.items, parent, "list", level,
                             "ordered list" if ordered else "list", layer)
             if ordered and name.startswith("ordered list start "):
@@ -444,3 +466,20 @@ def extract_docling_json(payload: str) -> tuple[str, list[Item], dict]:
         "n_items": len(conv.items) - 1,
     }
     return text, conv.items, metrics
+
+
+def extract_docling_yaml(payload: str) -> tuple[str, list[Item], dict]:
+    """DoclingDocument YAML payload (the CLI's save_as_yaml artifact,
+    same model as the JSON export) → item table, by delegating to the
+    JSON deserializer. Pinned against the reference's two ``.md.yaml``
+    groundtruth exports (tests/test_yamlx_groundtruth.py)."""
+    import yaml as _yaml
+
+    try:
+        doc = _yaml.safe_load(payload)
+    except Exception as exc:
+        raise DoclingJsonError(f"not valid YAML: {exc}") from None
+    if not isinstance(doc, dict) or \
+            doc.get("schema_name", "DoclingDocument") != "DoclingDocument":
+        raise DoclingJsonError("not a DoclingDocument YAML")
+    return extract_docling_json(_json.dumps(doc))

@@ -633,3 +633,19 @@ def _md_grid_to_tabledata(md_table: str) -> dict:
         "table_cells": cells, "num_rows": len(body), "num_cols": ncols,
         "orientation": "horizontal", "grid": grid,
     }
+
+
+def serialize_yaml(items: list[dict], name: str = "document") -> str:
+    """Flat item list → DoclingDocument YAML — the reference CLI's
+    ``--to yaml`` sink (docling/cli/main.py:434,494-498,
+    ``document.save_as_yaml`` = yaml.safe_dump of the same dict the
+    JSON export writes, block style, keys sorted). Same model as
+    :func:`serialize_docling_json`, so yaml.safe_load of this output
+    round-trips through ``jsonx.extract_docling_json``."""
+    import json as _json
+
+    import yaml as _yaml
+
+    doc = _json.loads(serialize_docling_json(items, name=name))
+    return _yaml.safe_dump(doc, default_flow_style=False, sort_keys=True,
+                           allow_unicode=True)
