@@ -44,7 +44,7 @@ def tsv_ocr_cells(
     the surviving rows' 0-based order (the reference re-indexes merged
     cells, base_ocr_model.py:272)."""
     ids = [F.col(c) for c in id_cols]
-    lines = F.split(F.col(tsv_col), "\n")
+    lines = F.split(F.col(tsv_col), "\r?\n")  # CRLF-tolerant (Windows tesseract)
     header = F.split(F.element_at(lines, 1), "\t")
 
     def pos(name: str) -> Column:

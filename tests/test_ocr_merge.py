@@ -180,3 +180,10 @@ def test_dedup_rects_transitive_chain_merges(spark):
                       dilation_size=20).collect()
     assert len(out) == 1
     assert (out[0]["l"], out[0]["r"]) == (90.0, 190.0)
+
+
+def test_tsv_crlf_line_endings_tolerated(spark):
+    tsv = "text\tconf\tleft\ttop\twidth\theight\r\nhello\t90\t10\t20\t30\t40\r\n"
+    df = spark.createDataFrame([(1, tsv)], "doc_id int, tsv string")
+    got = tsv_ocr_cells(df).collect()
+    assert len(got) == 1 and got[0]["r"] == 40.0
