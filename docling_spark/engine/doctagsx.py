@@ -137,7 +137,11 @@ def extract_doctags(payload: str) -> tuple[str, list[dict], dict]:
     """payload → (extracted_text, items, metrics)."""
     if "<doctag>" not in payload:
         raise DocTagsError("no <doctag> block")
-    body = "\n".join(
+    # one <doctag> block per PAGE (the VLM pipeline's shape,
+    # vlm_pipeline.py:447-465: DocTagsDocument.from_doctags_and_image_pairs
+    # assigns a page per block) — join blocks with an explicit page_break
+    # so the page counter advances between them
+    body = "\n<page_break>\n".join(
         m.group(1) for m in
         re.finditer(r"<doctag>(.*?)(?:</doctag>|$)", payload, re.S))
 

@@ -91,12 +91,21 @@ def detect_format(text: str, tool: str = "") -> str:
             '"schema_name": "DoclingDocument"' in text[:2048]:
         return "docling_json"
     if text and text.lstrip().startswith("{") and \
-            '"page-elements"' in text[:4096] and '"file-info"' in text[:4096]:
-        # legacy GLM layout-model JSON (utils/glm_utils.py input shape)
+            ('"file-info"' in text[:4096] or '"page-elements"' in text[:4096]) \
+            and '"page-elements"' in text:
+        # legacy GLM layout-model JSON (utils/glm_utils.py input shape).
+        # Key order varies and the payload arrays are unbounded, so one
+        # key anchors in the head window and the other may sit anywhere
+        # (the full scan only runs for {-prefixed payloads that already
+        # matched a GLM key up front)
         return "glm_json"
-    if text and "schema_name: DoclingDocument" in text[:4096] and \
-            not text.lstrip().startswith(("{", "<")):
-        # the CLI's save_as_yaml artifact (same model as the JSON export)
+    if text and not text.lstrip().startswith(("{", "<")) and \
+            re.match(r"\s*[a-z_]+:\s", text) and \
+            "schema_name: DoclingDocument" in text:
+        # the CLI's save_as_yaml artifact (same model as the JSON
+        # export). safe_dump sorts keys, so schema_name lands AFTER the
+        # unbounded body/groups/texts sections — the full scan is gated
+        # on the cheap yaml-mapping head shape
         return "docling_yaml"
     if text and text.lstrip().startswith("<doclang"):
         return "doclang"

@@ -73,7 +73,7 @@ def _caption_items(items: list, doc: dict, obj: dict) -> tuple[str, int | None]:
             nelem = _resolve(str(nprov.get("$ref", "")).split("/"), doc)
             if nelem is None:
                 continue
-            si, sj = nelem.get("span", [0, 0])[:2]
+            si, sj = (list(nelem.get("span", [])) + [0, 0])[:2]
             cap_text = caption.get("text", "")[si:sj]
             idx = _mk_item(items, 0, "caption", 1, cap_text, "body")
             items[idx]["page_no"] = nelem.get("page")
@@ -103,8 +103,9 @@ def _table_md(obj: dict) -> tuple[str, int, int]:
     ncols = int(obj.get("#-cols", 0))
     grid = [["" for _ in range(ncols)] for _ in range(nrows)]
     for cell in _flatten_grid(obj.get("data", [])):
-        r0, r1 = cell.get("row-span", [0, 0])[:2]
-        c0, c1 = cell.get("col-span", [0, 0])[:2]
+        # short/missing/null span lists degrade the cell, not the document
+        r0, r1 = (list(cell.get("row-span") or []) + [0, 0])[:2]
+        c0, c1 = (list(cell.get("col-span") or []) + [0, 0])[:2]
         txt = (cell.get("text", "") or "").replace("\r\n", " ") \
             .replace("\n", " ").replace("|", "&#124;").strip()
         for r in range(max(r0, 0), min(r1, nrows)):

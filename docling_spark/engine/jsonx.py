@@ -330,9 +330,13 @@ class _Converter:
             # orderedness: our export names the group "ordered list";
             # docling-core's model instead marks each child
             # enumerated=true (md corpus .md.yaml groundtruth) — honor
-            # both encodings
-            ordered = name.startswith("ordered list") or any(
-                li.get("enumerated") for li in lis)
+            # both encodings. ALL children must agree: docling-core
+            # renders per-item markers, so a mixed group must not be
+            # promoted wholesale to numbered rendering
+            ordered = name.startswith("ordered list") or all(
+                li.get("enumerated") for li in lis
+                if li.get("label") == "list_item"
+            ) and any(li.get("enumerated") for li in lis)
             gidx = _mk_item(self.items, parent, "list", level,
                             "ordered list" if ordered else "list", layer)
             if ordered and name.startswith("ordered list start "):

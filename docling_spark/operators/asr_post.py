@@ -74,8 +74,11 @@ def asr_segments_post(
         .filter(start.isNotNull() & F.col(end_col).isNotNull() & has_text)
         .withColumn(speaker_col, speaker)
     )
+    # deterministic tiebreakers: equal start times (overlapping diarized
+    # speech) must rank identically across runs/shuffles
     rank = F.row_number().over(
-        Window.partitionBy(*conv_cols).orderBy(start_col)) - 1
+        Window.partitionBy(*conv_cols)
+        .orderBy(start_col, end_col, text_col)) - 1
     line = F.concat(
         F.lit("[time: "), start.cast("string"), F.lit("-"),
         F.col(end_col).cast("string"), F.lit("] "),

@@ -24,10 +24,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# pandas.read_csv default NA tokens (the grid arrives via
+# pd.read_csv(header=None), granite_vision.py CSV parse): these cells
+# become NaN -> non-numeric for the header vote AND empty text
+# (str-of-NaN branch, :163-166). Matched exactly, as read_csv does.
+_NA_TOKENS = ("", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN",
+              "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA",
+              "NULL", "NaN", "None", "n/a", "nan", "null", "none")
+
+
+def _is_na(c: Column) -> Column:
+    return c.isin(*_NA_TOKENS)
+
+
 def _non_numeric(c: Column) -> Column:
-    """granite_vision.py:114-122 (_is_numeric, negated): empty/NaN cells
-    and anything float() rejects are non-numeric."""
-    return (F.trim(c) == "") | c.try_cast("double").isNull()
+    """granite_vision.py:114-122 (_is_numeric, negated): NA cells
+    (pd.isna after read_csv's NA conversion) and anything float()
+    rejects are non-numeric. try_cast('NaN') yields a numeric NaN, not
+    NULL, so the NA-token gate must come first — float('NAN') also
+    succeeds in the reference, keeping non-pandas spellings numeric on
+    both sides."""
+    return _is_na(c) | (F.trim(c) == "") | c.try_cast("double").isNull()
 
 
 def chart_table_cells(
@@ -45,9 +62,14 @@ def chart_table_cells(
     start at 1, exactly the reference's offset arithmetic.
     """
     ids = [F.col(c) for c in id_cols]
+    # blank lines are skipped BEFORE indexing (read_csv's
+    # skip_blank_lines): the JVM array filter compacts row indices with
+    # no shuffle
+    non_blank = F.filter(
+        F.split(F.col(grid_col), "\r?\n"), lambda x: F.trim(x) != "")
     rows = charts.select(
         *ids,
-        F.posexplode(F.split(F.col(grid_col), "\n")).alias("row_idx", "line"),
+        F.posexplode(non_blank).alias("row_idx", "line"),
     ).select(*ids, "row_idx", F.split("line", ",").alias("cells"))
 
     # header vote: ALL first-row cells non-numeric (granite_vision.py:134-137)
@@ -68,7 +90,12 @@ def chart_table_cells(
         *ids,
         F.col("row_idx").cast("int").alias("row_idx"),
         F.col("col_idx").cast("int").alias("col_idx"),
-        F.col("text"),
+        # NA cells render empty (str-of-NaN branch, :163-166). Known
+        # deviation: a column that is ENTIRELY numeric gets pandas'
+        # float repr in the reference ('10.50' -> '10.5'); cell text
+        # here stays verbatim.
+        F.when(_is_na(F.col("text")), "").otherwise(F.col("text"))
+         .alias("text"),
         is_header_row.alias("column_header"),
         # non-numeric DATA cells are row headers (:168-170); header-row
         # cells are column headers, never row headers

@@ -57,8 +57,12 @@ def tsv_ocr_cells(
     def at(arr: Column, p: Column) -> Column:
         # F.element_at with a NULL Column index silently resolves to the
         # LAST element (observed on pyspark 4.1; SQL element_at returns
-        # NULL) — gate explicitly so a missing header column yields null
-        return F.when(p.isNotNull(), F.element_at(arr, p))
+        # NULL) — gate explicitly so a missing header column yields
+        # null. try_element_at, not element_at: a data line SHORTER than
+        # the header (truncated tesseract output) must null the field,
+        # not raise INVALID_ARRAY_INDEX under ANSI mode (row-level
+        # containment).
+        return F.when(p.isNotNull(), F.try_element_at(arr, p))
 
     rows = df.select(
         *ids,

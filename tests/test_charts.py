@@ -48,3 +48,18 @@ def test_plan_has_no_scale_killers(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nan_cells_are_na_like_pandas(spark):
+    # pd.read_csv turns 'NaN'/'n/a' into NaN -> non-numeric for the
+    # header vote, row-header flag set, and EMPTY cell text
+    got = _cells(spark, "NaN,label\n1,2")
+    assert got[(0, 0)] == ("", True, False)   # header inferred, text ''
+    got2 = _cells(spark, "a,b\nn/a,3")
+    assert got2[(1, 0)] == ("", False, True)
+
+
+def test_crlf_grid_tolerated(spark):
+    got = _cells(spark, "year,sales\r\n2020,10.5\r\n")
+    assert got[(1, 1)] == ("10.5", False, False)
+    assert len(got) == 4

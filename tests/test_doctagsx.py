@@ -92,3 +92,12 @@ def test_roundtrip_sink_to_parser_preserves_markdown():
     second = extract_payload(tags, tool="doctags")
     assert second["status"] == "success"
     assert second["extracted_text"] == first["extracted_text"]
+
+
+def test_multiple_doctag_blocks_are_pages():
+    # the VLM pipeline emits one <doctag> block per page
+    # (vlm_pipeline.py:447-465)
+    _, items, metrics = extract_doctags(
+        "<doctag><text>p1</text></doctag><doctag><text>p2</text></doctag>")
+    assert metrics["pages_parsed"] == 2
+    assert [it["page_no"] for it in items if it["label"] == "text"] == [1, 2]

@@ -156,3 +156,14 @@ def test_malformed_payload_contained():
     assert res["errors"][0]["category"] == "parse_error"
     with pytest.raises(GlmError):
         extract_glm('{"not": "glm"}')
+
+
+def test_short_span_lists_degrade_not_raise():
+    pe = [_pe(0, "table", ptype="table", iref="#/tables/0")]
+    tables = [{"#-rows": 1, "#-cols": 1, "captions": [],
+               "data": [[{"bbox": None, "text": "x", "type": "body",
+                          "spans": [[0, 0]],
+                          "row-span": [0], "col-span": None}]]}]
+    text, items, metrics = extract_glm(_doc(pe, tables=tables))
+    # degenerate spans place no text, but the document still parses
+    assert any(it["label"] == "table" for it in items)

@@ -187,3 +187,14 @@ def test_tsv_crlf_line_endings_tolerated(spark):
     df = spark.createDataFrame([(1, tsv)], "doc_id int, tsv string")
     got = tsv_ocr_cells(df).collect()
     assert len(got) == 1 and got[0]["r"] == 40.0
+
+
+def test_short_data_line_nulls_fields_instead_of_raising(spark):
+    # a truncated tesseract line (fewer fields than the header) must
+    # degrade to null geometry, not an ANSI INVALID_ARRAY_INDEX error
+    tsv = (HDR + "\n"
+           "5\t1\t1\t1\t1\t0\t5\t6\t70\t20\t91\tword\n"
+           "5\t1\t1")  # truncated: no text field at all
+    df = spark.createDataFrame([(1, tsv)], "doc_id int, tsv string")
+    got = tsv_ocr_cells(df).collect()
+    assert [r["text"] for r in got] == ["word"]
