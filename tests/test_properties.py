@@ -184,3 +184,31 @@ def test_pdf_parser_total_on_arbitrary_bytes(data: bytes) -> None:
         assert isinstance(text, str)
     except PdfError:
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=payload_text,
+       tool=st.sampled_from(["glm", "doctags", "yaml"]))
+def test_session_format_hints_total(text, tool):
+    """The GLM / DocTags / YAML scan formats: any payload under these
+    hints yields a contained result row, never an exception."""
+    res = extract_payload(text, tool)
+    assert res["status"] in _STATUSES
+    if res["status"] == "failure":
+        assert res["errors"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(alphabet=st.characters(min_codepoint=9,
+                                           max_codepoint=126),
+                    max_size=2000))
+def test_doctags_parser_total_on_tag_soup(text):
+    """Arbitrary angle-bracket soup wrapped in a doctag block parses to
+    a well-formed item table (no recursion, no index errors)."""
+    from docling_spark.engine.doctagsx import extract_doctags
+
+    md, items, metrics = extract_doctags("<doctag>" + text + "</doctag>")
+    assert isinstance(md, str)
+    assert metrics["n_items"] == len(items) - 1
+    for it in items[1:]:
+        assert 0 <= it["parent_idx"] < it["item_idx"]
