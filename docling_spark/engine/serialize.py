@@ -646,6 +646,8 @@ def serialize_yaml(items: list[dict], name: str = "document") -> str:
 
     import yaml as _yaml
 
+    # yaml.dump defaults (sort_keys=True, allow_unicode=False) are what
+    # docling-core's save_as_yaml uses — the reference's .md.yaml
+    # groundtruth is key-sorted accordingly
     doc = _json.loads(serialize_docling_json(items, name=name))
-    return _yaml.safe_dump(doc, default_flow_style=False, sort_keys=True,
-                           allow_unicode=True)
+    return _yaml.safe_dump(doc, default_flow_style=False, sort_keys=True)

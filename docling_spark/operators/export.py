@@ -24,14 +24,12 @@ from docling_spark.engine.serialize import (
 
 
 def _serialize_yaml(items: list[dict]) -> str:
-    """OutputFormat.YAML: the DoclingDocument JSON re-emitted as YAML
-    (same tree, yaml.safe_load(yaml) == json.loads(json))."""
-    import json
+    """OutputFormat.YAML: delegate to the engine sink (one definition;
+    docling-core save_as_yaml dump settings, round-trips through
+    jsonx.extract_docling_yaml)."""
+    from docling_spark.engine.serialize import serialize_yaml
 
-    import yaml
-
-    return yaml.safe_dump(json.loads(serialize_docling_json(items)),
-                          sort_keys=False, allow_unicode=True)
+    return serialize_yaml(items)
 
 
 def _serialize_doclang(items: list[dict]) -> str:
