@@ -5112,9 +5112,10 @@ select tok.source,
        cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
        round(share * nmax / tokens_avail, 6) as keep_fraction,
-       -- +1e-6 nudge mirrors mixture_plan: the binding source's
-       -- share*nmax is an exact integer in real arithmetic
-       cast(floor(share * nmax + 1e-6) as bigint) as tokens_planned
+       -- relative+absolute nudge mirrors mixture_plan: the binding
+       -- source's share*nmax is an exact integer in real arithmetic
+       cast(floor(share * nmax * (1.0 + 1e-12) + 1e-6) as bigint)
+         as tokens_planned
 from tok
 join norm using (source), n
 """
@@ -5598,7 +5599,8 @@ select source,
        cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
        round(least(share * nmax / tokens_avail, 1.0), 6) as keep_fraction,
-       cast(floor(share * nmax + 1e-6) as bigint) as tokens_planned
+       cast(floor(share * nmax * (1.0 + 1e-12) + 1e-6) as bigint)
+         as tokens_planned
 from per, n
 """
 

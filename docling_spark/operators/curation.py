@@ -601,21 +601,35 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
         .groupBy(source_col)
         .agg(F.sum(token_count(F.col(text_col))).alias("tokens_avail"))
     )
-    per_src = tok.join(F.broadcast(tgt), source_col)
+    # LEFT join from the target table: a targeted source absent from the
+    # corpus (or typo'd) must appear with tokens_avail=0 AND drive nmax
+    # to 0 — silently excluding it would report a plan that violates the
+    # requested mixture while claiming one row per targeted source
+    per_src = tgt.join(tok, source_col, "left").withColumn(
+        "tokens_avail", F.coalesce("tokens_avail", F.lit(0)))
     nmax = per_src.agg(
         F.min(F.col("tokens_avail") / F.col("target_share")).alias("nmax"))
+    planned = F.col("target_share") * F.col("nmax")
     return (
         per_src.crossJoin(F.broadcast(nmax))  # one-row scalar attach
         .select(
             F.col(source_col).alias("source"),
             F.col("tokens_avail").cast("long").alias("tokens_avail"),
             F.round("target_share", 6).alias("target_share"),
-            F.round(
-                F.col("target_share") * F.col("nmax") / F.col("tokens_avail"), 6
+            # a zero-token source keeps "all of nothing" (1.0), matching
+            # temperature_mixture's least()-null behavior, instead of a
+            # NULL that breaks downstream stratified_sample fractions
+            F.when(F.col("tokens_avail") == 0, F.lit(1.0)).otherwise(
+                F.round(planned / F.col("tokens_avail"), 6)
             ).alias("keep_fraction"),
-            # +1e-6 before floor: same binding-source integer-landing
-            # guard as temperature_mixture
-            F.floor(F.col("target_share") * F.col("nmax") + F.lit(1e-6))
+            # relative nudge before floor: the binding source lands
+            # share*nmax on an exact integer where libm pow noise flips
+            # floor between engines. An ABSOLUTE epsilon (the old 1e-6)
+            # is absorbed by double rounding once the product exceeds
+            # ~1.7e10 (ulp > 2e-6) — dead at trillion-token scale; the
+            # relative form stays > ulp at every magnitude while never
+            # crossing the next integer
+            F.floor(planned * (1.0 + 1e-12) + F.lit(1e-6))
             .cast("long").alias("tokens_planned"),
         )
     )
@@ -689,11 +703,14 @@ def temperature_mixture(docs: DataFrame, alpha: float = 0.3,
             F.round(F.least(
                 F.col("share") * F.col("nmax") / F.col("tokens_avail"),
                 F.lit(1.0)), 6).alias("keep_fraction"),
-            # +1e-6 before floor: the binding source's share*nmax is an
-            # exact integer in real arithmetic, so cross-engine ulp noise
-            # (libm pow) could flip the floor; the nudge is far above the
-            # noise, far below 1 (the bm25 boundary lesson)
-            F.floor(F.col("share") * F.col("nmax") + F.lit(1e-6))
+            # relative + absolute nudge before floor: the binding
+            # source's share*nmax is an exact integer in real
+            # arithmetic, so cross-engine ulp noise (libm pow) could
+            # flip the floor. The absolute 1e-6 covers small products;
+            # the relative 1e-12 survives magnitudes past ~1.7e10 where
+            # double rounding absorbs any absolute epsilon (ulp > 2e-6)
+            F.floor(F.col("share") * F.col("nmax") * (1.0 + 1e-12)
+                    + F.lit(1e-6))
             .cast("long").alias("tokens_planned"),
         )
     )

@@ -617,15 +617,23 @@ def edit_distance_pairs(
     Output: (doc_a, doc_b, edit_dist, edit_sim) where edit_sim =
     1 - dist / max(len_a, len_b) — 1.0 for identical, 0.0 for disjoint.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    texts = docs.select(F.col(id_col), norm.alias("__txt"))
+    # the ONE canonical normalization (textstats.norm_text) — the same
+    # expression exact_dedup fingerprints with, imported rather than
+    # re-inlined so the two can never drift
+    texts = docs.select(F.col(id_col), norm_text(F.col(text_col)).alias("__txt"))
+    # threshold-bounded kernel when a cap is given: F.levenshtein's
+    # third argument (Spark 3.5+) banded-early-exits the O(len^2) DP to
+    # O(len*max_dist) and returns -1 above the cap
+    lev = (F.levenshtein("__txt_a", "__txt_b", max_dist)
+           if max_dist is not None else
+           F.levenshtein("__txt_a", "__txt_b"))
     out = (
         candidates
         .join(texts.select(F.col(id_col).alias("doc_a"),
                            F.col("__txt").alias("__txt_a")), "doc_a")
         .join(texts.select(F.col(id_col).alias("doc_b"),
                            F.col("__txt").alias("__txt_b")), "doc_b")
-        .withColumn("edit_dist", F.levenshtein("__txt_a", "__txt_b"))
+        .withColumn("edit_dist", lev)
         .withColumn(
             "edit_sim",
             F.round(
@@ -637,5 +645,7 @@ def edit_distance_pairs(
         )
     )
     if max_dist is not None:
-        out = out.filter(F.col("edit_dist") <= max_dist)
+        # thresholded levenshtein reports -1 above the cap
+        out = out.filter((F.col("edit_dist") >= 0)
+                         & (F.col("edit_dist") <= max_dist))
     return out.select("doc_a", "doc_b", "edit_dist", "edit_sim")

@@ -502,6 +502,11 @@ def pq_encode(
     """
     from pyspark.sql.window import Window
 
+    if dim % m:
+        # silent truncation would exclude the trailing dim %% m
+        # dimensions from every code and every ADC distance (same guard
+        # as band_signatures)
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     sl = _pq_slices(emb, m, dsub, id_col, vec_col, id_col)
     cb = _pq_slices(
@@ -524,6 +529,7 @@ def pq_adc_topk(
     emb: DataFrame, query_id: int = 0, m: int = 8, dim: int = 64,
     k: int = 16, topk: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     exact, the corpus is its codes. A lookup table of m×k query-to-centroid
@@ -533,7 +539,14 @@ def pq_adc_topk(
 
     Ends in ``orderBy().limit(topk)`` — a distributed TakeOrdered, never a
     single-partition global rank window.
+
+    ``codes``: optionally pass the precomputed ``pq_encode`` output —
+    the serving pattern (codes are built once per corpus, reused per
+    query); omitted, they are computed inline (one corpus scan per
+    call, fine for tests/oracles, wrong for a query loop).
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     cb = _pq_slices(
         emb.filter(F.col(id_col) < k), m, dsub, id_col, vec_col, "code"
@@ -546,8 +559,9 @@ def pq_adc_topk(
         .select("sub", "code",
                 F.round(_sq_l2(F.col("qv"), F.col("cv")), 6).alias("qd"))
     )
-    codes = pq_encode(emb, m=m, dim=dim, k=k,
-                      vec_col=vec_col, id_col=id_col)
+    if codes is None:
+        codes = pq_encode(emb, m=m, dim=dim, k=k,
+                          vec_col=vec_col, id_col=id_col)
     return (
         codes.join(F.broadcast(lut),
                    (codes["subspace"] == lut["sub"])

@@ -496,6 +496,14 @@ def train_quality_lr(docs: DataFrame, iters: int = 3, lr: float = 0.5,
     n = feats.count()
     w = [0.0, 0.0, 0.0, 0.0]
     xs = ["x0", "x1", "x2", "x3"]
+    if n == 0:
+        # totality: an empty corpus trains nothing and scores nothing
+        # (the gradient agg would return NULL sums -> TypeError)
+        empty = feats.select(
+            F.col(id_col), F.lit(0).alias("label"),
+            F.lit(0.0).alias("score"), F.lit(0).alias("pred"))
+        feats.unpersist()
+        return empty, w
     for _ in range(iters):
         z = sum((F.lit(w[j]) * F.col(xs[j]) for j in range(4)), F.lit(0.0))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -513,4 +521,9 @@ def train_quality_lr(docs: DataFrame, iters: int = 3, lr: float = 0.5,
         score.alias("score"),
         (score > 0.5).cast("int").alias("pred"),
     )
+    # materialize before releasing the cache: scored references feats,
+    # and repeated training calls must not pin feature frames in
+    # executor storage for the session lifetime
+    scored = scored.localCheckpoint(eager=True)
+    feats.unpersist()
     return scored, w

@@ -446,3 +446,61 @@ def test_train_quality_lr_deterministic_across_partitionings(spark):
     _, wa = train_quality_lr(a, iters=3)
     _, wb = train_quality_lr(b, iters=3)
     assert wa == wb
+
+
+def test_mixture_plan_absent_target_source_zeroes_the_plan(spark):
+    # a targeted source missing from the corpus (typo'd name) must
+    # surface as a tokens_avail=0 row driving nmax to 0 — never a
+    # silently-satisfied plan that violates the requested mixture
+    from docling_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "some web words here", "web")],
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in
+            mixture_plan(docs, {"web": 0.5, "code": 0.5}).collect()}
+    assert set(rows) == {"web", "code"}
+    assert rows["code"]["tokens_avail"] == 0
+    assert rows["code"]["keep_fraction"] == 1.0  # all of nothing
+    assert rows["web"]["tokens_planned"] == 0    # nmax = min(..., 0) = 0
+
+
+def test_train_quality_lr_total_on_empty_corpus(spark):
+    from docling_spark.operators.textstats import train_quality_lr
+
+    scored, w = train_quality_lr(
+        spark.createDataFrame([], "doc_id long, text string"), iters=2)
+    assert scored.count() == 0
+    assert w == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from docling_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 60)], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq_encode(emb, m=8, dim=60)
+    with _pytest.raises(ValueError):
+        pq_adc_topk(emb, m=8, dim=60)
+
+
+def test_edit_distance_threshold_band_matches_unbounded(spark):
+    from docling_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fx"),
+         (3, "completely different words entirely")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long")
+    capped = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+              for r in edit_distance_pairs(docs, cands, max_dist=5).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+            for r in edit_distance_pairs(docs, cands).collect()}
+    # the banded kernel keeps exactly the pairs within the cap, with
+    # identical distances; over-cap pairs (reported -1) are dropped
+    assert capped == {(1, 2): 1}
+    assert full[(1, 2)] == 1 and full[(1, 3)] > 5
