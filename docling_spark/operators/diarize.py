@@ -42,21 +42,40 @@ WINDOW_STEP = 0.5  # speaker_diarization.py:23
 
 # ---------------------------------------------------------------- kernel --
 
-def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
-    """Ward agglomerative clustering, from scratch.
+def ward_cuts(x: np.ndarray, cuts: list[int]) -> dict[int, np.ndarray]:
+    """Ward agglomerative clustering, from scratch — ONE dendrogram,
+    labels snapshotted at every requested cluster count.
 
     Lance-Williams recurrence for Ward linkage on squared euclidean
     distances: when clusters i and j merge,
         d²(k, i∪j) = ((n_i+n_k) d²(k,i) + (n_j+n_k) d²(k,j)
                       − n_k d²(i,j)) / (n_i+n_j+n_k).
     Ties break on the smallest (i, j) pair, so the dendrogram is
-    deterministic. O(m³) worst case over m windows per conversation —
-    m is bounded by audio length (the reference's per-file regime), so
-    the kernel cost is constant per conversation, never corpus-scale.
+    deterministic — and because agglomerative clusterings are NESTED,
+    every cut of the same merge sequence equals a fresh run stopped at
+    that count. Snapshotting all cuts in one pass is what keeps the
+    silhouette auto-k sweep O(m³) total instead of O(k·m³).
+    O(m³) worst case over m windows per conversation — m is bounded by
+    audio length (the reference's per-file regime), so the kernel cost
+    is constant per conversation, never corpus-scale.
     """
     m = len(x)
-    if n_clusters >= m:
-        return np.arange(m)
+    out: dict[int, np.ndarray] = {}
+
+    def snapshot(members: dict[int, list[int]]) -> np.ndarray:
+        labels = np.empty(m, dtype=np.int64)
+        for c, key in enumerate(
+                sorted(members, key=lambda c: min(members[c]))):
+            labels[np.array(members[key])] = c
+        return labels
+
+    want = sorted(set(cuts), reverse=True)  # largest cut reached first
+    for n in [n for n in want if n >= m]:
+        out[n] = np.arange(m)
+    want = [n for n in want if n < m]
+    if not want:
+        return out
+    lowest = want[-1]
     diff = x[:, None, :] - x[None, :, :]
     d2 = (diff * diff).sum(axis=2) / 2.0  # Ward d² between singletons
     np.fill_diagonal(d2, np.inf)
@@ -64,7 +83,7 @@ def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
     active = np.ones(m, dtype=bool)
     # members[c] = row indices belonging to cluster c
     members: dict[int, list[int]] = {i: [i] for i in range(m)}
-    for _ in range(m - n_clusters):
+    for step in range(m - lowest):
         # row-major argmin = lexicographically-smallest (i, j) among ties,
         # the deterministic dendrogram guarantee; vectorized so a
         # minutes-long conversation (hundreds of windows) stays fast
@@ -87,46 +106,69 @@ def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
         active[j] = False
         d2[j, :] = np.inf
         d2[:, j] = np.inf
-    labels = np.empty(m, dtype=np.int64)
-    for c, key in enumerate(sorted(members, key=lambda c: min(members[c]))):
-        labels[np.array(members[key])] = c
-    return labels
+        n_now = m - step - 1
+        if n_now in want:
+            out[n_now] = snapshot(members)
+    return out
 
 
-def silhouette(x: np.ndarray, labels: np.ndarray) -> float:
+def ward_labels(x: np.ndarray, n_clusters: int) -> np.ndarray:
+    """One cut of :func:`ward_cuts` (kept as the single-cut API)."""
+    return ward_cuts(x, [n_clusters])[n_clusters]
+
+
+def silhouette(x: np.ndarray, labels: np.ndarray,
+               d: np.ndarray | None = None) -> float:
     """Mean silhouette coefficient, straight from the definition:
     s(i) = (b(i) − a(i)) / max(a(i), b(i)) with a = mean intra-cluster
     distance (excluding self), b = min over other clusters of the mean
-    distance to that cluster; singleton clusters score 0."""
+    distance to that cluster; singleton clusters score 0. ``d``: the
+    pairwise euclidean matrix, precomputed once by the auto-k sweep."""
     m = len(x)
-    diff = x[:, None, :] - x[None, :, :]
-    d = np.sqrt((diff * diff).sum(axis=2))
+    if d is None:
+        diff = x[:, None, :] - x[None, :, :]
+        d = np.sqrt((diff * diff).sum(axis=2))
     uniq = np.unique(labels)
     if len(uniq) < 2:
         return -1.0
-    s = np.zeros(m)
-    for i in range(m):
-        own = labels[i]
-        same = labels == own
-        n_same = same.sum()
-        if n_same <= 1:
-            s[i] = 0.0
-            continue
-        a = d[i][same].sum() / (n_same - 1)
-        b = min(d[i][labels == c].mean() for c in uniq if c != own)
-        s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+    # vectorized: one m×k matrix of mean distances to each cluster
+    # (identical arithmetic to the per-row definition loop — sums and
+    # divisions in the same order per element)
+    k = len(uniq)
+    member = labels[:, None] == uniq[None, :]           # m×k
+    counts = member.sum(axis=0)                         # k
+    sums = d @ member                                   # m×k mean-dist sums
+    own_col = np.searchsorted(uniq, labels)
+    rows = np.arange(m)
+    n_same = counts[own_col]
+    a = np.where(n_same > 1, sums[rows, own_col] / np.maximum(n_same - 1, 1),
+                 0.0)
+    other = sums / np.maximum(counts, 1)[None, :]
+    other[rows, own_col] = np.inf
+    b = other.min(axis=1)
+    denom = np.maximum(a, b)
+    s = np.where((n_same > 1) & (denom > 0), (b - a) / np.where(
+        denom > 0, denom, 1.0), 0.0)
     return float(s.mean())
 
 
 def estimate_num_speakers(x: np.ndarray) -> int:
     """speaker_diarization.py:45-68: best silhouette over n ∈ [2, 8]
-    (capped below the window count); ties keep the smaller n."""
+    (capped below the window count); ties keep the smaller n. One
+    dendrogram + one distance matrix serve every n (the sweep is a
+    set of cuts of the same merge sequence)."""
+    ns = list(range(MIN_SPEAKERS, min(MAX_SPEAKERS + 1, len(x))))
+    if not ns:
+        return MIN_SPEAKERS
+    cuts = ward_cuts(x, ns)
+    diff = x[:, None, :] - x[None, :, :]
+    d = np.sqrt((diff * diff).sum(axis=2))
     best_n, best_score = MIN_SPEAKERS, -1.0
-    for n in range(MIN_SPEAKERS, min(MAX_SPEAKERS + 1, len(x))):
-        labels = ward_labels(x, n)
+    for n in ns:
+        labels = cuts[n]
         if len(np.unique(labels)) < 2:
             continue
-        score = silhouette(x, labels)
+        score = silhouette(x, labels, d=d)
         if score > best_score:
             best_n, best_score = n, score
     return best_n
@@ -289,7 +331,11 @@ def assign_speakers(
         - F.greatest(F.col(start_col), F.col("_s0")),
     )
     j = j.withColumn("_ov", overlap)
-    item_key = [conv_col, start_col, end_col]
+    # the argmax window partitions on the item's FULL identity, not just
+    # its timing: two items sharing (conv, start, end) — duplicated
+    # captions, zero-length items at one timestamp — must each keep
+    # their row, not collapse to whichever the rank tie-break picks
+    item_key = [c for c in items.columns]
     w = Window.partitionBy(*[items[c] for c in item_key]).orderBy(
         F.desc("_ov"), F.asc("seg_idx"))
     ranked = j.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)

@@ -189,21 +189,23 @@ def _pair_score(a_raw: Column, b_raw: Column) -> Column:
 def bookmark_heading_levels(
     headings: DataFrame, outline: DataFrame,
     doc_col: str = "doc_id", threshold: float = 0.7,
-    max_rounds: int = 8,
 ) -> DataFrame:
     """PDF-outline → heading fuzzy join: per bookmark keep the best-scoring
     unclaimed heading (ties → lowest heading_idx), one bookmark per heading,
     then compress the matched bookmark depths per doc into contiguous
-    1-based levels. All ranking is windowed; the join is doc-partitioned.
+    1-based levels.
 
-    Conflict resolution is the reference's sequential greedy
-    (heading_hierarchy_model.py:330-361): a bookmark whose best heading
-    was claimed by an earlier bookmark falls back to its next-best
-    unclaimed heading. That needs claim ROUNDS — within a round each
-    bookmark bids its best remaining heading and the lowest ``bm_idx``
-    wins each heading (= sequential order); losers rebid next round.
-    Round count is bounded by the longest claim chain (``max_rounds``
-    cap, warned past — real outlines resolve in 1-2 rounds).
+    Conflict resolution is the reference's SEQUENTIAL greedy
+    (heading_hierarchy_model.py:330-361): bookmarks claim in outline
+    order; a bookmark whose best heading was claimed by an earlier one
+    falls back to its next-best unclaimed heading. Parallel claim
+    rounds are NOT equivalent (a later bookmark can snatch in round 1 a
+    heading the earlier loser would have taken at its sequential turn),
+    so the assignment runs as a bounded per-document kernel: the
+    scored+thresholded candidate pairs (the relational part, one
+    doc-keyed join) pack into one row per doc and ONE batched
+    mapInPandas executes the greedy — candidate counts are bounded by
+    outline size, the same per-unit-bounded pattern as scenes/diarize.
 
     headings: (doc_id, heading_idx, text [, page_no])
     outline:  (doc_id, bm_idx, title, bm_level [, page_no])
@@ -226,7 +228,10 @@ def bookmark_heading_levels(
             | (F.col("h_page") == F.col("b_page"))
         )
         .withColumn("score", _pair_score(F.col("text"), F.col("title")))
-        # cross-page matches must clear a stricter bar (+0.1, :337-339)
+        # cross-page matches must clear a stricter bar (+0.1) — the
+        # reference raises the threshold only when the BOOKMARK's page
+        # is unknown (:337-339); a page-less heading against a paged
+        # bookmark keeps the base bar, the reference's own asymmetry
         .withColumn(
             "eff_threshold",
             F.when(F.col("b_page").isNull(), F.lit(min(1.0, threshold + 0.1)))
@@ -234,49 +239,43 @@ def bookmark_heading_levels(
         )
         .filter(F.col("score") >= F.col("eff_threshold"))
     )
-    # claim rounds: best heading per bookmark, lowest bm_idx per heading;
-    # losers (bookmark claimed-out of its best heading) rebid next round
-    w_bm = Window.partitionBy(doc_col, "bm_idx").orderBy(
-        F.desc("score"), F.asc("heading_idx"))
-    w_h = Window.partitionBy(doc_col, "heading_idx").orderBy(F.asc("bm_idx"))
-    remaining = cand.select(
-        doc_col, "bm_idx", "bm_level", "heading_idx", "score")
-    matched = None
-    for _ in range(max_rounds):
-        round_match = (
-            remaining
-            .withColumn("rk", F.row_number().over(w_bm)).filter("rk = 1")
-            .withColumn("rk2", F.row_number().over(w_h)).filter("rk2 = 1")
-            .select(doc_col, "bm_idx", "bm_level", "heading_idx")
-            .localCheckpoint()
-        )
-        if round_match.isEmpty():
-            break
-        matched = (round_match if matched is None
-                   else matched.unionByName(round_match))
-        remaining = (
-            remaining
-            .join(round_match.select(doc_col, "bm_idx"),
-                  [doc_col, "bm_idx"], "left_anti")
-            .join(round_match.select(doc_col, "heading_idx"),
-                  [doc_col, "heading_idx"], "left_anti")
-            .localCheckpoint()
-        )
-        if remaining.isEmpty():
-            break
-    else:
-        if not remaining.isEmpty():
-            import warnings
+    # pack candidates per doc (struct field order sorts by bm_idx, then
+    # score desc via negation, then heading_idx — the exact scan order
+    # the sequential greedy needs) and run ONE batched kernel
+    import pandas as pd
 
-            warnings.warn(
-                f"bookmark claim chains deeper than max_rounds="
-                f"{max_rounds}; unresolved bookmarks left unmatched",
-                stacklevel=2,
-            )
-    if matched is None:
-        return headings.select(
-            doc_col, "heading_idx", F.lit(None).cast("int").alias("level"),
-        ).limit(0)
+    doc_type = {f.name: f.dataType.simpleString()
+                for f in headings.schema.fields}[doc_col]
+    packed = cand.groupBy(doc_col).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("bm_idx"), (-F.col("score")).alias("neg_score"),
+            F.col("heading_idx"), F.col("bm_level")))).alias("cs"))
+    packed = packed.repartition(
+        headings.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches):
+        for pdf in batches:
+            out = {doc_col: [], "heading_idx": [], "bm_level": []}
+            for doc, cs in zip(pdf[doc_col], pdf["cs"]):
+                claimed: set[int] = set()
+                i = 0
+                while i < len(cs):
+                    bm = cs[i]["bm_idx"]
+                    chosen = None
+                    while i < len(cs) and cs[i]["bm_idx"] == bm:
+                        h = cs[i]["heading_idx"]
+                        if chosen is None and h not in claimed:
+                            chosen = (h, cs[i]["bm_level"])
+                        i += 1
+                    if chosen is not None:
+                        claimed.add(chosen[0])
+                        out[doc_col].append(doc)
+                        out["heading_idx"].append(chosen[0])
+                        out["bm_level"].append(chosen[1])
+            yield pd.DataFrame(out)
+
+    matched = packed.mapInPandas(
+        run, f"{doc_col} {doc_type}, heading_idx int, bm_level int")
     # compress raw bookmark depths per doc into contiguous levels
     w_lvl = Window.partitionBy(doc_col).orderBy("bm_level")
     return matched.select(

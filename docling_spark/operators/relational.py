@@ -48,6 +48,11 @@ def asof_join(
     regardless of ``right_cols`` width.
     """
     tie = [seq] if seq else []
+    # a NULL-ts right row can never satisfy right.ts <= left.ts, but
+    # Spark's nulls-first ascending sort would place it at the partition
+    # head where last(ignorenulls) hands its values to every early left
+    # row — exclude it up front
+    right = right.filter(F.col(ts).isNotNull())
     rstruct = F.struct(
         F.col(ts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
@@ -160,6 +165,16 @@ def salted_join(
     this is for small-but-unbroadcastable dimensions or when AQE's
     skew-join split can't fire (e.g. under a required output ordering).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would emit every UNMATCHED small-side row once
+        # per salt replica (n_salts duplicates) — the identical-result
+        # contract only holds for joins that never null-extend the
+        # replicated side
+        raise ValueError(
+            f"salted_join supports inner/left-flavored joins only, "
+            f"got {how!r}: an unmatched small-side row would surface "
+            f"{n_salts}x under right/full outer")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
     ).cast("int")

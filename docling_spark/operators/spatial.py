@@ -44,7 +44,16 @@ def containment_join(
     a box at (0,0,100,100)). Candidate counts are then bounded by
     elements-per-page; page-less inputs keep the per-doc bound.
     """
-    paged = "page" in parents.columns and "page" in children.columns
+    has_p, has_c = "page" in parents.columns, "page" in children.columns
+    if has_p != has_c:
+        # a one-sided page column must not silently degrade to the
+        # doc-level join: page-local coordinates on different pages
+        # would form false containment pairs
+        raise ValueError(
+            "containment_join: 'page' present on only one input "
+            f"(parents={has_p}, children={has_c}) — drop it or add it "
+            "to both sides")
+    paged = has_p and has_c
     keys = [key, "page"] if paged else [key]
     p = parents.select(
         *keys, F.col("parent_id"),

@@ -59,6 +59,24 @@ def template_dim(spark: SparkSession, template: dict[str, str]) -> DataFrame:
     if bad:
         raise ValueError(f"unsupported template types: {sorted(bad)}; "
                          f"supported: {SUPPORTED_TYPES}")
+    # validate the NORMALIZED field names too: two keys meeting at one
+    # canonical form would join the same line twice with a tie-broken
+    # (nondeterministic) type, and a key normalizing to '' could never
+    # match any line — both are template authoring errors, raised here
+    import re as _re
+
+    seen: dict[str, str] = {}
+    for k in template:
+        canon = _re.sub(r"[^0-9a-z]+", " ", k.lower()).strip()
+        if not canon:
+            raise ValueError(
+                f"template field {k!r} normalizes to an empty name and "
+                "can never match a document line")
+        if canon in seen:
+            raise ValueError(
+                f"template fields {seen[canon]!r} and {k!r} both "
+                f"normalize to {canon!r} — merge them or rename one")
+        seen[canon] = k
     rows = [(k, v) for k, v in template.items()]
     dim = spark.createDataFrame(rows, "field string, ftype string")
     return dim.select(normalize_field("field").alias("field"), "ftype")

@@ -120,3 +120,25 @@ def test_docling_json_roundtrip_engines():
         text, items = extract_html(open(f).read())
         text2, items2, _m = extract_docling_json(serialize_docling_json(items))
         assert text2.strip() == text.strip(), f
+
+
+def test_bookmark_sequential_greedy_not_parallel_rounds(spark):
+    """The reference greedy is SEQUENTIAL (heading_hierarchy_model.py:
+    330-361): B0 takes H0; B1 (who also prefers H0) falls back to H1 at
+    its turn; B2 gets nothing. Parallel claim rounds would instead give
+    H1 to B2 and leave B1 unmatched."""
+    from docling_spark.operators.heading_levels import bookmark_heading_levels
+
+    headings = spark.createDataFrame(
+        [(1, 0, "Alpha"), (1, 1, "Alpha Beta")],
+        "doc_id long, heading_idx int, text string")
+    outline = spark.createDataFrame(
+        [(1, 0, "Alpha", 0),          # exact on H0 (1.0)
+         (1, 1, "Alpha", 0),          # exact on H0 (1.0), contains H1 (.92)
+         (1, 2, "Alpha Beta", 1)],    # exact on H1 (1.0)
+        "doc_id long, bm_idx int, title string, bm_level int")
+    got = {r["heading_idx"]: r["level"]
+           for r in bookmark_heading_levels(headings, outline).collect()}
+    # B0 -> H0, B1 -> H1 (falls back), B2 unmatched; both bm_level 0 ->
+    # both headings level 1
+    assert got == {0: 1, 1: 1}
