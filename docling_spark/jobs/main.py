@@ -104,10 +104,15 @@ def main(argv: list[str] | None = None) -> int:
         # input) has no data files to infer from and would fail the job
         # AFTER extraction succeeded
         extracted = spark.read.schema(OUTPUT_SCHEMA).parquet(args.output_table)
-        for fmt in [f.strip() for f in args.to.split(",") if f.strip()]:
-            if fmt not in _SERIALIZERS:
-                raise SystemExit(f"unknown export format: {fmt} "
-                                 f"(known: {sorted(_SERIALIZERS)})")
+        fmts = [f.strip() for f in args.to.split(",") if f.strip()]
+        # validate the WHOLE list before any export runs: a typo in a
+        # later format must not abort after earlier full-table export
+        # passes already wrote their outputs
+        unknown = [f for f in fmts if f not in _SERIALIZERS]
+        if unknown:
+            raise SystemExit(f"unknown export format(s): {unknown} "
+                             f"(known: {sorted(_SERIALIZERS)})")
+        for fmt in fmts:
             export_items(extracted, fmt=fmt).write.mode("overwrite") \
                 .parquet(f"{args.output_table}_export_{fmt}")
             summary[f"export_{fmt}"] = f"{args.output_table}_export_{fmt}"

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docling_spark.operators.textstats import norm_text
+from docling_spark.operators.textstats import norm_text, token_count
 
 
 def fixed_token_chunks(
@@ -35,7 +35,12 @@ def fixed_token_chunks(
     step = chunk_tokens - overlap
     norm = norm_text(F.col(text_col))
     toks = F.split(norm, " ")
-    n = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    # null-safe: norm of a NULL text is NULL — without isNull in the
+    # gate, n stays NULL, the n<=0 guard doesn't fire and greatest(NULL,
+    # 1) fabricates a phantom ('', n_tokens=1) chunk for every
+    # failed-extraction row (extracted_text is nullable)
+    n = F.when(norm.isNull() | (norm == ""), F.lit(0)) \
+        .otherwise(F.size(toks))
     # clamp: a non-empty doc always yields ≥1 chunk — without the
     # greatest(), 0 < n_tokens <= overlap made n_chunks 0 and silently
     # dropped the document (ADVICE r1)
@@ -154,8 +159,11 @@ def budget_chunks(
     body = enriched.filter(
         (F.col("content_layer") == "body")
         & F.col("label").isin("text", "list_item", "code", "caption")
-        & (F.length("text") > 0)
-    ).withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+        # norm-based gate: length>0 let whitespace-only items (tabs,
+        # newlines — trim strips ASCII spaces only) through with 1-2
+        # phantom tokens polluting the budget
+        & (norm_text(F.col("text")) != "")
+    ).withColumn("n_tok", token_count(F.col("text")))
     wh = Window.partitionBy(doc_col, "heading_idx").orderBy("item_idx")
     cum_excl = F.coalesce(
         F.sum("n_tok").over(wh.rowsBetween(Window.unboundedPreceding, -1)),

@@ -228,7 +228,10 @@ def frame_sample_plan(media: DataFrame, fps: float = 0.5,
     pure column math producing (media_id, frame_ts) rows to feed a decoder —
     the explode is JVM-side; no decode happens here."""
     dur = F.coalesce(
-        F.element_at(F.col("meta"), duration_key).cast("double"), F.lit(10.0)
+        # try_cast: a malformed duration string ('n/a') degrades to the
+        # default instead of an ANSI CAST_INVALID_INPUT killing the job
+        F.element_at(F.col("meta"), duration_key).try_cast("double"),
+        F.lit(10.0),
     )
     n_frames = F.greatest((dur * F.lit(fps)).cast("int"), F.lit(1))
     return (

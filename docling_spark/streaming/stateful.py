@@ -33,6 +33,10 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
         T.StructField("texts", T.ArrayType(T.StringType()), True),
+        # ALL turns seen, incl. null-text ones: the batch twin's n_turns
+        # is count(*), so the streaming count must not shrink when a
+        # failed extraction contributes no text
+        T.StructField("n_seen", T.IntegerType(), True),
     ]
 )
 
@@ -46,13 +50,15 @@ OUTPUT_SCHEMA = T.StructType(
 
 
 def _assemble(conv_id: str, idxs: list[int], texts: list[str],
-              sep: str) -> pd.DataFrame:
+              n_seen: int, sep: str) -> pd.DataFrame:
     order = sorted(range(len(idxs)), key=lambda i: idxs[i])
     return pd.DataFrame(
         {
             "conv_id": [conv_id],
             "conversation_text": [sep.join(texts[i] for i in order)],
-            "n_turns": [len(idxs)],
+            # count ALL turns (batch twin: F.count('*')), not just the
+            # text-bearing ones the join skipped
+            "n_turns": [n_seen],
         }
     )
 
@@ -67,20 +73,27 @@ def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
-            (idxs, texts) = state.get
+            (idxs, texts, n_seen) = state.get
             state.remove()
-            yield _assemble(conv_id, list(idxs), list(texts), sep)
+            yield _assemble(conv_id, list(idxs), list(texts),
+                            int(n_seen), sep)
             return
-        idxs, texts = ([], []) if not state.exists else [list(x) for x in state.get]
+        if state.exists:
+            prev_i, prev_t, n_seen = state.get
+            idxs, texts = list(prev_i), list(prev_t)
+            n_seen = int(n_seen)
+        else:
+            idxs, texts, n_seen = [], [], 0
         for pdf in pdfs:
             for i, v in zip(pdf["turn_idx"], pdf["extracted_text"]):
+                n_seen += 1
                 # the batch twin's array_join skips null elements —
                 # str(None) would inject the literal "None" here
                 if v is None or (not isinstance(v, str) and pd.isna(v)):
                     continue
                 idxs.append(int(i))
                 texts.append(str(v))
-        state.update((idxs, texts))
+        state.update((idxs, texts, n_seen))
         state.setTimeoutDuration(idle_ms)
         return
         yield  # pragma: no cover — generator form
@@ -161,11 +174,16 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    fp = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    ).alias("fingerprint")
+    from docling_spark.operators.textstats import fingerprint
+
+    # the ONE canonical normalization (textstats.fingerprint) — inlining
+    # it here is how streaming and batch dedup silently diverge. A null
+    # text has no fingerprint and nothing to dedup: filtered, never a
+    # null-key state group emitting text='None'
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
     return (
         docs.select(fp, "doc_id", F.col(text_col).alias("text"))
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .applyInPandasWithState(
             make_stream_dedup(),

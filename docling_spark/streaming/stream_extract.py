@@ -45,7 +45,10 @@ def stream_extract(
 
 
 def stream_metrics(
-    transcripts: DataFrame, watermark: str = "1 hour", window: str = "5 minutes"
+    transcripts: DataFrame, watermark: str = "1 hour",
+    window: str = "5 minutes",
+    pdf_passwords: tuple[str, ...] = (),
+    allowed_formats: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Windowed extraction metrics with late-data handling: per (window,
     status) counts under a 1-hour watermark (north-rule sidecar, streaming
@@ -57,7 +60,13 @@ def stream_metrics(
     update mode never evicted state or dropped late rows). ``ts`` passes
     through extraction unchanged, so watermarking the extracted frame is
     semantically identical."""
-    ext = extract_turns(transcripts).withWatermark("ts", watermark)
+    # same extraction POLICY as the data path: a metrics stream running
+    # a different password/format-policy set than run_stream would
+    # misreport the pipeline it monitors
+    ext = extract_turns(
+        transcripts, pdf_passwords=pdf_passwords,
+        allowed_formats=allowed_formats,
+    ).withWatermark("ts", watermark)
     return (
         ext.groupBy(F.window("ts", window), "status")
         .agg(F.count("*").alias("n"))

@@ -111,7 +111,9 @@ def test_assembler_skips_null_text():
     st.hasTimedOut = True
     out = list(fn(("c1",), iter([]), st))[0]
     assert out["conversation_text"].iloc[0] == "a\n\nc"
-    assert int(out["n_turns"].iloc[0]) == 2
+    # n_turns counts ALL turns incl. the null-text one — the batch
+    # twin's count(*) semantics (assemble_conversations)
+    assert int(out["n_turns"].iloc[0]) == 3
 
 
 def test_stream_dedup_keeps_first_across_microbatches(spark, tmp_path):
