@@ -552,6 +552,26 @@ def _mh_sql(num_hashes: int = 8) -> str:
     )
 
 
+def _bands_sql(sig_cte: str) -> str:
+    return " union all ".join(
+        f"select doc_id, {b} as band_id, "
+        f"md5(mh_{2 * b} || ',' || mh_{2 * b + 1}) as bucket from {sig_cte}"
+        for b in range(4)
+    )
+
+
+def _capped_bands_sql(sig_cte: str, max_bucket: int = 64) -> str:
+    """DuckDB twin of dedup.cap_buckets: keep the max_bucket smallest
+    doc_ids per (band_id, bucket) so the oracle reproduces the capped
+    candidate set bit-for-bit."""
+    return f"""select doc_id, band_id, bucket from (
+    select doc_id, band_id, bucket,
+           row_number() over (partition by band_id, bucket
+                              order by doc_id) as _rn
+    from ({_bands_sql(sig_cte)})
+  ) where _rn <= {max_bucket}"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     from docling_spark.operators.dedup import minhash_signatures, shingles
 
@@ -567,24 +587,47 @@ from sh group by doc_id
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    from docling_spark.operators.dedup import jaccard_pairs, shingles
+    """Exact n-gram Jaccard GATED on LSH candidates — the only shape that
+    survives a hot shingle at 100 TB (the unguarded all-co-shingled-pairs
+    variant is m² in a shingle's doc frequency; it survives only as the
+    recall-test oracle in tests/test_training_ops.py)."""
+    from docling_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
 
-    return jaccard_pairs(shingles(_docs(spark, sf_dir)), threshold=0.2)
+    sh = shingles(_docs(spark, sf_dir)).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    return jaccard_pairs(sh, threshold=0.2, candidates=cands)
 
 
 ORACLE_JACCARD = f"""
 with sh as ({_SHINGLE_SQL}),
+sigs as (
+  select doc_id,
+    {_mh_sql(8)}
+  from sh group by doc_id
+),
+bands as ({_capped_bands_sql("sigs")}),
+cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+),
 sizes as (select doc_id, count(*) sz from sh group by 1),
 inter as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
   group by 1, 2
 )
-select doc_a, doc_b,
+select i.doc_a, i.doc_b,
        round(inter::double / (sa.sz + sb.sz - inter), 6) as jaccard
-from inter
-join sizes sa on sa.doc_id = doc_a
-join sizes sb on sb.doc_id = doc_b
+from inter i
+join cands c on c.doc_a = i.doc_a and c.doc_b = i.doc_b
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
 where inter::double / (sa.sz + sb.sz - inter) >= 0.2
 """
 
@@ -612,12 +655,7 @@ sigs as (
     {_mh_sql(8)}
   from sh group by doc_id
 ),
-bands as (
-  {" union all ".join(
-    f"select doc_id, {b} as band_id, md5(mh_{2*b} || ',' || mh_{2*b+1}) as bucket from sigs"
-    for b in range(4)
-  )}
-),
+bands as ({_capped_bands_sql("sigs")}),
 cands as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
   from bands a join bands b
@@ -668,12 +706,7 @@ sigs as (
     {_mh_sql(8)}
   from sh group by doc_id
 ),
-bands as (
-  {" union all ".join(
-    f"select doc_id, {b} as band_id, md5(mh_{2*b} || ',' || mh_{2*b+1}) as bucket from sigs"
-    for b in range(4)
-  )}
-),
+bands as ({_capped_bands_sql("sigs")}),
 cands as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
   from bands a join bands b
@@ -717,14 +750,6 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch_sigs, index_sigs, 8, 2, threshold=0.5)
 
 
-def _bands_sql(sig_cte: str) -> str:
-    return " union all ".join(
-        f"select doc_id, {b} as band_id, "
-        f"md5(mh_{2 * b} || ',' || mh_{2 * b + 1}) as bucket from {sig_cte}"
-        for b in range(4)
-    )
-
-
 ORACLE_INCREMENTAL_DEDUP = f"""
 with corpus_docs as (select * from documents where doc_id % 10 < 7),
 batch_docs as (select * from documents where doc_id % 10 >= 7),
@@ -732,8 +757,8 @@ sh_c as ({_shingle_sql("corpus_docs")}),
 sh_b as ({_shingle_sql("batch_docs")}),
 sig_c as (select doc_id, {_mh_sql(8)} from sh_c group by doc_id),
 sig_b as (select doc_id, {_mh_sql(8)} from sh_b group by doc_id),
-bands_c as ({_bands_sql("sig_c")}),
-bands_b as ({_bands_sql("sig_b")}),
+bands_c as ({_capped_bands_sql("sig_c")}),
+bands_b as ({_capped_bands_sql("sig_b")}),
 cand_ci as (
   select distinct b.doc_id as bdoc, c.doc_id as cdoc
   from bands_b b join bands_c c
@@ -780,21 +805,65 @@ left join batch_hit bh on bh.bdoc = s.doc_id
 """
 
 
-def q_dedup_components(spark, sf_dir):
-    """Duplicate clusters: connected components (iterative min-label
-    propagation — the distributed UnionFind) over n-gram Jaccard pairs."""
+def q_lsh_bucket_overflow(spark, sf_dir):
+    """Visibility companion to the LSH bucket cap: which (band, bucket)
+    populations exceed the cap, and how many docs the cap drops. max_bucket
+    is set to 2 here so the sf-size corpus exercises real overflow rows;
+    production pairs this (at the production cap) with every capped run."""
     from docling_spark.operators.dedup import (
-        connected_components,
-        jaccard_pairs,
+        lsh_bucket_overflow,
+        minhash_signatures,
         shingles,
     )
 
-    pairs = jaccard_pairs(shingles(_docs(spark, sf_dir)), threshold=0.2)
-    return connected_components(pairs)
+    sigs = minhash_signatures(shingles(_docs(spark, sf_dir)), 8)
+    return lsh_bucket_overflow(sigs, 8, band_size=2, max_bucket=2)
+
+
+ORACLE_LSH_OVERFLOW = f"""
+with sh as ({_SHINGLE_SQL}),
+sigs as (
+  select doc_id,
+    {_mh_sql(8)}
+  from sh group by doc_id
+),
+bands as ({_bands_sql("sigs")})
+select band_id, bucket, count(*) as n_docs, count(*) - 2 as n_dropped
+from bands group by 1, 2 having count(*) > 2
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation — the distributed UnionFind) over LSH-gated n-gram
+    Jaccard pairs (same hot-shingle-immune gate as q_dedup_jaccard)."""
+    from docling_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir)).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    return connected_components(jaccard_pairs(sh, threshold=0.2,
+                                              candidates=cands))
 
 
 ORACLE_DEDUP_COMPONENTS = f"""
 with sh as ({_SHINGLE_SQL}),
+sigs as (
+  select doc_id,
+    {_mh_sql(8)}
+  from sh group by doc_id
+),
+bands as ({_capped_bands_sql("sigs")}),
+cands as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.bucket = b.bucket and a.doc_id < b.doc_id
+),
 sizes as (select doc_id, count(*) sz from sh group by 1),
 inter as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
@@ -802,9 +871,10 @@ inter as (
   group by 1, 2
 ),
 p as (
-  select doc_a, doc_b from inter
-  join sizes sa on sa.doc_id = doc_a
-  join sizes sb on sb.doc_id = doc_b
+  select i.doc_a, i.doc_b from inter i
+  join cands c on c.doc_a = i.doc_a and c.doc_b = i.doc_b
+  join sizes sa on sa.doc_id = i.doc_a
+  join sizes sb on sb.doc_id = i.doc_b
   where inter::double / (sa.sz + sb.sz - inter) >= 0.2
 ),
 edges as (
@@ -848,12 +918,7 @@ sigs as (
     {_mh_sql(8)}
   from sh group by doc_id
 ),
-bands as (
-  {" union all ".join(
-    f"select doc_id, {b} as band_id, md5(mh_{2*b} || ',' || mh_{2*b+1}) as bucket from sigs"
-    for b in range(4)
-  )}
-),
+bands as ({_capped_bands_sql("sigs")}),
 cands as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
   from bands a join bands b
@@ -2117,6 +2182,121 @@ def q_extract_pdf_encrypted(spark, sf_dir):
 ORACLE_EXTRACT_PDF_ENCRYPTED = ORACLE_EXTRACT_PDF
 
 
+def q_pdf_hyperlinks(spark, sf_dir):
+    """PDF ``/Annots`` hyperlink round-trip + max-coverage attachment
+    (the reference's page_assemble_model.py:60-110 rule as a relational
+    join). The UDF synthesizes the extract_pdf single-page PDF per
+    document PLUS three Link annotations — uri_a split across TWO rects
+    that together cover body line 1 (exercising the per-URI coverage
+    SUM), and uri_b over empty space (no element overlaps it) — then
+    parses its own bytes back through engine/pdfx.py (pdf_line_cells +
+    pdf_hyperlinks). The relational tail is operators/spatial.py
+    hyperlink_attach: (doc, page) equi-join, summed
+    intersection-over-self per URI, best-URI window, 0.5 threshold.
+    Oracle: exactly one attachment per document — body line 1 ↔ uri_a at
+    coverage 1.0 (the two rects tile the full line)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from docling_spark.operators.spatial import hyperlink_attach
+
+    def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from docling_spark.engine.pdfx import pdf_hyperlinks, pdf_line_cells
+
+        out = []
+        for i, t in zip(doc_id, text):
+            toks = str(t).split() + ["x", "x", "x", "x"]
+            esc = [
+                w.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)") for w in toks[:4]
+            ]
+            content = (
+                f"BT /F1 18 Tf 72 720 Td (Doc {i}) Tj ET\n"
+                f"BT /F1 11 Tf 72 680 Td ({esc[0]} {esc[1]}) Tj ET\n"
+                f"BT /F1 11 Tf 72 660 Td ({esc[2]} {esc[3]}) Tj ET\n"
+            )
+            pdf = (
+                "%PDF-1.4\n"
+                "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                "3 0 obj << /Type /Page /Parent 2 0 R "
+                "/MediaBox [0 0 612 792] "
+                "/Resources << /Font << /F1 4 0 R >> >> "
+                "/Annots [6 0 R 7 0 R 8 0 R] "
+                "/Contents 5 0 R >> endobj\n"
+                "4 0 obj << /Type /Font /Subtype /Type1 "
+                "/BaseFont /Helvetica >> endobj\n"
+                f"5 0 obj << /Length {len(content)} >> stream\n"
+                f"{content}endstream endobj\n"
+                "6 0 obj << /Type /Annot /Subtype /Link "
+                "/Rect [0 670 200 700] "
+                f"/A << /S /URI /URI (https://ex.com/a{i}) >> >> endobj\n"
+                "7 0 obj << /Type /Annot /Subtype /Link "
+                "/Rect [200 700 612 670] "  # corner order intentionally
+                f"/A << /S /URI /URI (https://ex.com/a{i}) >> >> endobj\n"
+                "8 0 obj << /Type /Annot /Subtype /Link "
+                "/Rect [0 10 612 40] "
+                f"/A << /S /URI /URI (https://ex.com/b{i}) >> >> endobj\n"
+                "trailer << /Root 1 0 R >>\n%%EOF\n"
+            )
+            payload = pdf.encode("latin-1", "replace")
+            rows = []
+            try:
+                cells, _sizes = pdf_line_cells(payload)
+                for k, c in enumerate(cells):
+                    l, tt, r, b = c["bbox"]
+                    rows.append((
+                        "cell", k, int(c["page_no"]), c["text"],
+                        float(l), float(tt), float(r), float(b), None,
+                    ))
+                for lk in pdf_hyperlinks(payload):
+                    rows.append((
+                        "link", None, int(lk["page_no"]), None,
+                        float(lk["l"]), float(lk["t"]),
+                        float(lk["r"]), float(lk["b"]), lk["uri"],
+                    ))
+            except Exception:
+                rows = []
+            out.append(rows)
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    parse = pandas_udf(
+        _mk,
+        "array<struct<kind:string,item_id:int,page:int,text:string,"
+        "l:double,t:double,r:double,b:double,uri:string>>",
+    )
+    parsed = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(parse(F.col("doc_id"),
+                                          F.col("text"))).alias("x"))
+        .select("doc_id", "x.*")
+        .persist()
+    )
+    items = parsed.filter(F.col("kind") == "cell").select(
+        "doc_id", "page", "item_id", "l", "t", "r", "b")
+    links = parsed.filter(F.col("kind") == "link").select(
+        "doc_id", "page", "uri", "l", "t", "r", "b")
+    att = hyperlink_attach(items, links, min_coverage=0.5)
+    texts = parsed.filter(F.col("kind") == "cell").select(
+        "doc_id", "page", "item_id", F.col("text").alias("item_text"))
+    return att.join(texts, ["doc_id", "page", "item_id"]).select(
+        "doc_id", "item_text", "uri", "coverage")
+
+
+ORACLE_PDF_HYPERLINKS = """
+with t as (
+  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+)
+select doc_id,
+       toks[1] || ' ' || toks[2] as item_text,
+       'https://ex.com/a' || doc_id as uri,
+       1.0 as coverage
+from t
+"""
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact duplicated-substring removal (ExactSubstr dedup, Lee et al.
     2022, re-expressed relationally): 8-token windows duplicated across
@@ -2865,6 +3045,83 @@ lateral (
     (1, toks[5] || ' ' || toks[6] || ' e f', cast(4 as bigint))
   ) v(chunk_id, chunk_text, n_tokens)
 ) u
+"""
+
+
+_X7 = " ".join(["x"] * 7)
+_Y9 = " ".join(["y"] * 9)
+_Z40 = " ".join(["z"] * 40)
+
+
+def q_hybrid_chunks(spark, sf_dir):
+    """Full HybridChunker pipeline (token-aware split + sequential peer
+    merge + contextualization — docling-core HybridChunker as driven by
+    docling/cli/main.py:594-622), arithmetic fixture: per doc, section
+    'Sec k' holds five 7-token items and section 'Part m' holds three
+    9-token items plus one 40-token item; max_tokens=30 (heading = 2
+    tokens → 28 available) ⇒ merge packs items 1-4 (28) then item 5
+    spills; 3x9 merge to 27; the oversize item splits 28+12 and can
+    never re-merge. Five chunks per document, every boundary predicted
+    by the oracle."""
+    from docling_spark.operators.chunker import hybrid_chunks
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sec = F.concat(F.lit("Sec "), (F.col("doc_id") % 5).cast("string"))
+    part = F.concat(F.lit("Part "), (F.col("doc_id") % 3).cast("string"))
+
+    def _it(idx, label, text):
+        return F.struct(
+            F.lit(idx).alias("item_idx"), F.lit(label).alias("label"),
+            (F.lit(1) if label == "section_header"
+             else F.lit(None)).cast("int").alias("level"),
+            (F.lit(text) if isinstance(text, str) else text).alias("text"),
+            F.lit("body").alias("content_layer"),
+        )
+
+    structs = [_it(0, "section_header", sec)]
+    structs += [_it(i, "text", _X7) for i in range(1, 6)]
+    structs += [_it(6, "section_header", part)]
+    structs += [_it(i, "text", _Y9) for i in range(7, 10)]
+    structs += [_it(10, "text", _Z40)]
+    items = d.select("doc_id", F.explode(F.array(*structs)).alias("it")) \
+        .select("doc_id", "it.*")
+    out = hybrid_chunks(items, max_tokens=30)
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.array_join("headings", " / ").alias("heading_path"),
+        "chunk_text", "contextualized", "n_tokens",
+    )
+
+
+def _nl_join(parts: list[str]) -> str:
+    return " || chr(10) || ".join(parts)
+
+
+ORACLE_HYBRID_CHUNKS = f"""
+with d as (
+  select doc_id,
+         'Sec ' || (doc_id % 5) as ha,
+         'Part ' || (doc_id % 3) as hb
+  from documents
+)
+select doc_id, 0 as chunk_idx, ha as heading_path,
+       {_nl_join([f"'{_X7}'"] * 4)} as chunk_text,
+       {_nl_join(["ha"] + [f"'{_X7}'"] * 4)} as contextualized,
+       30 as n_tokens
+from d
+union all
+select doc_id, 1, ha, '{_X7}', ha || chr(10) || '{_X7}', 9 from d
+union all
+select doc_id, 2, hb,
+       {_nl_join([f"'{_Y9}'"] * 3)},
+       {_nl_join(["hb"] + [f"'{_Y9}'"] * 3)}, 29
+from d
+union all
+select doc_id, 3, hb, '{" ".join(["z"] * 28)}',
+       hb || chr(10) || '{" ".join(["z"] * 28)}', 30 from d
+union all
+select doc_id, 4, hb, '{" ".join(["z"] * 12)}',
+       hb || chr(10) || '{" ".join(["z"] * 12)}', 14 from d
 """
 
 
@@ -3768,6 +4025,85 @@ from documents
 union all
 select doc_id, cast(0 as int), cast(2 as int), cast(1 as int),
        cast(50 as double), 'below'
+from documents
+"""
+
+
+def q_picture_annotations(spark, sf_dir):
+    """Picture classifier + description stage posts (stubbed-model
+    boundary — scores/texts are columns, the reference's deterministic
+    shells are the operators): per document two pictures are synthesized —
+    pic 0 covers half the 612x792 page with engine scores chart
+    0.5+(doc_id%50)/100 / logo 0.3, pic 1 is a 30x30 thumbnail with logo
+    0.8 / chart 0.2. classify_picture_scores orders predictions
+    (document_picture_classifier.py:170-210), describe_picture_gate
+    applies area-threshold-then-allow/deny exactly as
+    picture_description_base_model.py:79-97+143-174 (allow chart/diagram,
+    deny logo, min_confidence 0.5 — pic 1 dies on area BEFORE its deny
+    class is consulted), attach_descriptions binds the generated text to
+    admitted pictures only."""
+    from docling_spark.operators.picture_post import (
+        attach_descriptions,
+        classify_picture_scores,
+        describe_picture_gate,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    conf = (F.lit(0.5)
+            + (F.col("doc_id") % 50).cast("double") / F.lit(100.0))
+    scores = d.select("doc_id", F.explode(F.array(
+        F.struct(F.lit(0).alias("item_idx"),
+                 F.lit("chart").alias("class_name"),
+                 conf.alias("confidence")),
+        F.struct(F.lit(0).alias("item_idx"),
+                 F.lit("logo").alias("class_name"),
+                 F.lit(0.3).alias("confidence")),
+        F.struct(F.lit(1).alias("item_idx"),
+                 F.lit("logo").alias("class_name"),
+                 F.lit(0.8).alias("confidence")),
+        F.struct(F.lit(1).alias("item_idx"),
+                 F.lit("chart").alias("class_name"),
+                 F.lit(0.2).alias("confidence")),
+    )).alias("s")).select("doc_id", "s.*")
+    pics = d.select("doc_id", F.explode(F.array(
+        F.struct(F.lit(0).alias("item_idx"),
+                 F.lit(0.0).alias("l"), F.lit(0.0).alias("t"),
+                 F.lit(306.0).alias("r"), F.lit(792.0).alias("b")),
+        F.struct(F.lit(1).alias("item_idx"),
+                 F.lit(10.0).alias("l"), F.lit(10.0).alias("t"),
+                 F.lit(40.0).alias("r"), F.lit(40.0).alias("b")),
+    )).alias("p")).select(
+        "doc_id", "p.*",
+        F.lit(612.0).alias("page_w"), F.lit(792.0).alias("page_h"))
+    texts = d.select(
+        "doc_id", F.lit(0).alias("item_idx"),
+        F.concat(F.lit("pic of doc "),
+                 F.col("doc_id").cast("string")).alias("text"))
+
+    cls = classify_picture_scores(scores)
+    gate = describe_picture_gate(
+        pics, cls, picture_area_threshold=0.05,
+        allow=["chart", "diagram"], deny=["logo"], min_confidence=0.5)
+    att = attach_descriptions(gate, texts)
+    return (
+        gate.join(cls.select("doc_id", "item_idx", "top_class",
+                             "top_confidence"), ["doc_id", "item_idx"])
+        .join(att.select("doc_id", "item_idx", "description"),
+              ["doc_id", "item_idx"], "left")
+        .select("doc_id", "item_idx", "top_class", "top_confidence",
+                F.col("describe").alias("described"),
+                "skip_reason", "description")
+    )
+
+
+ORACLE_PICTURE_ANNOTATIONS = """
+select doc_id, 0 as item_idx, 'chart' as top_class,
+       0.5 + (doc_id % 50) / 100.0 as top_confidence,
+       true as described, cast(null as varchar) as skip_reason,
+       'pic of doc ' || doc_id as description
+from documents
+union all
+select doc_id, 1, 'logo', 0.8, false, 'small_area', null
 from documents
 """
 
@@ -6436,6 +6772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx": q_extract_docx,
         "extract_pdf": q_extract_pdf,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
+        "pdf_hyperlinks": q_pdf_hyperlinks,
         "extract_doc": q_extract_doc,
         "extract_doc_rich": q_extract_doc_rich,
         "extract_xls": q_extract_xls,
@@ -6464,6 +6801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "picture_cell_join": q_picture_cell_join,
         "caption_attach": q_caption_attach,
         "enrich_items": q_enrich_items,
+        "picture_annotations": q_picture_annotations,
         "curation_funnel": q_curation_funnel,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -6485,6 +6823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bookmark_join": q_bookmark_join,
         "heading_hierarchy": q_heading_hierarchy,
         "chunk_budget": q_chunk_budget,
+        "hybrid_chunks": q_hybrid_chunks,
         "conversation_assembly": q_conversation_assembly,
         # chunkers
         "chunk_fixed_tokens": q_chunk_fixed_tokens,
@@ -6535,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "incremental_dedup": q_incremental_dedup,
+        "lsh_bucket_overflow": q_lsh_bucket_overflow,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -6586,6 +6926,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_docx": ORACLE_EXTRACT_DOCX,
         "extract_pdf": ORACLE_EXTRACT_PDF,
         "extract_pdf_encrypted": ORACLE_EXTRACT_PDF_ENCRYPTED,
+        "pdf_hyperlinks": ORACLE_PDF_HYPERLINKS,
         "extract_doc": ORACLE_EXTRACT_DOC,
         "extract_doc_rich": ORACLE_EXTRACT_DOC_RICH,
         "extract_xls": ORACLE_EXTRACT_XLS,
@@ -6614,6 +6955,7 @@ def oracle_sql() -> dict[str, str]:
         "picture_cell_join": ORACLE_PICTURE_CELL_JOIN,
         "caption_attach": ORACLE_CAPTION_ATTACH,
         "enrich_items": ORACLE_ENRICH_ITEMS,
+        "picture_annotations": ORACLE_PICTURE_ANNOTATIONS,
         "curation_funnel": ORACLE_CURATION_FUNNEL,
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_pii": ORACLE_SCRUB_PII,
@@ -6635,6 +6977,7 @@ def oracle_sql() -> dict[str, str]:
         "bookmark_join": ORACLE_BOOKMARK_JOIN,
         "heading_hierarchy": ORACLE_HEADING_HIERARCHY,
         "chunk_budget": ORACLE_CHUNK_BUDGET,
+        "hybrid_chunks": ORACLE_HYBRID_CHUNKS,
         "conversation_assembly": ORACLE_CONVERSATION_ASSEMBLY,
         "chunk_fixed_tokens": ORACLE_CHUNK_FIXED,
         "chunk_heading_context": ORACLE_CHUNK_HEADING,
@@ -6678,6 +7021,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": ORACLE_EDIT_DISTANCE,
         "minhash_jaccard_est": ORACLE_MINHASH_EST,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "lsh_bucket_overflow": ORACLE_LSH_OVERFLOW,
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "simhash": ORACLE_SIMHASH,
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,

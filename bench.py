@@ -30,8 +30,42 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(busy, idle, steal) jiffies from /proc/stat."""
+    with open("/proc/stat") as f:
+        p = [int(x) for x in f.readline().split()[1:9]]
+    idle = p[3] + p[4]
+    steal = p[7] if len(p) > 7 else 0
+    return sum(p) - idle, idle, steal
+
+
+def _cpu_canary() -> float:
+    """Fixed pure-Python work, single thread → M ops/s. Engine-independent
+    box-speed witness: this box's measured per-core speed varies ~25%
+    across measurement windows (VM host frequency/steal states), so the
+    canary lets a reader normalize a headline across rounds/boxes instead
+    of mistaking a slow window for a code regression."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 200_000
+    h = 0
+    for i in range(n):
+        h ^= int.from_bytes(
+            hashlib.md5(b"canary %d" % i).digest()[:8], "big")
+    return round(n / (time.perf_counter() - t0) / 1e6, 3)
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
+    load_ctx: dict = {"loadavg_start": _loadavg(),
+                      "cpu_canary_mops_start": _cpu_canary()}
+    ticks0 = _cpu_ticks()
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS",
                                  str(max(int(100_000 * sf), 200))))
 
@@ -138,6 +172,20 @@ def main() -> None:
         timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
+    ticks1 = _cpu_ticks()
+    d_busy = ticks1[0] - ticks0[0]
+    d_idle = ticks1[1] - ticks0[1]
+    d_steal = ticks1[2] - ticks0[2]
+    d_tot = max(d_busy + d_idle, 1)
+    load_ctx.update({
+        "loadavg_end": _loadavg(),
+        "cpu_canary_mops_end": _cpu_canary(),
+        # whole-box CPU accounting across the run: non-idle share includes
+        # every tenant, so (busy - our own work) exposes neighbor load;
+        # steal is host-level overcommit the guest can't control
+        "cpu_busy_frac": round(d_busy / d_tot, 4),
+        "cpu_steal_frac": round(d_steal / d_tot, 4),
+    })
     print(json.dumps({
         "metric": "extraction+operator suite wall clock",
         "value": total,
@@ -147,6 +195,7 @@ def main() -> None:
         "extract_turns": total_turns,
         "extract_turns_per_s": round(total_turns / extract_wall, 1),
         "cpus": CPUS,
+        "load_context": load_ctx,
     }))
     spark.stop()
 

@@ -1297,6 +1297,66 @@ def extract_pdf(payload: bytes,
 # outline (PDF bookmarks → heading-hierarchy signal)
 # ---------------------------------------------------------------------------
 
+def pdf_hyperlinks(payload: bytes, password: str = "") -> list[dict]:
+    """Link annotations: [{page_no, l, t, r, b, uri}] in TOP-LEFT-origin
+    page coordinates.
+
+    The reference gets hyperlink rects from docling-parse's SegmentedPage
+    (``parsed_page.hyperlinks``, consumed by
+    docling/models/stages/page_assemble/page_assemble_model.py:69-110);
+    this is the from-scratch twin over our own object model: each page's
+    ``/Annots`` array, ``/Subtype /Link`` entries only, ``/Rect``
+    normalized (the spec allows any corner order) and flipped from the
+    PDF's bottom-left origin via the page height, URI taken from the
+    ``/A`` action when ``/S /URI`` (GoTo/internal destinations carry no
+    URI and are the outline walker's job, not a hyperlink).
+    """
+    doc = PdfDocument(payload, password=password)
+    out: list[dict] = []
+    for pno, page in enumerate(doc.pages(), start=1):
+        mb = [float(doc.resolve(v) or 0) for v in
+              (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+        page_h = mb[3] - mb[1]
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            a = doc.resolve(a)
+            if isinstance(a, Stream):
+                a = a.d
+            if not isinstance(a, dict) or \
+                    str(doc.resolve(a.get("Subtype"))) != "Link":
+                continue
+            rect = doc.resolve(a.get("Rect"))
+            if not isinstance(rect, list) or len(rect) != 4:
+                continue
+            try:
+                x0, y0, x1, y1 = (float(doc.resolve(v)) - off
+                                  for v, off in zip(rect, (mb[0], mb[1],
+                                                           mb[0], mb[1])))
+            except (TypeError, ValueError):
+                continue
+            l, r = min(x0, x1), max(x0, x1)
+            yb, yt = min(y0, y1), max(y0, y1)
+            act = doc.resolve(a.get("A"))
+            if isinstance(act, Stream):
+                act = act.d
+            if not isinstance(act, dict) or \
+                    str(doc.resolve(act.get("S"))) != "URI":
+                continue
+            uri = doc.resolve(act.get("URI"))
+            if isinstance(uri, bytes):
+                uri = _pdf_text_string(uri)
+            if not uri:
+                continue
+            out.append({
+                "page_no": pno,
+                "l": l, "t": page_h - yt, "r": r, "b": page_h - yb,
+                "uri": str(uri),
+            })
+    return out
+
+
 def _pdf_text_string(raw: bytes) -> str:
     """PDF text-string decode: UTF-16BE with BOM, else PDFDoc≈latin-1."""
     if raw[:2] == b"\xfe\xff":

@@ -186,6 +186,133 @@ def budget_chunks(
     )
 
 
+def hybrid_chunks(
+    items: DataFrame,
+    max_tokens: int = 128,
+    merge_peers: bool = True,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Token-aware hybrid chunking — the docling-core HybridChunker
+    pipeline (docling/chunking/__init__.py:7-13, driven by the CLI's
+    chunked-JSONL sink docling/cli/main.py:594-622) re-expressed over the
+    flattened items table with this repo's deterministic whitespace
+    tokenizer standing in for the HF tokenizer (the reference counts
+    tokens with a downloaded HuggingFace tokenizer; no model artifacts
+    exist in this environment, so exact token-boundary parity with any
+    specific BPE vocab is non-derivable here — every other rule below is
+    pinned):
+
+    1. hierarchical pass: one chunk candidate per body item
+       (text/list_item/code/caption), carrying the ACTIVE HEADING PATH —
+       a stack keyed by heading level (title/section_header), where a new
+       heading pops every entry at its level or deeper;
+    2. oversize split: a candidate whose contextualized form exceeds
+       ``max_tokens`` splits its own text into windows of
+       ``max_tokens - tokens(heading path)`` tokens (the doc-item split
+       then plain-text split of HybridChunker);
+    3. peer merge (``merge_peers=True``): CONSECUTIVE chunks with an
+       identical heading path merge greedily — sequentially, in order —
+       while the merged contextualized form still fits; texts join with
+       a newline;
+    4. contextualize: the serialized chunk is
+       ``"\\n".join(heading path + [chunk text])`` and ``n_tokens`` counts
+       that contextualized form (what the CLI reports per chunk record).
+
+    The greedy merge is order-sequential per document (chunk k's verdict
+    depends on how much chunk k-1 absorbed), so the operator runs as a
+    bounded per-document packed kernel: items pack to one row per doc
+    (sorted struct array), ONE batched mapInPandas executes the scan —
+    the bookmark-greedy pattern (heading_levels.py:249-283). Per-doc cost
+    is linear in items; no shuffle beyond the doc-keyed pack, linear at
+    100 TB.
+
+    Input: items table (doc, item_idx, label, level?, text,
+    content_layer). Output: (doc, chunk_idx, headings array<string>,
+    chunk_text, contextualized, n_tokens).
+    """
+    import pandas as pd
+
+    if max_tokens < 2:
+        raise ValueError("max_tokens must be >= 2 (heading context plus "
+                         "at least one body token)")
+    doc_type = {f.name: f.dataType.simpleString()
+                for f in items.schema.fields}[doc_col]
+    lvl = (F.col("level").cast("int") if "level" in items.columns
+           else F.lit(None).cast("int"))
+    packed = (
+        items.filter(
+            F.col("label").isin("title", "section_header", "text",
+                                "list_item", "code", "caption")
+            & (F.col("content_layer") == "body")
+            & (norm_text(F.col("text")) != "")
+        )
+        .groupBy(doc_col)
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("item_idx").cast("long").alias("item_idx"),
+            F.col("label").alias("label"),
+            lvl.alias("level"),
+            F.col("text").alias("text"),
+        ))).alias("its"))
+    )
+    packed = packed.repartition(
+        items.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches):
+        for pdf in batches:
+            out = {doc_col: [], "chunk_idx": [], "headings": [],
+                   "chunk_text": [], "contextualized": [], "n_tokens": []}
+            for doc, its in zip(pdf[doc_col], pdf["its"]):
+                stack: list[tuple[int, str]] = []  # (level, text)
+                chunks: list[tuple[tuple[str, ...], str, int]] = []
+                for it in its:
+                    label = it["label"]
+                    text = it["text"]
+                    if label in ("title", "section_header"):
+                        lv = it["level"]
+                        lv = 1 if lv is None or pd.isna(lv) else int(lv)
+                        while stack and stack[-1][0] >= lv:
+                            stack.pop()
+                        stack.append((lv, text))
+                        continue
+                    path = tuple(t for _, t in stack)
+                    head_tok = sum(len(h.split()) for h in path)
+                    avail = max(max_tokens - head_tok, 1)
+                    toks = text.split()
+                    if len(toks) <= avail:
+                        chunks.append((path, " ".join(toks), len(toks)))
+                    else:
+                        for s in range(0, len(toks), avail):
+                            win = toks[s:s + avail]
+                            chunks.append((path, " ".join(win), len(win)))
+                if merge_peers:
+                    merged: list[list] = []
+                    for path, text, ntok in chunks:
+                        if merged and merged[-1][0] == path:
+                            head_tok = sum(len(h.split()) for h in path)
+                            if merged[-1][2] + ntok + head_tok <= max_tokens:
+                                merged[-1][1] += "\n" + text
+                                merged[-1][2] += ntok
+                                continue
+                        merged.append([path, text, ntok])
+                    chunks = [tuple(m) for m in merged]
+                for k, (path, text, ntok) in enumerate(chunks):
+                    ctx = "\n".join(list(path) + [text])
+                    out[doc_col].append(doc)
+                    out["chunk_idx"].append(k)
+                    out["headings"].append(list(path))
+                    out["chunk_text"].append(text)
+                    out["contextualized"].append(ctx)
+                    out["n_tokens"].append(
+                        ntok + sum(len(h.split()) for h in path))
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(
+        run,
+        f"{doc_col} {doc_type}, chunk_idx int, headings array<string>, "
+        "chunk_text string, contextualized string, n_tokens int",
+    )
+
+
 def chunk_char_spans(chunks: DataFrame, text_col: str = "chunk_text") -> Column:
     """Length accounting for chunk provenance: cumulative char offset per
     doc — window sum, mirrors ProvenanceItem.charspan bookkeeping."""

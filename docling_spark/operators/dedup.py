@@ -177,16 +177,73 @@ def minhash_signature_array(
     )
 
 
+def cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Deterministic per-(band_id, bucket) representative cap: keep the
+    ``max_bucket`` smallest doc_ids of each bucket, drop the rest.
+
+    Why: a bucket self-join is m² in the bucket population. A
+    template/boilerplate-heavy corpus at 100 TB lands millions of
+    near-identical docs in one (band, bucket) → m² pairs in one reducer.
+    Capping bounds every bucket's pair count at max_bucket² regardless of
+    corpus shape — the batch analog of the streaming path's 64-signature
+    state bound (streaming/stateful.py). Run :func:`exact_dedup` FIRST so
+    byte-identical texts (the usual mega-bucket cause) are already gone;
+    what the cap then drops is near-dup recall among 65th-and-later
+    members of a still-hot bucket, which :func:`lsh_bucket_overflow`
+    surfaces rather than hiding.
+
+    The window shuffles on the same (band_id, bucket) key the candidate
+    join needs anyway, so the cap adds no new shuffle stage shape.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket_overflow(
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Visibility companion to the bucket cap: one row per (band_id,
+    bucket) whose population exceeds ``max_bucket`` — (band_id, bucket,
+    n_docs, n_dropped). Emit/monitor this beside any capped LSH run so
+    dropped near-dup recall is a measured number, not a silent loss."""
+    return (
+        band_signatures(sigs, num_hashes, band_size)
+        .groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+        .withColumn("n_dropped", F.col("n_docs") - F.lit(max_bucket))
+    )
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Band the signature (rows of ``band_size`` hashes → md5 bucket key),
     self-join per band bucket → distinct candidate pairs (a < b).
 
     At scale this is the whole point: the join key is (band_id, bucket) so
-    only docs agreeing on a band ever meet in the shuffle.
+    only docs agreeing on a band ever meet in the shuffle. ``max_bucket``
+    (default 64, matching the streaming twin's state bound) caps each
+    bucket at its smallest-doc_id representatives BEFORE the self-join so
+    one hot bucket can never cost m² — see :func:`cap_buckets`; pass
+    ``None`` only for sf-size oracles. Pair :func:`lsh_bucket_overflow`
+    to observe what a cap dropped.
     """
     banded = band_signatures(sigs, num_hashes, band_size)
+    if max_bucket is not None:
+        banded = cap_buckets(banded, max_bucket)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -234,6 +291,7 @@ def incremental_dedup(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Verdict for every document of a NEW batch against a persisted
     corpus signature index — without touching corpus text.
@@ -276,6 +334,13 @@ def incremental_dedup(
 
     bands_b = band_signatures(batch_sigs, num_hashes, band_size)
     bands_i = band_signatures(index_sigs, num_hashes, band_size)
+    if max_bucket is not None:
+        # hot-bucket bound on BOTH sides: an uncapped index bucket times an
+        # uncapped batch bucket is the same m² the batch self-join has —
+        # cap to the smallest-doc_id representatives (cap_buckets) so the
+        # candidate join fanout is ≤ max_bucket per batch band row
+        bands_b = cap_buckets(bands_b, max_bucket)
+        bands_i = cap_buckets(bands_i, max_bucket)
 
     # batch × index candidates → signature-agreement screen → best corpus hit
     cand_ci = (
@@ -304,7 +369,8 @@ def incremental_dedup(
 
     # batch-internal passing pairs (a < b), a not itself dup_corpus
     pass_bb = (
-        lsh_candidate_pairs(batch_sigs, num_hashes, band_size)
+        lsh_candidate_pairs(batch_sigs, num_hashes, band_size,
+                            max_bucket=max_bucket)
         .join(sig_b.withColumnRenamed("bdoc", "doc_a")
               .select("doc_a", *[F.col(f"b_{c}").alias(f"a_{c}") for c in cols]),
               "doc_a")

@@ -89,6 +89,68 @@ def containment_join(
     )
 
 
+def hyperlink_attach(
+    items: DataFrame,
+    links: DataFrame,
+    min_coverage: float = 0.5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Hyperlink→element attachment, the reference's max-coverage rule
+    (page_assemble_model.py:60-110) as one relational shape.
+
+    Semantics re-expressed exactly: coverage of an element by a URI is
+    the SUM over that URI's annotation rects of
+    intersection_over_self(item_bbox, rect) — one link wrapping across
+    lines contributes all its rects — and the element takes the URI with
+    the highest summed coverage, only if it reaches ``min_coverage``
+    (the reference's _HYPERLINK_COVERAGE_THRESHOLD = 0.5). Ties break on
+    the lexicographically smaller URI (the reference's dict-order tie is
+    nondeterministic; a deterministic tiebreak is strictly better).
+
+    Inputs: ``items (key, page, item_id, l, t, r, b)``, ``links
+    (key, page, uri, l, t, r, b)`` — both top-left origin (``t < b``),
+    one links row per annotation rect. Output: one row per attached
+    element — ``(key, page, item_id, uri, coverage)``.
+
+    Scale shape (same as :func:`containment_join`): hash equi-join on
+    ``(key, page)`` so only same-page geometry ever meets, JVM overlap
+    arithmetic, a partial-agg groupBy on (item, uri), and a per-item
+    window — per-page candidate counts are bounded by
+    annotations-per-page, linear at 100 TB.
+    """
+    it = items.select(
+        F.col(key), F.col("page"), F.col("item_id"),
+        F.col("l").alias("il"), F.col("t").alias("it"),
+        F.col("r").alias("ir"), F.col("b").alias("ib"),
+    )
+    lk = links.select(
+        F.col(key), F.col("page"), F.col("uri"),
+        F.col("l").alias("ll"), F.col("t").alias("lt"),
+        F.col("r").alias("lr"), F.col("b").alias("lb"),
+    )
+    j = it.join(lk, [key, "page"])
+    iw = F.greatest(
+        F.least(F.col("ir"), F.col("lr"))
+        - F.greatest(F.col("il"), F.col("ll")), F.lit(0.0))
+    ih = F.greatest(
+        F.least(F.col("ib"), F.col("lb"))
+        - F.greatest(F.col("it"), F.col("lt")), F.lit(0.0))
+    area = (F.col("ir") - F.col("il")) * (F.col("ib") - F.col("it"))
+    over_self = F.when(area > 0, (iw * ih) / area).otherwise(F.lit(0.0))
+    per_uri = (
+        j.withColumn("_c", over_self)
+        .groupBy(key, "page", "item_id", "uri")
+        .agg(F.round(F.sum("_c"), 6).alias("coverage"))
+    )
+    w = Window.partitionBy(key, "page", "item_id").orderBy(
+        F.desc("coverage"), F.asc("uri"))
+    return (
+        per_uri.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("coverage") >= min_coverage))
+        .select(key, "page", "item_id", "uri", "coverage")
+    )
+
+
 def attach_nearest(
     hosts: DataFrame,
     attachments: DataFrame,

@@ -113,6 +113,36 @@ def test_jaccard_candidate_path_matches_full(spark):
         assert full[pair] == j
 
 
+def test_lsh_bucket_cap_bounds_mega_bucket(spark):
+    """A planted mega-bucket (60 docs with IDENTICAL text → identical
+    signatures → same bucket in every band) must produce a bounded pair
+    count under the cap — max_bucket² per bucket instead of 60² — and the
+    overflow companion must surface exactly what was dropped."""
+    from docling_spark.operators.dedup import lsh_bucket_overflow
+
+    n = 60
+    rows = [(i, "the same boilerplate template text repeated verbatim "
+                "across the whole scraped mirror set") for i in range(n)]
+    rows.append((1000, "a genuinely different document about other things"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingles(docs), 8)
+
+    capped = lsh_candidate_pairs(sigs, 8, band_size=2, max_bucket=8)
+    pairs = capped.collect()
+    # 4 bands, every band is the same 8 representatives (smallest doc_ids,
+    # deterministic) → distinct pairs = C(8,2) = 28, never C(60,2) = 1770
+    assert len(pairs) == 28
+    assert {p.doc_a for p in pairs} | {p.doc_b for p in pairs} == set(range(8))
+
+    uncapped = lsh_candidate_pairs(sigs, 8, band_size=2, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    over = lsh_bucket_overflow(sigs, 8, band_size=2, max_bucket=8).collect()
+    # every one of the 4 bands has exactly one overflowing bucket
+    assert len(over) == 4
+    assert all(r.n_docs == n and r.n_dropped == n - 8 for r in over)
+
+
 def test_connected_components_chain_and_island(spark):
     from docling_spark.operators.dedup import connected_components
 
