@@ -31,11 +31,16 @@ class EmailError(ValueError):
 
 
 def looks_like_email(text: str) -> bool:
-    head = text.split("\n\n", 1)[0].lower()
-    hits = sum(
-        1 for ln in head.splitlines() if ln.startswith(_HEADER_KEYS)
-    )
-    return hits >= 2
+    head = text.split("\n\n", 1)[0]
+    if ":" not in head:  # no colon → no header line possible (exact gate)
+        return False
+    hits = 0
+    for ln in head.lower().splitlines():
+        if ln.startswith(_HEADER_KEYS):
+            hits += 1
+            if hits >= 2:
+                return True
+    return False
 
 
 def _format_addresses(raw: str | None) -> str:

@@ -196,16 +196,27 @@ _ITEM_EXTRA_KEYS = ("page_no", "_hlevel", "_marker", "_start", "_inline",
                     "num_cols")
 
 
+_ITEM_EXTRA_SET = frozenset(_ITEM_EXTRA_KEYS)
+
+
 def _project_item(it: dict) -> dict:
-    out = {k: it.get(k) for k in _ITEM_BASE_KEYS}
-    extras = None
-    for k in _ITEM_EXTRA_KEYS:
-        v = it.get(k)
-        if v is not None:
-            if extras is None:
-                extras = {}
-            extras[k] = str(v)
-    out["extras"] = extras
+    g = it.get
+    out = {
+        "item_idx": g("item_idx"), "parent_idx": g("parent_idx"),
+        "label": g("label"), "level": g("level"), "text": g("text"),
+        "content_layer": g("content_layer"), "span_start": g("span_start"),
+        "span_end": g("span_end"), "code_language": g("code_language"),
+        "extras": None,
+    }
+    if _ITEM_EXTRA_SET.intersection(it):  # rare: most items carry no extras
+        extras = None
+        for k in _ITEM_EXTRA_KEYS:  # fixed key order keeps hashes stable
+            v = g(k)
+            if v is not None:
+                if extras is None:
+                    extras = {}
+                extras[k] = str(v)
+        out["extras"] = extras
     return out
 
 

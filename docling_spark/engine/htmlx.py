@@ -44,6 +44,7 @@ BLOCK_IMPLIES_P_CLOSE = frozenset(
 )
 
 HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+_TITLE_SET = frozenset(["title"])
 
 FORMAT_TAGS = {
     "b": "bold",
@@ -66,27 +67,33 @@ FORMAT_TAGS = {
 SKIP_TAGS = frozenset("script noscript style svg".split())
 
 
+_EMPTY_ATTRS: dict = {}  # shared read-only attrs for the no-attribute case
+                         # (Element.attrs is never mutated after build)
+
+
 class Element:
     __slots__ = ("tag", "attrs", "children", "parent")
 
     def __init__(self, tag: str, attrs: dict | None = None, parent=None):
         self.tag = tag
-        self.attrs = attrs or {}
+        self.attrs = attrs or _EMPTY_ATTRS
         self.children: list = []
         self.parent = parent
 
     def find_all(self, names: frozenset | set) -> list["Element"]:
-        """All descendant elements with a tag in ``names``, document order."""
+        """All descendant elements with a tag in ``names``, document order.
+        Iterative (explicit work list) — the per-call recursion overhead
+        showed up in extraction profiles at ~750k visits per 10k docs."""
         out: list[Element] = []
-
-        def rec(node: "Element") -> None:
-            for ch in node.children:
-                if isinstance(ch, Element):
-                    if ch.tag in names:
-                        out.append(ch)
-                    rec(ch)
-
-        rec(self)
+        todo: list[Element] = [self]
+        while todo:
+            node = todo.pop()
+            if node is not self and node.tag in names:
+                out.append(node)
+            kids = [ch for ch in node.children if ch.__class__ is Element]
+            if kids:
+                kids.reverse()
+                todo.extend(kids)
         return out
 
     def has_ancestor(self, name: str) -> bool:
@@ -111,6 +118,10 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     # -- forgiveness rules -------------------------------------------------
+    # only these tags can trigger any implied close; gating on one frozenset
+    # lookup keeps the per-start-tag cost flat for everything else
+    _IMPLIED_TRIGGER = BLOCK_IMPLIES_P_CLOSE | frozenset(("td", "th", "tr"))
+
     def _implied_close(self, tag: str) -> None:
         if tag in BLOCK_IMPLIES_P_CLOSE:
             # close the innermost <p> (browsers' implied </p>)
@@ -159,16 +170,25 @@ class _TreeBuilder(HTMLParser):
     MAX_DEPTH = 200
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        self._implied_close(tag)
-        el = Element(tag, dict(attrs), parent=self.stack[-1])
-        self.stack[-1].children.append(el)
+        # ``attrs`` is a list of pairs from html.parser, or an already-built
+        # dict from the fast tokenizer (which owns it — no copy needed)
+        if tag in self._IMPLIED_TRIGGER:
+            self._implied_close(tag)
+        top = self.stack[-1]
+        if type(attrs) is not dict:
+            attrs = dict(attrs) if attrs else None
+        el = Element(tag, attrs, parent=top)
+        top.children.append(el)
         if tag not in VOID_TAGS and len(self.stack) < self.MAX_DEPTH:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self._implied_close(tag)
-        el = Element(tag, dict(attrs), parent=self.stack[-1])
-        self.stack[-1].children.append(el)
+        if tag in self._IMPLIED_TRIGGER:
+            self._implied_close(tag)
+        top = self.stack[-1]
+        if type(attrs) is not dict:
+            attrs = dict(attrs) if attrs else None
+        top.children.append(Element(tag, attrs, parent=top))
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
@@ -219,11 +239,12 @@ _FT_CDATA_CLOSE = {
 _FT_AMP_RE = re.compile(r"&")
 
 
+from html import unescape as _html_unescape
+
+
 def _ft_unescape(s: str) -> str:
     if "&" in s:
-        from html import unescape
-
-        return unescape(s)
+        return _html_unescape(s)
     return s
 
 
@@ -247,25 +268,27 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
             m = _FT_START_RE.match(data, lt)
             if m is None:
                 return False  # exotic or unterminated — html.parser decides
-            tag = m.group(1).lower()
-            attr_src = m.group(2)
-            attrs = []
+            tag, attr_src, selfclose = m.group(1, 2, 3)
+            tag = tag.lower()
+            attrs = None
             if attr_src:
+                attrs = {}
                 pos = 0
                 for a in _FT_ATTR_RE.finditer(attr_src):
                     if attr_src[pos:a.start()].strip():
                         return False  # unconsumed attr junk — fall back
                     pos = a.end()
-                    val = (a.group(2) if a.group(2) is not None else
-                           a.group(3) if a.group(3) is not None else
-                           a.group(4))
-                    attrs.append((a.group(1).lower(),
-                                  _ft_unescape(val) if val is not None
-                                  else None))
+                    name, v1, v2, v3 = a.group(1, 2, 3, 4)
+                    val = v1 if v1 is not None else \
+                        v2 if v2 is not None else v3
+                    # duplicate attr keeps the LAST value — identical to the
+                    # stdlib path's dict(list-of-pairs) in handle_starttag
+                    attrs[name.lower()] = (_ft_unescape(val)
+                                           if val is not None else None)
                 if attr_src[pos:].strip():
                     return False
             i = m.end()
-            if m.group(3):
+            if selfclose:
                 builder.handle_startendtag(tag, attrs)
             else:
                 builder.handle_starttag(tag, attrs)
@@ -392,6 +415,9 @@ class _Run:
 
 
 _PARA_SPLIT_RE = re.compile(BR_SENTINEL + r"(?:\s*" + BR_SENTINEL + r")+")
+_HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_TRIM_RE = re.compile(r" *\n+ *")
+_MD_ESC_RE = re.compile(r"[&<>_]")
 
 
 class HtmlExtractor:
@@ -408,9 +434,9 @@ class HtmlExtractor:
         _mk_item(self.items, -1, "unspecified", 0, "_root_", "body")
 
         # title → furniture title item (html_backend.py:532-541)
-        titles = root.find_all(frozenset(["title"]))
-        if titles:
-            ttext = clean_unicode(" ".join(self._plain_text(titles[0]).split()))
+        title_el = self._find_first(root, "title")
+        if title_el is not None:
+            ttext = clean_unicode(" ".join(self._plain_text(title_el).split()))
             if ttext:
                 _mk_item(self.items, 0, "title", 1, ttext, "furniture")
 
@@ -422,12 +448,26 @@ class HtmlExtractor:
         # <br> → sentinel (html_backend.py:553-558)
         self._replace_br(body)
 
-        # furniture-before-first-heading rule (html_backend.py:560-574)
-        headers = [h for h in body.find_all(HEADINGS) if not h.has_ancestor("table")]
+        # furniture-before-first-heading rule (html_backend.py:560-574);
+        # only the FIRST non-table heading matters — early-exit pre-order
+        # search instead of collecting every heading in the document
+        first_header = None
+        todo = [body]
+        while todo:
+            node = todo.pop()
+            if node is not body and node.tag in HEADINGS \
+                    and not node.has_ancestor("table"):
+                first_header = node
+                break
+            kids = [ch for ch in node.children if ch.__class__ is Element]
+            if kids:
+                kids.reverse()
+                todo.extend(kids)
         self.layer = (
-            "furniture" if (self.infer_furniture and headers) else "body"
+            "furniture" if (self.infer_furniture and first_header is not None)
+            else "body"
         )
-        self.first_header = headers[0] if headers else None
+        self.first_header = first_header
         self.seen_first_header = False
 
         self.buffer: list[_Run] = []
@@ -442,8 +482,17 @@ class HtmlExtractor:
     # -- tree utilities ------------------------------------------------------
     @staticmethod
     def _find_first(root: Element, tag: str) -> Element | None:
-        found = root.find_all(frozenset([tag]))
-        return found[0] if found else None
+        """Pre-order first match — early exit, no full-tree collection."""
+        todo = [root]
+        while todo:
+            node = todo.pop()
+            if node is not root and node.tag == tag:
+                return node
+            kids = [ch for ch in node.children if ch.__class__ is Element]
+            if kids:
+                kids.reverse()
+                todo.extend(kids)
+        return None
 
     @staticmethod
     def _prune(root: Element) -> None:
@@ -452,11 +501,16 @@ class HtmlExtractor:
             node = stack.pop()
             kept = []
             for ch in node.children:
-                if isinstance(ch, Element):
-                    if ch.tag in SKIP_TAGS or "hidden" in ch.attrs:
-                        continue
-                    style = (ch.attrs.get("style") or "").replace(" ", "").lower()
-                    if "display:none" in style:
+                if ch.__class__ is Element:
+                    attrs = ch.attrs
+                    if attrs:
+                        if ch.tag in SKIP_TAGS or "hidden" in attrs:
+                            continue
+                        style = attrs.get("style")
+                        if style and "display:none" in \
+                                style.replace(" ", "").lower():
+                            continue
+                    elif ch.tag in SKIP_TAGS:
                         continue
                     stack.append(ch)
                 kept.append(ch)
@@ -517,23 +571,28 @@ class HtmlExtractor:
         Groundtruth epub colophon: a <br> right after an inline element is a
         soft wrap (space), a <br> mid-sentence after punctuation is a hard
         line break."""
-        merged: list[_Run] = []
-        last_elm = ""
-        for r in runs:
-            if merged and merged[-1].fmt == r.fmt and merged[-1].href == r.href:
-                # html_backend.py:341-352: adjacent same-annotation elements
-                # join with ONE space unless either side is empty/whitespace
-                # (wiki citation '['+'1'+']' → '[ 1 ]')
-                sep = " " if last_elm.strip() and r.text.strip() else ""
-                merged[-1] = _Run(merged[-1].text + sep + r.text, r.fmt,
-                                  r.href, r.tag)
-            else:
-                merged.append(_Run(r.text, r.fmt, r.href, r.tag))
-            last_elm = r.text
+        if len(runs) == 1:
+            merged = runs  # nothing to merge; runs are never mutated below
+        else:
+            merged = []
+            last_elm = ""
+            for r in runs:
+                if merged and merged[-1].fmt == r.fmt \
+                        and merged[-1].href == r.href:
+                    # html_backend.py:341-352: adjacent same-annotation
+                    # elements join with ONE space unless either side is
+                    # empty/whitespace (wiki citation '['+'1'+']' → '[ 1 ]')
+                    sep = " " if last_elm.strip() and r.text.strip() else ""
+                    merged[-1] = _Run(merged[-1].text + sep + r.text, r.fmt,
+                                      r.href, r.tag)
+                else:
+                    merged.append(_Run(r.text, r.fmt, r.href, r.tag))
+                last_elm = r.text
+
         def fmt_one(r: _Run) -> str:
             if keep_newlines:
-                txt = re.sub(r"[ \t\r\f\v]+", " ", r.text)
-                txt = re.sub(r" *\n+ *", "\n", txt).strip()
+                txt = _HSPACE_RE.sub(" ", r.text)
+                txt = _NL_TRIM_RE.sub("\n", txt).strip()
             else:
                 txt = " ".join(r.text.split())
             if not txt:
@@ -543,15 +602,16 @@ class HtmlExtractor:
                 if "code" in r.fmt:
                     txt = "`" + txt + "`"
                 else:
-                    if escape:
+                    if escape and _MD_ESC_RE.search(txt):
                         txt = (txt.replace("&", "&amp;").replace("<", "&lt;")
                                .replace(">", "&gt;").replace("_", "\\_"))
-                    if "bold" in r.fmt:
-                        txt = "**" + txt + "**"
-                    if "italic" in r.fmt:
-                        txt = "*" + txt + "*"
-                    if "strike" in r.fmt:
-                        txt = "~~" + txt + "~~"
+                    if r.fmt:
+                        if "bold" in r.fmt:
+                            txt = "**" + txt + "**"
+                        if "italic" in r.fmt:
+                            txt = "*" + txt + "*"
+                        if "strike" in r.fmt:
+                            txt = "~~" + txt + "~~"
             return txt
 
         # consecutive runs sharing a hyperlink render as ONE link whose text
@@ -600,9 +660,8 @@ class HtmlExtractor:
         runs, self.buffer = self.buffer, []
         if not runs:
             return []
-        raw = "\x00".join(r.text for r in runs)  # probe for sentinel presence
         created: list[int] = []
-        if BR_SENTINEL not in raw:
+        if not any(BR_SENTINEL in r.text for r in runs):
             text = self._runs_to_text(runs)
             if text:
                 created.append(_mk_item(self.items, parent_idx, label, level, text, self.layer))

@@ -908,12 +908,15 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
         y0 = m[5]
         eff = abs(size * (tm[3] if tm[3] else 1.0) * (ctm[3] if ctm[3] else 1.0))
         parts: list[str] = []
+        prev_code = None
+        prev_gx = 0.0
         for it in items:
             if isinstance(it, (int, float)):
                 shift = -float(it) / 1000.0 * size * th
                 # large negative kern = inter-word gap some generators use
                 if float(it) < -180:
                     parts.append(" ")
+                    prev_code = None
                 tm = _mat_mul((1, 0, 0, 1, shift, 0), tm)
                 continue
             if not isinstance(it, bytes):
@@ -922,8 +925,22 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 wadv = tf.advance(code) * size
                 spacing = tc + (tw if code == 32 and not tf.two_byte else 0.0)
                 tx = (wadv + spacing) * th
+                gx = tm[4]  # pen x (text space) where this glyph draws
                 tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                # overlapping-duplicate sanitation (the glyph-level dedup
+                # docling-parse applies before emitting cells): the same
+                # code drawn again before the pen moved 40% of its own
+                # advance is a re-draw — kashida elongation pulled back by
+                # a large TJ kern (RTL corpus: +88/1000 kerns between
+                # 116/1000-wide strokes), or fake-bold double strikes.
+                # Normal kerning never retreats a full glyph width, so
+                # genuine 'll'/'ww' pairs always pass.
+                if code == prev_code and wadv > 0 and \
+                        abs(gx - prev_gx) < 0.4 * wadv * th:
+                    continue  # advance applied; duplicate char dropped
                 parts.append(ch)
+                prev_code = code
+                prev_gx = gx
         text = "".join(parts)
         if text.strip():
             m2 = _mat_mul(tm, ctm)

@@ -199,6 +199,11 @@ _MATH_ENVS = {
 
 _ALPHA_RE = re.compile(r"[a-zA-Z]+")
 _WS_RE = re.compile(r"\s*")
+_MULTI_SPACE_RE = re.compile(r" +")
+# every char that can take a non-default branch in _parse_nodes
+_PLAIN_RUN_RE = re.compile(r"[%{}\])$\\&~`'!?-]")
+_MULTI_BLANK_RE = re.compile(r"\n\n+")
+_LABEL_RE = re.compile(r"\\label\{.*?\}")
 # a comment swallows its newline + next-line indentation ONLY when
 # real content follows — a blank line after a trailing % stays in the
 # chars stream so the paragraph break survives (groundtruth 2501.00089
@@ -428,8 +433,14 @@ class _Parser:
                 i += 2
                 buf_start = i
             else:
-                buf.append(c)
-                i += 1
+                # ordinary text: bulk-append the whole run up to the next
+                # potentially-special char (the per-char append dominated
+                # latex parse profiles); chars in between can never hit a
+                # dispatch branch above, so the slice is equivalent
+                m = _PLAIN_RUN_RE.search(s, i + 1)
+                j = m.start() if m else n
+                buf.append(s[i:j])
+                i = j
         flush(i)
         return nodes, i
 
@@ -867,8 +878,8 @@ class TexWalker:
             # Comment / Specials nodes contribute nothing
             idx += 1 + consumed
         result = "".join(parts)
-        result = re.sub(r" +", " ", result)
-        result = re.sub(r"\n\n+", "\n\n", result)
+        result = _MULTI_SPACE_RE.sub(" ", result)
+        result = _MULTI_BLANK_RE.sub("\n\n", result)
         return result.strip()
 
     def _is_text_only_group(self, node: Group) -> bool:
@@ -902,7 +913,7 @@ class TexWalker:
             latex_str = latex_str[2:-2]
         elif latex_str.startswith("\\(") and latex_str.endswith("\\)"):
             latex_str = latex_str[2:-2]
-        latex_str = re.sub(r"\\label\{.*?\}", "", latex_str)
+        latex_str = _LABEL_RE.sub("", latex_str)
         latex_str = self._expand_macros(latex_str)
         return latex_str.strip()
 
@@ -1391,15 +1402,19 @@ class TexWalker:
             self.items[idx]["num_cols"] = nc
 
 
+_SHORTHAND_RE = re.compile(r"\\(be|ee|bea|eea|beq|eeq)\b")
+_SHORTHAND_MAP = {
+    "be": r"\begin{equation}", "ee": r"\end{equation}",
+    "bea": r"\begin{eqnarray}", "eea": r"\end{eqnarray}",
+    "beq": r"\begin{equation}", "eeq": r"\end{equation}",
+}
+
+
 def _preprocess(src: str) -> str:
     """Equation-shorthand expansion (handlers/macros.py:73-81)."""
-    src = re.sub(r"\\be\b", r"\\begin{equation}", src)
-    src = re.sub(r"\\ee\b", r"\\end{equation}", src)
-    src = re.sub(r"\\bea\b", r"\\begin{eqnarray}", src)
-    src = re.sub(r"\\eea\b", r"\\end{eqnarray}", src)
-    src = re.sub(r"\\beq\b", r"\\begin{equation}", src)
-    src = re.sub(r"\\eeq\b", r"\\end{equation}", src)
-    return src
+    if "\\b" not in src and "\\e" not in src:
+        return src
+    return _SHORTHAND_RE.sub(lambda m: _SHORTHAND_MAP[m.group(1)], src)
 
 
 def walk_latex(src: str, files: dict[str, str] | None = None

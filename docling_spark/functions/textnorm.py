@@ -82,6 +82,8 @@ def expand_ligatures(text: str) -> str:
     """Expand presentation-form ligatures; absorb spurious post-ligature space
     for the fb00-fb06 block ("ﬁ eld" → "field"); keep real word boundaries for
     IJ/ij and the PUA discard glyph."""
+    if text.isascii():  # every mapped glyph is non-ASCII
+        return text
     return _LIGATURE_RE.sub(
         lambda m: (
             LIGATURE_MAP[m.group(1)]
@@ -145,6 +147,13 @@ def rate_text_quality(text: str) -> float:
     """Parser-garbage score in [0,1]; 0.0 on hard-error patterns, penalty
     0.1 per fragmented-word match when there are >= 3 of them.
     (page_preprocessing_model.py:126-151)."""
+    if "/" not in text:
+        # every slash-pattern below needs a literal '/'; the common clean
+        # text exits on three C-level substring scans instead of four
+        # regex passes (same result by construction)
+        if "�" in text or ("GLYPH<" in text and _GLYPH_RE.search(text)):
+            return 0.0
+        return 1.0
     if (
         text.find("�") >= 0
         or _GLYPH_RE.search(text)

@@ -1,0 +1,53 @@
+"""Overlapping-duplicate glyph sanitation in the PDF interpreter.
+
+docling-parse's cell sanitation drops a glyph re-drawn on top of the
+previous identical one; this shows up on the reference RTL corpus as
+kashida-elongation runs where a large positive TJ kern retreats the pen
+(~80% of the stroke width) before re-drawing the same stroke — and in
+LTR PDFs as fake-bold double strikes. engine/pdfx drops the duplicate
+when the pen moved less than 40% of the glyph's own advance; genuine
+repeated letters ('ll', 'oo') kerned normally must always survive.
+"""
+
+from __future__ import annotations
+
+from docling_spark.engine.pdfx import extract_pdf
+
+
+def _pdf(content: str) -> bytes:
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+        "4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
+        "endobj\n"
+        f"5 0 obj << /Length {len(content)} >> stream\n"
+        f"{content}endstream endobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+
+
+def test_overlapping_duplicate_glyph_dropped() -> None:
+    # 'B' advance is 667/1000 em; a +600 TJ kern retreats the pen 0.6 em,
+    # so the second 'B' draws 0.067 em after the first began (<40% of its
+    # advance) — a double strike, dropped
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 72 700 Td [(AB) 600 (BC)] TJ ET\n"))
+    assert "ABC" in text
+    assert "ABB" not in text
+
+
+def test_normally_kerned_repeat_survives() -> None:
+    # same glyph pair with ordinary (small) kerning: both kept
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 72 700 Td [(fu) 30 (ll) 30 (y)] TJ ET\n"))
+    assert "fully" in text
+
+
+def test_adjacent_tj_repeat_without_kern_survives() -> None:
+    # repeated glyph at full advance (no kern at all): both kept
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 72 700 Td (success) Tj ET\n"))
+    assert "success" in text

@@ -28,8 +28,9 @@ from docling_spark.engine.pdfx import PdfDocument, extract_pdf
 SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
 GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
 
-# name → (min recall, min precision); measured r2: recall 0.94-1.00 on
-# LTR docs, 0.81-0.94 on RTL (bidi shaping detail gap, documented)
+# name → (min recall, min precision); measured r3 (after the
+# overlapping-duplicate glyph sanitation closed the RTL kashida gap):
+# recall 0.95-1.00 on LTR docs, 0.92-0.96 on RTL
 FLOORS = {
     "2305.03393v1-pg9": (0.95, 0.90),
     "amt_handbook_sample": (0.95, 0.93),
@@ -38,9 +39,9 @@ FLOORS = {
     "normal_4pages": (0.96, 0.93),
     "picture_classification": (0.97, 0.97),
     "redp5110_sampled": (0.92, 0.92),
-    "right_to_left_01": (0.78, 0.83),
-    "right_to_left_02": (0.75, 0.70),
-    "right_to_left_03": (0.90, 0.90),
+    "right_to_left_01": (0.90, 0.89),
+    "right_to_left_02": (0.90, 0.84),
+    "right_to_left_03": (0.93, 0.92),
     "table_mislabeled_as_picture": (0.95, 0.92),
 }
 
@@ -165,9 +166,12 @@ ORDER_FLOORS = {
     "picture_classification": 0.97,
     "redp5110_sampled": 0.85,
     "table_mislabeled_as_picture": 0.94,
-    "right_to_left_01": 0.82,
-    "right_to_left_02": 0.72,
-    "right_to_left_03": 0.87,
+    # r3: ≥0.88 on all RTL docs (glyph-overlap dedup); remaining rtl_02
+    # gap is the formula region the reference's NN pipeline replaces with
+    # 'formula not decoded' — a model boundary, not an ordering defect
+    "right_to_left_01": 0.90,
+    "right_to_left_02": 0.88,
+    "right_to_left_03": 0.89,
 }
 
 
