@@ -63,7 +63,17 @@ def _cpu_canary() -> float:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
-    load_ctx: dict = {"loadavg_start": _loadavg(),
+    # Bounded quiet-wait: this box is multi-tenant (neighbor loadavg swings
+    # 0.3→33, BENCH/BASELINE.md); a run that starts into a load spike
+    # measures the neighbors, not the engine. Wait (bounded) for the spike
+    # to pass, and record how long we waited so the reader sees it.
+    wait_max = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "240"))
+    wait_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "4.0"))
+    t_wait0 = time.time()
+    while time.time() - t_wait0 < wait_max and _loadavg() > wait_thresh:
+        time.sleep(5.0)
+    load_ctx: dict = {"quiet_wait_s": round(time.time() - t_wait0, 1),
+                      "loadavg_start": _loadavg(),
                       "cpu_canary_mops_start": _cpu_canary()}
     ticks0 = _cpu_ticks()
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS",
@@ -105,6 +115,7 @@ def main() -> None:
     extract_turns(tr).groupBy("status").count().collect()
     extract_wall = None
     n_turns = []
+    walls_h: list[float] = []
     for _ in range(3):  # best-of-3: the box is multi-tenant (BENCH/BASELINE.md;
         # single-shot loadavg swings have produced 3-6x outliers)
         t0 = time.time()
@@ -112,7 +123,19 @@ def main() -> None:
             "status"
         ).groupBy("status").count().collect()
         w = time.time() - t0
+        walls_h.append(round(w, 3))
         extract_wall = w if extract_wall is None or w < extract_wall else extract_wall
+    while max(walls_h) > 1.5 * min(walls_h) and len(walls_h) < 6:
+        # >1.5x spread means a load spike hit a pass — the headline is the
+        # driver's KPI, so buy up to 3 more samples for a clean floor
+        t0 = time.time()
+        n_turns = extract_turns(tr).select(
+            "status"
+        ).groupBy("status").count().collect()
+        w = time.time() - t0
+        walls_h.append(round(w, 3))
+        extract_wall = min(extract_wall, w)
+    load_ctx["extract_walls"] = walls_h
     total_turns = sum(r["count"] for r in n_turns)
     tr.unpersist()
     timings["extract_pipeline"] = round(extract_wall, 3)

@@ -87,12 +87,17 @@ _REF_TAIL_RE = re.compile(rb"(\d+)\s+R\b")
 _NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
 
 
+_WS_DELIM = _WS + _DELIM
+
+
 def _parse_name(b: bytes, i: int):
     j = i + 1
     n = len(b)
-    while j < n and b[j] not in _WS and b[j] not in _DELIM:
+    while j < n and b[j] not in _WS_DELIM:
         j += 1
-    raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), b[i + 1:j])
+    raw = b[i + 1:j]
+    if b"#" in raw:  # PDF name escape (#xx) — rare; skip the regex otherwise
+        raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
     return Name(raw.decode("latin-1")), j
 
 
@@ -917,7 +922,10 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 if float(it) < -180:
                     parts.append(" ")
                     prev_code = None
-                tm = _mat_mul((1, 0, 0, 1, shift, 0), tm)
+                # pure x-translation: inline the _mat_mul((1,0,0,1,s,0), tm)
+                # special case — this runs once per TJ kern
+                tm = (tm[0], tm[1], tm[2], tm[3],
+                      shift * tm[0] + tm[4], shift * tm[1] + tm[5])
                 continue
             if not isinstance(it, bytes):
                 continue
@@ -926,7 +934,10 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 spacing = tc + (tw if code == 32 and not tf.two_byte else 0.0)
                 tx = (wadv + spacing) * th
                 gx = tm[4]  # pen x (text space) where this glyph draws
-                tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                # pure x-translation (per-glyph hot path): inline
+                # _mat_mul((1,0,0,1,tx,0), tm)
+                tm = (tm[0], tm[1], tm[2], tm[3],
+                      tx * tm[0] + tm[4], tx * tm[1] + tm[5])
                 # overlapping-duplicate sanitation (the glyph-level dedup
                 # docling-parse applies before emitting cells): the same
                 # code drawn again before the pen moved 40% of its own
@@ -1090,6 +1101,10 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
 # ---------------------------------------------------------------------------
 
 _RTL_CHAR = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
+
+_LETTER_RE = re.compile(r"[^\W\d_]")
+_WSRUN_RE = re.compile(r"\s+")
+_DIGITRUN_RE = re.compile(r"\d+")
 _LTR_SEG = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%-]*[A-Za-z0-9]|[A-Za-z0-9]")
 _MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
 
@@ -1106,7 +1121,7 @@ def _fix_rtl(glyphs: list[str]) -> str:
     ends). Embedded LTR (latin/digit) runs are un-reversed afterwards;
     paired brackets mirror."""
     text = "".join(glyphs)
-    letters = re.findall(r"[^\W\d_]", text)
+    letters = _LETTER_RE.findall(text)
     if not letters:
         return text
     rtl = sum(1 for ch in letters if _RTL_CHAR.match(ch))
@@ -1173,7 +1188,7 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
         # start positions across the page (see _column_edges); joining
         # across the gutter interleaves two-column text irrecoverably
         joined = "".join(r.text for r in line)
-        letters = re.findall(r"[^\W\d_]", joined)
+        letters = _LETTER_RE.findall(joined)
         rtl_line = letters and sum(
             1 for ch in letters if _RTL_CHAR.match(ch)) * 2 > len(letters)
         if rtl_line:
@@ -1210,7 +1225,7 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
         # logical chars must not be flipped by the line reversal)
         norm: list[str] = []
         for g in glyphs:
-            g2 = re.sub(r"\s+", " ", g)
+            g2 = _WSRUN_RE.sub(" ", g)
             if g2 == " " and (not norm or norm[-1] == " "):
                 continue
             if g2:
@@ -1285,11 +1300,11 @@ def _mark_repeated_furniture(cells: list[dict],
         return
     counts: dict[str, set[int]] = {}
     for c in cells:
-        key = re.sub(r"\d+", "#", c["text"]).strip()
+        key = _DIGITRUN_RE.sub("#", c["text"]).strip()
         if key:
             counts.setdefault(key, set()).add(c["page_no"])
     for c in cells:
-        key = re.sub(r"\d+", "#", c["text"]).strip()
+        key = _DIGITRUN_RE.sub("#", c["text"]).strip()
         if len(counts.get(key, ())) < 3:
             continue
         ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
@@ -1633,7 +1648,7 @@ def detect_ruled_tables(
     # left-to-right order — bail and let the bidi-aware line path handle
     # the region (keeps logical order; ruled RTL tables degrade to lines)
     joined = "".join(runs[k].text for v in cells.values() for k in v)
-    letters = re.findall(r"[^\W\d_]", joined)
+    letters = _LETTER_RE.findall(joined)
     if letters and sum(1 for ch in letters
                        if _RTL_CHAR.match(ch)) * 2 > len(letters):
         return [], set()
@@ -1642,7 +1657,7 @@ def detect_ruled_tables(
         rr = sorted(cells[(row, col)],
                     key=lambda k: (-runs[k].y, runs[k].x))
         text = " ".join(runs[k].text.strip() for k in rr).strip()
-        text = re.sub(r"\s+", " ", text)
+        text = _WSRUN_RE.sub(" ", text)
         top_y = row_ys[row]
         bot_y = row_ys[row + 1]
         out.append(
