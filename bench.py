@@ -93,6 +93,13 @@ def main() -> None:
         # on this box); the corpus's few multi-MB oversize payloads only
         # cap the count, not per-row memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # cached-corpus columnar compression off: the scan leg of the
+        # extraction pipeline costs more CPU than the Python kernel at
+        # this corpus shape; r3 interleaved A/B measured the uncompressed
+        # cache scan ~25% cheaper (0.81 s vs 1.08 s full-column read) and
+        # every interleaved extraction round faster. Memory is not the
+        # binding constraint for the bench corpus (~0.5 GB raw).
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.maxResultSize", "4g")
