@@ -440,13 +440,11 @@ class HtmlExtractor:
             if ttext:
                 _mk_item(self.items, 0, "title", 1, ttext, "furniture")
 
-        # prune script/style/hidden (html_backend.py:542-547)
+        # prune script/style/hidden + <br> → sentinel, one combined walk
+        # (html_backend.py:542-558)
         self._prune(root)
 
         body = self._find_first(root, "body") or root
-
-        # <br> → sentinel (html_backend.py:553-558)
-        self._replace_br(body)
 
         # furniture-before-first-heading rule (html_backend.py:560-574);
         # only the FIRST non-table heading matters — early-exit pre-order
@@ -496,6 +494,13 @@ class HtmlExtractor:
 
     @staticmethod
     def _prune(root: Element) -> None:
+        """One combined pass: script/style/hidden prune, <br> → sentinel,
+        and sentinel-char strip from source text (the reference does these
+        as separate bs4 passes, html_backend.py:542-558; one walk is
+        equivalent — pruned subtrees never need br replacement, and
+        br/sentinel handling outside <body> is invisible downstream
+        because the item walker starts at <body> and the <title> furniture
+        item is extracted before this pass)."""
         stack = [root]
         while stack:
             node = stack.pop()
@@ -512,12 +517,22 @@ class HtmlExtractor:
                             continue
                     elif ch.tag in SKIP_TAGS:
                         continue
+                    if ch.tag == "br":
+                        kept.append(BR_SENTINEL)
+                        continue
                     stack.append(ch)
-                kept.append(ch)
+                    kept.append(ch)
+                elif BR_SENTINEL in ch:
+                    # strip sentinel chars present in source text
+                    kept.append(ch.replace(BR_SENTINEL, ""))
+                else:
+                    kept.append(ch)
             node.children = kept
 
     @staticmethod
     def _replace_br(root: Element) -> None:
+        """Kept as the differential oracle for the merged pass above
+        (tests); no longer called from extract()."""
         stack = [root]
         while stack:
             node = stack.pop()
@@ -1448,7 +1463,9 @@ class HtmlExtractor:
         block_kinds: list[str] = []
 
         def flush_runs(runs: list[_Run], kind: str = "text") -> None:
-            runs = [_Run(r.text.replace(BR_SENTINEL, " "), r.fmt, r.href, r.tag) for r in runs]
+            runs = [r if BR_SENTINEL not in r.text else
+                    _Run(r.text.replace(BR_SENTINEL, " "), r.fmt, r.href, r.tag)
+                    for r in runs]
             txt = self._runs_to_text(runs, markdown=True, escape=False).replace("\n", " ")
             if txt:
                 blocks.append(txt)
@@ -1577,21 +1594,24 @@ class HtmlExtractor:
         return "  ".join(blocks)
 
 
+def _span_num(s) -> int:
+    s = str(s or "1")
+    if s == "1":  # default / explicit span of 1 — the common case
+        return 1
+    if s and s[0].isnumeric():
+        m = re.search(r"\d+", s)
+        if m:
+            return int(m.group())
+    return 1
+
+
 def _cell_spans(cell: Element) -> tuple[int, int]:
     """colspan/rowspan parse: leading-digit regex, default 1
     (html_backend.py:4608-4633)."""
-
-    def num(s) -> int:
-        s = str(s or "1")
-        if s == "1":  # default / explicit span of 1 — the common case
-            return 1
-        if s and s[0].isnumeric():
-            m = re.search(r"\d+", s)
-            if m:
-                return int(m.group())
-        return 1
-
-    return num(cell.attrs.get("colspan", "1")), num(cell.attrs.get("rowspan", "1"))
+    a = cell.attrs
+    if not a:  # attribute-less cell — the overwhelmingly common case
+        return 1, 1
+    return _span_num(a.get("colspan", "1")), _span_num(a.get("rowspan", "1"))
 
 
 # ---------------------------------------------------------------------------
