@@ -129,6 +129,8 @@ class _TreeBuilder(HTMLParser):
                 if self.stack[i].tag == "p":
                     del self.stack[i:]
                     break
+        # the sibling-close families below are mutually exclusive by tag —
+        # elif keeps the non-matching checks off the per-start-tag hot path
         if tag == "li":
             # an open <li> is closed by a sibling <li> (not by nested lists)
             for i in range(len(self.stack) - 1, 0, -1):
@@ -138,7 +140,7 @@ class _TreeBuilder(HTMLParser):
                 if t == "li":
                     del self.stack[i:]
                     break
-        if tag in ("dt", "dd"):
+        elif tag in ("dt", "dd"):
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t == "dl":
@@ -146,7 +148,7 @@ class _TreeBuilder(HTMLParser):
                 if t in ("dt", "dd"):
                     del self.stack[i:]
                     break
-        if tag in ("td", "th"):
+        elif tag in ("td", "th"):
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t == "tr":
@@ -154,7 +156,7 @@ class _TreeBuilder(HTMLParser):
                 if t in ("td", "th"):
                     del self.stack[i:]
                     break
-        if tag == "tr":
+        elif tag == "tr":
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t in ("table", "thead", "tbody", "tfoot"):
@@ -255,6 +257,11 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
     i = 0
     n = len(data)
     handle_data = builder.handle_data
+    handle_starttag = builder.handle_starttag
+    handle_endtag = builder.handle_endtag
+    handle_startendtag = builder.handle_startendtag
+    start_match = _FT_START_RE.match
+    end_match = _FT_END_RE.match
     while i < n:
         lt = data.find("<", i)
         if lt < 0:
@@ -265,7 +272,7 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
             handle_data(_ft_unescape(data[i:lt]))
         nxt = data[lt + 1:lt + 2]
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
-            m = _FT_START_RE.match(data, lt)
+            m = start_match(data, lt)
             if m is None:
                 return False  # exotic or unterminated — html.parser decides
             tag, attr_src, selfclose = m.group(1, 2, 3)
@@ -289,9 +296,9 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
                     return False
             i = m.end()
             if selfclose:
-                builder.handle_startendtag(tag, attrs)
+                handle_startendtag(tag, attrs)
             else:
-                builder.handle_starttag(tag, attrs)
+                handle_starttag(tag, attrs)
                 if tag in ("script", "style"):
                     # CDATA mode: raw text until the matching close tag
                     cm = _FT_CDATA_CLOSE[tag].search(data, i)
@@ -299,16 +306,16 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
                         return False  # unterminated CDATA element
                     if cm.start() > i:
                         handle_data(data[i:cm.start()])
-                    em = _FT_END_RE.match(data, cm.start())
+                    em = end_match(data, cm.start())
                     if em is None:
                         return False
-                    builder.handle_endtag(em.group(1).lower())
+                    handle_endtag(em.group(1).lower())
                     i = em.end()
         elif nxt == "/":
-            m = _FT_END_RE.match(data, lt)
+            m = end_match(data, lt)
             if m is None:
                 return False
-            builder.handle_endtag(m.group(1).lower())
+            handle_endtag(m.group(1).lower())
             i = m.end()
         elif nxt == "!":
             if data.startswith("<!--", lt):
