@@ -19,7 +19,7 @@ import sys
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="docling-spark extraction job")
-    p.add_argument("--input-table", required=True)
+    p.add_argument("--input-table", default=None)
     p.add_argument("--output-table", required=True)
     p.add_argument("--state-table", default=None)
     p.add_argument("--metrics-table", default=None)
@@ -44,7 +44,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "item table (doctags,itxt,html,html_split_page,"
                         "json,yaml,doclang,dclx), written next to the "
                         "output table — the reference CLI's --to flag")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if not args.input_table and not args.synthetic_convs:
+        p.error("one of --input-table / --synthetic-convs is required")
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:
