@@ -607,6 +607,8 @@ def _md_esc(text: str) -> str:
     left alone — groundtruth $warmup\\_steps$)."""
     t = (text.replace("&", "&amp;").replace("<", "&lt;")
          .replace(">", "&gt;"))
+    if "_" not in t:  # common case: skip the lookbehind regex
+        return t
     return _MD_ESC_US.sub(r"\\_", t)
 
 
@@ -878,8 +880,10 @@ class TexWalker:
             # Comment / Specials nodes contribute nothing
             idx += 1 + consumed
         result = "".join(parts)
-        result = _MULTI_SPACE_RE.sub(" ", result)
-        result = _MULTI_BLANK_RE.sub("\n\n", result)
+        if "  " in result:  # r" +" only rewrites 2+ space runs
+            result = _MULTI_SPACE_RE.sub(" ", result)
+        if "\n\n\n" in result:  # r"\n\n+" only rewrites 3+ newline runs
+            result = _MULTI_BLANK_RE.sub("\n\n", result)
         return result.strip()
 
     def _is_text_only_group(self, node: Group) -> bool:
