@@ -433,11 +433,15 @@ class HtmlExtractor:
 
     def __init__(self, infer_furniture: bool = True):
         self.infer_furniture = infer_furniture
+        # (hlevel, item_idx, level); reset per extract() — here too so
+        # serializer-helper-only users never see it unset
+        self._hstack: list[tuple[int, int, int]] = []
 
     # -- public ------------------------------------------------------------
     def extract(self, payload: str) -> list[Item]:
         root = parse_html(payload)
         self.items: list[Item] = []
+        self._hstack: list[tuple[int, int, int]] = []  # (hlevel, item_idx, level)
         _mk_item(self.items, -1, "unspecified", 0, "_root_", "body")
 
         # title → furniture title item (html_backend.py:532-541)
@@ -772,8 +776,6 @@ class HtmlExtractor:
     def _heading_parent(self, hlevel: int) -> tuple[int, int]:
         """Maintain the heading parent stack (html_backend.py:2157-2228):
         each heading nests under the nearest shallower heading."""
-        if not hasattr(self, "_hstack"):
-            self._hstack: list[tuple[int, int, int]] = []  # (hlevel, item_idx, level)
         while self._hstack and self._hstack[-1][0] >= hlevel:
             self._hstack.pop()
         if self._hstack:
@@ -848,7 +850,7 @@ class HtmlExtractor:
                 self._add_text(ch)
                 continue
             # content after a heading nests under it
-            if getattr(self, "_hstack", None) and node.tag in (
+            if self._hstack and node.tag in (
                 "body", "div", "section", "article", "main", "[document]",
                 "html", "header",
             ):
@@ -858,8 +860,9 @@ class HtmlExtractor:
                 parent_eff, level_eff = parent_idx, level
             tag = ch.tag
             if (tag not in INLINE_TAGS and tag != "table"
-                    and "form_region" in
-                    (ch.attrs.get("class") or "").split()):
+                    and ch.attrs
+                    and "form_region" in (ch.attrs.get("class") or "")
+                    and "form_region" in ch.attrs["class"].split()):
                 # key-value form container (html_backend.py:4303-4380);
                 # a container without resolvable fields falls through to
                 # the normal block dispatch, same as the reference
