@@ -47,6 +47,7 @@ _HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])"
 _HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
 _PDFISH_RE = re.compile(r'^\s*\{.*"bbox"\s*:', re.S)
 _MD_CUES_RE = re.compile(r"(?m)^(#{1,6}\s|\s*[-*+]\s+\S|\s*\d+\.\s+\S|```)")
+_YAML_HEAD_RE = re.compile(r"\s*[a-z_]+:\s")
 
 
 def detect_format(text: str, tool: str = "") -> str:
@@ -82,16 +83,19 @@ def detect_format(text: str, tool: str = "") -> str:
                 "glm", "glm_json", "doctags", "yaml", "docling_yaml"):
         return {"dclx": "doclang", "mets": "mets_gbs",
                 "glm": "glm_json", "yaml": "docling_yaml"}.get(hint, hint)
-    if text and "<|ref|>" in text[:8192]:
+    ls = text.lstrip() if text else ""  # shared: the sniffs below probe
+    # the first non-ws char repeatedly; one lstrip instead of four
+    if text and text.find("<|ref|>", 0, 8192) >= 0:
         from docling_spark.engine import deepseekx
 
         if deepseekx.looks_like_deepseek(text):
             return "deepseek"
-    if text and text.lstrip().startswith("{") and \
-            '"schema_name": "DoclingDocument"' in text[:2048]:
+    if ls.startswith("{") and \
+            text.find('"schema_name": "DoclingDocument"', 0, 2048) >= 0:
         return "docling_json"
-    if text and text.lstrip().startswith("{") and \
-            ('"file-info"' in text[:4096] or '"page-elements"' in text[:4096]) \
+    if ls.startswith("{") and \
+            (text.find('"file-info"', 0, 4096) >= 0
+             or text.find('"page-elements"', 0, 4096) >= 0) \
             and '"page-elements"' in text:
         # legacy GLM layout-model JSON (utils/glm_utils.py input shape).
         # Key order varies and the payload arrays are unbounded, so one
@@ -99,31 +103,32 @@ def detect_format(text: str, tool: str = "") -> str:
         # (the full scan only runs for {-prefixed payloads that already
         # matched a GLM key up front)
         return "glm_json"
-    if text and not text.lstrip().startswith(("{", "<")) and \
-            re.match(r"\s*[a-z_]+:\s", text) and \
+    if text and not ls.startswith(("{", "<")) and \
+            _YAML_HEAD_RE.match(text) and \
             "schema_name: DoclingDocument" in text:
         # the CLI's save_as_yaml artifact (same model as the JSON
         # export). safe_dump sorts keys, so schema_name lands AFTER the
         # unbounded body/groups/texts sections — the full scan is gated
         # on the cheap yaml-mapping head shape
         return "docling_yaml"
-    if text and text.lstrip().startswith("<doclang"):
+    if ls.startswith("<doclang"):
         return "doclang"
-    if text and text.lstrip().startswith("<doctag>"):
+    if ls.startswith("<doctag>"):
         # SmolDocling-style VLM DocTags answer (vlm_pipeline.py:447-465)
         return "doctags"
-    if text and "http://www.xbrl.org/2003/instance" in text[:4096] \
-            and "<" in text[:64]:
+    if text and text.find("http://www.xbrl.org/2003/instance", 0, 4096) >= 0 \
+            and text.find("<", 0, 64) >= 0:
         return "xbrl"
-    if text and text.lstrip()[:1] == "[" and '"category"' in text[:4096] \
-            and '"bbox"' in text[:4096]:
+    if ls.startswith("[") and text.find('"category"', 0, 4096) >= 0 \
+            and text.find('"bbox"', 0, 4096) >= 0:
         return "dots"
-    if text and "data-bbox=" in text[:4096] and "data-label=" in text[:4096]:
+    if text and text.find("data-bbox=", 0, 4096) >= 0 \
+            and text.find("data-label=", 0, 4096) >= 0:
         from docling_spark.engine import chandrax
 
         if chandrax.looks_like_chandra(text):
             return "chandra"
-    if not text or not text.strip():
+    if not text or text.isspace():
         return "plain"
     # base64-encoded image magic (binary payloads travel b64 in the text
     # column): PNG / JPEG / GIF / RIFF-WEBP / TIFF prefixes
@@ -170,13 +175,15 @@ def detect_format(text: str, tool: str = "") -> str:
         return "email"
     if _PDFISH_RE.match(text):
         return "pdfish"
-    if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text[:4096]):
+    if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text, 0, 4096):
         return "html"
-    if text.startswith("= ") and _ADOC_SNIFF_RE.match(text[:4096]):
+    if text.startswith("= ") and _ADOC_SNIFF_RE.match(text, 0, 4096):
         return "asciidoc"
-    if _MD_CUES_RE.search(text[:4096]):
+    if _MD_CUES_RE.search(text, 0, 4096):
         return "md"
-    head = [ln for ln in text.splitlines()[:5] if ln.strip()]
+    # CSV head probe bounded to 64 KB: a multi-MB malformed blob must not
+    # pay a full splitlines just to be called plain
+    head = [ln for ln in text[:65536].splitlines()[:5] if ln.strip()]
     if len(head) >= 2:
         for d in (",", ";", "\t", "|"):
             counts = [ln.count(d) for ln in head]
