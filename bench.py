@@ -202,7 +202,7 @@ def main() -> None:
             df = qmap[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
-        while (max(walls) > 1.5 * min(walls) or min(walls) > 2.5) \
+        while (max(walls) > 1.5 * min(walls) or min(walls) > 3.0) \
                 and len(walls) < 4:
             # extra samples when a pass spread says a load spike hit, OR
             # when even the best pass is slow — a periodic neighbor burst

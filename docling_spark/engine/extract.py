@@ -181,9 +181,19 @@ def detect_format(text: str, tool: str = "") -> str:
         return "asciidoc"
     if _MD_CUES_RE.search(text, 0, 4096):
         return "md"
-    # CSV head probe bounded to 64 KB: a multi-MB malformed blob must not
-    # pay a full splitlines just to be called plain
-    head = [ln for ln in text[:65536].splitlines()[:5] if ln.strip()]
+    # CSV head probe bounded to the 5th newline: a multi-MB malformed
+    # blob must not pay a full splitlines just to be called plain, and no
+    # probed line is ever truncated (the first 5 splitlines-lines always
+    # end at or before the 5th \n, since every \n is a splitlines
+    # terminator)
+    end = 0
+    for _ in range(5):
+        nl = text.find("\n", end)
+        if nl < 0:
+            end = len(text)
+            break
+        end = nl + 1
+    head = [ln for ln in text[:end].splitlines()[:5] if ln.strip()]
     if len(head) >= 2:
         for d in (",", ";", "\t", "|"):
             counts = [ln.count(d) for ln in head]

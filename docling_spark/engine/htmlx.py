@@ -543,7 +543,8 @@ class HtmlExtractor:
     @staticmethod
     def _replace_br(root: Element) -> None:
         """Kept as the differential oracle for the merged pass above
-        (tests); no longer called from extract()."""
+        (tests/test_htmlx_prune_differential.py reconstructs the original
+        two-pass flow with it); no longer called from extract()."""
         stack = [root]
         while stack:
             node = stack.pop()

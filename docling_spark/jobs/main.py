@@ -45,7 +45,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "json,yaml,doclang,dclx), written next to the "
                         "output table — the reference CLI's --to flag")
     args = p.parse_args(argv)
-    if not args.input_table and not args.synthetic_convs:
+    if args.streaming:
+        # the streaming branch reads a live source; synthetic generation
+        # is batch-only
+        if not args.input_table:
+            p.error("--streaming requires --input-table")
+    elif not args.input_table and not args.synthetic_convs:
         p.error("one of --input-table / --synthetic-convs is required")
     return args
 

@@ -20,10 +20,13 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parent.parent
 SPARK_SUBMIT = pathlib.Path(sys.executable).parent / "spark-submit"
 if not SPARK_SUBMIT.exists():
-    import pyspark
+    try:
+        import pyspark
 
-    SPARK_SUBMIT = (pathlib.Path(pyspark.__file__).parent / "bin"
-                    / "spark-submit")
+        SPARK_SUBMIT = (pathlib.Path(pyspark.__file__).parent / "bin"
+                        / "spark-submit")
+    except ImportError:
+        pass  # SPARK_SUBMIT stays nonexistent; the skipif below fires
 
 pytestmark = pytest.mark.skipif(
     not SPARK_SUBMIT.exists(), reason="spark-submit binary not found"
