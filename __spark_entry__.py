@@ -6746,6 +6746,246 @@ from c
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 App. A1.1) over documents
+    whose text is enriched with doc_id-derived bullet/ellipsis/symbol
+    lines so every signal path fires: per-doc signals + keep verdict,
+    all JVM Column expressions (operators/webquality.py)."""
+    from docling_spark.operators.webquality import gopher_quality
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n• first point\n• second point")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\nto be continued...\nand more…")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" ### #hash")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(enriched)
+
+
+ORACLE_GOPHER_QUALITY = """
+with e as (
+  select doc_id,
+         text
+         || case when doc_id % 3 = 0
+                 then chr(10) || '• first point' || chr(10) || '• second point'
+                 else '' end
+         || case when doc_id % 4 = 0
+                 then chr(10) || 'to be continued...' || chr(10) || 'and more…'
+                 else '' end
+         || case when doc_id % 7 = 0 then ' ### #hash' else '' end as text
+  from documents
+),
+t as (
+  select doc_id, text,
+         string_split_regex(trim(text), '\\s+') toks,
+         string_split_regex(trim(lower(text)), '\\s+') ltoks,
+         string_split(text, chr(10)) lines
+  from e
+),
+s as (
+  select doc_id,
+    case when trim(text) = '' then 0 else len(toks) end as n_words,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) as n_nospace,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.|…')) as n_sym,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•‣▪*-]')))
+      as n_bullet,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+      as n_ell,
+    len(lines) as n_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(ltoks, w))) as stopword_hits
+  from t
+),
+sig as (
+  select doc_id, n_words,
+    round(case when n_words > 0 then n_nospace::double / n_words
+               else 0.0 end, 6) as mean_word_len,
+    round(case when n_words > 0 then n_sym::double / n_words
+               else 0.0 end, 6) as symbol_word_ratio,
+    round(n_bullet::double / n_lines, 6) as bullet_line_frac,
+    round(n_ell::double / n_lines, 6) as ellipsis_line_frac,
+    round(case when n_words > 0 then n_alpha::double / n_words
+               else 0.0 end, 6) as alpha_word_frac,
+    stopword_hits
+  from s
+)
+select *,
+  (n_words between 50 and 100000
+   and mean_word_len between 3.0 and 10.0
+   and symbol_word_ratio <= 0.1
+   and bullet_line_frac <= 0.90
+   and ellipsis_line_frac <= 0.30
+   and alpha_word_frac >= 0.80
+   and stopword_hits >= 2) as keep
+from sig
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + URL-level dedup: four doc_id-derived URL
+    shapes (mixed-case scheme/host, default ports, fragments, tracking
+    params, unsorted query, trailing slash) collapse onto shared
+    canonical forms; url_dedup groups on the canonical string
+    (operators/webquality.py)."""
+    from docling_spark.operators.webquality import url_dedup
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    grp = F.floor(doc_id / 7).cast("long").cast("string")
+    url = (
+        F.when(doc_id % 4 == 0, F.concat(
+            F.lit("HTTP://Example.COM:80/path/"), grp,
+            F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(doc_id % 4 == 1, F.concat(
+            F.lit("https://CDN.site.org:443/assets/img"), grp,
+            F.lit("?gclid=abc&z=9")))
+        .when(doc_id % 4 == 2, F.concat(
+            F.lit("http://example.com/path/"), grp, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("https://news.site.org/story-"),
+            (doc_id % 100).cast("string"), F.lit("/")))
+    )
+    return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+ORACLE_URL_NORMALIZE = """
+with u as (
+  select doc_id,
+    case
+      when doc_id % 4 = 0 then 'HTTP://Example.COM:80/path/'
+           || cast(doc_id // 7 as varchar) || '/?utm_source=x&b=2&a=1#frag'
+      when doc_id % 4 = 1 then 'https://CDN.site.org:443/assets/img'
+           || cast(doc_id // 7 as varchar) || '?gclid=abc&z=9'
+      when doc_id % 4 = 2 then 'http://example.com/path/'
+           || cast(doc_id // 7 as varchar) || '?b=2&a=1'
+      else 'https://news.site.org/story-'
+           || cast(doc_id % 100 as varchar) || '/'
+    end as url
+  from documents
+),
+c1 as (  -- lowercase scheme://host, strip fragment
+  select doc_id,
+    regexp_replace(
+      lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+        || regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', ''),
+      '#.*$', '') as u
+  from u
+),
+c2 as (  -- default ports, tracking params, separator cleanup
+  select doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(u,
+        '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
+        '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2'),
+        '(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&]*',
+        '', 'g'),
+      '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') as u
+  from c1
+),
+c3 as (  -- sort query params, strip trailing slash on non-root path
+  select doc_id,
+    regexp_replace(
+      case when regexp_extract(u, '\\?(.*)$', 1) = ''
+           then regexp_extract(u, '^([^?]*)', 1)
+           else regexp_extract(u, '^([^?]*)', 1) || '?' ||
+                array_to_string(
+                  list_sort(string_split(regexp_extract(u, '\\?(.*)$', 1),
+                                         '&')), '&')
+      end,
+      '^([a-z]+://[^/?#]+/.+?)/(\\?|$)', '\\1\\2') as canonical_url
+  from c2
+)
+select canonical_url,
+       min(doc_id) as canonical_id,
+       count(*) as n_dups
+from c3
+group by canonical_url
+"""
+
+
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation dialogue analytics (operators/extract_ops.py
+    conversation_stats): a doc_id-derived variable-length transcript
+    (2–6 turns, user/assistant/tool role rotation, variable inter-turn
+    gaps, substring payloads) → turn counts per role, tool-call count,
+    role-alternation rate, mean gap seconds, total chars. One lag window
+    + one groupBy, both keyed on conv_id."""
+    from docling_spark.operators.extract_ops import conversation_stats
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    turns = (
+        d.select("doc_id", "text")
+        .withColumn("turn_idx", F.explode(
+            F.sequence(F.lit(0), (F.lit(1) + doc_id % 5).cast("int"))))
+        .select(
+            F.concat(F.lit("conv"),
+                     F.lpad(doc_id.cast("string"), 8, "0")).alias("conv_id"),
+            F.col("turn_idx"),
+            F.when(F.col("turn_idx") % 3 == 2, F.lit("tool"))
+            .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")).alias("role"),
+            F.expr("substring(text, 1 + 13 * turn_idx, 40 + doc_id % 40)")
+            .alias("text"),
+            F.when(F.col("turn_idx") % 3 == 2, F.lit("code"))
+            .otherwise(F.lit("")).alias("tool"),
+            F.timestamp_seconds(
+                F.lit(1767225600)
+                + F.col("turn_idx") * (F.lit(1) + doc_id % 7)
+                + (F.col("turn_idx") % 2) * 3).alias("ts"),
+        )
+    )
+    return conversation_stats(turns)
+
+
+ORACLE_CONVERSATION_STATS = """
+with turns as (
+  select doc_id,
+         'conv' || lpad(cast(doc_id as varchar), 8, '0') as conv_id,
+         turn_idx,
+         case when turn_idx % 3 = 2 then 'tool'
+              when turn_idx % 2 = 0 then 'user'
+              else 'assistant' end as role,
+         case when turn_idx % 3 = 2 then 'code' else '' end as tool,
+         turn_idx * (1 + doc_id % 7) + (turn_idx % 2) * 3 as sec,
+         length(substr(text, cast(1 + 13 * turn_idx as int),
+                       cast(40 + doc_id % 40 as int))) as n_chars
+  from documents, generate_series(0, 5) t(turn_idx)
+  where turn_idx <= 1 + doc_id % 5
+),
+w as (
+  select *,
+         lag(role) over (partition by conv_id order by turn_idx) as prev_role,
+         sec - lag(sec) over (partition by conv_id order by turn_idx) as gap_s
+  from turns
+)
+select conv_id,
+       count(*) as n_turns,
+       cast(sum(case when role = 'user' then 1 else 0 end) as bigint)
+         as n_user,
+       cast(sum(case when role = 'assistant' then 1 else 0 end) as bigint)
+         as n_assistant,
+       cast(sum(case when tool <> '' then 1 else 0 end) as bigint)
+         as n_tool_calls,
+       round(sum(case when prev_role is not null and prev_role <> role
+                      then 1 else 0 end)::double / (count(*) - 1), 6)
+         as alternation,
+       round(sum(gap_s)::double / (count(*) - 1), 6) as mean_gap_s,
+       cast(sum(n_chars) as bigint) as total_chars
+from w
+group by conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine end-to-end
@@ -6856,6 +7096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_merge_cells": q_ocr_merge_cells,
         "ocr_regions": q_ocr_regions,
         "ocr_dedup_rects": q_ocr_dedup_rects,
+        "gopher_quality": q_gopher_quality,
+        "url_normalize": q_url_normalize,
+        "conversation_stats": q_conversation_stats,
         "asr_segments": q_asr_segments,
         "export_yaml": q_export_yaml,
         # metrics sidecar / confidence
@@ -7007,6 +7250,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_merge_cells": ORACLE_OCR_MERGE_CELLS,
         "ocr_regions": ORACLE_OCR_REGIONS,
         "ocr_dedup_rects": ORACLE_OCR_DEDUP_RECTS,
+        "gopher_quality": ORACLE_GOPHER_QUALITY,
+        "url_normalize": ORACLE_URL_NORMALIZE,
+        "conversation_stats": ORACLE_CONVERSATION_STATS,
         "asr_segments": ORACLE_ASR_SEGMENTS,
         "export_yaml": ORACLE_EXPORT_YAML,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,

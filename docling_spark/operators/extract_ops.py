@@ -184,3 +184,48 @@ def with_turn_rank(df: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return df.withColumn("turn_rank", F.row_number().over(w) - F.lit(1))
+
+
+def conversation_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation dialogue analytics over a transcript table
+    (conv_id, turn_idx, role, text, tool, ts) — the corpus-triage pass a
+    transcript training pipeline runs before extraction: turn counts per
+    role, tool-call usage, role-alternation rate (the fraction of
+    consecutive turn pairs that switch speakers — a degenerate
+    conversation is one voice talking to itself), mean inter-turn gap in
+    seconds, and total payload size.
+
+    Shape: one ``lag`` window per conversation (partitioned on conv_id,
+    ordered by turn_idx — the same stable ordering contract as
+    :func:`with_turn_rank`) feeding one groupBy(conv_id). At 10^12 turns
+    both stages shuffle on conv_id only, and the window state is one row
+    of lookback — memory-bounded regardless of conversation length.
+    Skewed mega-conversations cost one task their turn count, never a
+    collect; the downstream agg is map-side combinable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    staged = turns.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.length("text").alias("n_chars"),
+        (F.lag("role").over(w) != F.col("role")).cast("long")
+        .alias("role_switch"),
+        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"))
+         .over(w)).alias("gap_s"),
+    )
+    n_turns = F.count("*")
+    return staged.groupBy("conv_id").agg(
+        n_turns.alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("tool") != "").cast("long")).alias("n_tool_calls"),
+        F.round(
+            F.when(n_turns > 1,
+                   F.sum("role_switch").cast("double") / (n_turns - 1))
+            .otherwise(F.lit(0.0)), 6).alias("alternation"),
+        F.round(
+            F.when(n_turns > 1, F.sum("gap_s") / (n_turns - 1))
+            .otherwise(F.lit(0.0)), 6).alias("mean_gap_s"),
+        F.sum("n_chars").alias("total_chars"),
+    )
