@@ -42,6 +42,24 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy, byte-small extraction input across every core.
+
+    The test corpus arrives as a handful of parquet splits (3 at sf0.1),
+    which would pin a 32-core Python-kernel pipeline to 3 tasks — the
+    kernel cost is per-row CPU, not bytes, so the scan's byte-balanced
+    splits are the wrong granularity (same pinned fan-out rationale as
+    jobs/extract_job.py). One round-robin shuffle of kilobyte rows buys
+    full parallelism; a production-scale table already carries at least
+    cluster-parallelism splits, and the check skips the shuffle there.
+    Row contents are untouched, so every oracle stays bit-identical.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -66,7 +84,7 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → transcripts (conv_id, turn_idx, role, text, tool, ts):
     3 turns per document — user asks (plain), assistant answers (html),
     tool returns (code). Deterministic, derivable in SQL."""
-    d = _docs(spark, sf_dir)
+    d = _fan_out(_docs(spark, sf_dir))
     base = d.select(
         F.concat(F.lit("conv"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
                  ).alias("conv_id"),
@@ -108,7 +126,7 @@ def _extract_docs(spark, sf_dir, payload_col, tool: str) -> DataFrame:
     expression and run the real extraction operator."""
     from docling_spark.operators.extract_ops import extract_turns
 
-    d = _docs(spark, sf_dir).select(
+    d = _fan_out(_docs(spark, sf_dir)).select(
         F.col("doc_id"),
         payload_col.alias("text"),
     )
@@ -302,7 +320,7 @@ def q_extract_status_counts(spark, sf_dir):
         payload.alias("text"), tool.alias("tool"),
     )
     return (
-        extract_turns(d).groupBy("status")
+        extract_turns(_fan_out(d)).groupBy("status")
         .agg(F.count("*").alias("n"))
     )
 
@@ -336,7 +354,7 @@ def q_extract_format_policy(spark, sf_dir):
         payload.alias("text"),
         F.when(is_html, F.lit("html")).otherwise(F.lit("md")).alias("tool"),
     )
-    out = extract_turns(d, allowed_formats=("html",))
+    out = extract_turns(_fan_out(d), allowed_formats=("html",))
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         "status",
@@ -1494,7 +1512,7 @@ def q_extract_items_spans(spark, sf_dir):
         _pdfish_two_col_payload().alias("text"),
         F.lit("pdfish").alias("tool"),
     )
-    out = extract_turns(d)
+    out = extract_turns(_fan_out(d))
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.explode("items").alias("it"),
@@ -2963,7 +2981,7 @@ def q_heading_hierarchy(spark, sf_dir):
         payload.alias("text"), F.lit("html").alias("tool"),
     )
     return (
-        extract_turns(d)
+        extract_turns(_fan_out(d))
         .select(F.col("conv_id").cast("long").alias("doc_id"),
                 F.explode("items").alias("it"))
         .select(
@@ -3020,7 +3038,7 @@ def q_chunk_budget(spark, sf_dir):
         payload.alias("text"), F.lit("html").alias("tool"),
     )
     items = (
-        extract_turns(d)
+        extract_turns(_fan_out(d))
         .select(F.col("conv_id").cast("long").alias("doc_id"),
                 F.explode("items").alias("it"))
         .select("doc_id", F.col("it.item_idx").alias("item_idx"),
@@ -3837,7 +3855,7 @@ def q_export_docling_json(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
 
     return (
-        extract_turns(d).select("conv_id", "items")
+        extract_turns(_fan_out(d)).select("conv_id", "items")
         .mapInPandas(run, "doc_id long, roundtrip_text string")
     )
 
@@ -4417,7 +4435,7 @@ def q_export_html(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
 
     return (
-        extract_turns(d).select("conv_id", "items")
+        extract_turns(_fan_out(d)).select("conv_id", "items")
         .mapInPandas(run, "doc_id long, roundtrip_text string")
     )
 
@@ -4676,7 +4694,7 @@ def q_export_doctags(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
         payload.alias("text"), F.lit("html").alias("tool"),
     )
-    out = export_items(extract_turns(d), "doctags")
+    out = export_items(extract_turns(_fan_out(d)), "doctags")
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"), "doctags"
     )
@@ -4783,7 +4801,7 @@ def q_confidence_report(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
         payload.alias("text"), F.lit("pdfish").alias("tool"),
     )
-    out = extract_turns(d)
+    out = extract_turns(_fan_out(d))
     score = F.round(F.col("metrics.parse_score"), 6)
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
@@ -4833,7 +4851,7 @@ def q_extract_metrics_by_format(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
         payload.alias("text"), tool.alias("tool"),
     )
-    out = extract_turns(d)
+    out = extract_turns(_fan_out(d))
     return out.groupBy("format").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("metrics.n_items")).cast("long").alias("total_items"),
@@ -4967,7 +4985,7 @@ def q_extract_image(spark, sf_dir):
     )
     # dims re-derived narrow (payload is a pure function of doc_id):
     # no join, no shuffle — the whole query is one map pipeline
-    out = extract_turns(tr).withColumn(
+    out = extract_turns(_fan_out(tr)).withColumn(
         "dims", dims_of(gif_b64(F.col("conv_id").cast("long")))
     )
     return out.select(
@@ -6565,7 +6583,7 @@ def q_export_yaml(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "roundtrip_text": texts})
 
     return (
-        extract_turns(d).select("conv_id", "items")
+        extract_turns(_fan_out(d)).select("conv_id", "items")
         .mapInPandas(run, "doc_id long, roundtrip_text string")
     )
 
