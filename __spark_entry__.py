@@ -27,11 +27,14 @@ ELLIPSIS = "…"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fanned out (guarded, below): the test corpus is one parquet row
+    # group, so every downstream per-row compute — JVM regex splits as
+    # much as Python kernels — would otherwise run 1-3 tasks wide
+    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -84,7 +87,7 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → transcripts (conv_id, turn_idx, role, text, tool, ts):
     3 turns per document — user asks (plain), assistant answers (html),
     tool returns (code). Deterministic, derivable in SQL."""
-    d = _fan_out(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
     base = d.select(
         F.concat(F.lit("conv"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
                  ).alias("conv_id"),
@@ -126,7 +129,7 @@ def _extract_docs(spark, sf_dir, payload_col, tool: str) -> DataFrame:
     expression and run the real extraction operator."""
     from docling_spark.operators.extract_ops import extract_turns
 
-    d = _fan_out(_docs(spark, sf_dir)).select(
+    d = _docs(spark, sf_dir).select(
         F.col("doc_id"),
         payload_col.alias("text"),
     )
@@ -617,7 +620,12 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
     sh = shingles(_docs(spark, sf_dir)).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    # persist cands too: jaccard_pairs references the candidate plan three
+    # times (in_play union x2 + final join); without the persist Spark's
+    # ReuseExchange cannot dedup the LSH chain across those references
+    # once a round-robin fan-out exchange sits in its lineage
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8,
+                                band_size=2).persist()
     return jaccard_pairs(sh, threshold=0.2, candidates=cands)
 
 
@@ -662,7 +670,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # candidate-confined Jaccard — without it the most expensive stage of
     # the whole bench ran twice (r1 VERDICT #6)
     sh = shingles(_docs(spark, sf_dir)).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    # cands persisted for the same three-reference reason as q_dedup_jaccard
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8,
+                                band_size=2).persist()
     return jaccard_pairs(sh, threshold=0.1, candidates=cands)
 
 
@@ -864,7 +874,9 @@ def q_dedup_components(spark, sf_dir):
     )
 
     sh = shingles(_docs(spark, sf_dir)).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, band_size=2)
+    # cands persisted for the same three-reference reason as q_dedup_jaccard
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 8), 8,
+                                band_size=2).persist()
     return connected_components(jaccard_pairs(sh, threshold=0.2,
                                               candidates=cands))
 
