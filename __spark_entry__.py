@@ -6942,6 +6942,111 @@ group by canonical_url
 """
 
 
+_SCRIPT_SNIPPETS = [
+    ("", ""),
+    (" Привет мир это тест", "cyrillic"),
+    (" 你好世界 这是测试", "cjk"),
+    (" مرحبا بالعالم هذا اختبار", "arabic"),
+    (" Γεια σου κόσμε αυτό είναι δοκιμή", "greek"),
+]
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (operators/webquality.py script_profile)
+    over documents enriched with doc_id-selected multilingual snippets so
+    every script path fires; per-script char counts + dominant script +
+    dominant fraction, all regexp_count projections."""
+    from docling_spark.operators.webquality import script_profile
+
+    d = _docs(spark, sf_dir)
+    snip = F.lit("")
+    for k in range(1, 5):
+        snip = F.when(F.col("doc_id") % 5 == k,
+                      F.lit(_SCRIPT_SNIPPETS[k][0])).otherwise(snip)
+    enriched = d.select(
+        "doc_id", F.concat(F.col("text"), snip).alias("text"))
+    return script_profile(enriched)
+
+
+def _script_oracle() -> str:
+    from docling_spark.operators.webquality import (
+        SCRIPT_ORDER,
+        SCRIPT_RANGES,
+    )
+
+    cnt = ",\n    ".join(
+        f"len(regexp_extract_all(text, '[{SCRIPT_RANGES[s]}]')) as n_{s}"
+        for s in SCRIPT_ORDER)
+    total = " + ".join(f"n_{s}" for s in SCRIPT_ORDER)
+    best = "greatest(" + ", ".join(f"n_{s}" for s in SCRIPT_ORDER) + ")"
+    dom = "case\n    "
+    dom += "\n    ".join(
+        f"when n_{s} > 0 and n_{s} = {best} then '{s}'"
+        for s in SCRIPT_ORDER)
+    dom += "\n    else 'none' end"
+    snips = "\n      ".join(
+        f"when doc_id % 5 = {k} then text || '{_SCRIPT_SNIPPETS[k][0]}'"
+        for k in range(1, 5))
+    cols = ", ".join(f"n_{s}" for s in SCRIPT_ORDER)
+    return f"""
+with e as (
+  select doc_id,
+    case
+      {snips}
+      else text end as text
+  from documents
+),
+s as (
+  select doc_id,
+    {cnt}
+  from e
+)
+select doc_id, {cols},
+  {dom} as dominant_script,
+  round(case when {total} > 0
+             then {best}::double / ({total}) else 0.0 end, 6)
+    as dominant_frac
+from s
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease (webquality.flesch_reading_ease) over
+    documents: word/sentence/vowel-group counts + the published score."""
+    from docling_spark.operators.webquality import flesch_reading_ease
+
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+")))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(c), F.lit("[aeiouy]+")).alias("n_syllables"),
+        flesch_reading_ease(c).alias("flesch"),
+    )
+
+
+ORACLE_READABILITY = """
+with t as (
+  select doc_id, text,
+    case when trim(text) = '' then 0
+         else len(string_split_regex(trim(text), '\\s+')) end as n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) as n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) as n_syllables
+  from documents
+)
+select doc_id, n_words, n_sentences, n_syllables,
+  case when n_words > 0
+       then round(206.835 - 1.015 * (n_words::double / n_sentences)
+                  - 84.6 * (n_syllables::double / n_words), 4)
+       else 0.0 end as flesch
+from t
+"""
+
+
 def q_conversation_stats(spark, sf_dir):
     """Per-conversation dialogue analytics (operators/extract_ops.py
     conversation_stats): a doc_id-derived variable-length transcript
@@ -7129,6 +7234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_normalize": q_url_normalize,
         "conversation_stats": q_conversation_stats,
+        "script_profile": q_script_profile,
+        "readability": q_readability,
         "asr_segments": q_asr_segments,
         "export_yaml": q_export_yaml,
         # metrics sidecar / confidence
@@ -7283,6 +7390,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": ORACLE_GOPHER_QUALITY,
         "url_normalize": ORACLE_URL_NORMALIZE,
         "conversation_stats": ORACLE_CONVERSATION_STATS,
+        "script_profile": _script_oracle(),
+        "readability": ORACLE_READABILITY,
         "asr_segments": ORACLE_ASR_SEGMENTS,
         "export_yaml": ORACLE_EXPORT_YAML,
         "extract_metrics_by_format": ORACLE_METRICS_BY_FORMAT,

@@ -188,6 +188,11 @@ def main() -> None:
         "picture_annotations",
         "hybrid_chunks",
         "lsh_bucket_overflow",
+        "gopher_quality",
+        "url_normalize",
+        "conversation_stats",
+        "script_profile",
+        "readability",
     ]
     for name in bench_queries:
         # untimed warm-up first: the first execution of a query pays

@@ -49,3 +49,33 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("extract_text", extract_text)
     spark.udf.register("detect_payload_format", detect_payload_format)
     spark.udf.register("normalize_text", normalize_text)
+
+    # canonical_url: a pure SQL scalar function (CREATE FUNCTION ...
+    # RETURN <expr>) — stays JVM-side inside whole-stage codegen, unlike
+    # the pandas UDFs above. Mirrors operators/webquality.canonical_url
+    # step for step; tests/test_webquality.py pins SQL ≡ Column parity.
+    spark.sql(r"""
+CREATE OR REPLACE TEMPORARY FUNCTION canonical_url(url STRING)
+RETURNS STRING
+RETURN regexp_replace(
+  (SELECT CASE WHEN q = '' THEN b
+          ELSE concat(b, '?', array_join(array_sort(split(q, '&')), '&'))
+          END
+   FROM (SELECT regexp_extract(u, '^([^?]*)', 1) AS b,
+                regexp_extract(u, '\\?(.*)$', 1) AS q
+         FROM (SELECT regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(
+                            concat(
+                              lower(regexp_extract(url,
+                                    '^([a-zA-Z]+://[^/?#]*)', 1)),
+                              regexp_replace(url,
+                                    '^[a-zA-Z]+://[^/?#]*', '')),
+                            '#.*$', ''),
+                          '^(http://[^/?#:]*):80(/|\\?|$)', '$1$2'),
+                        '^(https://[^/?#:]*):443(/|\\?|$)', '$1$2'),
+                      '(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&]*',
+                      ''),
+                    '\\?&+', '?'), '&&+', '&'), '[?&]+$', '') AS u))),
+  '^([a-z]+://[^/?#]+/.+?)/(\\?|$)', '$1$2')
+""")

@@ -129,6 +129,81 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     return sig.withColumn("keep", keep)
 
 
+# -- Unicode script profile -------------------------------------------------
+
+# BMP ranges per script (the ranges cover the dominant blocks, not every
+# historic extension — this is corpus triage, not a Unicode library).
+# Shared constants so the Spark patterns and the SQL oracle build the
+# SAME character classes from one source.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+    "devanagari": "ऀ-ॿ",
+}
+# fixed argmax tie order (first wins) — deterministic dominant script
+SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk", "kana",
+                "hangul", "devanagari")
+
+
+def script_counts(col) -> dict[str, Column]:
+    """Per-script character counts as JVM regexp_count columns."""
+    return {s: F.regexp_count(col, F.lit(f"[{r}]"))
+            for s, r in SCRIPT_RANGES.items()}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script profile — the language-ID fallback
+    every multilingual corpus pipeline runs before any model-based
+    langid (script alone routes CJK/Arabic/Cyrillic correctly and is
+    three orders of magnitude cheaper). Counts per script block, the
+    dominant script (argmax with a fixed tie order, 'none' when no
+    letter matches), and the dominant fraction of letter chars.
+
+    Pure per-row regexp_count projection — fused with the scan, no
+    shuffle, no Python."""
+    c = F.col(text_col)
+    counts = script_counts(c)
+    sel = [F.col(id_col)] + [counts[s].alias(f"n_{s}") for s in SCRIPT_ORDER]
+    prof = docs.select(*sel)
+    ncols = [F.col(f"n_{s}") for s in SCRIPT_ORDER]
+    total = sum(ncols[1:], ncols[0])
+    best = F.greatest(*ncols)
+    dom = F.lit("none")
+    for s in reversed(SCRIPT_ORDER):  # earlier scripts win ties
+        n = F.col(f"n_{s}")
+        dom = F.when((n > 0) & (n == best), F.lit(s)).otherwise(dom)
+    return prof.select(
+        "*",
+        dom.alias("dominant_script"),
+        F.round(F.when(total > 0, best.cast("double") / total)
+                .otherwise(F.lit(0.0)), 6).alias("dominant_frac"),
+    )
+
+
+# -- Flesch readability -----------------------------------------------------
+
+def flesch_reading_ease(col) -> Column:
+    """Flesch reading-ease score (Flesch 1948; the edu-quality filter
+    signal): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Sentences = runs of [.!?] (min 1); syllables ≈ vowel-group count per
+    the standard cheap approximation. Not clamped — callers bucket."""
+    n_words = token_count(col).cast("double")
+    n_sent = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("double")
+    n_syl = F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("double")
+    return F.when(
+        n_words > 0,
+        F.round(F.lit(206.835) - F.lit(1.015) * (n_words / n_sent)
+                - F.lit(84.6) * (n_syl / n_words), 4),
+    ).otherwise(F.lit(0.0))
+
+
 # -- URL canonicalization ---------------------------------------------------
 
 # tracking params stripped by every major web pipeline (utm family,

@@ -58,6 +58,66 @@ class TestCanonicalUrl:
     def test_keeps_root_slash(self, spark):
         assert _canon(spark, "http://a.com/") == "http://a.com/"
 
+    def test_idempotent(self, spark):
+        """canonical_url(canonical_url(x)) == canonical_url(x) — the
+        canonical form is a fixed point, so re-normalizing an already-
+        deduped URL table never reshuffles groups."""
+        urls = [
+            "HTTP://Example.COM:80/path/3/?utm_source=x&b=2&a=1#frag",
+            "https://CDN.site.org:443/assets/img1?gclid=abc&z=9",
+            "http://a.com/x?b=2&a=1&c=3",
+            "http://a.com/",
+            "http://a.com:8080/x/",
+            "https://news.site.org/story-7/",
+            "http://a.com/x?utm_source=tw&utm_medium=s",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            canonical_url(F.col("url")).alias("once"),
+            canonical_url(canonical_url(F.col("url"))).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r["once"] == r["twice"]
+
+    def test_fuzz_idempotent_and_total(self, spark):
+        """Deterministic URL-ish fuzz corpus (md5-derived hosts/paths/
+        params, junk characters, missing schemes, empty strings): the
+        canonicalizer must never raise, never return null for non-null
+        input, and stay idempotent on every row."""
+        import hashlib
+
+        def h(i, tag):
+            return hashlib.md5(f"{i}:{tag}".encode()).hexdigest()
+
+        urls = []
+        for i in range(300):
+            host = f"{h(i,'h')[:6]}.com"
+            path = "/".join(h(i, "p")[j:j + 4] for j in range(0, 12, 4))
+            q = f"{h(i,'q')[:3]}={h(i,'v')[:3]}&utm_source={h(i,'u')[:4]}"
+            shape = i % 6
+            if shape == 0:
+                urls.append(f"HTTP://{host.upper()}:80/{path}/?{q}#x")
+            elif shape == 1:
+                urls.append(f"https://{host}:443/{path}?{q}&{q}")
+            elif shape == 2:
+                urls.append(f"ftp://{host}/{path}")
+            elif shape == 3:
+                urls.append(f"{host}/{path}?{q}")  # no scheme
+            elif shape == 4:
+                urls.append(f"http://{host}/???##{q}")
+            else:
+                urls.append("")
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            "url",
+            canonical_url(F.col("url")).alias("once"),
+            canonical_url(canonical_url(F.col("url"))).alias("twice"),
+        ).collect()
+        assert len(rows) == 300
+        for r in rows:
+            assert r["once"] is not None
+            assert r["once"] == r["twice"], r["url"]
+
     def test_url_dedup_groups_collisions(self, spark):
         df = spark.createDataFrame(
             [(1, "HTTP://A.com:80/x?b=2&a=1#f"),
@@ -69,6 +129,32 @@ class TestCanonicalUrl:
         assert out["http://a.com/x?a=1&b=2"]["n_dups"] == 2
         assert out["http://a.com/x?a=1&b=2"]["canonical_id"] == 1
         assert out["http://a.com/other"]["n_dups"] == 1
+
+
+class TestSqlRegistryParity:
+    def test_canonical_url_sql_matches_column(self, spark):
+        """The SQL scalar function registered by register_sql_udfs must be
+        bit-identical to the Column chain on every URL shape."""
+        from docling_spark.functions.register import register_sql_udfs
+
+        register_sql_udfs(spark)
+        urls = [
+            "HTTP://Example.COM:80/path/3/?utm_source=x&b=2&a=1#frag",
+            "https://CDN.site.org:443/assets/img1?gclid=abc&z=9",
+            "http://a.com/x?b=2&a=1&c=3",
+            "http://a.com/",
+            "http://a.com:8080/x/",
+            "https://news.site.org/story-7/",
+            "http://a.com/x?utm_source=tw",
+            "http://a.com/x#frag",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            canonical_url(F.col("url")).alias("col_fn"),
+            F.expr("canonical_url(url)").alias("sql_fn"),
+        ).collect()
+        for r in rows:
+            assert r["col_fn"] == r["sql_fn"]
 
 
 class TestGopherQuality:
@@ -110,6 +196,54 @@ class TestGopherQuality:
     def test_nonalpha_words_rejected(self, spark):
         r = self._row(spark, " ".join(["123 456 789 0"] * 20))
         assert r["alpha_word_frac"] == 0.0 and r["keep"] is False
+
+
+class TestScriptProfile:
+    def _row(self, spark, text: str):
+        from docling_spark.operators.webquality import script_profile
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return script_profile(df).collect()[0]
+
+    def test_cyrillic_dominant(self, spark):
+        r = self._row(spark, "Привет мир ok")
+        assert r["dominant_script"] == "cyrillic"
+        assert r["n_cyrillic"] == 9 and r["n_latin"] == 2
+        assert abs(r["dominant_frac"] - 9 / 11) < 1e-6
+
+    def test_cjk_and_kana(self, spark):
+        r = self._row(spark, "日本語のテスト")
+        assert r["n_cjk"] == 3 and r["n_kana"] == 4
+        assert r["dominant_script"] == "kana"
+
+    def test_tie_prefers_earlier_script(self, spark):
+        # 2 latin vs 2 greek — latin comes first in SCRIPT_ORDER
+        r = self._row(spark, "ab αβ")
+        assert r["n_latin"] == 2 and r["n_greek"] == 2
+        assert r["dominant_script"] == "latin"
+
+    def test_no_letters(self, spark):
+        r = self._row(spark, "123 456 !!!")
+        assert r["dominant_script"] == "none"
+        assert r["dominant_frac"] == 0.0
+
+
+class TestFleschReadability:
+    def test_known_sentence(self, spark):
+        from docling_spark.operators.webquality import flesch_reading_ease
+
+        # "The cat sat on the mat." -> 6 words, 1 sentence, 6 vowel groups
+        df = spark.createDataFrame([("The cat sat on the mat.",)], "t string")
+        v = df.select(flesch_reading_ease(F.col("t")).alias("f")).collect()[0]["f"]
+        expected = round(206.835 - 1.015 * 6 - 84.6 * (6 / 6), 4)
+        assert abs(v - expected) < 1e-9
+
+    def test_empty_is_zero(self, spark):
+        from docling_spark.operators.webquality import flesch_reading_ease
+
+        df = spark.createDataFrame([("",)], "t string")
+        assert df.select(flesch_reading_ease(F.col("t")).alias("f")) \
+                 .collect()[0]["f"] == 0.0
 
 
 class TestConversationStats:
