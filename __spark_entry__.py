@@ -2316,11 +2316,17 @@ def q_pdf_hyperlinks(spark, sf_dir):
 
 
 ORACLE_PDF_HYPERLINKS = """
+-- mirrors the UDF's token padding (toks + ['x','x','x','x']): short or
+-- empty documents pad with 'x'. The corpus word list is ASCII so the
+-- UDF's latin-1 'replace' encoding is the identity here.
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id,
+         case when trim(text) = '' then cast([] as varchar[])
+              else string_split_regex(trim(text), '\\s+') end toks
+  from documents
 )
 select doc_id,
-       toks[1] || ' ' || toks[2] as item_text,
+       coalesce(toks[1], 'x') || ' ' || coalesce(toks[2], 'x') as item_text,
        'https://ex.com/a' || doc_id as uri,
        1.0 as coverage
 from t
@@ -6916,8 +6922,8 @@ c2 as (  -- default ports, tracking params, separator cleanup
       regexp_replace(regexp_replace(u,
         '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
         '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2'),
-        '(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&]*',
-        '', 'g'),
+        '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&#]*',
+        '\\1', 'g'),
       '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') as u
   from c1
 ),

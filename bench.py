@@ -195,6 +195,13 @@ def main() -> None:
         "readability",
     ]
     for name in bench_queries:
+        # drop caches persisted by the PREVIOUS query (several queries
+        # persist() shingle/candidate frames and cannot unpersist them —
+        # the frames must stay live until execution); without this the
+        # leaked blocks accumulate across the suite and compete with the
+        # current query's own working set. Within one query's slot the
+        # cache persists across warm-up + timed passes (steady state).
+        spark.catalog.clearCache()
         # untimed warm-up first: the first execution of a query pays
         # one-off costs that aren't the operator (python-worker imports
         # of its engine module across all workers, shuffle-service

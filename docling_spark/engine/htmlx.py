@@ -44,7 +44,6 @@ BLOCK_IMPLIES_P_CLOSE = frozenset(
 )
 
 HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
-_TITLE_SET = frozenset(["title"])
 
 FORMAT_TAGS = {
     "b": "bold",
@@ -95,6 +94,22 @@ class Element:
                 kids.reverse()
                 todo.extend(kids)
         return out
+
+    def preorder(self) -> "Iterator[Element]":
+        """Pre-order descendant elements (self excluded) — the shared
+        early-exit traversal behind _find_first and the first-header
+        scan. find_all keeps its inline copy of this loop: it collects
+        every visit (~750k per 10k docs) and the generator's per-yield
+        overhead is measurable there."""
+        todo: list[Element] = [self]
+        while todo:
+            node = todo.pop()
+            if node is not self:
+                yield node
+            kids = [ch for ch in node.children if ch.__class__ is Element]
+            if kids:
+                kids.reverse()
+                todo.extend(kids)
 
     def has_ancestor(self, name: str) -> bool:
         node = self.parent
@@ -461,17 +476,10 @@ class HtmlExtractor:
         # only the FIRST non-table heading matters — early-exit pre-order
         # search instead of collecting every heading in the document
         first_header = None
-        todo = [body]
-        while todo:
-            node = todo.pop()
-            if node is not body and node.tag in HEADINGS \
-                    and not node.has_ancestor("table"):
+        for node in body.preorder():
+            if node.tag in HEADINGS and not node.has_ancestor("table"):
                 first_header = node
                 break
-            kids = [ch for ch in node.children if ch.__class__ is Element]
-            if kids:
-                kids.reverse()
-                todo.extend(kids)
         self.layer = (
             "furniture" if (self.infer_furniture and first_header is not None)
             else "body"
@@ -492,16 +500,7 @@ class HtmlExtractor:
     @staticmethod
     def _find_first(root: Element, tag: str) -> Element | None:
         """Pre-order first match — early exit, no full-tree collection."""
-        todo = [root]
-        while todo:
-            node = todo.pop()
-            if node is not root and node.tag == tag:
-                return node
-            kids = [ch for ch in node.children if ch.__class__ is Element]
-            if kids:
-                kids.reverse()
-                todo.extend(kids)
-        return None
+        return next((n for n in root.preorder() if n.tag == tag), None)
 
     @staticmethod
     def _prune(root: Element) -> None:

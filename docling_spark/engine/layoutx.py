@@ -26,6 +26,7 @@ Pure Python; runs inside the extraction pandas UDF.
 from __future__ import annotations
 
 import json
+import re
 
 from docling_spark.functions.textnorm import (
     fix_stx,
@@ -48,6 +49,12 @@ CONF_THRESHOLDS: dict[str, float] = {
 DEFAULT_CONF_THRESHOLD = 0.50
 
 FURNITURE_LABELS = frozenset(["page_header", "page_footer"])
+
+
+# a '}' followed by ',' then '{' (any whitespace) is the only way one
+# physical line can contribute two top-level OBJECT elements to the
+# fast-path array parse — see parse_payload
+_MULTI_OBJ_RE = re.compile(r"\}\s*,\s*\{")
 
 
 class LayoutError(ValueError):
@@ -84,14 +91,23 @@ def parse_payload(payload: str) -> tuple[list[dict], dict[int, tuple]]:
              if (s := line.strip())]
     # fast path: one C-level parse of all lines as a JSON array (per-line
     # json.loads was ~40% of pdfish parse time); malformed payloads fall
-    # back to the per-line loop so error messages keep exact line numbers
+    # back to the per-line loop so error messages keep exact line numbers.
+    # Eligibility guards close the splice hole: an unterminated string can
+    # absorb the joining comma and swallow the next line, and a
+    # multi-object line can then compensate the element count — so the
+    # fast path requires every line to LOOK like exactly one object
+    # (starts '{', ends '}', no '}','{' separator that could yield two
+    # top-level elements). Lines failing the shape test (including legit
+    # cells whose text contains '},{') take the per-line path — slower,
+    # byte-identical results.
     objs: list | None = None
-    if lines:
+    if lines and all(
+        s[0] == "{" and s[-1] == "}" and not _MULTI_OBJ_RE.search(s)
+        for _, s in lines
+    ):
         try:
             objs = json.loads("[" + ",".join(s for _, s in lines) + "]")
             if len(objs) != len(lines):
-                # a line holding bare `1,2` parses as two array elements
-                # here but is invalid JSONL — per-line pass adjudicates
                 objs = None
         except json.JSONDecodeError:
             objs = None

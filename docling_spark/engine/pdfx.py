@@ -945,9 +945,15 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 # a large TJ kern (RTL corpus: +88/1000 kerns between
                 # 116/1000-wide strokes), or fake-bold double strikes.
                 # Normal kerning never retreats a full glyph width, so
-                # genuine 'll'/'ww' pairs always pass.
+                # genuine 'll'/'ww' pairs always pass. The pen delta
+                # (gx - prev_gx) lives in tm-applied space (advances
+                # accumulate as tx*tm[0]), so the glyph-width threshold
+                # must carry the same |tm[0]| scale — otherwise a scaled
+                # text matrix (0.2 0 0 0.2 ... Tm) would drop the second
+                # glyph of every 'll'/'ee' pair, and tm[0]>1 would never
+                # dedup. Rotated text (tm[0]=0) disables the gate: safe.
                 if code == prev_code and wadv > 0 and \
-                        abs(gx - prev_gx) < 0.4 * wadv * th:
+                        abs(gx - prev_gx) < 0.4 * wadv * th * abs(tm[0]):
                     continue  # advance applied; duplicate char dropped
                 parts.append(ch)
                 prev_code = code

@@ -74,8 +74,8 @@ RETURN regexp_replace(
                             '#.*$', ''),
                           '^(http://[^/?#:]*):80(/|\\?|$)', '$1$2'),
                         '^(https://[^/?#:]*):443(/|\\?|$)', '$1$2'),
-                      '(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&]*',
-                      ''),
+                      '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&#]*',
+                      '$1'),
                     '\\?&+', '?'), '&&+', '&'), '[?&]+$', '') AS u))),
   '^([a-z]+://[^/?#]+/.+?)/(\\?|$)', '$1$2')
 """)

@@ -254,8 +254,15 @@ def hybrid_chunks(
             F.col("text").alias("text"),
         ))).alias("its"))
     )
-    packed = packed.repartition(
-        items.sparkSession.sparkContext.defaultParallelism)
+    # guarded fan-out: the groupBy above inherits the upstream shuffle
+    # width — at bench scale that can be a handful of partitions for a
+    # CPU-heavy Python kernel, but a production table already runs wider
+    # than the cluster parallelism, where an unconditional repartition
+    # would ADD a shuffle and collapse thousands of partitions into
+    # core-count straggler tasks
+    par = items.sparkSession.sparkContext.defaultParallelism
+    if packed.rdd.getNumPartitions() < par:
+        packed = packed.repartition(par)
 
     def run(batches):
         for pdf in batches:

@@ -106,7 +106,10 @@ def _passes_classification_col(
             ),
             F.lit(False),
         ).otherwise(verdict)
-    return F.when(empty, F.lit(allow is None)).otherwise(verdict)
+    # no predictions: passes unless an allow-list constrains the gate —
+    # `not allow` (not `allow is None`) so allow=[] means "no allow
+    # constraint" here exactly as it does in the `if allow:` branch above
+    return F.when(empty, F.lit(not allow)).otherwise(verdict)
 
 
 def describe_picture_gate(

@@ -207,9 +207,14 @@ def flesch_reading_ease(col) -> Column:
 # -- URL canonicalization ---------------------------------------------------
 
 # tracking params stripped by every major web pipeline (utm family,
-# facebook/google click ids, session ids)
+# facebook/google click ids, session ids). Anchored on the [?&] param
+# delimiter (kept via $1) so 'ref=' can never match inside a PATH
+# segment ('/shop/ref=sr_1/...') or a longer param name ('href=',
+# 'jsessionid='); the delimiter residue ('?&', '&&', trailing) is
+# swept by the cleanup rewrites that follow.
 _TRACKING_PARAM_RE = (
-    r"(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)=[^&]*")
+    r"([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref|sessionid|phpsessid)"
+    r"=[^&#]*")
 
 
 def canonical_url(col) -> Column:
@@ -242,7 +247,7 @@ def canonical_url(col) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
     # 4: tracking params + separator cleanup
-    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]+$", "")

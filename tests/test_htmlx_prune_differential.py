@@ -101,10 +101,12 @@ def test_merged_prune_matches_two_pass_flow() -> None:
     assert not mism, f"merged prune diverged on payload indices {mism}"
 
 
-def test_item_output_identical_via_extract() -> None:
-    """End-to-end: full extract() over the corpus equals a pipeline that
-    parses, old-prunes, replaces br, then walks — i.e. the merged pass
-    changes no item."""
+def test_item_output_invariants_via_extract() -> None:
+    """End-to-end smoke over the corpus: full extract() returns items
+    whose parent indices are well-formed. The actual merged-vs-two-pass
+    differential is test_merged_prune_matches_two_pass_flow above — the
+    walker is a pure function of the pruned tree, so tree-signature
+    equality there implies item equality here."""
     ex = HtmlExtractor()
     for payload in _payloads()[:40]:
         items = ex.extract(payload)

@@ -83,3 +83,48 @@ def test_sort_clusters_modes():
     assert [x["index"] for x in sort_clusters(cells, "tblr")] == [1, 0, 2]
     assert [x["index"] for x in sort_clusters(cells, "lrtb")] == [1, 2, 0]
     assert sort_clusters(cells, "nope") == cells
+
+
+class TestParsePayloadFastPathGuards:
+    """The JSONL fast path (one array parse) must never accept a payload
+    the per-line path would reject — splices across lines can preserve
+    the element count while corrupting cell text."""
+
+    def test_spliced_string_rejected(self):
+        import pytest
+
+        from docling_spark.engine.layoutx import LayoutError, parse_payload
+
+        # line 1's unterminated string would absorb the joining comma and
+        # line 2; line 3 holds two objects to compensate the count
+        payload = (
+            '{"bbox":[0,0,1,1],"text":"a\n'
+            'b"}\n'
+            '{"width":10,"height":10},{"width":10,"height":10}'
+        )
+        with pytest.raises(LayoutError):
+            parse_payload(payload)
+
+    def test_legit_text_with_brace_comma_still_parses(self):
+        from docling_spark.engine.layoutx import parse_payload
+
+        # '},{' inside a legit string routes to the per-line path and
+        # must still parse byte-identically
+        payload = (
+            '{"page_no":1,"width":100,"height":100}\n'
+            '{"bbox":[0,0,5,5],"text":"a},{b"}'
+        )
+        cells, sizes = parse_payload(payload)
+        assert cells[0]["text"] == "a},{b"
+        assert sizes[1] == (100.0, 100.0)
+
+    def test_normal_payload_unchanged(self):
+        from docling_spark.engine.layoutx import parse_payload
+
+        payload = (
+            '{"page_no":1,"width":100,"height":100}\n'
+            '{"bbox":[0,0,5,5],"text":"hello"}\n'
+            '{"bbox":[0,6,5,11],"text":"world"}'
+        )
+        cells, _ = parse_payload(payload)
+        assert [c["text"] for c in cells] == ["hello", "world"]

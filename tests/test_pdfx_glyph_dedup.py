@@ -51,3 +51,28 @@ def test_adjacent_tj_repeat_without_kern_survives() -> None:
     text, _, _ = extract_pdf(
         _pdf("BT /F1 12 Tf 72 700 Td (success) Tj ET\n"))
     assert "success" in text
+
+
+def test_scaled_text_matrix_repeat_survives() -> None:
+    # a scaled Tm (0.2 scale, a common generator pattern) shrinks the
+    # pen delta between glyphs by tm[0]; the dedup threshold must shrink
+    # with it or every 'll'/'cc' pair would be dropped
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 0.2 0 0 0.2 72 700 Tm (success fully) Tj ET\n"))
+    assert "success fully" in text
+
+
+def test_scaled_text_matrix_double_strike_dropped() -> None:
+    # the double-strike dedup must still fire under a scaled Tm
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 0.2 0 0 0.2 72 700 Tm [(AB) 600 (BC)] TJ ET\n"))
+    assert "ABC" in text
+    assert "ABB" not in text
+
+
+def test_magnified_text_matrix_double_strike_dropped() -> None:
+    # tm[0] > 1: without the |tm[0]| factor the gate would never fire
+    text, _, _ = extract_pdf(
+        _pdf("BT /F1 12 Tf 3 0 0 3 72 700 Tm [(AB) 600 (BC)] TJ ET\n"))
+    assert "ABC" in text
+    assert "ABB" not in text

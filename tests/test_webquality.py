@@ -47,6 +47,19 @@ class TestCanonicalUrl:
     def test_tracking_only_query_drops_question_mark(self, spark):
         assert _canon(spark, "http://a.com/x?utm_source=tw") == "http://a.com/x"
 
+    def test_tracking_strip_is_param_anchored(self, spark):
+        # 'ref=' inside a PATH segment must survive (Amazon-style URLs)
+        assert _canon(spark, "https://ex.com/shop/ref=sr_1/item?a=1") == \
+            "https://ex.com/shop/ref=sr_1/item?a=1"
+        # longer param names containing a tracking name must survive
+        assert _canon(spark, "http://a.com/x?href=y&a=1") == \
+            "http://a.com/x?a=1&href=y"
+        assert _canon(spark, "http://a.com/x?jsessionid=z&a=1") == \
+            "http://a.com/x?a=1&jsessionid=z"
+        # consecutive tracking params all stripped
+        assert _canon(spark, "http://a.com/x?utm_a=1&utm_b=2&c=3") == \
+            "http://a.com/x?c=3"
+
     def test_sorts_query_params(self, spark):
         assert _canon(spark, "http://a.com/x?b=2&a=1&c=3") == \
             "http://a.com/x?a=1&b=2&c=3"

@@ -75,6 +75,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # several queries persist() frames they cannot unpersist
+            # (must stay live until execution) — drop the previous
+            # query's leftovers so leaks never accumulate over 145 runs
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
