@@ -2231,7 +2231,11 @@ def q_pdf_hyperlinks(spark, sf_dir):
     from docling_spark.operators.spatial import hyperlink_attach
 
     def _mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
-        from docling_spark.engine.pdfx import pdf_hyperlinks, pdf_line_cells
+        from docling_spark.engine.pdfx import (
+            PdfDocument,
+            pdf_hyperlinks,
+            pdf_line_cells,
+        )
 
         out = []
         for i, t in zip(doc_id, text):
@@ -2272,14 +2276,16 @@ def q_pdf_hyperlinks(spark, sf_dir):
             payload = pdf.encode("latin-1", "replace")
             rows = []
             try:
-                cells, _sizes = pdf_line_cells(payload)
+                # one parse shared by the text and hyperlink passes
+                pdoc = PdfDocument(payload)
+                cells, _sizes = pdf_line_cells(pdoc)
                 for k, c in enumerate(cells):
                     l, tt, r, b = c["bbox"]
                     rows.append((
                         "cell", k, int(c["page_no"]), c["text"],
                         float(l), float(tt), float(r), float(b), None,
                     ))
-                for lk in pdf_hyperlinks(payload):
+                for lk in pdf_hyperlinks(pdoc):
                     rows.append((
                         "link", None, int(lk["page_no"]), None,
                         float(lk["l"]), float(lk["t"]),

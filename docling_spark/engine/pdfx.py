@@ -358,19 +358,35 @@ class PdfDocument:
         object in place. XRef/ObjStm containers come before expansion so
         compressed objects decode from plaintext; the encrypt dict
         itself stays untouched per spec."""
-        m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data)
-        if not m:
+        # scan ALL /Encrypt-shaped matches and keep the LAST that points
+        # at a real encrypt dict — the genuine reference lives in the
+        # trailer at EOF (later incremental updates win per spec), and a
+        # stray byte pattern inside an earlier stream body must not make
+        # an encrypted document silently parse as plaintext garbage
+        enc = None
+        enc_num = -1
+        for m in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data):
+            cand_num = int(m.group(1))
+            cand = self.objects.get(cand_num)
+            if isinstance(cand, Stream):
+                cand = cand.d
+            if isinstance(cand, dict) and "Filter" in cand:
+                enc, enc_num = cand, cand_num
+        if enc is None:
             return
-        enc_num = int(m.group(1))
-        enc = self.objects.get(enc_num)
-        if isinstance(enc, Stream):
-            enc = enc.d
-        if not isinstance(enc, dict) or "Filter" not in enc:
-            return  # stray /Encrypt-looking bytes (e.g. inside a stream)
         if str(self.resolve(enc.get("Filter"))) != "Standard":
             raise PdfError("unsupported encryption handler")
         idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", self.data)
-        doc_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+        if idm:
+            doc_id = bytes.fromhex(idm.group(1).decode())
+        else:
+            # literal-string form /ID [(...) (...)] is equally legal
+            idl = re.search(rb"/ID\s*\[\s*\(", self.data)
+            if idl:
+                s, _ = _parse_string(self.data, idl.end() - 1)
+                doc_id = s
+            else:
+                doc_id = b""
         from docling_spark.engine.pdfcrypto import StandardDecryptor
 
         dec = None
@@ -416,12 +432,17 @@ class PdfDocument:
         data = self.data
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
-            self.gens[num] = int(m.group(2))
-            self.offsets[num] = m.start()
             try:
                 obj, end = parse_object(data, m.end())
             except (PdfError, IndexError, RecursionError):
+                # garbage bytes inside a stream body can match _OBJ_RE;
+                # record gen/offset only for a successful parse or the
+                # stray match corrupts this object's decryption key
+                # (gens feeds the RC4/AES per-object key) and the
+                # ObjStm later-offset-wins shadowing
                 continue
+            self.gens[num] = int(m.group(2))
+            self.offsets[num] = m.start()
             if isinstance(obj, dict):
                 sm = _STREAM_RE.match(data, _skip_ws(data, end))
                 if sm:
@@ -614,6 +635,11 @@ _CODESPACE = re.compile(
 
 
 def _utf16_from_hex(hx: bytes) -> str:
+    if len(hx) % 2:
+        # odd-digit hex string: the spec pads with a trailing zero
+        # (7.3.4.3); bytes.fromhex would raise and a raise here blanks
+        # every page using the font (pdf_line_cells' per-page guard)
+        hx += b"0"
     raw = bytes.fromhex(hx.decode())
     if len(raw) % 2:
         raw += b"\x00"
@@ -654,6 +680,8 @@ def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
                         mapping[code] = _utf16_from_hex(dsts[k])
             else:
                 base_h = _HEX_TOK.match(dst).group(1)
+                if len(base_h) % 2:
+                    base_h += b"0"  # spec zero-pad, see _utf16_from_hex
                 base_raw = bytes.fromhex(base_h.decode())
                 base = int(base_h, 16)
                 for code in range(lo, hi + 1):
@@ -680,7 +708,7 @@ class Font:
         self.mac_roman = False
         self.to_unicode: dict[int, str] = {}
         self.diffs: dict[int, str] = {}
-        self.widths: list[float] | None = None
+        self.widths: list[float | None] | None = None
         self.first_char = 0
         self.default_w = 0.5
         self.cid_widths: dict[int, float] = {}
@@ -725,7 +753,10 @@ class Font:
             k = code - self.first_char
             if 0 <= k < len(self.widths):
                 w = self.widths[k]
-                if w:
+                # an explicit 0 is a real zero-advance glyph (combining
+                # accents) — substituting the 0.5 em default would inject
+                # phantom pen travel and split words at the gap heuristics
+                if w is not None:
                     return w / 1000.0
         return self.default_w
 
@@ -816,8 +847,12 @@ def load_fonts(doc: PdfDocument, page: dict) -> dict[str, Font]:
             f.first_char = int(fc) if isinstance(fc, (int, float)) else 0
             ws = doc.resolve(fd.get("Widths"))
             if isinstance(ws, list):
+                # unresolvable entries become None (→ default advance);
+                # an explicit 0 stays 0 — a real zero-advance glyph
                 f.widths = [
-                    float(doc.resolve(w) or 0) for w in ws
+                    (float(rv) if isinstance((rv := doc.resolve(w)),
+                                             (int, float)) else None)
+                    for w in ws
                 ]
         if key is not None:
             cache[key] = f
@@ -1080,8 +1115,17 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                     if gstack:
                         ctm, tf, size, tc, tw, th, tl = gstack.pop()
                 elif op == b"BI":
-                    # inline image: skip to EI
+                    # inline image: skip past EI. The raw sample data can
+                    # contain the byte pair 'EI', so require whitespace on
+                    # both sides (the spec's operator delimiting) — a bare
+                    # find() could resume the tokenizer mid-binary and a
+                    # stray '(' would then swallow real operators
                     e = content.find(b"EI", i)
+                    while e >= 0 and not (
+                        (e == 0 or content[e - 1:e] in _WS)
+                        and (e + 2 >= n or content[e + 2:e + 3] in _WS)
+                    ):
+                        e = content.find(b"EI", e + 2)
                     i = e + 2 if e >= 0 else n
                 elif op == b"Do" and stack and isinstance(xobjects, dict):
                     xo = doc.resolve(xobjects.get(str(stack[-1])))
@@ -1109,6 +1153,15 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
 _RTL_CHAR = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
 
 _LETTER_RE = re.compile(r"[^\W\d_]")
+
+
+def _rtl_dominant(text: str) -> bool:
+    """True when a strict majority of the letters are RTL-script chars —
+    the single dominance rule shared by the bidi line fix, the line
+    splitter, and the ruled-table bail-out."""
+    letters = _LETTER_RE.findall(text)
+    return bool(letters) and sum(
+        1 for ch in letters if _RTL_CHAR.match(ch)) * 2 > len(letters)
 _WSRUN_RE = re.compile(r"\s+")
 _DIGITRUN_RE = re.compile(r"\d+")
 _LTR_SEG = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%-]*[A-Za-z0-9]|[A-Za-z0-9]")
@@ -1127,11 +1180,7 @@ def _fix_rtl(glyphs: list[str]) -> str:
     ends). Embedded LTR (latin/digit) runs are un-reversed afterwards;
     paired brackets mirror."""
     text = "".join(glyphs)
-    letters = _LETTER_RE.findall(text)
-    if not letters:
-        return text
-    rtl = sum(1 for ch in letters if _RTL_CHAR.match(ch))
-    if rtl * 2 <= len(letters):
+    if not _rtl_dominant(text):
         return text
     rev = "".join(
         g if len(g) > 1 else g.translate(_MIRROR)
@@ -1194,10 +1243,7 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
         # start positions across the page (see _column_edges); joining
         # across the gutter interleaves two-column text irrecoverably
         joined = "".join(r.text for r in line)
-        letters = _LETTER_RE.findall(joined)
-        rtl_line = letters and sum(
-            1 for ch in letters if _RTL_CHAR.match(ch)) * 2 > len(letters)
-        if rtl_line:
+        if _rtl_dominant(joined):
             # RTL lines read right-to-left across any gap — splitting
             # would re-order the fragments left-to-right downstream
             split_lines.append(line)
@@ -1259,12 +1305,15 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
     return cells
 
 
-def pdf_line_cells(payload: bytes,
+def pdf_line_cells(payload: "bytes | PdfDocument",
                    password: str = "") -> tuple[list[dict], dict[int, tuple]]:
     """PDF bytes → (text-line cells, page sizes) — the native-parser
     contract the reference gets from docling-parse (per-line TextCells +
-    page geometry), fed to ``layoutx.extract_from_cells``."""
-    doc = PdfDocument(payload, password=password)
+    page geometry), fed to ``layoutx.extract_from_cells``. Accepts a
+    pre-built :class:`PdfDocument` so a caller extracting both text and
+    hyperlinks parses the file once."""
+    doc = (payload if isinstance(payload, PdfDocument)
+           else PdfDocument(payload, password=password))
     pages = doc.pages()
     if not pages:
         raise PdfError("no pages")
@@ -1335,7 +1384,8 @@ def extract_pdf(payload: bytes,
 # outline (PDF bookmarks → heading-hierarchy signal)
 # ---------------------------------------------------------------------------
 
-def pdf_hyperlinks(payload: bytes, password: str = "") -> list[dict]:
+def pdf_hyperlinks(payload: "bytes | PdfDocument",
+                   password: str = "") -> list[dict]:
     """Link annotations: [{page_no, l, t, r, b, uri}] in TOP-LEFT-origin
     page coordinates.
 
@@ -1348,12 +1398,24 @@ def pdf_hyperlinks(payload: bytes, password: str = "") -> list[dict]:
     PDF's bottom-left origin via the page height, URI taken from the
     ``/A`` action when ``/S /URI`` (GoTo/internal destinations carry no
     URI and are the outline walker's job, not a hyperlink).
+
+    Accepts a pre-built :class:`PdfDocument` (like :func:`pdf_outline`)
+    so callers that already parsed the bytes for text extraction don't
+    pay the object scan / decryption / page-tree walk twice per row.
+    A damaged page degrades to zero links for that page, mirroring
+    :func:`pdf_line_cells`'s per-page containment.
     """
-    doc = PdfDocument(payload, password=password)
+    doc = (payload if isinstance(payload, PdfDocument)
+           else PdfDocument(payload, password=password))
     out: list[dict] = []
     for pno, page in enumerate(doc.pages(), start=1):
-        mb = [float(doc.resolve(v) or 0) for v in
-              (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+        try:
+            mb = [float(doc.resolve(v) or 0) for v in
+                  (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+            if len(mb) < 4:
+                mb = [0, 0, 612, 792]  # damaged box → letter default
+        except (TypeError, ValueError):
+            mb = [0, 0, 612, 792]
         page_h = mb[3] - mb[1]
         annots = doc.resolve(page.get("Annots"))
         if not isinstance(annots, list):
@@ -1553,7 +1615,9 @@ def detect_ruled_tables(
     cluster into row/column boundaries; text runs whose baseline center
     falls inside a grid cell become that cell's content. Returns
     (table_cell dicts in row-major order, consumed run indices).
-    Conservative: needs ≥3 distinct horizontal rules, ≥3 vertical rules,
+    Conservative: needs ≥3 distinct horizontal rules, ≥2 vertical rules
+    (the grid's outer edges contribute two virtual column boundaries, so
+    2 drawn verticals already form ≥3 column edges — booktabs layouts),
     mutual extent overlap, and ≥4 non-empty cells — underlines, boxed
     figures and single rules never qualify. Borderless tables remain the
     ML model's territory (documented out of scope)."""
@@ -1654,9 +1718,7 @@ def detect_ruled_tables(
     # left-to-right order — bail and let the bidi-aware line path handle
     # the region (keeps logical order; ruled RTL tables degrade to lines)
     joined = "".join(runs[k].text for v in cells.values() for k in v)
-    letters = _LETTER_RE.findall(joined)
-    if letters and sum(1 for ch in letters
-                       if _RTL_CHAR.match(ch)) * 2 > len(letters):
+    if _rtl_dominant(joined):
         return [], set()
     out: list[dict] = []
     for (row, col) in sorted(cells):
