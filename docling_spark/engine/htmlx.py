@@ -254,6 +254,10 @@ _FT_CDATA_CLOSE = {
     "style": re.compile(r"</\s*style", re.I),
 }
 _FT_AMP_RE = re.compile(r"&")
+# marked-section grammar, mirroring CPython _markupbase
+_FT_MARKED_NAME_RE = re.compile(r"\s*([a-zA-Z]+)")
+_FT_MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_FT_MS_MARKED_CLOSE_RE = re.compile(r"]\s*>")
 
 
 from html import unescape as _html_unescape
@@ -315,16 +319,22 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
             else:
                 handle_starttag(tag, attrs)
                 if tag in ("script", "style"):
-                    # CDATA mode: raw text until the matching close tag
-                    cm = _FT_CDATA_CLOSE[tag].search(data, i)
-                    if cm is None:
-                        return False  # unterminated CDATA element
+                    # CDATA mode: raw text until the EXACT matching close
+                    # tag — html.parser (the pinned differential oracle)
+                    # stays in CDATA through '</scriptx>'-style prefixes,
+                    # so a prefix hit must keep scanning, not exit
+                    pos = i
+                    while True:
+                        cm = _FT_CDATA_CLOSE[tag].search(data, pos)
+                        if cm is None:
+                            return False  # unterminated CDATA element
+                        em = end_match(data, cm.start())
+                        if em is not None and em.group(1).lower() == tag:
+                            break
+                        pos = cm.start() + 2
                     if cm.start() > i:
                         handle_data(data[i:cm.start()])
-                    em = end_match(data, cm.start())
-                    if em is None:
-                        return False
-                    handle_endtag(em.group(1).lower())
+                    handle_endtag(tag)
                     i = em.end()
         elif nxt == "/":
             m = end_match(data, lt)
@@ -338,6 +348,25 @@ def _fast_feed(data: str, builder: _TreeBuilder) -> bool:
                 if end < 0:
                     return False  # unterminated comment
                 i = end + 3
+            elif data.startswith("<![", lt):
+                # marked section: mirror html.parser/_markupbase exactly —
+                # CDATA-family sections end at ']]>' (with optional ws),
+                # MS conditional sections (if/else/endif) end at ']>'.
+                # Ending at the first '>' leaked the body + ']]>' garbage
+                # into text; anything outside the two families falls back.
+                nm = _FT_MARKED_NAME_RE.match(data, lt + 3)
+                if nm is None:
+                    return False
+                sect = nm.group(1).lower()
+                if sect in ("cdata", "temp", "ignore", "include", "rcdata"):
+                    cm2 = _FT_MARKED_CLOSE_RE.search(data, lt + 3)
+                elif sect in ("if", "else", "endif"):
+                    cm2 = _FT_MS_MARKED_CLOSE_RE.search(data, lt + 3)
+                else:
+                    return False  # unknown section keyword — stdlib decides
+                if cm2 is None:
+                    return False  # unterminated marked section
+                i = cm2.end()
             else:
                 end = data.find(">", lt)
                 if end < 0:
@@ -427,13 +456,12 @@ def _norm_href(href: str) -> str:
 
 
 class _Run:
-    __slots__ = ("text", "fmt", "href", "tag")
+    __slots__ = ("text", "fmt", "href")
 
-    def __init__(self, text: str, fmt: frozenset, href: str | None, tag: str | None = None):
+    def __init__(self, text: str, fmt: frozenset, href: str | None):
         self.text = text
         self.fmt = fmt
         self.href = href
-        self.tag = tag
 
 
 _PARA_SPLIT_RE = re.compile(BR_SENTINEL + r"(?:\s*" + BR_SENTINEL + r")+")
@@ -484,13 +512,10 @@ class HtmlExtractor:
             "furniture" if (self.infer_furniture and first_header is not None)
             else "body"
         )
-        self.first_header = first_header
-        self.seen_first_header = False
 
         self.buffer: list[_Run] = []
         self.fmt: list[str] = []
         self.href: str | None = None
-        self.preserve = False  # inside <pre>
         self._pending_imgs: list[Element] = []
         self._walk(body, parent_idx=0, level=1)
         self._flush(0, 1)
@@ -576,10 +601,10 @@ class HtmlExtractor:
 
     # -- inline buffering ----------------------------------------------------
     def _add_text(self, data: str) -> None:
-        if not data and not self.preserve:
+        if not data:
             return
         self.buffer.append(
-            _Run(data, frozenset(self.fmt), self.href, getattr(self, "_cur_tag", None))
+            _Run(data, frozenset(self.fmt), self.href)
         )
 
     def _runs_to_text(self, runs: list[_Run], markdown: bool = True,
@@ -610,9 +635,9 @@ class HtmlExtractor:
                     # empty/whitespace (wiki citation '['+'1'+']' → '[ 1 ]')
                     sep = " " if last_elm.strip() and r.text.strip() else ""
                     merged[-1] = _Run(merged[-1].text + sep + r.text, r.fmt,
-                                      r.href, r.tag)
+                                      r.href)
                 else:
-                    merged.append(_Run(r.text, r.fmt, r.href, r.tag))
+                    merged.append(_Run(r.text, r.fmt, r.href))
                 last_elm = r.text
 
         def fmt_one(r: _Run) -> str:
@@ -700,7 +725,7 @@ class HtmlExtractor:
                 if i > 0:
                     para_runs.append([])
                 if piece:
-                    para_runs[-1].append(_Run(piece, r.fmt, r.href, r.tag))
+                    para_runs[-1].append(_Run(piece, r.fmt, r.href))
         for para in para_runs:
             # source newlines collapse to spaces FIRST (HTML spec), then
             # single sentinels become \n INSIDE the run — kept when
@@ -711,7 +736,7 @@ class HtmlExtractor:
                 t = " ".join(r.text.replace("\n", " ").replace("\r", " ")
                              .split())
                 nl_runs.append(
-                    _Run(t.replace(BR_SENTINEL, "\n"), r.fmt, r.href, r.tag))
+                    _Run(t.replace(BR_SENTINEL, "\n"), r.fmt, r.href))
             text = self._runs_to_text(nl_runs, keep_newlines=True)
             text = "\n".join([p for p in text.split("\n") if p.strip() != ""])
             if text:
@@ -720,8 +745,20 @@ class HtmlExtractor:
 
     def _walk_inline(self, node: Element) -> None:
         tag = node.tag
-        tag_saved = getattr(self, "_cur_tag", None)
-        self._cur_tag = tag
+        # an img/input element passed DIRECTLY (leaf child of p/heading/
+        # caption/dd — the most common image placement in real HTML) must
+        # behave exactly like one found among an inline wrapper's
+        # children below; without this branch the element's (empty) child
+        # list made it vanish. The reference emits the image/input item
+        # at any position in the walk (html_backend.py:1722-1731).
+        if tag == "img":
+            self._pending_imgs.append(node)
+            return
+        if tag == "input":
+            if str(node.attrs.get("type") or "").lower() == "checkbox":
+                mark = "x" if "checked" in node.attrs else " "
+                self._add_text(f"- [{mark}] ")
+            return
         pushed = None
         if tag in FORMAT_TAGS:
             pushed = FORMAT_TAGS[tag]
@@ -756,7 +793,6 @@ class HtmlExtractor:
             self.href = href_saved
         if pushed:
             self.fmt.pop()
-        self._cur_tag = tag_saved
 
     def _walk_inline_only(self, node: Element) -> None:
         """Walk a block whose content we treat as pure inline (p, caption)."""
@@ -826,7 +862,6 @@ class HtmlExtractor:
         # first heading sat inside a footer: the switch was consumed
         # there, clobbered by the footer's restore, and never re-armed.
         self.layer = "body"
-        self.seen_first_header = True
         parent_idx, level = self._heading_parent(hlevel)
         self._flush(parent_idx, level)
         saved_buf, self.buffer = self.buffer, []
@@ -935,8 +970,13 @@ class HtmlExtractor:
                 if itype == "checkbox":
                     mark = "x" if "checked" in ch.attrs else " "
                     self._add_text(f"- [{mark}] ")
-            elif tag in ("hr", "head", "meta", "link", "base", "title", "form",
+            elif tag in ("hr", "head", "meta", "link", "base", "title",
                          "iframe", "object", "canvas", "map", "audio", "video"):
+                # NOTE: plain <form> is NOT here — the reference walks it
+                # as a generic container (html_backend.py _walk: form is a
+                # _PARA_BREAKER, not suppressed), and crawled pages wrap
+                # real content (search results, comment threads) in forms;
+                # only class='form_region' containers get the KV machinery
                 continue
             else:
                 self._flush(parent_eff, level_eff)
@@ -1219,8 +1259,9 @@ class HtmlExtractor:
         for ch in node.children:
             if isinstance(ch, Element) and ch.tag == "li":
                 self._handle_li(ch, gidx, level + 1)
-            elif isinstance(ch, Element) and ch.tag in ("ul", "ol"):
-                # list directly nested in list (malformed but common)
+            elif isinstance(ch, Element) and ch.tag in ("ul", "ol", "menu"):
+                # list directly nested in list (malformed but common);
+                # menu nests exactly like ul — same set as the block walker
                 self._handle_list(ch, gidx, level + 1, ordered=(ch.tag == "ol"))
 
     def _handle_li(self, node: Element, parent_idx: int, level: int) -> None:
@@ -1242,7 +1283,7 @@ class HtmlExtractor:
                     self.fmt.append("code")
                     self._add_text(" ".join(self._plain_text(ch).split()))
                     self.fmt.pop()
-                elif ch.tag in ("ul", "ol", "dl", "table"):
+                elif ch.tag in ("ul", "ol", "menu", "dl", "table"):
                     nested.append(("block", ch))
                 elif ch.tag == "img":
                     nested.append(("img", ch))
@@ -1270,7 +1311,7 @@ class HtmlExtractor:
                 if alt:
                     _mk_item(self.items, idx, "caption", level + 1, alt, self.layer)
                 _mk_item(self.items, idx, "picture", level + 1, "", self.layer)
-            elif blk.tag in ("ul", "ol"):
+            elif blk.tag in ("ul", "ol", "menu"):
                 self._handle_list(blk, idx, level + 1, ordered=(blk.tag == "ol"))
             elif blk.tag == "dl":
                 self._handle_dl(blk, idx, level + 1)
@@ -1474,7 +1515,7 @@ class HtmlExtractor:
 
         def flush_runs(runs: list[_Run], kind: str = "text") -> None:
             runs = [r if BR_SENTINEL not in r.text else
-                    _Run(r.text.replace(BR_SENTINEL, " "), r.fmt, r.href, r.tag)
+                    _Run(r.text.replace(BR_SENTINEL, " "), r.fmt, r.href)
                     for r in runs]
             txt = self._runs_to_text(runs, markdown=True, escape=False).replace("\n", " ")
             if txt:
@@ -1835,10 +1876,32 @@ def _assign_list_spans(items, group, by_parent, block, off):
     gather(group)
     li_lines = [(ln, st) for ln, st in zip(lines, line_starts)
                 if _LIST_LINE_RE.match(ln)]
-    for ch, (ln, st) in zip(li_items, li_lines):
+
+    def _parts(ln):
         stripped = ln.lstrip()
         indent = len(ln) - len(stripped)
         marker_len = stripped.find(" ") + 1 if " " in stripped else 0
+        return indent, marker_len
+
+    if len(li_lines) != len(li_items):
+        # an impostor line passed the marker-shape filter (a caption /
+        # img-alt whose text begins '- '): positional zip would shift
+        # every span after it. Content-checked sequential pairing — a
+        # line is consumed for an item only when its post-marker body
+        # matches the item's rendered text.
+        pos = 0
+        for ch in li_items:
+            while pos < len(li_lines):
+                ln, st = li_lines[pos]
+                indent, marker_len = _parts(ln)
+                pos += 1
+                if ln[indent + marker_len:] == ch["text"]:
+                    ch["span_start"] = st + indent + marker_len
+                    ch["span_end"] = st + len(ln)
+                    break
+        return
+    for ch, (ln, st) in zip(li_items, li_lines):
+        indent, marker_len = _parts(ln)
         ch["span_start"] = st + indent + marker_len
         ch["span_end"] = st + len(ln)
 
