@@ -26,6 +26,7 @@ Pure Python; runs inside the extraction pandas UDF.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from docling_spark.functions.textnorm import (
@@ -87,7 +88,8 @@ def parse_payload(payload: str) -> tuple[list[dict], dict[int, tuple]]:
     cells: list[dict] = []
     page_sizes: dict[int, tuple] = {}
     raw_lines = payload.splitlines()
-    lines = [(ln, s) for ln, line in enumerate(raw_lines)
+    # 1-based line numbers in diagnostics (editor/tooling convention)
+    lines = [(ln, s) for ln, line in enumerate(raw_lines, start=1)
              if (s := line.strip())]
     # fast path: one C-level parse of all lines as a JSON array (per-line
     # json.loads was ~40% of pdfish parse time); malformed payloads fall
@@ -120,27 +122,47 @@ def parse_payload(payload: str) -> tuple[list[dict], dict[int, tuple]]:
                 raise LayoutError(
                     f"line {ln}: invalid JSON cell: {exc}") from exc
     for (ln, _s), obj in zip(lines, objs):
-        if isinstance(obj, dict) and "bbox" not in obj and "text" not in obj \
-                and "width" in obj and "height" in obj:
-            page_sizes[int(obj.get("page_no", 1))] = (
-                float(obj["width"]), float(obj["height"]))
-            continue
-        if not isinstance(obj, dict) or "bbox" not in obj or "text" not in obj:
-            raise LayoutError(f"line {ln}: cell missing bbox/text")
-        bbox = obj["bbox"]
-        if not (isinstance(bbox, (list, tuple)) and len(bbox) == 4):
-            raise LayoutError(f"line {ln}: bbox must be [l,t,r,b]")
-        cells.append(
-            {
-                "page_no": int(obj.get("page_no", 1)),
-                "bbox": (float(bbox[0]), float(bbox[1]),
-                         float(bbox[2]), float(bbox[3])),
-                "text": str(obj["text"]),
-                "conf": float(obj.get("conf", 1.0)),
-                "label": str(obj.get("label", "text")),
-                "index": len(cells),
-            }
-        )
+        # every coercion below must surface as LayoutError with the line
+        # number (the documented contract) — a bare ValueError/TypeError
+        # from float('letter') or bbox [null,...] would both skip the
+        # caller's except-LayoutError and lose the diagnostics. Finiteness
+        # is part of validity: json.loads accepts NaN/Infinity, which
+        # would poison sort comparisons (silently scrambled reading
+        # order) or overflow the dedup grid.
+        try:
+            if isinstance(obj, dict) and "bbox" not in obj \
+                    and "text" not in obj \
+                    and "width" in obj and "height" in obj:
+                w, h = float(obj["width"]), float(obj["height"])
+                if not (math.isfinite(w) and math.isfinite(h)):
+                    raise LayoutError(f"line {ln}: non-finite page size")
+                page_sizes[int(obj.get("page_no", 1))] = (w, h)
+                continue
+            if not isinstance(obj, dict) or "bbox" not in obj \
+                    or "text" not in obj:
+                raise LayoutError(f"line {ln}: cell missing bbox/text")
+            bbox = obj["bbox"]
+            if not (isinstance(bbox, (list, tuple)) and len(bbox) == 4):
+                raise LayoutError(f"line {ln}: bbox must be [l,t,r,b]")
+            coords = (float(bbox[0]), float(bbox[1]),
+                      float(bbox[2]), float(bbox[3]))
+            conf = float(obj.get("conf", 1.0))
+            if not all(math.isfinite(v) for v in (*coords, conf)):
+                raise LayoutError(f"line {ln}: non-finite bbox/conf")
+            cells.append(
+                {
+                    "page_no": int(obj.get("page_no", 1)),
+                    "bbox": coords,
+                    "text": str(obj["text"]),
+                    "conf": conf,
+                    "label": str(obj.get("label", "text")),
+                    "index": len(cells),
+                }
+            )
+        except LayoutError:
+            raise
+        except (TypeError, ValueError) as exc:
+            raise LayoutError(f"line {ln}: invalid cell value: {exc}") from exc
     return cells, page_sizes
 
 
@@ -157,19 +179,29 @@ def drop_full_page_pictures(
     page box when the payload carries one, else from the page's content
     extent (the union bound of all its cells)."""
     page_sizes = page_sizes or {}
-    extents: dict[int, float] = {}
+    # content extent tracks BOTH corners: assuming origin (0,0) would
+    # overestimate the area of offset/cropped pages and let a genuinely
+    # full-page picture slip under the 90% rule
+    extents: dict[int, tuple] = {}
     for c in cells:
         p = c["page_no"]
         if p in page_sizes:
             continue
-        w0, h0 = extents.get(p, (0.0, 0.0))
-        extents[p] = (max(w0, c["bbox"][2]), max(h0, c["bbox"][3]))
+        l0, t0, r0, b0 = extents.get(
+            p, (float("inf"), float("inf"), 0.0, 0.0))
+        extents[p] = (min(l0, c["bbox"][0]), min(t0, c["bbox"][1]),
+                      max(r0, c["bbox"][2]), max(b0, c["bbox"][3]))
     out = []
     for c in cells:
         if c["label"] == "picture":
-            w, h = page_sizes.get(c["page_no"]) or extents.get(
-                c["page_no"], (0.0, 0.0))
-            page_area = w * h
+            declared = page_sizes.get(c["page_no"])
+            if declared:
+                page_area = declared[0] * declared[1]
+            elif c["page_no"] in extents:
+                el, et, er, eb = extents[c["page_no"]]
+                page_area = max(er - el, 0.0) * max(eb - et, 0.0)
+            else:
+                page_area = 0.0
             area = ((c["bbox"][2] - c["bbox"][0])
                     * (c["bbox"][3] - c["bbox"][1]))
             if page_area > 0 and area / page_area > 0.90:
@@ -208,8 +240,11 @@ def filter_cells(cells: list[dict]) -> list[dict]:
         # 279-284); PICTURE needs no text cells either (it is a bitmap box)
         if not text and c["label"] not in ("formula", "picture"):
             continue
-        if text and rate_text_quality(text) == 0.0:
-            continue
+        if text:
+            q = (c["_q_raw"] if text == c["text"] and "_q_raw" in c
+                 else rate_text_quality(text))
+            if q == 0.0:
+                continue
         c = dict(c, text=text)
         kept.append(c)
     return kept
@@ -259,10 +294,19 @@ def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
         side = max(8.0, min(128.0, ws[n // 2], hs[n // 2]))
     buckets: dict[tuple[int, int], list[int]] = {}
     spans: list[tuple[int, int, int, int]] = []
+    # bucket-span cap: one corrupt oversized bbox (1e6+ coords survive
+    # JSON validation) would otherwise enumerate (coord/side)² buckets —
+    # quadratic in coordinate magnitude, an uncatchable wall-time bomb.
+    # 256 steps ≈ 2048 pt at the minimum side, beyond any real page, so
+    # normal geometry is byte-identical; a clamped giant cell merely
+    # misses dedup candidates past the cap (duplicates kept, not lost).
+    max_steps = 256
     for idx, c in enumerate(cells):
         left, top, right, bot = c["bbox"]
         gx0, gx1 = int(left // side), int(right // side)
         gy0, gy1 = int(top // side), int(bot // side)
+        gx1 = min(gx1, gx0 + max_steps - 1)
+        gy1 = min(gy1, gy0 + max_steps - 1)
         spans.append((gx0, gx1, gy0, gy1))
         for gx in range(gx0, gx1 + 1):
             for gy in range(gy0, gy1 + 1):
@@ -381,17 +425,27 @@ def _detect_columns(cells: list[dict], page_width: float) -> float | None:
     return best[1] if best else None
 
 
-def reading_order(cells: list[dict]) -> list[dict]:
+def reading_order(cells: list[dict],
+                  page_sizes: dict[int, tuple] | None = None) -> list[dict]:
     """Order cells per page: furniture headers first, then body in column-major
     (left column top→bottom, then right), then footers — the rule-based
-    reading order of readingorder_model.py re-expressed geometrically."""
+    reading order of readingorder_model.py re-expressed geometrically.
+
+    Column detection uses the DECLARED page width when the payload
+    carries one (matching drop_full_page_pictures): deriving it from the
+    max cell right edge shrinks the 0.25-0.75 candidate window on pages
+    whose content stops short of the right margin (e.g. a final page
+    holding one column's tail), mis-centering the gutter search."""
+    page_sizes = page_sizes or {}
     pages: dict[int, list[dict]] = {}
     for c in cells:
         pages.setdefault(c["page_no"], []).append(c)
     ordered: list[dict] = []
     for page_no in sorted(pages):
         pc = pages[page_no]
-        width = max((c["bbox"][2] for c in pc), default=0.0)
+        declared = page_sizes.get(page_no)
+        width = (declared[0] if declared
+                 else max((c["bbox"][2] for c in pc), default=0.0))
         split = _detect_columns(pc, width)
         headers = [c for c in pc if c["label"] == "page_header"]
         footers = [c for c in pc if c["label"] == "page_footer"]
@@ -462,7 +516,11 @@ def _assemble_tables(ordered: list[dict]) -> list[dict]:
                     range(len(col_lefts)),
                     key=lambda k: abs(col_lefts[k] - cell["bbox"][0]),
                 )
-                grid[ri][ci] = cell["text"]
+                # two same-row cells can land on one column when their
+                # left edges collide after round(,1) (OCR jitter) — append
+                # instead of overwrite so no cell text is silently lost
+                grid[ri][ci] = (grid[ri][ci] + " " + cell["text"]).strip() \
+                    if grid[ri][ci] else cell["text"]
         md_lines = []
         for ri, row in enumerate(grid):
             md_lines.append("| " + " | ".join(row) + " |")
@@ -506,9 +564,14 @@ def _merge_text_blocks(ordered: list[dict]) -> list[dict]:
     prev = None
     for c in ordered:
         if c["label"] in ("text", "list_item"):
+            # ONLY text-text runs merge: list_item lines stay one item
+            # per line (this geometry layer has no bullet grammar to tell
+            # a continuation line from the next item, so merging would
+            # glue separate items; the pdfish oracles pin line-per-item)
             mergeable = (
                 prev is not None
-                and prev["label"] == c["label"]
+                and prev["label"] == "text"
+                and c["label"] == "text"
                 and prev["page_no"] == c["page_no"]
                 # same column: horizontal overlap of line boxes
                 and min(prev["bbox"][2], c["bbox"][2])
@@ -517,8 +580,6 @@ def _merge_text_blocks(ordered: list[dict]) -> list[dict]:
                 and 0
                 <= c["bbox"][1] - prev["bbox"][3]
                 <= (prev["bbox"][3] - prev["bbox"][1])
-                # list items merge only continuation lines (no bullet grammar here)
-                and c["label"] == "text"
             )
             if mergeable:
                 run.append(c)
@@ -551,14 +612,23 @@ def extract_from_cells(
     """Validated layout cells → (extracted_text, items, metrics): the
     shared tail of the pdfish pipeline, also fed by cell sources that are
     not JSON-lines payloads (METS/hOCR page scans, engine/metsx.py)."""
-    scores = sorted(rate_text_quality(c["text"]) for c in raw)
+    # score each cell ONCE: parse_score quantiles the raw-text quality,
+    # and filter_cells reuses the cached value whenever fix_stx+strip is
+    # the identity (the overwhelmingly common case) — previously every
+    # cell was regex-scanned twice on the hot path
+    scores = []
+    for c in raw:
+        q = rate_text_quality(c["text"])
+        c["_q_raw"] = q
+        scores.append(q)
+    scores.sort()
     parse_score = (
         scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
     )
     cells = filter_cells(raw)
     cells = drop_full_page_pictures(cells, page_sizes)
     cells = dedup_cells(cells)
-    ordered = reading_order(cells)
+    ordered = reading_order(cells, page_sizes)
     ordered = _assemble_tables(ordered)
     blocks = _merge_text_blocks(ordered)
 
@@ -616,7 +686,7 @@ def extract_from_cells(
         if label in ("title", "section_header"):
             heading_idx = idx
 
-    pages = {c["page_no"] for c in raw} or {0}
+    pages = {c["page_no"] for c in raw}  # empty doc -> 0 pages, not 1
     n_body = sum(1 for it in items[1:] if it["content_layer"] == "body")
     metrics = {
         "pages_parsed": len(pages),

@@ -128,3 +128,93 @@ class TestParsePayloadFastPathGuards:
         )
         cells, _ = parse_payload(payload)
         assert [c["text"] for c in cells] == ["hello", "world"]
+
+
+class TestLayoutRobustnessFixes:
+    """Regression tests for the layout review findings."""
+
+    def test_corrupt_giant_bbox_bounded_time(self):
+        import time
+
+        from docling_spark.engine.layoutx import dedup_cells
+
+        # >48 cells routes to the grid path; one corrupt 1e6-coordinate
+        # bbox used to enumerate (coord/side)^2 buckets (quadratic in
+        # magnitude — minutes to hours); the span cap bounds it
+        cells = [
+            {"page_no": 1, "bbox": (float(i % 8) * 70, float(i // 8) * 20,
+                                    float(i % 8) * 70 + 60,
+                                    float(i // 8) * 20 + 12),
+             "text": f"c{i}", "conf": 1.0, "label": "text", "index": i}
+            for i in range(60)
+        ]
+        cells.append({"page_no": 1, "bbox": (0.0, 0.0, 1e6, 1e6),
+                      "text": "corrupt", "conf": 1.0, "label": "text",
+                      "index": 60})
+        t0 = time.perf_counter()
+        out = dedup_cells(cells)
+        assert time.perf_counter() - t0 < 5.0
+        # the giant cell CONTAINS every normal cell, so the >0.8
+        # containment rule removes them in its favor (bigger area wins at
+        # equal conf) — the finding under test is the wall-time bound,
+        # not the keep/remove outcome
+        assert len(out) == 1
+
+    def test_nan_infinity_bbox_raises_layout_error(self):
+        import pytest
+
+        from docling_spark.engine.layoutx import LayoutError, parse_payload
+
+        for bad in ('{"page_no":1,"bbox":[0,0,Infinity,1],"text":"x"}',
+                    '{"page_no":1,"bbox":[0,0,1,NaN],"text":"x"}'):
+            with pytest.raises(LayoutError):
+                parse_payload(bad)
+
+    def test_malformed_values_raise_layout_error_with_line(self):
+        import pytest
+
+        from docling_spark.engine.layoutx import LayoutError, parse_payload
+
+        for bad in ('{"page_no":1,"width":"letter","height":792}',
+                    '{"page_no":1,"bbox":[null,0,1,1],"text":"x"}',
+                    '{"page_no":"x","bbox":[0,0,1,1],"text":"x"}'):
+            with pytest.raises(LayoutError) as ei:
+                parse_payload('{"page_no":1,"bbox":[0,0,1,1],"text":"ok"}\n'
+                              + bad)
+            assert "line 2" in str(ei.value)
+
+    def test_colliding_column_lefts_append_not_overwrite(self):
+        from docling_spark.engine.layoutx import _assemble_tables
+
+        cells = [
+            {"page_no": 1, "bbox": (10.0, 0.0, 40.0, 10.0), "text": "A",
+             "conf": 1.0, "label": "table_cell", "index": 0},
+            {"page_no": 1, "bbox": (10.04, 0.0, 70.0, 10.0), "text": "B",
+             "conf": 1.0, "label": "table_cell", "index": 1},
+        ]
+        out = _assemble_tables(cells)
+        assert out[0]["label"] == "table"
+        assert "A" in out[0]["text"] and "B" in out[0]["text"]
+
+    def test_empty_document_zero_pages(self):
+        from docling_spark.engine.layoutx import extract_from_cells
+
+        _, _, metrics = extract_from_cells([])
+        assert metrics["pages_parsed"] == 0
+
+    def test_offset_page_full_picture_dropped(self):
+        from docling_spark.engine.layoutx import drop_full_page_pictures
+
+        # content occupies [100,700]x[100,800]; the picture covers the
+        # whole content region — with a (0,0)-origin extent its ratio was
+        # 0.75 and it escaped the >90% rule
+        cells = [
+            {"page_no": 1, "bbox": (100.0, 100.0, 700.0, 110.0),
+             "text": "t", "conf": 1.0, "label": "text", "index": 0},
+            {"page_no": 1, "bbox": (100.0, 790.0, 700.0, 800.0),
+             "text": "b", "conf": 1.0, "label": "text", "index": 1},
+            {"page_no": 1, "bbox": (100.0, 100.0, 700.0, 800.0),
+             "text": "", "conf": 1.0, "label": "picture", "index": 2},
+        ]
+        out = drop_full_page_pictures(cells)
+        assert all(c["label"] != "picture" for c in out)
