@@ -43,6 +43,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _shingle_array(text_col, k: int) -> "F.Column":
+    """Distinct k-token shingle hashes of one text column — the SINGLE
+    definition shared by the batch explode path (:func:`shingles`) and the
+    streaming per-row path (:func:`minhash_signature_array`), so the two
+    engines' signatures can never drift (the bit-identical parity contract
+    is pinned by tests, but one definition makes drift impossible)."""
+    toks = F.split(norm_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array(hash60(F.concat_ws(" ", toks))))
+    return F.array_distinct(sh)
+
+
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct k-token shingles per document, 60-bit-hashed:
     (doc_id, shingle long).
@@ -56,17 +74,9 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     needs ~10^9 distinct shingles before a collision is even likely
     (birthday bound), and a collision only nudges a Jaccard estimate.
     """
-    toks = F.split(norm_text(F.col(text_col)), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(
-        n >= k,
-        F.transform(
-            idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-        ),
-    ).otherwise(F.array(hash60(F.concat_ws(" ", toks))))
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+        "doc_id",
+        F.explode(_shingle_array(F.col(text_col), k)).alias("shingle"),
     )
 
 
@@ -151,16 +161,7 @@ def minhash_signature_array(
     plan a pure projection. Batch keeps the explode form, whose partial
     aggregation is friendlier when one doc is huge.
     """
-    toks = F.split(norm_text(text_col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(
-        n >= k,
-        F.transform(
-            idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-        ),
-    ).otherwise(F.array(hash60(F.concat_ws(" ", toks))))
-    sh = F.array_distinct(sh)
+    sh = _shingle_array(text_col, k)
     return F.array(
         *[
             F.array_min(
@@ -244,6 +245,14 @@ def lsh_candidate_pairs(
     banded = band_signatures(sigs, num_hashes, band_size)
     if max_bucket is not None:
         banded = cap_buckets(banded, max_bucket)
+    return _pairs_from_banded(banded)
+
+
+def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) from an already-banded (and
+    already-capped, if desired) signature frame — shared by
+    :func:`lsh_candidate_pairs` and :func:`incremental_dedup` so the
+    batch banding subtree is built once."""
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -335,11 +344,16 @@ def incremental_dedup(
     bands_b = band_signatures(batch_sigs, num_hashes, band_size)
     bands_i = band_signatures(index_sigs, num_hashes, band_size)
     if max_bucket is not None:
-        # hot-bucket bound on BOTH sides: an uncapped index bucket times an
-        # uncapped batch bucket is the same m² the batch self-join has —
-        # cap to the smallest-doc_id representatives (cap_buckets) so the
-        # candidate join fanout is ≤ max_bucket per batch band row
-        bands_b = cap_buckets(bands_b, max_bucket)
+        # hot-bucket bound: capping the INDEX side alone bounds the
+        # candidate join fanout at ≤ max_bucket per batch band row — the
+        # m² risk. The batch side must stay UNCAPPED: dropping a batch
+        # doc's band rows removes it from candidacy entirely, and a
+        # false 'new' verdict pollutes the index permanently (its
+        # signatures join the index per the contract above). A capped
+        # index bucket can still cost verdict recall for docs whose dups
+        # hide past the cap — that loss is visible via
+        # lsh_bucket_overflow, and is recall-bounded, not correctness-
+        # compounding like a polluted index.
         bands_i = cap_buckets(bands_i, max_bucket)
 
     # batch × index candidates → signature-agreement screen → best corpus hit
@@ -368,9 +382,10 @@ def incremental_dedup(
     )
 
     # batch-internal passing pairs (a < b), a not itself dup_corpus
+    bands_b_capped = (cap_buckets(bands_b, max_bucket)
+                      if max_bucket is not None else bands_b)
     pass_bb = (
-        lsh_candidate_pairs(batch_sigs, num_hashes, band_size,
-                            max_bucket=max_bucket)
+        _pairs_from_banded(bands_b_capped)
         .join(sig_b.withColumnRenamed("bdoc", "doc_a")
               .select("doc_a", *[F.col(f"b_{c}").alias(f"a_{c}") for c in cols]),
               "doc_a")
@@ -441,15 +456,15 @@ def jaccard_pairs(
                               F.col("shset").alias("set_b")), "doc_b")
             .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
             .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("inter").cast("double")
-                    / (F.size("set_a") + F.size("set_b") - F.col("inter")),
-                    6,
-                ),
+                "_j",
+                F.col("inter").cast("double")
+                / (F.size("set_a") + F.size("set_b") - F.col("inter")),
             )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
+            # threshold on the UNROUNDED value (matching the oracle);
+            # round only for output — rounding first admitted pairs up to
+            # 5e-7 below threshold
+            .filter(F.col("_j") >= threshold)
+            .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -466,17 +481,31 @@ def jaccard_pairs(
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
+            "_j",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("_j") >= threshold)  # unrounded, see candidate path
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
     return out
+
+
+def _release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the cached blocks behind a localCheckpoint'd DataFrame.
+
+    Neither ``df.unpersist()`` (cache-manager entries only) nor Python GC
+    (ContextCleaner's periodic GC defaults to 30 min) releases them, so an
+    iterative loop would pin one full table per round until the job ends.
+    The checkpointed RDD hangs off the plan's LogicalRDD node; reaching it
+    through py4j is internal API, hence the broad guard — on any mismatch
+    we degrade to the old leak-until-GC behavior rather than fail."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -515,6 +544,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    nodes_labels0 = labels  # round-0 table is not checkpointed
     changed = 1
     for _ in range(max_iter):
         neighbor_min = (
@@ -553,6 +583,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is materialized (eager checkpoint) and `changed` has
+        # consumed the old table — release the previous round's blocks
+        # now, or the loop pins one full label table per round
+        if labels is not nodes_labels0:
+            _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -564,8 +599,12 @@ def connected_components(
         import sys
 
         print(f"WARNING: {msg}", file=sys.stderr)
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("component"))
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("component"))
+    # edges are no longer needed once labels have converged; the returned
+    # frame reads only the final label checkpoint
+    _release_local_checkpoint(edges)
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
@@ -578,8 +617,14 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """
     toks = docs.select(
         "doc_id",
+        # coalesce: a NULL text must still yield a signature row (explode
+        # of a null array emits nothing and the doc would vanish from
+        # near-dup entirely) — NULL signs like the empty document, the
+        # same totality exact_dedup and shingles give it
         F.explode(
-            F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+            F.array_distinct(
+                F.split(F.coalesce(norm_text(F.col(text_col)), F.lit("")),
+                        " "))
         ).alias("tok"),
     ).withColumn("h", hash60(F.col("tok")))
     votes = toks.groupBy("doc_id").agg(
@@ -610,6 +655,10 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
     ``max_hamming < chunks`` for exactness."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole exactness needs max_hamming < chunks")
+    if chunks > bits:
+        # chunk_bits would be 0 -> every chunk masks to 0 -> the
+        # "bucketed" self-join silently degenerates to a full n² cross
+        raise ValueError("chunks must be <= bits")
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     banded = sim.select(

@@ -85,3 +85,50 @@ def test_plan_no_pair_enumeration(spark):
     plan = formatted_plan(spark, entry.q_incremental_dedup(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_bucket_batch_doc_still_gets_corpus_verdict(spark):
+    """The batch side of the corpus join must NOT be capped: a batch doc
+    past a hot bucket's cap would be silently dropped from candidacy,
+    verdict 'new', and its signature would pollute the index. With 70
+    identical batch docs (one mega-bucket) and their duplicate in the
+    index, every one must come back dup_corpus."""
+    from docling_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingles,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i, text) for i in range(1, 71)], "doc_id long, text string")
+    index_sigs = minhash_signatures(shingles(corpus), 8)
+    batch_sigs = minhash_signatures(shingles(batch), 8)
+    out = incremental_dedup(batch_sigs, index_sigs, 8, band_size=2,
+                            threshold=0.5, max_bucket=4).collect()
+    assert len(out) == 70
+    assert all(r["verdict"] == "dup_corpus" and r["dup_of"] == 0
+               for r in out)
+
+
+def test_simhash_null_text_keeps_doc(spark):
+    from docling_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    # NULL text signs identically to empty text
+    assert rows[2] == rows[3]
+
+
+def test_simhash_near_pairs_rejects_chunks_over_bits(spark):
+    import pytest
+
+    from docling_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="chunks"):
+        simhash_near_pairs(df, max_hamming=5, bits=32, chunks=40)
