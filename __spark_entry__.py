@@ -5324,7 +5324,7 @@ paras as (
 ranked as (
   select doc_id, para_idx, para,
          row_number() over (
-           partition by md5(regexp_replace(lower(para), '\\s+', ' ', 'g'))
+           partition by md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
            order by doc_id, para_idx) as rk
   from paras
 )
@@ -5353,12 +5353,18 @@ with toks as (
 ),
 toks2 as (select * from toks where token <> ''),
 counts as (select token, count(*) as n from toks2 group by 1),
-tot as (select sum(n) as total from counts)
-select doc_id,
-       round(avg(-log10(n::double / total)), 6) as mean_surprisal,
-       cast(count(*) as bigint) as n_tokens
-from toks2 join counts using (token) cross join tot
-group by doc_id
+tot as (select sum(n) as total from counts),
+agg as (
+  select doc_id,
+         round(avg(-log10(n::double / total)), 6) as mean_surprisal,
+         cast(count(*) as bigint) as n_tokens
+  from toks2 join counts using (token) cross join tot
+  group by doc_id
+)
+-- totality mirror: token-less documents keep an accounting row
+select d.doc_id, a.mean_surprisal,
+       coalesce(a.n_tokens, 0) as n_tokens
+from documents d left join agg a using (doc_id)
 """
 
 
@@ -5378,7 +5384,7 @@ def q_pack_sequences(spark, sf_dir):
 ORACLE_PACK_SEQUENCES = """
 with t as (
   select doc_id,
-         (('0x' || substr(md5('shard:' || cast(doc_id as varchar)), 1, 8))::bigint % 10000)
+         ('0x' || substr(md5('shard:' || cast(doc_id as varchar)), 1, 15))::bigint
            % 16 as shard,
          case when trim(text) = '' then 0
               else len(string_split_regex(trim(text), '\\s+')) end as n_tokens
@@ -5473,7 +5479,7 @@ with targets(source, w) as (values {", ".join(
 norm as (
   select source, w / (select sum(w) from targets) as share from targets
 ),
-tok as (
+tok0 as (
   select d.source,
          sum(case when trim(text) = '' then 0
                   else len(string_split_regex(trim(text), '\\s+')) end)
@@ -5482,20 +5488,28 @@ tok as (
   join targets t on t.source = d.source
   group by 1
 ),
+-- LEFT join from targets, mirroring mixture_plan: a targeted source
+-- absent from the corpus appears with tokens_avail=0 and drives nmax
+-- to 0 instead of silently vanishing from the plan
+tok as (
+  select n.source, n.share, coalesce(t.tokens_avail, 0) as tokens_avail
+  from norm n left join tok0 t using (source)
+),
 n as (
-  select min(tokens_avail / share) as nmax
-  from tok join norm using (source)
+  select min(tokens_avail / share) as nmax from tok
 )
 select tok.source,
        cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
-       round(share * nmax / tokens_avail, 6) as keep_fraction,
-       -- relative+absolute nudge mirrors mixture_plan: the binding
-       -- source's share*nmax is an exact integer in real arithmetic
-       cast(floor(share * nmax * (1.0 + 1e-12) + 1e-6) as bigint)
-         as tokens_planned
-from tok
-join norm using (source), n
+       case when tokens_avail = 0 then 1.0
+            else round(share * nmax / tokens_avail, 6) end as keep_fraction,
+       -- nudge + clamp mirrors mixture_plan: 2^-48 relative slack beats
+       -- fp noise without crossing the next integer, and least() caps
+       -- the binding source at tokens_avail exactly
+       cast(least(floor(share * nmax * (1.0 + 3.552713678800501e-15)
+                        + 1e-6),
+                  tokens_avail) as bigint) as tokens_planned
+from tok, n
 """
 
 
@@ -5977,8 +5991,9 @@ select source,
        cast(tokens_avail as bigint) as tokens_avail,
        round(share, 6) as target_share,
        round(least(share * nmax / tokens_avail, 1.0), 6) as keep_fraction,
-       cast(floor(share * nmax * (1.0 + 1e-12) + 1e-6) as bigint)
-         as tokens_planned
+       cast(least(floor(share * nmax * (1.0 + 3.552713678800501e-15)
+                        + 1e-6),
+                  tokens_avail) as bigint) as tokens_planned
 from per, n
 """
 

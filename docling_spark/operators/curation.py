@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from docling_spark.operators.textstats import token_count, tokens
+from docling_spark.operators.textstats import norm_text, token_count, tokens
 
 # Regexes in the Java/RE2 common subset (no lookaround, no backrefs) so the
 # DuckDB oracle applies byte-identical semantics.
@@ -198,19 +198,47 @@ def strat_key(col, salt: str = "") -> Column:
 def stratified_sample(docs: DataFrame, strata_col: str,
                       fractions: dict[str, float],
                       key_col: str = "doc_id",
-                      default: float = 0.0) -> DataFrame:
+                      default: float = 0.0,
+                      salt: str = "",
+                      resolution: int = 10_000) -> DataFrame:
     """Keep each stratum at its configured rate, deterministically: a row
-    survives iff hash(key) mod 10000 < rate*10000. No RNG, no driver
-    state, reproducible across engines/cluster sizes; the filter fuses
-    into the scan (no shuffle)."""
+    survives iff hash(key) mod resolution < rate*resolution. No RNG, no
+    driver state, reproducible across engines/cluster sizes; the filter
+    fuses into the scan (no shuffle).
+
+    ``salt`` decorrelates composed passes (see :func:`strat_key` — two
+    unsalted samples share one hash, so the second pass is a nested
+    prefix of the first, not an independent sample). ``resolution``
+    bounds the smallest expressible fraction at ``0.5/resolution``;
+    fractions below that (e.g. a mixture_plan keep_fraction of 3e-5 for
+    a hugely overrepresented source) MUST raise rather than silently
+    round to keep-nothing — pass ``resolution=10**8`` for such plans
+    (the key then uses 15 md5 hex digits, 60 bits, so residue bias stays
+    negligible)."""
+
+    def _thr(frac: float) -> int:
+        t = int(round(frac * resolution))
+        if t == 0 and frac > 0:
+            raise ValueError(
+                f"fraction {frac} is below the sampling resolution "
+                f"1/{resolution}; pass a larger resolution= (e.g. 10**8)")
+        return t
+
     rate = None
     for value, frac in sorted(fractions.items()):
         cond = F.col(strata_col) == value
-        thr = F.lit(int(round(frac * 10000)))
+        thr = F.lit(_thr(frac))
         rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
-    rate = (rate.otherwise(F.lit(int(round(default * 10000))))
-            if rate is not None else F.lit(int(round(default * 10000))))
-    return docs.where(strat_key(F.col(key_col)) < rate)
+    rate = (rate.otherwise(F.lit(_thr(default)))
+            if rate is not None else F.lit(_thr(default)))
+    if resolution == 10_000:
+        key = strat_key(F.col(key_col), salt)
+    else:
+        keyed = (F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+                 if salt else F.col(key_col).cast("string"))
+        key = (F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10)
+               .cast("long") % resolution)
+    return docs.where(key < rate)
 
 
 def paragraph_dedup(docs: DataFrame, text_col: str = "text",
@@ -238,7 +266,7 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         ).alias("para_idx", "para"),
     )
     w = Window.partitionBy(
-        F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+        F.md5(norm_text(F.col("para")))
     ).orderBy(F.col(id_col), F.col("para_idx"))
     ranked = paras.withColumn("rk", F.row_number().over(w))
     agg = (
@@ -292,9 +320,22 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
             (-F.log10(F.col("n") / F.col("total"))).alias("surprisal"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
         F.count("*").cast("long").alias("n_tokens"),
+    )
+    # totality: a token-less (empty/whitespace) document has no explode
+    # rows and would vanish — keep an accounting row with NULL surprisal
+    # and 0 tokens so a downstream join never silently loses documents
+    # (same contract as top_bigram_stats / paragraph_dedup)
+    return (
+        docs.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("mean_surprisal"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+        )
     )
 
 
@@ -319,9 +360,18 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
     One shuffle (window partition on the uniform shard key). Returns
     (shard, seq_idx, n_docs, total_tokens, first_doc, last_doc).
     """
+    # direct 60-bit md5 key mod shard_mod — NOT strat_key % shard_mod:
+    # chaining mod 10000 then mod m is non-uniform whenever
+    # 10000 % m != 0 (the default m=64 put 157/10000 of keys on shards
+    # 0-15 vs 156 elsewhere); 2^60 is divisible by every power-of-two m
+    # and the residual bias for other m is ~m/2^60
+    shard_key = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("long") % shard_mod)
     staged = docs.select(
         F.col(id_col),
-        (strat_key(F.col(id_col), "shard") % shard_mod).alias("shard"),
+        shard_key.alias("shard"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(id_col)
@@ -396,7 +446,7 @@ def dup_span_removal(docs: DataFrame, k: int = 8,
     Returns (id, clean_text, n_tokens, n_removed)."""
     toks = docs.select(
         F.col(id_col),
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+        F.filter(tokens(F.col(text_col)),
                  lambda t: t != "").alias("toks"),
     ).withColumn("n_tokens", F.size("toks"))
     # k-gram digests per window start (empty when the doc is shorter)
@@ -514,7 +564,7 @@ def dsir_weights(source: DataFrame, target: DataFrame, dim: int = 1024,
     Returns (id, n_tokens, log_weight, keep)."""
     def buckets(df: DataFrame):
         toks = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            tokens(F.lower(F.col(text_col))),
             lambda t: t != "")
         return df.select(
             F.col(id_col),
@@ -568,6 +618,27 @@ def dsir_weights(source: DataFrame, target: DataFrame, dim: int = 1024,
     )
 
 
+def dsir_weights_total(source: DataFrame, target: DataFrame,
+                       dim: int = 1024, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """:func:`dsir_weights` with the totality contract of the other
+    curation operators: token-less source documents (which have no bucket
+    rows and vanish from the grouped weights) come back with n_tokens=0,
+    log_weight=0.0 and keep=0 instead of silently disappearing from a
+    downstream join."""
+    w = dsir_weights(source, target, dim, text_col, id_col)
+    return (
+        source.select(id_col).join(w, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("int"))
+            .alias("n_tokens"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.col("keep"), F.lit(0).cast("int")).alias("keep"),
+        )
+    )
+
+
 def mixture_plan(docs: DataFrame, targets: dict[str, float],
                  text_col: str = "text",
                  source_col: str = "source") -> DataFrame:
@@ -592,6 +663,10 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
     """
     spark = docs.sparkSession
     total_w = float(sum(targets.values()))
+    if not targets or total_w <= 0:
+        raise ValueError(
+            "mixture_plan targets must carry positive total weight "
+            f"(got {targets!r})")
     tgt = spark.createDataFrame(
         [(s, float(w) / total_w) for s, w in sorted(targets.items())],
         f"{source_col} string, target_share double",
@@ -622,15 +697,18 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
             F.when(F.col("tokens_avail") == 0, F.lit(1.0)).otherwise(
                 F.round(planned / F.col("tokens_avail"), 6)
             ).alias("keep_fraction"),
-            # relative nudge before floor: the binding source lands
-            # share*nmax on an exact integer where libm pow noise flips
-            # floor between engines. An ABSOLUTE epsilon (the old 1e-6)
-            # is absorbed by double rounding once the product exceeds
-            # ~1.7e10 (ulp > 2e-6) — dead at trillion-token scale; the
-            # relative form stays > ulp at every magnitude while never
-            # crossing the next integer
-            F.floor(planned * (1.0 + 1e-12) + F.lit(1e-6))
-            .cast("long").alias("tokens_planned"),
+            # nudge before floor: the binding source lands share*nmax
+            # on an exact integer where fp noise flips floor between
+            # engines. The absolute 1e-6 covers small products; the
+            # relative 2^-48 (≈16 ulp of slack) survives double rounding
+            # at any magnitude and stays below the next integer through
+            # ~2.8e14; past that the least() clamp — the actual
+            # "never oversample any source" guarantee — caps the
+            # binding source at tokens_avail exactly
+            F.least(
+                F.floor(planned * (1.0 + 2.0 ** -48) + F.lit(1e-6)),
+                F.col("tokens_avail"),
+            ).cast("long").alias("tokens_planned"),
         )
     )
 
@@ -703,14 +781,14 @@ def temperature_mixture(docs: DataFrame, alpha: float = 0.3,
             F.round(F.least(
                 F.col("share") * F.col("nmax") / F.col("tokens_avail"),
                 F.lit(1.0)), 6).alias("keep_fraction"),
-            # relative + absolute nudge before floor: the binding
-            # source's share*nmax is an exact integer in real
-            # arithmetic, so cross-engine ulp noise (libm pow) could
-            # flip the floor. The absolute 1e-6 covers small products;
-            # the relative 1e-12 survives magnitudes past ~1.7e10 where
-            # double rounding absorbs any absolute epsilon (ulp > 2e-6)
-            F.floor(F.col("share") * F.col("nmax") * (1.0 + 1e-12)
-                    + F.lit(1e-6))
-            .cast("long").alias("tokens_planned"),
+            # nudge + clamp, same rationale as mixture_plan: 2^-48
+            # relative slack beats libm pow noise at every magnitude
+            # without crossing the next integer through ~2.8e14, and the
+            # least() clamp enforces no-oversampling outright
+            F.least(
+                F.floor(F.col("share") * F.col("nmax") * (1.0 + 2.0 ** -48)
+                        + F.lit(1e-6)),
+                F.col("tokens_avail").cast("bigint"),
+            ).cast("long").alias("tokens_planned"),
         )
     )

@@ -504,3 +504,98 @@ def test_edit_distance_threshold_band_matches_unbounded(spark):
     # identical distances; over-cap pairs (reported -1) are dropped
     assert capped == {(1, 2): 1}
     assert full[(1, 2)] == 1 and full[(1, 3)] > 5
+
+
+class TestCurationReviewFixes:
+    def test_mixture_plan_never_oversamples_at_trillion_scale(self, spark):
+        """The binding source's tokens_planned must never exceed
+        tokens_avail — the old relative 1e-12 nudge crossed the next
+        integer at >= 1e12 planned tokens."""
+        from docling_spark.operators.curation import mixture_plan
+
+        # synthesize sources whose token counts are exact and huge via a
+        # tiny frame with a fake token column? mixture_plan counts real
+        # tokens, so emulate scale by checking the formula through the
+        # operator at modest counts AND asserting the clamp columnwise.
+        docs = spark.createDataFrame(
+            [(i, "w " * 100, "a") for i in range(10)]
+            + [(100 + i, "w " * 10, "b") for i in range(10)],
+            "doc_id long, text string, source string")
+        out = {r["source"]: r for r in mixture_plan(
+            docs, {"a": 0.5, "b": 0.5}).collect()}
+        for r in out.values():
+            assert r["tokens_planned"] <= r["tokens_avail"]
+
+    def test_mixture_plan_rejects_zero_weights(self, spark):
+        import pytest
+
+        from docling_spark.operators.curation import mixture_plan
+
+        docs = spark.createDataFrame([(1, "x", "a")],
+                                     "doc_id long, text string, source string")
+        with pytest.raises(ValueError, match="positive total weight"):
+            mixture_plan(docs, {"a": 0.0, "b": 0.0})
+
+    def test_stratified_sample_rejects_sub_resolution_fraction(self, spark):
+        import pytest
+
+        from docling_spark.operators.curation import stratified_sample
+
+        docs = spark.createDataFrame([(i, "a") for i in range(10)],
+                                     "doc_id long, source string")
+        with pytest.raises(ValueError, match="resolution"):
+            stratified_sample(docs, "source", {"a": 3e-5})
+        # the documented escape hatch works
+        out = stratified_sample(docs, "source", {"a": 3e-5},
+                                resolution=10**8)
+        assert out.count() <= 10
+
+    def test_stratified_sample_salt_decorrelates_passes(self, spark):
+        """Two composed 50% passes with distinct salts must land near
+        25%, not the 50% a shared hash gives."""
+        from docling_spark.operators.curation import stratified_sample
+
+        docs = spark.createDataFrame([(i, "a") for i in range(4000)],
+                                     "doc_id long, source string")
+        first = stratified_sample(docs, "source", {"a": 0.5})
+        nested = stratified_sample(first, "source", {"a": 0.5})
+        assert nested.count() == first.count()  # unsalted: nested prefix
+        indep = stratified_sample(first, "source", {"a": 0.5}, salt="p2")
+        frac = indep.count() / 4000
+        assert 0.2 < frac < 0.3
+
+    def test_pack_sequences_shard_key_uniform_power_of_two(self, spark):
+        """10000 % 64 != 0 made the old strat_key%64 chain put ~0.64%
+        extra mass on shards 0-15; the 60-bit key mod 64 is exactly
+        uniform in expectation — check no shard deviates grossly."""
+        from docling_spark.operators.curation import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "tok ") for i in range(6400)], "doc_id long, text string")
+        shards = (pack_sequences(docs, budget_tokens=50, shard_mod=64)
+                  .groupBy("shard").sum("n_docs").collect())
+        counts = [r["sum(n_docs)"] for r in shards]
+        assert len(counts) == 64
+        assert max(counts) - min(counts) < 100 * 3  # ~100/shard expected
+
+    def test_unigram_logprob_total_over_empty_docs(self, spark):
+        from docling_spark.operators.curation import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "   "), (3, "")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2]["n_tokens"] == 0 and rows[2]["mean_surprisal"] is None
+
+    def test_dsir_weights_total_over_empty_docs(self, spark):
+        from docling_spark.operators.curation import dsir_weights_total
+
+        src = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "")],
+            "doc_id long, text string")
+        tgt = spark.createDataFrame([(9, "alpha beta")],
+                                    "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in dsir_weights_total(src, tgt).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2]["n_tokens"] == 0 and rows[2]["keep"] == 0
