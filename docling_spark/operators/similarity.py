@@ -29,8 +29,23 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _dot_py(a, b) -> float:
+    """Driver-side dot product shared by the tiny codebook/plane rankings
+    (one definition so guards like the zero-norm fallback can't drift
+    between call sites)."""
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _norm_py(a) -> float:
+    return sum(x * x for x in a) ** 0.5
+
+
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm embedding (padding / missing vector) must
+    # yield NULL — a plain division aborts the whole job under Spark 4's
+    # default ANSI mode with DIVIDE_BY_ZERO. NULL scores then drop out of
+    # threshold filters and rank last, matching cosine_fast's NA path.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_fast(a, b):
@@ -55,11 +70,29 @@ def cosine_fast(a, b):
         valid = (x.notna() & y.notna()).to_numpy()
         out = pd.Series(pd.NA, index=x.index, dtype="Float64")
         if valid.any():
-            xa = np.stack(x[valid].to_numpy())
-            ya = np.stack(y[valid].to_numpy())
-            num = np.einsum("ij,ij->i", xa, ya)
-            den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
-            out[valid] = num / den
+            xs = x[valid].to_numpy()
+            ys = y[valid].to_numpy()
+            # ragged guard: one corrupt short embedding must not
+            # np.stack-crash the task — route rows whose length differs
+            # from the batch's modal length to NULL (the JVM zip_with
+            # path nulls them too)
+            lens = np.fromiter((len(v) for v in xs), dtype=np.int64,
+                               count=len(xs))
+            lens_y = np.fromiter((len(v) for v in ys), dtype=np.int64,
+                                 count=len(ys))
+            mode = np.bincount(lens).argmax() if len(lens) else 0
+            ok = (lens == mode) & (lens_y == mode)
+            if ok.any():
+                xa = np.stack(xs[ok])
+                ya = np.stack(ys[ok])
+                num = np.einsum("ij,ij->i", xa, ya)
+                den = np.linalg.norm(xa, axis=1) * np.linalg.norm(ya, axis=1)
+                # zero-norm → NaN→NA (dropped), matching the JVM
+                # try_divide NULL; errstate silences the per-batch warning
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(den == 0.0, np.nan, num / den)
+                vidx = np.flatnonzero(valid)
+                out.iloc[vidx[ok]] = sim
         return out
 
     # real (non-string) hints: `from __future__ import annotations` would
@@ -329,25 +362,21 @@ def ivf_topk(
                 F.col(vec_col).cast("array<double>").alias("cvec"))
     )
     cents = cents_df.collect()
-
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    def norm(a):
-        return sum(x * x for x in a) ** 0.5
-
-    qn = norm(query_vec)
+    qn = _norm_py(query_vec)
+    # probe ranking rounds to 6 dp before sorting (ties -> centroid_id),
+    # the same engine-reproducibility contract every distributed ranking
+    # in this module follows — full-precision sorting could probe a
+    # different centroid than an oracle implementing the documented rule
     ranked = sorted(
         cents,
-        key=lambda r: (-(dot(query_vec, r["cvec"])
-                         / (qn * norm(r["cvec"]) or 1.0)), r["centroid_id"]),
+        key=lambda r: (-round(_dot_py(query_vec, r["cvec"])
+                              / ((qn * _norm_py(r["cvec"])) or 1.0), 6),
+                       r["centroid_id"]),
     )
     probe_ids = [r["centroid_id"] for r in ranked[:n_probe]]
-    assigned = (
-        assign_codebook(emb, cents_df, vec_col, id_col)
-        if codebook is not None
-        else ivf_assign(emb, n_centroids, vec_col, id_col)
-    )
+    # both arms reduce to assigning against cents_df (ivf_assign would
+    # derive exactly this frame when codebook is None)
+    assigned = assign_codebook(emb, cents_df, vec_col, id_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         emb.join(assigned.filter(F.col("centroid_id").isin(probe_ids))
@@ -411,6 +440,10 @@ def ann_topk_batch(
         corpus.join(qprobe, "bucket")
         .withColumn("score", F.round(cosine_fast(F.col("_qv"),
                                                  F.col("_cv")), 6))
+        # a null/zero-norm corpus vector scores NULL — drop it rather
+        # than let it consume a rank slot (phantom null-score results
+        # when a bucket holds fewer than k real candidates)
+        .filter(F.col("score").isNotNull())
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc("score"), F.asc(id_col))
@@ -431,15 +464,10 @@ def ann_topk_lsh(
     ``multiprobe_hamming`` bits of the query's bucket. At corpus scale the
     bucket column is the partition key — the probe touches a handful of
     partitions instead of the full table."""
-    import hashlib as _h  # noqa: F401 (documented determinism dependency)
-
     # query bucket computed driver-side with the same planes
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
     qbits = 0
     for b in range(n_planes):
-        if dot(query_vec, _plane(dim, b)) > 0:
+        if _dot_py(query_vec, _plane(dim, b)) > 0:
             qbits |= 1 << b
     buckets = lsh_buckets(emb, n_planes, dim, vec_col, id_col)
     probe = buckets.filter(
@@ -516,10 +544,19 @@ def pq_encode(
         sl.join(F.broadcast(cb), "sub")
         .withColumn("dist2", F.round(_sq_l2(F.col("sv"), F.col("cv")), 6))
     )
-    w = Window.partitionBy(id_col, "sub").orderBy("dist2", "code")
+    # nulls LAST: a null/short embedding in the codebook prefix yields
+    # NULL dist2 for its code, and Spark's default NULLS FIRST would make
+    # that null entry win row_number()==1 for EVERY vector — corrupting
+    # the whole index
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("dist2").asc_nulls_last(), "code")
     return (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
+        # a NULL winning distance means the vector itself was null/short
+        # (every candidate distance null) — an unencodable vector gets NO
+        # codes rather than a meaningless (code, NULL) row
+        .filter(F.col("dist2").isNotNull())
         .select(id_col, F.col("sub").alias("subspace"),
                 F.col("code").cast("int").alias("code"), "dist2")
     )
@@ -567,7 +604,14 @@ def pq_adc_topk(
                    (codes["subspace"] == lut["sub"])
                    & (codes["code"] == lut["code"]))
         .groupBy(id_col)
-        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"))
-        .orderBy("adc_dist", id_col)
+        .agg(F.round(F.sum("qd"), 6).alias("adc_dist"),
+             F.count("qd").alias("_n_qd"))
+        # a vector whose LUT rows are incomplete (null qd from a
+        # degenerate codebook entry) would otherwise sum FEWER than m
+        # subspace terms — biased low — or rank a NULL distance first
+        # under the default NULLS FIRST ordering
+        .filter(F.col("_n_qd") == m)
+        .select(id_col, "adc_dist")
+        .orderBy(F.col("adc_dist").asc_nulls_last(), id_col)
         .limit(topk)
     )

@@ -437,3 +437,67 @@ def test_pq_codes_shape(spark, sf_dir):
     self_rows = codes.filter(F.col("vec_id") == 3)
     assert all(r["code"] == 3 and r["dist2"] == 0.0
                for r in self_rows.collect())
+
+
+class TestSimilarityRobustness:
+    """Degenerate-embedding regression tests for the similarity review
+    findings: a zero-norm, NULL, or ragged embedding must degrade (NULL
+    score, dropped row) — never abort the job or corrupt the index."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_zero_norm_vector_does_not_abort_topk(self, spark):
+        from docling_spark.operators.similarity import topk_cosine
+
+        emb = self._emb(spark, [
+            (0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.6, 0.8])])
+        out = topk_cosine(emb, [1.0, 0.0], k=3).collect()
+        ids = [r["vec_id"] for r in out]
+        assert 0 in ids and 2 in ids  # real vectors rank
+
+    def test_zero_norm_vector_does_not_abort_assign(self, spark):
+        from docling_spark.operators.similarity import ivf_assign
+
+        emb = self._emb(spark, [
+            (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5])])
+        ivf_assign(emb, n_centroids=2).collect()  # must not raise
+
+    def test_null_codebook_embedding_does_not_corrupt_pq(self, spark):
+        from docling_spark.operators.similarity import pq_encode
+
+        emb = self._emb(spark, [
+            (0, [1.0, 0.0, 0.0, 1.0]), (1, None),
+            (2, [0.0, 1.0, 1.0, 0.0]), (3, [1.0, 1.0, 0.0, 0.0])])
+        codes = pq_encode(emb, m=2, dim=4, k=2).collect()
+        # no vector may be assigned the null codebook entry (code 1 has
+        # NULL centroid) with a NULL distance
+        for r in codes:
+            if r["dist2"] is None:
+                raise AssertionError(f"null-dist assignment: {r}")
+
+    def test_adc_requires_complete_lut(self, spark):
+        from docling_spark.operators.similarity import pq_adc_topk
+
+        emb = self._emb(spark, [
+            (0, [1.0, 0.0, 0.0, 1.0]), (1, None),
+            (2, [0.0, 1.0, 1.0, 0.0]), (3, [1.0, 1.0, 0.0, 0.0])])
+        out = pq_adc_topk(emb, query_id=0, m=2, dim=4, k=2, topk=4).collect()
+        assert all(r["adc_dist"] is not None for r in out)
+
+    def test_ragged_embedding_does_not_crash_pair_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from docling_spark.operators.similarity import cosine_fast
+
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0]),
+             ([1.0, 0.0, 5.0], [1.0, 0.0]),   # ragged left
+             ([0.0, 0.0], [1.0, 0.0])],       # zero norm
+            "a array<double>, b array<double>")
+        rows = df.select(cosine_fast(F.col("a"), F.col("b"))
+                         .alias("s")).collect()
+        assert rows[0]["s"] == 1.0
+        assert rows[1]["s"] is None
+        assert rows[2]["s"] is None
