@@ -168,7 +168,7 @@ from documents
 
 
 def q_extract_html_list_table(spark, sf_dir):
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     w = lambda i: F.element_at(toks, i)  # noqa: E731
     payload = F.concat(
         F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
@@ -181,7 +181,7 @@ def q_extract_html_list_table(spark, sf_dir):
 
 ORACLE_HTML_LIST_TABLE = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Doc ' || doc_id || chr(10) || chr(10)
@@ -197,7 +197,7 @@ def q_extract_html_form(spark, sf_dir):
     key/marker/value containers resolve to field_region → field_item →
     (marker, field_key, field_value) items; the md serializer renders
     group items as the missing-text marker."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     w = lambda i: F.element_at(toks, i)  # noqa: E731
     payload = F.concat(
         F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
@@ -216,7 +216,7 @@ def q_extract_html_form(spark, sf_dir):
 
 ORACLE_HTML_FORM = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Doc ' || doc_id || chr(10) || chr(10)
@@ -264,7 +264,7 @@ from documents
 
 
 def q_extract_csv_table(spark, sf_dir):
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     payload = F.concat(
         F.lit("k;v\n"),
         F.element_at(toks, 1), F.lit(";"), F.element_at(toks, 2), F.lit("\n"),
@@ -275,7 +275,7 @@ def q_extract_csv_table(spark, sf_dir):
 
 ORACLE_CSV = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '| k | v |' || chr(10) || '| - | - |' || chr(10)
@@ -286,7 +286,7 @@ from t
 
 
 def q_extract_md_doc(spark, sf_dir):
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     payload = F.concat(
         F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n\n"),
         F.col("text"), F.lit("\n\n- "), F.element_at(toks, 1),
@@ -297,7 +297,7 @@ def q_extract_md_doc(spark, sf_dir):
 
 ORACLE_MD = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Doc ' || doc_id || chr(10) || chr(10)
@@ -483,14 +483,14 @@ lateral (
 def q_doc_stats(spark, sf_dir):
     from docling_spark.operators.textstats import doc_stats
 
-    return doc_stats(_docs(spark, sf_dir)).drop("n_chars2")
+    return doc_stats(_docs(spark, sf_dir))
 
 
 ORACLE_DOC_STATS = """
 with t as (
   select doc_id, text,
-         string_split_regex(trim(text), '\\s+') toks,
-         string_split_regex(trim(lower(text)), '\\s+') ltoks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') ltoks
   from documents
 ),
 s as (
@@ -1404,7 +1404,7 @@ group by rollup(date_trunc('day', ts), event_type)
 # ---------------------------------------------------------------------------
 
 def _tok(i: int):
-    return F.element_at(F.split(F.trim(F.col("text")), r"\s+"), i)
+    return F.element_at(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), i)
 
 
 def _jcell(bbox: str, text_col, conf: str, label: str) -> "F.Column":
@@ -1445,7 +1445,7 @@ def q_extract_pdfish_reading_order(spark, sf_dir):
 
 ORACLE_PDFISH_READING_ORDER = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Title ' || doc_id || chr(10) || chr(10)
@@ -1472,7 +1472,7 @@ def q_extract_pdfish_hyphen_merge(spark, sf_dir):
 
 ORACLE_PDFISH_HYPHEN = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '## Heading ' || doc_id || chr(10) || chr(10)
@@ -1502,7 +1502,7 @@ def q_extract_pdfish_pictures(spark, sf_dir):
 
 ORACLE_PDFISH_PICTURES = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Doc ' || doc_id || chr(10) || chr(10)
@@ -1545,7 +1545,7 @@ def q_extract_items_spans(spark, sf_dir):
 # text 't1 t2 t3 t4'; block2 follows at +2. Furniture spans are -1.
 ORACLE_ITEMS_SPANS = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks,
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
          8 + length(doc_id::varchar) as title_end
   from documents
 ),
@@ -1588,7 +1588,7 @@ def q_extract_vtt_dialogue(spark, sf_dir):
 
 ORACLE_VTT_DIALOGUE = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        toks[1] || ' ' || toks[2] || chr(10) || chr(10)
@@ -1639,7 +1639,7 @@ def q_chunk_heading_context(spark, sf_dir):
 
 ORACLE_CHUNK_HEADING = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, cast(u.chunk_idx as int) as chunk_idx,
        'Title ' || doc_id as heading, u.chunk_text
@@ -2044,7 +2044,7 @@ def q_token_counts(spark, sf_dir):
 ORACLE_TOKEN_COUNTS = """
 select doc_id,
        case when trim(text) = '' then 0
-            else len(string_split_regex(trim(text), '\\s+')) end as n_ws_tokens,
+            else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end as n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
          as n_bpe_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_words
@@ -2122,7 +2122,7 @@ def q_extract_pdf(spark, sf_dir):
 
 ORACLE_EXTRACT_PDF = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        'Doc ' || doc_id || chr(10) || chr(10)
@@ -2328,7 +2328,7 @@ ORACLE_PDF_HYPERLINKS = """
 with t as (
   select doc_id,
          case when trim(text) = '' then cast([] as varchar[])
-              else string_split_regex(trim(text), '\\s+') end toks
+              else list_filter(string_split_regex(text, '\\s+'), x -> x <> '') end toks
   from documents
 )
 select doc_id,
@@ -2354,7 +2354,7 @@ def q_dup_span_removal(spark, sf_dir):
 ORACLE_DUP_SPAN_REMOVAL = """
 with arr as (
   select doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
                      x -> x <> '') as toks
   from documents
 ),
@@ -2630,7 +2630,7 @@ def q_extract_doc(spark, sf_dir):
 
 ORACLE_EXTRACT_DOC = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        'Doc ' || doc_id || ' heading line' || chr(10) || chr(10)
@@ -2703,13 +2703,13 @@ ORACLE_BM25 = """
 with lens as (
   select doc_id,
          case when trim(text) = '' then 0
-              else len(string_split_regex(trim(text), '\\s+')) end as dl
+              else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end as dl
   from documents
 ),
 stats as (select count(*) as n_docs, avg(dl) as avgdl from lens),
 toks as (
   select doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) as tok
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as tok
   from documents
 ),
 hits as (
@@ -2781,7 +2781,7 @@ def q_extract_doc_rich(spark, sf_dir):
 ORACLE_EXTRACT_DOC_RICH = """
 with t as (
   select doc_id, trim(text) tt,
-         string_split_regex(trim(text), '\\s+') toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -2842,7 +2842,7 @@ def q_extract_xls(spark, sf_dir):
 ORACLE_EXTRACT_XLS = """
 with t as (
   select doc_id, trim(text) tt,
-         string_split_regex(trim(text), '\\s+') toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -2898,7 +2898,7 @@ def q_extract_ppt(spark, sf_dir):
 
 ORACLE_EXTRACT_PPT = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -2968,7 +2968,7 @@ def q_extract_email(spark, sf_dir):
 
 ORACLE_EMAIL = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Report ' || toks[1] || chr(10) || chr(10)
@@ -3021,7 +3021,7 @@ def q_heading_hierarchy(spark, sf_dir):
 
 ORACLE_HEADING_HIERARCHY = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, u.* from t,
 lateral (
@@ -3075,7 +3075,7 @@ def q_chunk_budget(spark, sf_dir):
 
 ORACLE_CHUNK_BUDGET = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'T ' || doc_id as heading, cast(1 as int) as heading_idx,
        u.chunk_id, u.chunk_text, u.n_tokens
@@ -3261,7 +3261,7 @@ def q_extract_xlsx(spark, sf_dir):
 
 ORACLE_EXTRACT_XLSX = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3351,7 +3351,7 @@ def q_extract_pptx(spark, sf_dir):
 
 ORACLE_EXTRACT_PPTX = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3476,7 +3476,7 @@ def q_extract_odt(spark, sf_dir):
 
 ORACLE_EXTRACT_ODT = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3544,7 +3544,7 @@ def q_extract_boxnote(spark, sf_dir):
 
 ORACLE_EXTRACT_BOXNOTE = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3602,7 +3602,7 @@ def q_extract_ebcdic(spark, sf_dir):
 
 ORACLE_EXTRACT_EBCDIC = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3642,7 +3642,7 @@ def q_extract_deepseek(spark, sf_dir):
 
 ORACLE_EXTRACT_DEEPSEEK = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -3748,7 +3748,7 @@ def q_extract_docx(spark, sf_dir):
 
 ORACLE_EXTRACT_DOCX = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -4191,8 +4191,8 @@ def q_enrich_items(spark, sf_dir):
 ORACLE_ENRICH_ITEMS = """
 with t as (
   select doc_id, text,
-         string_split_regex(trim(text), '\\s+') toks,
-         string_split_regex(trim(lower(text)), '\\s+') ltoks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') ltoks
   from documents
 ),
 s as (
@@ -4243,8 +4243,8 @@ def q_curation_funnel(spark, sf_dir):
 ORACLE_CURATION_FUNNEL = """
 with t as (
   select doc_id, text,
-         string_split_regex(trim(text), '\\s+') toks,
-         string_split_regex(trim(lower(text)), '\\s+') ltoks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') ltoks
   from documents
 ),
 s as (
@@ -4286,7 +4286,7 @@ r as (
 select doc_id,
   case
     when quality < 0.5 then 'low_quality'
-    when lang_pred <> 'en' then 'non_english'
+    when lang_pred <> 'en' then 'non_en'
     when n_tokens not between 5 and 100000 then 'length'
     when elig_rank > 1 then 'exact_dup'
     else 'kept' end as stage,
@@ -4594,7 +4594,7 @@ def q_extract_docling_json(spark, sf_dir):
 
 ORACLE_DOCLING_JSON = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -4684,7 +4684,7 @@ def q_extract_asciidoc(spark, sf_dir):
 
 ORACLE_ASCIIDOC = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 'success' as status,
        '# Guide ' || doc_id || chr(10) || chr(10)
@@ -4704,7 +4704,7 @@ def q_export_doctags(spark, sf_dir):
     from docling_spark.operators.export import export_items
     from docling_spark.operators.extract_ops import extract_turns
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     w = lambda i: F.element_at(toks, i)  # noqa: E731
     payload = F.concat(
         F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
@@ -4726,7 +4726,7 @@ def q_export_doctags(spark, sf_dir):
 
 ORACLE_EXPORT_DOCTAGS = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id,
        '<doctag><title>Doc ' || doc_id || '</title>' || chr(10)
@@ -5049,7 +5049,7 @@ def q_decontaminate(spark, sf_dir):
 
 ORACLE_DECONTAMINATE = """
 with toks as (
-  select doc_id, string_split_regex(trim(lower(text)), '\\s+') t
+  select doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') t
   from documents
 ),
 grams as (
@@ -5127,9 +5127,9 @@ def q_repetition_stats(spark, sf_dir):
 
 ORACLE_REPETITION_STATS = """
 with toks as (
-  select doc_id, string_split_regex(trim(lower(text)), '\\s+') t,
+  select doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') t,
          length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) n_chars,
-         string_split_regex(trim(text), '\\s+') rawt
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') rawt
   from documents
 ),
 payload as (
@@ -5348,7 +5348,7 @@ def q_unigram_logprob(spark, sf_dir):
 
 ORACLE_UNIGRAM_LOGPROB = """
 with toks as (
-  select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as token
+  select doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as token
   from documents
 ),
 toks2 as (select * from toks where token <> ''),
@@ -5387,7 +5387,7 @@ with t as (
          ('0x' || substr(md5('shard:' || cast(doc_id as varchar)), 1, 15))::bigint
            % 16 as shard,
          case when trim(text) = '' then 0
-              else len(string_split_regex(trim(text), '\\s+')) end as n_tokens
+              else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end as n_tokens
   from documents
 ),
 c as (
@@ -5415,7 +5415,7 @@ def q_tfidf_topk(spark, sf_dir):
 
 ORACLE_TFIDF_TOPK = """
 with toks as (
-  select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as token
+  select doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as token
   from documents
 ),
 t2 as (select * from toks where token <> ''),
@@ -5482,7 +5482,7 @@ norm as (
 tok0 as (
   select d.source,
          sum(case when trim(text) = '' then 0
-                  else len(string_split_regex(trim(text), '\\s+')) end)
+                  else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end)
            as tokens_avail
   from documents d
   join targets t on t.source = d.source
@@ -5577,7 +5577,7 @@ def q_extract_template_kv(spark, sf_dir):
     join + first-match window (template_extract.py)."""
     from docling_spark.operators.template_extract import extract_templated
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     payload = F.concat(
         F.lit("Invoice No: "), F.col("doc_id").cast("string"),
         F.lit("\nCustomer Name: "), F.element_at(toks, 1),
@@ -5604,7 +5604,7 @@ def q_extract_template_kv(spark, sf_dir):
 
 ORACLE_TEMPLATE_KV = """
 with d as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks from documents
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
 )
 select doc_id, 1 as page_no, 'invoice no' as field,
        cast(doc_id as varchar) as value_raw,
@@ -5927,9 +5927,9 @@ ORACLE_QUALITY_LR_TRAIN = f"""
 with f as (
   select doc_id,
          case when trim(text) = '' then 0
-              else len(string_split_regex(trim(text), '\\s+')) end as n_tok,
+              else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end as n_tok,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) as n_nospace,
-         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
              t -> t in ('the','and','of','to','a','in','is','it','that')))
            as hits_en
   from documents
@@ -5976,7 +5976,7 @@ ORACLE_TEMPERATURE_MIXTURE = """
 with tok as (
   select source,
          sum(case when trim(text) = '' then 0
-                  else len(string_split_regex(trim(text), '\\s+')) end)
+                  else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end)
            as tokens_avail
   from documents group by 1
 ),
@@ -6006,7 +6006,7 @@ def q_chart_cells(spark, sf_dir):
     JVM: posexplode x2 + per-chart forall header vote."""
     from docling_spark.operators.charts import chart_table_cells
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     grid = F.when(
         F.col("doc_id") % 4 == 0,
         F.concat(F.lit("2019,"), F.col("doc_id").cast("string"),
@@ -6027,7 +6027,7 @@ def q_chart_cells(spark, sf_dir):
 ORACLE_CHART_CELLS = """
 with t as (
   select doc_id,
-         string_split_regex(trim(text), '\\s+') toks,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
          doc_id % 4 = 0 as numeric_grid
   from documents
 ),
@@ -6137,7 +6137,7 @@ def q_extract_glm(spark, sf_dir):
 
 ORACLE_EXTRACT_GLM = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -6165,7 +6165,7 @@ def q_code_formula_post(spark, sf_dir):
 
     d = F.col("doc_id")
     label = F.when(d % 3 == 2, "formula").otherwise("code")
-    word = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    word = F.element_at(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""), 1)
     answer = (
         F.when(d % 3 == 0, F.concat(
             F.lit("<_Python_>def f_"), d.cast("string"),
@@ -6190,7 +6190,7 @@ ORACLE_CODE_FORMULA_POST = """
 with a as (
   select doc_id,
          case when doc_id % 3 = 2 then 'formula' else 'code' end as label,
-         string_split_regex(trim(text), '\\s+')[1] as word
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1] as word
   from documents
 ),
 ans as (
@@ -6445,7 +6445,7 @@ def q_extract_doctags(spark, sf_dir):
 
 ORACLE_EXTRACT_DOCTAGS = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id, 'success' as status,
@@ -6503,7 +6503,7 @@ def q_ocr_tsv_cells(spark, sf_dir):
 
 ORACLE_OCR_TSV_CELLS = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+') toks,
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
          cast(doc_id % 100 as double) x, cast(doc_id % 50 as double) y
   from documents
 )
@@ -6562,7 +6562,7 @@ def q_ocr_merge_cells(spark, sf_dir):
 
 ORACLE_OCR_MERGE_CELLS = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+')[1] tok
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1] tok
   from documents
 )
 select doc_id, tok as text, cast(1.0 as double) as conf,
@@ -6629,7 +6629,7 @@ def q_export_yaml(spark, sf_dir):
 
 ORACLE_EXPORT_YAML = """
 with t as (
-  select doc_id, text, string_split_regex(trim(text), '\\s+') toks
+  select doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
   from documents
 )
 select doc_id,
@@ -6676,7 +6676,7 @@ def q_asr_segments(spark, sf_dir):
 
 ORACLE_ASR_SEGMENTS = """
 with t as (
-  select doc_id, string_split_regex(trim(text), '\\s+')[1] tok
+  select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1] tok
   from documents
 )
 select doc_id, 0 as seg_rank, cast(0.0 as double) as start_time,
@@ -6841,8 +6841,8 @@ with e as (
 ),
 t as (
   select doc_id, text,
-         string_split_regex(trim(text), '\\s+') toks,
-         string_split_regex(trim(lower(text)), '\\s+') ltoks,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') ltoks,
          string_split(text, chr(10)) lines
   from e
 ),
@@ -7042,13 +7042,13 @@ def q_readability(spark, sf_dir):
     documents: word/sentence/vowel-group counts + the published score."""
     from docling_spark.operators.webquality import flesch_reading_ease
 
+    from docling_spark.operators.textstats import token_count
+
     d = _docs(spark, sf_dir)
     c = F.col("text")
-    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+")))
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
+        token_count(c).alias("n_words"),
         F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
         .alias("n_sentences"),
         F.regexp_count(F.lower(c), F.lit("[aeiouy]+")).alias("n_syllables"),
@@ -7060,7 +7060,7 @@ ORACLE_READABILITY = """
 with t as (
   select doc_id, text,
     case when trim(text) = '' then 0
-         else len(string_split_regex(trim(text), '\\s+')) end as n_words,
+         else len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) end as n_words,
     greatest(len(regexp_extract_all(text, '[.!?]+')), 1) as n_sentences,
     len(regexp_extract_all(lower(text), '[aeiouy]+')) as n_syllables
   from documents

@@ -30,9 +30,14 @@ def norm_text(col) -> Column:
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenization of trimmed text (BPE-ish token counting uses
-    the same splitter at both engines)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization with empty tokens filtered (BPE-ish token
+    counting uses the same splitter at both engines).
+
+    The filter, not trim: F.trim strips ASCII spaces only, so text with a
+    leading/trailing tab or newline split into a phantom '' token that
+    inflated every token count downstream (doc_stats, funnel gates, BM25
+    document length). The DuckDB twins apply the identical list_filter."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
 def token_count(col) -> Column:
@@ -61,28 +66,52 @@ def stopword_ratio(col, lang: str = "en") -> Column:
     return F.when(n > 0, stopword_hits(col, lang).cast("double") / n).otherwise(F.lit(0.0))
 
 
+def _quality_expr(n_tok: Column, sw_ratio: Column, atl: Column) -> Column:
+    """THE composite-quality formula — one definition consumed by
+    quality_score and doc_stats so the two can never drift (each used to
+    carry its own copy)."""
+    return F.round(
+        (
+            F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+            + F.least(sw_ratio * 5.0, F.lit(1.0))
+            + F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        ) / F.lit(3.0),
+        6,
+    )
+
+
 def quality_score(col) -> Column:
     """Composite quality in [0,1]: length band + stopword presence + token
     shape (the reference's rate_text_quality analog for corpus curation;
-    formula kept in the SQL-expressible subset)."""
-    n_tok = token_count(col).cast("double")
-    len_band = F.least(n_tok / F.lit(20.0), F.lit(1.0))
-    sw = F.least(stopword_ratio(col, "en") * 5.0, F.lit(1.0))
-    atl = avg_token_len(col)
-    shape = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((len_band + sw + shape) / F.lit(3.0), 6)
+    formula kept in the SQL-expressible subset). NULL text scores NULL —
+    Spark's least() skips NULLs, so the unguarded formula gave a NULL
+    document full length-band credit (0.333), outscoring an empty one."""
+    return F.when(
+        col.isNotNull(),
+        _quality_expr(token_count(col), stopword_ratio(col, "en"),
+                      avg_token_len(col)),
+    )
+
+
+def _lang_argmax(hits: dict[str, Column]) -> Column:
+    """argmax over per-language hit Columns, fixed tie order
+    (en > de > fr > es), 'und' when no hits — shared by lang_id and
+    doc_stats' precomputed-hits variant."""
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed fixed order so earlier langs win ties via later when-overwrite
+    for lang in ("es", "fr", "de", "en"):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best),
+                      F.lit(lang)).otherwise(expr)
+    return expr
 
 
 def lang_id(col) -> Column:
     """Stopword-vote language ID: argmax of per-language hit counts with a
     fixed tie order (en > de > fr > es), 'und' when no hits."""
-    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    # reversed fixed order so earlier langs win ties via later when-overwrite
-    for lang in ("es", "fr", "de", "en"):
-        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+    return _lang_argmax({lang: stopword_hits(col, lang)
+                         for lang in STOPWORDS})
 
 
 def fingerprint(col) -> Column:
@@ -136,8 +165,11 @@ def score_to_grade(c: Column) -> Column:
     """Quality grade thresholds of the reference's ConfidenceReport
     (docling/datamodel/base_models.py:609-628): <0.5 poor, <0.8 fair,
     <0.9 good, ≥0.9 excellent."""
+    # NULL passthrough first: every `c < x` is NULL-falsy, so without
+    # the guard a missing score fell through to 'excellent'
     return (
-        F.when(c < 0.5, F.lit("poor"))
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c < 0.5, F.lit("poor"))
         .when(c < 0.8, F.lit("fair"))
         .when(c < 0.9, F.lit("good"))
         .otherwise(F.lit("excellent"))
@@ -162,7 +194,6 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stage1 = docs.select(
         "doc_id",
         token_count(c).alias("n_tokens"),
-        char_count(c).alias("n_chars2"),
         F.length(F.regexp_replace(F.trim(c), r"\s+", "")).alias("n_nospace"),
         *[hit_cols[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
         fingerprint(c).alias("fingerprint"),
@@ -173,21 +204,14 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sw_ratio = F.when(n_tok > 0,
                       F.col("hits_en").cast("double") / n_tok).otherwise(F.lit(0.0))
     stage2 = stage1.select(
-        "doc_id", "n_tokens", "n_chars2", "fingerprint",
+        "doc_id", "n_tokens", "fingerprint",
         F.round(atl, 6).alias("avg_token_len"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
-        F.round(
-            (
-                F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
-                + F.least(sw_ratio * 5.0, F.lit(1.0))
-                + F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-            ) / F.lit(3.0),
-            6,
-        ).alias("quality"),
+        _quality_expr(n_tok, sw_ratio, atl).alias("quality"),
         _lang_pred_from_hits().alias("lang_pred"),
     )
     return stage2.select(
-        "doc_id", "n_tokens", "n_chars2", "avg_token_len", "stopword_ratio",
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
         "quality", "lang_pred", "fingerprint",
     )
 
@@ -195,12 +219,8 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _lang_pred_from_hits() -> Column:
     """argmax over precomputed hits_<lang> columns, fixed tie order
     (en > de > fr > es), 'und' when no hits — same semantics as lang_id."""
-    hits = {lang: F.col(f"hits_{lang}") for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    for lang in ("es", "fr", "de", "en"):
-        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+    return _lang_argmax({lang: F.col(f"hits_{lang}")
+                         for lang in STOPWORDS})
 
 
 def curation_funnel(docs: DataFrame, text_col: str = "text",
@@ -212,7 +232,7 @@ def curation_funnel(docs: DataFrame, text_col: str = "text",
     exact-dedup keep-first) in ONE distributed pass.
 
     Per-row stage taxonomy, checked in order:
-    ``low_quality`` → ``non_english`` (vs the requested ``lang``) →
+    ``low_quality`` → ``non_<lang>`` (vs the requested ``lang``) →
     ``length`` → ``exact_dup`` (a same-fingerprint doc with smaller
     doc_id also survived the gates) → ``kept``.
 
@@ -236,7 +256,7 @@ def curation_funnel(docs: DataFrame, text_col: str = "text",
     s = s.withColumn("_elig_rank", F.sum("_elig").over(w))
     stage = (
         F.when(F.col("quality") < min_quality, F.lit("low_quality"))
-        .when(F.col("lang_pred") != lang, F.lit("non_english"))
+        .when(F.col("lang_pred") != lang, F.lit(f"non_{lang}"))
         .when(~F.col("n_tokens").between(min_tokens, max_tokens),
               F.lit("length"))
         .when(F.col("_elig_rank") > 1, F.lit("exact_dup"))
@@ -310,9 +330,15 @@ def linear_quality_score(docs: DataFrame, dim: int = 256,
     if weights is None:
         weights = [((i * 2654435761) % 2001 - 1000) / 1000.0
                    for i in range(dim)]
+    if len(weights) != dim:
+        # a short vector crashes mid-job with INVALID_ARRAY_INDEX under
+        # ANSI element_at; a long one silently ignores its tail — both
+        # are config errors that must surface at plan-build time
+        raise ValueError(
+            f"weights has {len(weights)} entries but dim={dim}; "
+            "pass dim=len(weights) for a trained vector")
     warr = F.array(*[F.lit(float(w)) for w in weights])
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens(F.lower(F.col(text_col)))
     # bucket = first 8 md5 hex chars as int, mod dim (DuckDB-replicable)
     bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10) \
         .cast("long") % dim  # noqa: E731
@@ -399,20 +425,24 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     summation order.
     """
     terms = [t.lower() for t in query_terms]
-    lens = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("dl"))
-    stats = lens.agg(
+    # dl rides along with the exploded tokens (it is functionally
+    # dependent on the doc id, so adding it to the groupBy key changes
+    # nothing) — the corpus is scanned twice total: once here for
+    # matching tokens + lengths, once for the (N, avgdl) scalar. The
+    # previous shape scanned a third time for a lens table it then
+    # re-joined.
+    stats = docs.select(token_count(F.col(text_col)).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"))
     toks = docs.select(
         F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
         F.explode(tokens(norm_text(F.col(text_col)))).alias("tok"),
     ).where(F.col("tok").isin(terms))
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(lens, id_col)
         .crossJoin(F.broadcast(stats))  # 1-row scalar attach
         .select(
             F.col(id_col),

@@ -599,3 +599,67 @@ class TestCurationReviewFixes:
         rows = {r["doc_id"]: r for r in dsir_weights_total(src, tgt).collect()}
         assert set(rows) == {1, 2}
         assert rows[2]["n_tokens"] == 0 and rows[2]["keep"] == 0
+
+
+class TestTextstatsReviewFixes:
+    def test_tokens_no_phantom_empty_token(self, spark):
+        """F.trim strips ASCII spaces only: a leading tab/newline used to
+        split into a phantom '' token, inflating every count."""
+        from pyspark.sql import functions as F
+
+        from docling_spark.operators.textstats import (
+            avg_token_len,
+            token_count,
+        )
+
+        df = spark.createDataFrame(
+            [("\tHello world",), ("\n",), ("  a b  ",), ("",)], "t string")
+        rows = df.select(
+            token_count(F.col("t")).alias("n"),
+            F.round(avg_token_len(F.col("t")), 3).alias("atl"),
+        ).collect()
+        assert [r["n"] for r in rows] == [2, 0, 2, 0]
+        assert rows[0]["atl"] == 5.0
+
+    def test_quality_score_null_text_is_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from docling_spark.operators.textstats import quality_score
+
+        df = spark.createDataFrame([(None,), ("",)], "t string")
+        rows = df.select(quality_score(F.col("t")).alias("q")).collect()
+        assert rows[0]["q"] is None       # NULL text -> NULL, not 0.333
+        assert rows[1]["q"] == 0.0
+
+    def test_score_to_grade_null_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from docling_spark.operators.textstats import score_to_grade
+
+        df = spark.createDataFrame([(None,), (0.95,)], "s double")
+        rows = df.select(score_to_grade(F.col("s")).alias("g")).collect()
+        assert rows[0]["g"] is None       # was 'excellent'
+        assert rows[1]["g"] == "excellent"
+
+    def test_linear_quality_score_validates_weights(self, spark):
+        import pytest
+
+        from docling_spark.operators.textstats import linear_quality_score
+
+        docs = spark.createDataFrame([(1, "hello")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError, match="dim"):
+            linear_quality_score(docs, dim=256, weights=[0.1] * 16)
+        # trained vector with matching dim works
+        out = linear_quality_score(docs, dim=16, weights=[0.1] * 16)
+        assert out.count() == 1
+
+    def test_funnel_stage_label_tracks_lang(self, spark):
+        from docling_spark.operators.textstats import curation_funnel
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox and the lazy dog in a big field "
+                 "that is full of green grass and it is a nice day")],
+            "doc_id long, text string")
+        out = curation_funnel(docs, lang="de").collect()[0]
+        assert out["stage"] == "non_de"
