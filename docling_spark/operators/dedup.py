@@ -111,6 +111,33 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_structs(num_hashes: int, band_size: int, hash_at) -> "F.Column":
+    """The LSH band array expression — ONE definition of the
+    (band_id, bucket) key (md5 of the comma-joined band hashes) shared by
+    the batch index (:func:`band_signatures`) and the streaming twin
+    (streaming/stateful.near_dedup_stream), so bucket keys can never
+    silently stop matching a persisted index. ``hash_at(j)`` returns the
+    Column holding the j-th signature hash."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            hash_at(b * band_size + i).cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def band_signatures(
     sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
@@ -123,24 +150,8 @@ def band_signatures(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
             f"({band_size}) — trailing hashes would be paid for in the "
             "signatures but silently never banded, lowering recall")
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{b * band_size + i}").cast("string")
-                            for i in range(band_size)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = band_structs(num_hashes, band_size,
+                         lambda j: F.col(f"mh_{j}"))
     return sigs.select("doc_id", F.explode(bands).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.bucket").alias("bucket")
     )

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -37,6 +38,7 @@ STATE_SCHEMA = T.StructType(
         # is count(*), so the streaming count must not shrink when a
         # failed extraction contributes no text
         T.StructField("n_seen", T.IntegerType(), True),
+        T.StructField("n_success", T.IntegerType(), True),
     ]
 )
 
@@ -45,12 +47,14 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("conversation_text", T.StringType(), True),
         T.StructField("n_turns", T.IntegerType(), True),
+        # batch-parity column (assemble_conversations emits it too)
+        T.StructField("n_success", T.IntegerType(), True),
     ]
 )
 
 
 def _assemble(conv_id: str, idxs: list[int], texts: list[str],
-              n_seen: int, sep: str) -> pd.DataFrame:
+              n_seen: int, n_success: int, sep: str) -> pd.DataFrame:
     order = sorted(range(len(idxs)), key=lambda i: idxs[i])
     return pd.DataFrame(
         {
@@ -59,12 +63,22 @@ def _assemble(conv_id: str, idxs: list[int], texts: list[str],
             # count ALL turns (batch twin: F.count('*')), not just the
             # text-bearing ones the join skipped
             "n_turns": [n_seen],
+            "n_success": [n_success],
         }
     )
 
 
 def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
-    """Returns the (key, batches, state) function for applyInPandasWithState."""
+    """Returns the (key, batches, state) function for applyInPandasWithState.
+
+    Late-straggler semantics (the standard session-window tradeoff): a
+    turn arriving AFTER its conversation's idle flush starts a fresh
+    state and eventually emits a second, partial row for the same
+    conv_id. Size ``idle_ms`` beyond the source's worst-case lateness;
+    keyed sinks that must tolerate stragglers should merge by
+    max(n_turns) rather than blind overwrite. Retaining tombstones to
+    resume flushed conversations would make state O(all conversations
+    ever seen) — the idle timeout IS the state bound."""
 
     def assemble(
         key: tuple,
@@ -73,27 +87,49 @@ def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
-            (idxs, texts, n_seen) = state.get
+            (idxs, texts, n_seen, n_success) = state.get
             state.remove()
             yield _assemble(conv_id, list(idxs), list(texts),
-                            int(n_seen), sep)
+                            int(n_seen), int(n_success), sep)
             return
         if state.exists:
-            prev_i, prev_t, n_seen = state.get
+            prev_i, prev_t, n_seen, n_success = state.get
             idxs, texts = list(prev_i), list(prev_t)
             n_seen = int(n_seen)
+            n_success = int(n_success)
         else:
-            idxs, texts, n_seen = [], [], 0
+            idxs, texts, n_seen, n_success = [], [], 0, 0
+        seen_idxs = set(idxs)
         for pdf in pdfs:
-            for i, v in zip(pdf["turn_idx"], pdf["extracted_text"]):
+            statuses = (pdf["status"] if "status" in pdf.columns
+                        else [None] * len(pdf))
+            for i, v, st in zip(pdf["turn_idx"], pdf["extracted_text"],
+                                statuses):
+                # at-least-once delivery guard: turn_idx is the unique key
+                # within a conversation (the north rule's stable ordering
+                # contract), so a replayed row must not append twice. The
+                # batch twin, fed the duplicate as two physical rows,
+                # would count both — that divergence only arises for
+                # malformed duplicate-idx data; replay is the case that
+                # actually happens. This also makes duplicate-idx
+                # tie-breaking (batch: text-sorted) a non-issue here:
+                # first arrival wins deterministically per delivery.
+                if i is None or (not isinstance(i, (int,)) and pd.isna(i)):
+                    continue  # unordered row: skip, never crash the query
+                ii = int(i)
+                if ii in seen_idxs:
+                    continue
+                seen_idxs.add(ii)
                 n_seen += 1
+                if st == "success":
+                    n_success += 1
                 # the batch twin's array_join skips null elements —
                 # str(None) would inject the literal "None" here
                 if v is None or (not isinstance(v, str) and pd.isna(v)):
                     continue
-                idxs.append(int(i))
+                idxs.append(ii)
                 texts.append(str(v))
-        state.update((idxs, texts, n_seen))
+        state.update((idxs, texts, n_seen, n_success))
         state.setTimeoutDuration(idle_ms)
         return
         yield  # pragma: no cover — generator form
@@ -105,8 +141,15 @@ def assemble_conversations_stream(
     extracted: DataFrame, idle_ms: int = 30_000, sep: str = "\n\n"
 ) -> DataFrame:
     """extracted turn stream → assembled-conversation stream (update mode)."""
+    cols = ["conv_id", "turn_idx", "extracted_text"]
+    if "status" in extracted.columns:
+        cols.append("status")  # feeds the batch-parity n_success count
     return (
-        extracted.select("conv_id", "turn_idx", "extracted_text")
+        extracted.select(*cols)
+        # never a null-key state group (same guard as the dedup twins):
+        # file sources do not enforce declared non-nullability, and a
+        # null conv_id would emit into the non-nullable output field
+        .filter(F.col("conv_id").isNotNull())
         .groupBy("conv_id")
         .applyInPandasWithState(
             make_assembler(idle_ms, sep),
@@ -145,13 +188,18 @@ def make_stream_dedup():
         if state.hasTimedOut:  # pragma: no cover — no timeout configured
             state.remove()
             return
-        already = state.exists
+        if state.exists:
+            # hot duplicated fingerprints are the whole workload here —
+            # skip the batch scan entirely, its result would be discarded
+            return
         best = None  # (doc_id, text) with the smallest doc_id this batch
         for pdf in pdfs:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or pd.isna(doc_id):
+                    continue  # never crash the query on a null id
                 if best is None or int(doc_id) < best[0]:
                     best = (int(doc_id), str(text))
-        if already or best is None:
+        if best is None:
             return
         state.update((1,))
         yield pd.DataFrame(
@@ -183,7 +231,8 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
     return (
         docs.select(fp, "doc_id", F.col(text_col).alias("text"))
-        .filter(F.col("fingerprint").isNotNull())
+        .filter(F.col("fingerprint").isNotNull()
+                & F.col("doc_id").isNotNull())
         .groupBy("fingerprint")
         .applyInPandasWithState(
             make_stream_dedup(),
@@ -249,20 +298,30 @@ def make_stream_near_dedup(num_hashes: int = 8, threshold: float = 0.5,
         incoming = []
         for pdf in pdfs:
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                if doc_id is None or pd.isna(doc_id) or sig is None:
+                    continue  # never crash the query on a null row
                 incoming.append((int(doc_id), [int(x) for x in sig]))
         incoming.sort(key=lambda t: t[0])
         changed = False
+        # screening set = stored signatures PLUS this batch's unstored
+        # arrivals: a full bucket must still compare doc 101 against doc
+        # 100 from the same micro-batch (the docstring's same-batch
+        # guarantee) even though neither will be stored
+        screen_ids = list(doc_ids)
+        screen_sigs = list(sigs)
         for doc_id, sig in incoming:
-            if doc_id in doc_ids:
+            if doc_id in screen_ids:
                 continue  # replayed / duplicated input row
             best = None
-            for i, prev_id in enumerate(doc_ids):
-                prev = sigs[i * num_hashes:(i + 1) * num_hashes]
+            for i, prev_id in enumerate(screen_ids):
+                prev = screen_sigs[i * num_hashes:(i + 1) * num_hashes]
                 est = sum(1 for a, b in zip(sig, prev) if a == b) / num_hashes
                 if est >= threshold and (best is None or prev_id < best[0]):
                     best = (prev_id, est)
             if best is not None:
                 rows.append((band_id, bucket, doc_id, best[0], round(best[1], 6)))
+            screen_ids.append(doc_id)
+            screen_sigs.extend(sig)
             if len(doc_ids) < max_bucket:
                 doc_ids.append(doc_id)
                 sigs.extend(sig)
@@ -299,30 +358,18 @@ def near_dedup_stream(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import functions as F
 
-    from docling_spark.operators.dedup import minhash_signature_array
+    from docling_spark.operators.dedup import (
+        band_structs,
+        minhash_signature_array,
+    )
 
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be divisible by band_size")
-    n_bands = num_hashes // band_size
     sig = minhash_signature_array(F.col(text_col), num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("sig"), b * band_size + i + 1)
-                            .cast("string")
-                            for i in range(band_size)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    # the ONE band-key definition (dedup.band_structs) — streaming bucket
+    # keys must match the persisted batch LSH index byte-for-byte
+    bands = band_structs(num_hashes, band_size,
+                         lambda j: F.element_at(F.col("sig"), j + 1))
     banded = (
         docs.select(F.col("doc_id"), sig.alias("sig"))
         .select("doc_id", "sig", F.explode(bands).alias("bd"))

@@ -265,3 +265,87 @@ def test_stream_near_dedup_bucket_cap():
     out2 = list(fn((0, "k"), iter([pdf2]), st))
     assert list(out2[0]["dup_of"]) == [1]
     assert list(st.get[0]) == [1, 2]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_assembler_replay_guard_counts_once():
+    """An at-least-once source replaying the same turn row must not
+    append it twice (turn_idx is the unique key within a conversation)."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import _assemble, make_assembler
+
+    fn = make_assembler(idle_ms=1000)
+    st = _FakeState()
+    batch = pd.DataFrame({"turn_idx": [0, 1], "extracted_text": ["a", "b"],
+                          "status": ["success", "success"]})
+    list(fn(("c1",), iter([batch]), st))          # first delivery
+    list(fn(("c1",), iter([batch]), st))          # replay
+    idxs, texts, n_seen, n_success = st.get
+    assert list(idxs) == [0, 1] and list(texts) == ["a", "b"]
+    assert n_seen == 2 and n_success == 2
+    out = _assemble("c1", list(idxs), list(texts), n_seen, n_success, "\n\n")
+    assert out["conversation_text"][0] == "a\n\nb"
+    assert out["n_turns"][0] == 2 and out["n_success"][0] == 2
+
+
+def test_assembler_null_turn_idx_skipped_not_crashed():
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_assembler
+
+    fn = make_assembler(idle_ms=1000)
+    st = _FakeState()
+    batch = pd.DataFrame({"turn_idx": pd.array([0, None], dtype="Int64"),
+                          "extracted_text": ["a", "ghost"],
+                          "status": ["success", "success"]})
+    list(fn(("c1",), iter([batch]), st))
+    idxs, texts, n_seen, n_success = st.get
+    assert list(idxs) == [0] and n_seen == 1
+
+
+def test_near_dedup_screens_same_batch_past_cap():
+    """With the bucket at max_bucket, two near-identical new docs in one
+    micro-batch must still be screened against each other."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_stream_near_dedup
+
+    fn = make_stream_near_dedup(num_hashes=4, threshold=0.5, max_bucket=1)
+    st = _FakeState(([7], [1, 2, 3, 4]))  # stored: doc 7, full bucket
+    batch = pd.DataFrame({
+        "doc_id": [100, 101],
+        "sig": [[9, 9, 9, 9], [9, 9, 9, 8]],  # agree on 3/4 with each other
+    })
+    out = list(fn((0, "b"), iter([batch]), st))
+    rows = out[0] if out else pd.DataFrame()
+    pairs = {(r.doc_id, r.dup_of) for r in rows.itertuples()}
+    assert (101, 100) in pairs       # same-batch screen past the cap
+    ids, sigs = st.get
+    assert list(ids) == [7]          # cap still bounds stored state
