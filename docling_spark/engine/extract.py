@@ -34,26 +34,52 @@ STATUS_SKIPPED = "skipped"
 # this are skipped, not parsed.
 DEFAULT_MAX_BYTES = 8 * 1024 * 1024
 
-KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "code", "vtt", "email",
-                 "asciidoc", "epub", "docling_json", "docx", "deepseek",
-                 "xlsx", "pptx", "ebcdic", "boxnote", "jats", "odt", "ods",
-                 "odp", "uspto", "latex", "doclang", "mets_gbs", "chandra", "dots",
-                 "xbrl", "image", "glm_json", "doctags", "docling_yaml",
-                 "plain")
+KNOWN_FORMATS = ("html", "md", "csv", "pdfish", "pdf", "code", "vtt",
+                 "email", "asciidoc", "epub", "docling_json", "docx",
+                 "deepseek", "xlsx", "pptx", "ebcdic", "boxnote", "jats",
+                 "odt", "ods", "odp", "uspto", "latex", "doclang",
+                 "mets_gbs", "chandra", "dots", "xbrl", "image", "glm_json",
+                 "doctags", "docling_yaml", "media", "docbin", "xlsbin",
+                 "pptbin", "legacy_office", "plain")
+
+# hint-alias spellings accepted wherever a format name is taken (the
+# tool column AND the allowed-formats policy list)
+_HINT_ALIASES = {"dclx": "doclang", "mets": "mets_gbs", "glm": "glm_json",
+                 "yaml": "docling_yaml", "adoc": "asciidoc",
+                 "doc": "docbin", "dot": "docbin", "xls": "xlsbin",
+                 "xlt": "xlsbin", "ppt": "pptbin", "pot": "pptbin",
+                 **{a: "image" for a in ("png", "jpg", "jpeg", "gif",
+                                         "bmp", "webp", "tiff", "tif",
+                                         "ico")},
+                 **{a: "media" for a in ("audio", "video", "wav", "mp3",
+                                         "flac", "ogg", "m4a", "mp4",
+                                         "mov", "avi", "aac", "asr")}}
 
 _ADOC_SNIFF_RE = re.compile(r"(?m)^= \S.*\n(?:.*\n)*?^==+ \S")
 
 _HTML_SNIFF_RE = re.compile(r"(?is)^\s*(<!doctype\s+html|<html[\s>]|<body[\s>])")
 _HTML_TAGS_RE = re.compile(r"(?s)<[a-zA-Z][^>]*>.*</[a-zA-Z]")
-_PDFISH_RE = re.compile(r'^\s*\{.*"bbox"\s*:', re.S)
+# bounded probe: an unbounded '.*' scan paid a full-document pass per
+# sniff and classified ANY JSON containing "bbox" at any depth as
+# pdfish. The key may sit on a later line (a pdfish payload can open
+# with the page-size declaration line), so the sniff is {-prefix plus a
+# windowed key search, like the sibling sniffs.
+_BBOX_KEY_RE = re.compile(r'"bbox"\s*:')
+_DOCLING_JSON_KEY_RE = re.compile(r'"schema_name"\s*:\s*"DoclingDocument"')
 _MD_CUES_RE = re.compile(r"(?m)^(#{1,6}\s|\s*[-*+]\s+\S|\s*\d+\.\s+\S|```)")
 _YAML_HEAD_RE = re.compile(r"\s*[a-z_]+:\s")
 
 
-def detect_format(text: str, tool: str = "") -> str:
+def detect_format(text: str, tool: str = "", _carry: dict | None = None
+                  ) -> str:
     """Extension/MIME routing analog (base_models.py:143-263): the ``tool``
     column is the format hint; content sniffing is the fallback
-    (document.py:1014 HTML detection, 1058 CSV dialect detection)."""
+    (document.py:1014 HTML detection, 1058 CSV dialect detection).
+
+    ``_carry`` (internal): extract_payload passes a dict so the OLE sniff
+    can hand over its decoded bytes — classifying .doc/.xls/.ppt needs
+    the container directory, and decoding a multi-MB base64 payload
+    twice (sniff + handler) doubled the costliest part of routing."""
     hint = (tool or "").strip().lower()
     if hint == "adoc":
         hint = "asciidoc"
@@ -81,8 +107,7 @@ def detect_format(text: str, tool: str = "") -> str:
                 "odt", "ods", "odp", "uspto", "latex", "doclang", "dclx",
                 "mets_gbs", "mets", "chandra", "dots", "xbrl",
                 "glm", "glm_json", "doctags", "yaml", "docling_yaml"):
-        return {"dclx": "doclang", "mets": "mets_gbs",
-                "glm": "glm_json", "yaml": "docling_yaml"}.get(hint, hint)
+        return _HINT_ALIASES.get(hint, hint)
     ls = text.lstrip() if text else ""  # shared: the sniffs below probe
     # the first non-ws char repeatedly; one lstrip instead of four
     if text and text.find("<|ref|>", 0, 8192) >= 0:
@@ -91,7 +116,10 @@ def detect_format(text: str, tool: str = "") -> str:
         if deepseekx.looks_like_deepseek(text):
             return "deepseek"
     if ls.startswith("{") and \
-            text.find('"schema_name": "DoclingDocument"', 0, 2048) >= 0:
+            _DOCLING_JSON_KEY_RE.search(text, 0, 2048):
+        # regex, not an exact-substring find: compact serialization
+        # (separators=(',',':')) drops the ': ' spacing and previously
+        # fell through to the pdfish sniff via prov "bbox" keys
         return "docling_json"
     if ls.startswith("{") and \
             (text.find('"file-info"', 0, 4096) >= 0
@@ -157,7 +185,10 @@ def detect_format(text: str, tool: str = "") -> str:
         from docling_spark.engine import olex
 
         try:
-            streams = olex.OleFile(base64.b64decode(text)).streams()
+            raw = base64.b64decode(text)
+            if _carry is not None:
+                _carry["ole_raw"] = raw
+            streams = olex.OleFile(raw).streams()
         except Exception:
             streams = []
         if "WordDocument" in streams:
@@ -173,7 +204,7 @@ def detect_format(text: str, tool: str = "") -> str:
         return "vtt"
     if emailx.looks_like_email(text):
         return "email"
-    if _PDFISH_RE.match(text):
+    if ls.startswith("{") and _BBOX_KEY_RE.search(text, 0, 4096):
         return "pdfish"
     if _HTML_SNIFF_RE.match(text) or _HTML_TAGS_RE.search(text, 0, 4096):
         return "html"
@@ -273,8 +304,10 @@ def _code_result(text: str) -> tuple[str, list[dict], dict]:
     items = [
         dict(item_idx=0, parent_idx=-1, label="unspecified", level=0,
              text="_root_", content_layer="body", span_start=-1, span_end=-1),
+        # span delimits the item TEXT inside extracted_text (the same
+        # exactness _plain_result keeps): fences are rendering, not item
         dict(item_idx=1, parent_idx=0, label="code", level=1, text=body,
-             content_layer="body", span_start=0, span_end=len(rendered)),
+             content_layer="body", span_start=4, span_end=4 + len(body)),
     ]
     lang = htmlx.detect_code_language(body)
     items[1]["code_language"] = lang
@@ -322,7 +355,14 @@ def extract_payload(
                         "category": "input_error"}],
             "metrics": dict(_EMPTY_METRICS),
         }
-    if len(text.encode("utf-8", errors="replace")) > max_bytes:
+    # byte-size gate without the up-to-8MB encode on the hot path:
+    # len(text) > max_bytes ⇒ over (≥1 byte/char); len*4 ≤ max_bytes ⇒
+    # under (≤4 bytes/char); only the narrow band between needs the
+    # real encode
+    if len(text) > max_bytes or (
+        len(text) * 4 > max_bytes
+        and len(text.encode("utf-8", errors="replace")) > max_bytes
+    ):
         return {
             "status": STATUS_SKIPPED,
             "format": "plain",
@@ -333,7 +373,13 @@ def extract_payload(
                         "category": "size_limit"}],
             "metrics": dict(_EMPTY_METRICS),
         }
-    fmt = detect_format(text, tool)
+    _carry: dict = {}
+    fmt = detect_format(text, tool, _carry)
+    if allowed_formats is not None:
+        # accept the same alias spellings the hint vocabulary accepts
+        # (--from adoc must allow what tool='adoc' detects as)
+        allowed_formats = frozenset(
+            _HINT_ALIASES.get(a, a) for a in allowed_formats)
     if allowed_formats is not None and fmt not in allowed_formats:
         # allowed-format policy (document_converter.py:738-752): a
         # disallowed format is SKIPPED with a POLICY-category error —
@@ -471,27 +517,30 @@ def extract_payload(
 
             from docling_spark.engine import docbinx
 
-            raw_d = text.encode("latin-1", "ignore") \
-                if text.startswith("\xd0\xcf") \
-                else base64.b64decode(text)
+            raw_d = _carry.get("ole_raw") or (
+                text.encode("latin-1", "ignore")
+                if text.startswith("\xd0\xcf")
+                else base64.b64decode(text))
             extracted, items, metrics = docbinx.extract_doc(raw_d)
         elif fmt == "xlsbin":
             import base64
 
             from docling_spark.engine import xlsbinx
 
-            raw_x = text.encode("latin-1", "ignore") \
-                if text.startswith("\xd0\xcf") \
-                else base64.b64decode(text)
+            raw_x = _carry.get("ole_raw") or (
+                text.encode("latin-1", "ignore")
+                if text.startswith("\xd0\xcf")
+                else base64.b64decode(text))
             extracted, items, metrics = xlsbinx.extract_xls(raw_x)
         elif fmt == "pptbin":
             import base64
 
             from docling_spark.engine import pptbinx
 
-            raw_pp = text.encode("latin-1", "ignore") \
-                if text.startswith("\xd0\xcf") \
-                else base64.b64decode(text)
+            raw_pp = _carry.get("ole_raw") or (
+                text.encode("latin-1", "ignore")
+                if text.startswith("\xd0\xcf")
+                else base64.b64decode(text))
             extracted, items, metrics = pptbinx.extract_ppt(raw_pp)
         elif fmt == "pdf":
             from docling_spark.engine import pdfx

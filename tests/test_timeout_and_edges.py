@@ -177,3 +177,65 @@ def test_allowed_formats_policy_operator(spark):
     assert out[2]["status"] == "success"
     assert out[1]["status"] == "skipped"
     assert [e["category"] for e in out[1]["errors"]] == ["policy"]
+
+
+class TestDispatcherReviewFixes:
+    def test_compact_docling_json_routes_correctly(self):
+        """Compact serialization (separators=(',',':')) must still sniff
+        as docling_json — the ': ' substring anchor used to miss it and
+        the prov bbox keys then misrouted it to pdfish (failure row)."""
+        import json
+
+        from docling_spark.engine.extract import detect_format
+
+        doc = {"schema_name": "DoclingDocument", "version": "1.0.0",
+               "name": "t", "body": {"children": []}, "texts": [],
+               "groups": [], "tables": [], "pictures": [],
+               "furniture": {"children": []}}
+        assert detect_format(json.dumps(doc, separators=(",", ":"))) \
+            == "docling_json"
+
+    def test_deep_bbox_json_not_pdfish(self):
+        from docling_spark.engine.extract import detect_format
+
+        blob = '{"a":1, "pad": "' + "x" * 5000 + '", "bbox": [1]}'
+        assert detect_format(blob) != "pdfish"
+
+    def test_allowed_formats_accepts_hint_aliases(self):
+        from docling_spark.engine.extract import extract_payload
+
+        r = extract_payload("= Title\n\n== Section\n\nbody", "adoc",
+                            allowed_formats=("adoc",))
+        assert r["status"] == "success"
+
+    def test_known_formats_covers_every_detected_format(self):
+        from docling_spark.engine.extract import KNOWN_FORMATS, detect_format
+
+        probes = ["%PDF-1.4 x", "0M8R4KGxGARBAGE###not-base64"]
+        for hint in ("wav", "png", "doc", "xls", "ppt"):
+            assert detect_format("x", hint) in KNOWN_FORMATS, hint
+        for p in probes:
+            assert detect_format(p) in KNOWN_FORMATS, p
+
+    def test_code_span_delimits_body_not_fences(self):
+        from docling_spark.engine.extract import extract_payload
+
+        r = extract_payload("print('x')", "code")
+        it = r["items"][1]
+        assert r["extracted_text"][it["span_start"]:it["span_end"]] \
+            == it["text"]
+
+    def test_size_gate_band_equivalence(self):
+        """The encode-avoiding fast paths must agree with the exact
+        byte-length gate on ASCII, multibyte, and boundary payloads."""
+        from docling_spark.engine.extract import extract_payload
+
+        # ASCII over limit via len(text) alone
+        r = extract_payload("a" * 2_000_001, "", max_bytes=2_000_000)
+        assert r["status"] == "skipped"
+        # multibyte text in the narrow band: 700k chars x 3 bytes > 2MB
+        r = extract_payload("中" * 700_000, "", max_bytes=2_000_000)
+        assert r["status"] == "skipped"
+        # multibyte under the limit
+        r = extract_payload("中" * 100, "plain", max_bytes=2_000_000)
+        assert r["status"] == "success"
