@@ -53,6 +53,12 @@ def asof_join(
     # head where last(ignorenulls) hands its values to every early left
     # row — exclude it up front
     right = right.filter(F.col(ts).isNotNull())
+    # NULL join keys must never match each other: the window partitions
+    # NULL keys together (unlike the documented `JOIN ... ON key`
+    # equivalent, where NULL = NULL is never true) — drop null-key right
+    # rows; null-key left rows stay and come back unmatched, exactly as
+    # a left join leaves them
+    right = right.filter(F.col(on).isNotNull())
     rstruct = F.struct(
         F.col(ts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
@@ -125,20 +131,45 @@ def interval_join(
     are inclusive (SQL BETWEEN semantics).
     """
     b = F.lit(int(bucket_s))
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start)) / b),
-                F.floor(F.unix_timestamp(F.col(end)) / b),
-            )
-        ),
+    b0 = F.floor(F.unix_timestamp(F.col(start)) / b)
+    b1 = F.floor(F.unix_timestamp(F.col(end)) / b)
+    iv = (
+        intervals
+        # reversed intervals (end < start — corrupt rows) can match
+        # nothing, but Spark's sequence() would silently DESCEND over
+        # them; drop them before the explode
+        .filter(F.col(end) >= F.col(start))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                # fail fast with a nameable cause instead of an executor
+                # OOM: a sentinel open-ended interval (end=9999-12-31)
+                # would materialize millions of bucket elements per row.
+                # 1e6 buckets ≈ a century of 1h buckets — beyond any
+                # real interval; raise names the knob to turn.
+                F.when(
+                    b1 - b0 > 1_000_000,
+                    F.raise_error(F.concat(
+                        F.lit("interval_join: interval spans more than "
+                              "1000000 buckets — open-ended sentinel "
+                              "end values must be clamped by the "
+                              "caller, or raise bucket_s ("),
+                        F.col(start).cast("string"), F.lit(" .. "),
+                        F.col(end).cast("string"), F.lit(")"),
+                    )).cast("array<bigint>"),
+                ).otherwise(F.sequence(b0, b1))
+            ),
+        )
     )
     pt = points.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(ts)) / b)
     )
-    joined = pt.join(iv, [on, "__bucket"]).where(
-        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    # qualified refine columns: an intervals frame that also carries a
+    # column named like `ts` (derived from the same event table) must
+    # not make the predicate ambiguous
+    joined = pt.alias("__pt").join(iv.alias("__iv"), [on, "__bucket"]).where(
+        (F.col(f"__pt.{ts}") >= F.col(f"__iv.{start}"))
+        & (F.col(f"__pt.{ts}") <= F.col(f"__iv.{end}"))
     )
     return joined.drop("__bucket")
 
@@ -175,8 +206,21 @@ def salted_join(
             f"salted_join supports inner/left-flavored joins only, "
             f"got {how!r}: an unmatched small-side row would surface "
             f"{n_salts}x under right/full outer")
+    if n_salts < 1:
+        # pmod(h, 0) is NULL under non-ANSI Spark: every salt would be
+        # NULL and the join silently returns zero rows / null-extends —
+        # a dynamically computed salt count that rounds to 0 must raise
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # the salt hashes every HASHABLE big column: xxhash64 rejects
+    # MapType outright. Content-identical rows of a hot key still share
+    # one salt — determinism (the reason we don't use rand()) makes that
+    # unavoidable; pre-dedup duplicate-heavy corpora before salting.
+    from pyspark.sql.types import MapType
+
+    hashable = [c for c in big.columns
+                if not isinstance(big.schema[c].dataType, MapType)]
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts)
     ).cast("int")
     b = big.withColumn("__salt_l", salt)
     s = small.withColumn(
@@ -186,4 +230,11 @@ def salted_join(
     cond = (b[on_big] == s[on_small]) & (
         b["__salt_l"] == s["__salt_r"]
     )
-    return b.join(s, cond, how).drop("__salt_l", "__salt_r")
+    out = b.join(s, cond, how).drop("__salt_l", "__salt_r")
+    if on_big == on_small and how not in ("left_semi", "leftsemi",
+                                          "left_anti", "leftanti"):
+        # mirror the name-based join's key dedup: the expression-
+        # condition join keeps BOTH key columns, making any downstream
+        # unqualified reference ambiguous
+        out = out.drop(s[on_small])
+    return out

@@ -163,3 +163,69 @@ def test_salted_join_left_outer(spark):
                       n_salts=4, how="left")
     rows = {r["v"]: r["name"] for r in out.collect()}
     assert rows == {"x": "m", "y": None}
+
+
+class TestRelationalReviewFixes:
+    def test_asof_null_keys_never_match(self, spark):
+        from docling_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(None, "2026-01-01 10:00:00"), ("k", "2026-01-01 10:00:00")],
+            "k string, ts string").selectExpr("k", "cast(ts as timestamp) ts")
+        right = spark.createDataFrame(
+            [(None, "2026-01-01 09:00:00", 1.0),
+             ("k", "2026-01-01 09:00:00", 2.0)],
+            "k string, ts string, v double"
+        ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+        rows = {r["k"]: r for r in
+                asof_join(left, right, on="k", right_cols=["v"]).collect()}
+        assert rows["k"]["v_right"] == 2.0
+        assert rows[None]["v_right"] is None  # NULL keys do not match
+
+    def test_salted_join_rejects_zero_salts(self, spark):
+        import pytest
+
+        from docling_spark.operators.relational import salted_join
+
+        big = spark.createDataFrame([(1, "a")], "k long, v string")
+        small = spark.createDataFrame([(1, "x")], "k long, w string")
+        with pytest.raises(ValueError, match="n_salts"):
+            salted_join(big, small, "k", "k", n_salts=0)
+
+    def test_salted_join_same_key_name_dedupes(self, spark):
+        from docling_spark.operators.relational import salted_join
+
+        big = spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "k long, v string")
+        small = spark.createDataFrame([(1, "x")], "k long, w string")
+        out = salted_join(big, small, "k", "k", n_salts=4)
+        assert out.columns.count("k") == 1
+        assert out.select("k").count() == 1  # unambiguous reference
+
+    def test_salted_join_map_column_tolerated(self, spark):
+        from docling_spark.operators.relational import salted_join
+
+        big = spark.createDataFrame(
+            [(1, {"m": "v"})], "k long, meta map<string,string>")
+        small = spark.createDataFrame([(1, "x")], "k long, w string")
+        assert salted_join(big, small, "k", "k", n_salts=4).count() == 1
+
+    def test_interval_join_drops_reversed_and_qualifies_ts(self, spark):
+        from docling_spark.operators.relational import interval_join
+
+        points = spark.createDataFrame(
+            [(1, "2026-01-01 10:30:00")], "k long, ts string"
+        ).selectExpr("k", "cast(ts as timestamp) ts")
+        # intervals carry their own 'ts' column (same name as points) +
+        # one reversed interval
+        intervals = spark.createDataFrame(
+            [(1, "2026-01-01 10:00:00", "2026-01-01 11:00:00",
+              "2026-01-01 00:00:00"),
+             (1, "2026-01-01 12:00:00", "2026-01-01 09:00:00",
+              "2026-01-01 00:00:00")],
+            "k long, start_ts string, end_ts string, ts string",
+        ).selectExpr("k", "cast(start_ts as timestamp) start_ts",
+                     "cast(end_ts as timestamp) end_ts",
+                     "cast(ts as timestamp) ts")
+        out = interval_join(points, intervals, on="k")
+        assert out.count() == 1  # reversed interval ignored, no ambiguity
