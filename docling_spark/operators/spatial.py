@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _overlap_1d(lo1, hi1, lo2, hi2):
+    """Positive 1-D overlap length of [lo1,hi1] and [lo2,hi2] — the ONE
+    definition behind every coverage/gap expression in this module (three
+    hand-copied greatest/least blocks used to drift independently)."""
+    return F.greatest(F.least(hi1, hi2) - F.greatest(lo1, lo2), F.lit(0.0))
+
+
+def _finite_boxes(df: DataFrame) -> DataFrame:
+    """Drop rows with any NULL bbox edge: Spark's greatest/least SKIP
+    nulls, so a malformed edge-less rect would act as an infinite edge
+    and capture every candidate on its page with coverage 1.0."""
+    return df.filter(
+        F.col("l").isNotNull() & F.col("t").isNotNull()
+        & F.col("r").isNotNull() & F.col("b").isNotNull())
+
+
 def containment_join(
     parents: DataFrame,
     children: DataFrame,
@@ -55,6 +71,8 @@ def containment_join(
             "to both sides")
     paged = has_p and has_c
     keys = [key, "page"] if paged else [key]
+    parents = _finite_boxes(parents)
+    children = _finite_boxes(children)
     p = parents.select(
         *keys, F.col("parent_id"),
         F.col("l").alias("pl"), F.col("t").alias("pt"),
@@ -66,25 +84,27 @@ def containment_join(
         F.col("r").alias("cr"), F.col("b").alias("cb"),
     )
     j = c.join(p, keys)  # hash equi-join on the doc (+page) key only
-    iw = F.greatest(
-        F.least(F.col("cr"), F.col("pr"))
-        - F.greatest(F.col("cl"), F.col("pl")),
-        F.lit(0.0),
-    )
-    ih = F.greatest(
-        F.least(F.col("cb"), F.col("pb"))
-        - F.greatest(F.col("ct"), F.col("pt")),
-        F.lit(0.0),
-    )
+    iw = _overlap_1d(F.col("cl"), F.col("cr"), F.col("pl"), F.col("pr"))
+    ih = _overlap_1d(F.col("ct"), F.col("cb"), F.col("pt"), F.col("pb"))
     area = (F.col("cr") - F.col("cl")) * (F.col("cb") - F.col("ct"))
     coverage = F.when(area > 0, (iw * ih) / area).otherwise(F.lit(0.0))
-    j = j.withColumn("coverage", F.round(coverage, 6))
+    # threshold BEFORE the window, on the UNROUNDED value: (a) rounding
+    # first admitted coverages up to 5e-7 below the reference's raw
+    # compare; (b) dropping sub-threshold candidates up front shrinks
+    # the window's sort input by the non-overlapping majority — the
+    # surviving max is the same row either way. coverage > 0 always: a
+    # zero-coverage "best" must never attach (min_coverage=0 callers
+    # mean "any overlapping parent", not "any parent").
+    j = (
+        j.withColumn("_cov", coverage)
+        .filter((F.col("_cov") >= min_coverage) & (F.col("_cov") > 0))
+        .withColumn("coverage", F.round("_cov", 6))
+    )
     w = Window.partitionBy(*keys, "child_id").orderBy(
-        F.desc("coverage"), F.asc("parent_id"))
+        F.desc("_cov"), F.asc("parent_id"))
     return (
         j.withColumn("_rk", F.row_number().over(w))
-        .filter((F.col("_rk") == 1)
-                & (F.col("coverage") >= min_coverage))
+        .filter(F.col("_rk") == 1)
         .select(*keys, "child_id", "parent_id", "coverage")
     )
 
@@ -118,35 +138,36 @@ def hyperlink_attach(
     window — per-page candidate counts are bounded by
     annotations-per-page, linear at 100 TB.
     """
-    it = items.select(
+    it = _finite_boxes(items).select(
         F.col(key), F.col("page"), F.col("item_id"),
         F.col("l").alias("il"), F.col("t").alias("it"),
         F.col("r").alias("ir"), F.col("b").alias("ib"),
     )
-    lk = links.select(
+    # a NULL uri must neither form its own candidate group nor win ties
+    # (asc ordering is nulls-FIRST) — there is nothing to attach
+    lk = _finite_boxes(links.filter(F.col("uri").isNotNull())).select(
         F.col(key), F.col("page"), F.col("uri"),
         F.col("l").alias("ll"), F.col("t").alias("lt"),
         F.col("r").alias("lr"), F.col("b").alias("lb"),
     )
     j = it.join(lk, [key, "page"])
-    iw = F.greatest(
-        F.least(F.col("ir"), F.col("lr"))
-        - F.greatest(F.col("il"), F.col("ll")), F.lit(0.0))
-    ih = F.greatest(
-        F.least(F.col("ib"), F.col("lb"))
-        - F.greatest(F.col("it"), F.col("lt")), F.lit(0.0))
+    iw = _overlap_1d(F.col("il"), F.col("ir"), F.col("ll"), F.col("lr"))
+    ih = _overlap_1d(F.col("it"), F.col("ib"), F.col("lt"), F.col("lb"))
     area = (F.col("ir") - F.col("il")) * (F.col("ib") - F.col("it"))
     over_self = F.when(area > 0, (iw * ih) / area).otherwise(F.lit(0.0))
     per_uri = (
         j.withColumn("_c", over_self)
         .groupBy(key, "page", "item_id", "uri")
-        .agg(F.round(F.sum("_c"), 6).alias("coverage"))
+        .agg(F.sum("_c").alias("_cov"))
+        # threshold before the window, unrounded — see containment_join
+        .filter(F.col("_cov") >= min_coverage)
+        .withColumn("coverage", F.round("_cov", 6))
     )
     w = Window.partitionBy(key, "page", "item_id").orderBy(
-        F.desc("coverage"), F.asc("uri"))
+        F.desc("_cov"), F.asc("uri"))
     return (
         per_uri.withColumn("_rk", F.row_number().over(w))
-        .filter((F.col("_rk") == 1) & (F.col("coverage") >= min_coverage))
+        .filter(F.col("_rk") == 1)
         .select(key, "page", "item_id", "uri", "coverage")
     )
 
@@ -184,6 +205,10 @@ def attach_nearest(
     or none within ``max_gap`` when set — produce no row (the reference
     leaves such items as ordinary body text).
     """
+    if max_gap is not None and max_gap < 0:
+        raise ValueError(f"max_gap must be >= 0, got {max_gap}")
+    hosts = _finite_boxes(hosts)
+    attachments = _finite_boxes(attachments)
     h = hosts.select(
         F.col(key), F.col("page"), F.col("host_id"),
         F.col("l").alias("hl"), F.col("t").alias("ht"),
@@ -195,10 +220,8 @@ def attach_nearest(
         F.col("r").alias("ar"), F.col("b").alias("ab"),
     )
     j = a.join(h, [key, "page"])  # hash equi-join, per-doc-page pairs
-    h_overlap = (
-        F.least(F.col("ar"), F.col("hr"))
-        - F.greatest(F.col("al"), F.col("hl"))
-    )
+    h_overlap = _overlap_1d(F.col("al"), F.col("ar"),
+                            F.col("hl"), F.col("hr"))
     gap = (
         F.when(F.col("at") >= F.col("hb"), F.col("at") - F.col("hb"))
         .when(F.col("ht") >= F.col("ab"), F.col("ht") - F.col("ab"))

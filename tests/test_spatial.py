@@ -90,3 +90,70 @@ def test_above_prefers_nearest(spark):
     got = attach_nearest(hosts, att).collect()
     assert len(got) == 1
     assert (got[0].host_id, got[0].gap, got[0].pos) == (1, 10.0, "above")
+
+
+class TestSpatialReviewFixes:
+    def test_null_edge_parent_never_wins(self, spark):
+        """greatest/least SKIP nulls, so an edge-less parent rect used to
+        act as an infinite box and beat the true container at 1.0."""
+        from docling_spark.operators.spatial import containment_join
+
+        parents = spark.createDataFrame(
+            [(1, 0, 0.0, 0.0, None, None),
+             (1, 1, 0.0, 0.0, 100.0, 100.0)],
+            "doc_id long, parent_id long, l double, t double, "
+            "r double, b double")
+        children = spark.createDataFrame(
+            [(1, 7, 10.0, 10.0, 60.0, 60.0)],
+            "doc_id long, child_id long, l double, t double, "
+            "r double, b double")
+        out = containment_join(parents, children).collect()
+        assert len(out) == 1 and out[0]["parent_id"] == 1
+
+    def test_null_uri_links_dropped(self, spark):
+        from docling_spark.operators.spatial import hyperlink_attach
+
+        items = spark.createDataFrame(
+            [(1, 1, 5, 0.0, 0.0, 100.0, 10.0)],
+            "doc_id long, page long, item_id long, l double, t double, "
+            "r double, b double")
+        links = spark.createDataFrame(
+            [(1, 1, None, 0.0, 0.0, 100.0, 10.0),
+             (1, 1, "https://real/", 0.0, 0.0, 100.0, 10.0)],
+            "doc_id long, page long, uri string, l double, t double, "
+            "r double, b double")
+        out = hyperlink_attach(items, links).collect()
+        assert len(out) == 1 and out[0]["uri"] == "https://real/"
+
+    def test_zero_threshold_still_requires_overlap(self, spark):
+        from docling_spark.operators.spatial import containment_join
+
+        parents = spark.createDataFrame(
+            [(1, 0, 0.0, 0.0, 10.0, 10.0)],
+            "doc_id long, parent_id long, l double, t double, "
+            "r double, b double")
+        children = spark.createDataFrame(
+            [(1, 7, 50.0, 50.0, 60.0, 60.0)],  # no overlap at all
+            "doc_id long, child_id long, l double, t double, "
+            "r double, b double")
+        assert containment_join(parents, children,
+                                min_coverage=0.0).count() == 0
+
+    def test_attach_nearest_rejects_negative_gap_and_null_host(self, spark):
+        import pytest
+
+        from docling_spark.operators.spatial import attach_nearest
+
+        hosts = spark.createDataFrame(
+            [(1, 1, 0, 0.0, None, 100.0, None),     # malformed host
+             (1, 1, 1, 0.0, 380.0, 100.0, 395.0)],  # true nearest
+            "doc_id long, page long, host_id long, l double, t double, "
+            "r double, b double")
+        atts = spark.createDataFrame(
+            [(1, 1, 9, 10.0, 400.0, 90.0, 410.0)],
+            "doc_id long, page long, attach_id long, l double, t double, "
+            "r double, b double")
+        out = attach_nearest(hosts, atts).collect()
+        assert len(out) == 1 and out[0]["host_id"] == 1
+        with pytest.raises(ValueError, match="max_gap"):
+            attach_nearest(hosts, atts, max_gap=-1)
