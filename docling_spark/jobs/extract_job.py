@@ -12,8 +12,11 @@ the 10^12-turn / 1000-executor regime:
   spread with ``repartition(salt)`` where ``salt = xxhash64(conv_id,
   turn_idx) % parallelism`` — no conversation-level hotspot no matter how
   skewed turn counts are (SURVEY.md §7.4.5: salting must not affect
-  correctness, and cannot, because extraction is conversation-agnostic;
-  ordering is re-established by window rank on the unsalted key).
+  correctness, and cannot, because extraction is conversation-agnostic).
+  Files are sorted within partitions, but parquet read-back gives NO
+  cross-split row-order guarantee — consumers needing stable turn order
+  re-establish it with ``extract_ops.with_turn_rank`` (window rank on
+  the unsalted key); this job deliberately does not pay that window.
 - **Resume**: completed buckets are recorded in a state table; a rerun
   anti-joins input buckets against completed ones and processes only the
   remainder (ConversionAssets save/load analog,
@@ -120,6 +123,18 @@ def run_extract(
     if state_path:
         try:
             state = spark.read.parquet(state_path)
+        except Exception as exc:
+            # ONLY the first-run case (no state written yet) may proceed
+            # fresh; any other read failure (corrupt files, transient FS
+            # error) silently resetting done_buckets would reprocess
+            # every bucket and double-append sidecar metrics — real
+            # state loss masked as a clean start
+            if "PATH_NOT_FOUND" in str(exc) \
+                    or "Path does not exist" in str(exc):
+                state = None
+            else:
+                raise
+        if state is not None:
             # bucket ids are only meaningful under the n_buckets that
             # computed them — resuming with a different modulus would
             # skip DIFFERENT conversation sets than the ones completed
@@ -140,12 +155,19 @@ def run_extract(
                 for r in state.filter(F.col("status") == "done")
                 .select("conv_bucket").distinct().collect()
             }
-        except ValueError:
-            raise
-        except Exception:
-            done_buckets = set()
         if done_buckets:
             df = df.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
+
+    # the buckets THIS run processes, computed from the input before the
+    # heavy extraction (a narrow distinct over the hashed key): read-back
+    # bookkeeping is scoped to exactly these — dynamic partition
+    # overwrite PRESERVES partitions this run didn't touch, so an
+    # unscoped read-back would count stale buckets from prior runs into
+    # this run's counters/sidecar and wrongly mark them done
+    processed_buckets = {
+        int(r["conv_bucket"])
+        for r in df.select("conv_bucket").distinct().collect()
+    }
 
     df = salt_skew(df, parallelism)
     extracted = extract_turns(df.drop("conv_bucket"),
@@ -155,7 +177,12 @@ def run_extract(
 
     (
         extracted
-        .repartition(F.col("conv_bucket"))
+        # spread on (bucket, conv_id), NOT bucket alone: one task per
+        # bucket would funnel a mega-conversation's full extracted
+        # payloads through a single reducer — the very hotspot the
+        # salting avoided. partitionBy does not need bucket colocation;
+        # multiple tasks may write files into the same bucket directory.
+        .repartition(F.col("conv_bucket"), F.col("conv_id"))
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
         # writer-scoped, NOT session conf: mutating the shared session's
@@ -166,35 +193,41 @@ def run_extract(
         .parquet(output_path)
     )
 
-    # ONE read-back frame feeds counts, sidecar, and the state bucket
-    # list; prior-run buckets are excluded up front so a resumed run's
-    # sidecar/counters never double-report turns completed by earlier
-    # runs (they were already recorded under those runs' run_ids)
+    # read-back scoped to THIS run's buckets only: counts and sidecar
+    # reflect exactly the work this run did, never stale partitions
+    # preserved on disk by dynamic overwrite
     out = spark.read.schema(OUTPUT_SCHEMA).parquet(output_path)
-    if done_buckets:
-        out = out.filter(~F.col("conv_bucket").isin(sorted(done_buckets)))
+    out = out.filter(F.col("conv_bucket").isin(sorted(processed_buckets))
+                     if processed_buckets else F.lit(False))
     counts = {
         r["status"]: r["n"]
         for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
 
+    if state_path:
+        # APPEND-ONLY state log, committed BEFORE the metrics append:
+        # (a) append is all-or-nothing at job-commit level, so a crash
+        # mid-write can never destroy prior state the way the old
+        # delete-then-overwrite could; (b) each bucket keeps the run_id
+        # and timestamp of the run that ACTUALLY completed it (lineage);
+        # (c) state-before-metrics bounds a crash between the two writes
+        # to under-reported metrics, never the double-count that
+        # state-after-metrics allowed. Readers take the union of all
+        # appended rows (a bucket is done if any row says done).
+        state_rows = [(run_id, b, "done", n_buckets)
+                      for b in sorted(processed_buckets)]
+        if state_rows:
+            spark.createDataFrame(
+                state_rows,
+                "run_id string, conv_bucket int, status string, "
+                "n_buckets int",
+            ).withColumn("ts", F.current_timestamp()) \
+                .write.mode("append").parquet(state_path)
+
     if metrics_path:
         sidecar_metrics(out, run_id,
                         wall_ms=int((time.time() - t0) * 1000)) \
             .write.mode("append").parquet(metrics_path)
-
-    if state_path:
-        new_buckets = {
-            int(r["conv_bucket"])
-            for r in out.select("conv_bucket").distinct().collect()
-        }
-        state_rows = [(run_id, b, "done", n_buckets)
-                      for b in sorted(done_buckets | new_buckets)]
-        spark.createDataFrame(
-            state_rows,
-            "run_id string, conv_bucket int, status string, n_buckets int",
-        ).withColumn("ts", F.current_timestamp()) \
-            .write.mode("overwrite").parquet(state_path)
 
     wall = time.time() - t0
     total = sum(counts.values())

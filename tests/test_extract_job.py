@@ -150,3 +150,74 @@ def test_resume_idempotence(spark, transcripts, tmp_path):
         .filter(F.col("n") > 1).count()
     )
     assert dupes == 0
+
+
+def test_stale_buckets_not_recounted_or_marked_done(spark, tmp_path):
+    """Dynamic partition overwrite preserves partitions a run did not
+    touch: a second run over a SUBSET of conversations must not count
+    run 1's untouched buckets in its summary, nor mark them done in
+    state, nor re-append their metrics."""
+    from docling_spark.jobs.extract_job import run_extract
+    from docling_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    metrics = str(tmp_path / "metrics")
+
+    tr = transcripts_df(spark, 12, partitions=2, long_every=0)
+    r1 = run_extract(spark, tr, out, run_id="r1", n_buckets=8)
+    # run 2: no state from run 1 (fresh state path), subset input
+    sub = tr.filter(F.col("conv_id") == "conv00000000")
+    r2 = run_extract(spark, sub, out, run_id="r2", n_buckets=8,
+                     state_path=state, metrics_path=metrics)
+    # r2's summary counts only its own conversations, not r1's table
+    assert r2["total"] < r1["total"]
+    n_turns_r2 = sub.count()
+    assert r2["total"] == n_turns_r2
+    # state marks only r2's bucket(s) done
+    st = spark.read.parquet(state)
+    assert st.select("conv_bucket").distinct().count() < 8
+    # metrics sum equals r2's turns only
+    m = spark.read.parquet(metrics)
+    assert m.agg(F.sum("n_turns")).collect()[0][0] == n_turns_r2
+
+
+def test_state_log_append_only_preserves_lineage(spark, tmp_path):
+    """Each bucket keeps the run_id that actually completed it; resumed
+    runs append their own rows, never rewriting prior runs'."""
+    from docling_spark.jobs.extract_job import run_extract
+    from docling_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    tr = transcripts_df(spark, 12, partitions=2, long_every=0)
+    run_extract(spark, tr, out, run_id="r1", n_buckets=8,
+                state_path=state)
+    st1 = {(r["run_id"], r["conv_bucket"])
+           for r in spark.read.parquet(state).collect()}
+    # resume: nothing left to do -> no new rows, r1 rows untouched
+    run_extract(spark, tr, out, run_id="r2", n_buckets=8,
+                state_path=state)
+    st2 = {(r["run_id"], r["conv_bucket"])
+           for r in spark.read.parquet(state).collect()}
+    assert st2 == st1
+    assert all(rid == "r1" for rid, _ in st2)
+
+
+def test_corrupt_state_raises_instead_of_fresh_start(spark, tmp_path):
+    import pytest
+
+    from docling_spark.jobs.extract_job import run_extract
+    from docling_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    # plant a corrupt state dir (not parquet)
+    import os
+    os.makedirs(state, exist_ok=True)
+    with open(os.path.join(state, "part-corrupt.parquet"), "w") as f:
+        f.write("this is not parquet")
+    tr = transcripts_df(spark, 4, partitions=2, long_every=0)
+    with pytest.raises(Exception):
+        run_extract(spark, tr, out, run_id="r1", n_buckets=8,
+                    state_path=state)
