@@ -206,10 +206,10 @@ def parse_inline(s: str) -> list:
                 j += 1
             run = j - i
             prev = s[i - 1] if i > 0 else ""
-            left_ok = (not prev or prev.isspace() or prev in _PUNCT) and (
-                j < n and not s[j].isspace()
-            )
-            if c == "_" and prev and (prev.isalnum() or prev == "_"):
+            # CommonMark allows intraword * (and ~) emphasis; only _ is
+            # restricted to word boundaries
+            left_ok = j < n and not s[j].isspace()
+            if c == "_" and prev and not (prev.isspace() or prev in _PUNCT):
                 left_ok = False  # no intraword underscore emphasis
             if c == "~" and run >= 2 and left_ok:
                 close = _find_emph_close(s, j, "~", 2)
@@ -302,7 +302,7 @@ def _render_node_md(nd) -> str:
     return ""
 
 
-def _flatten_plain(nodes: list, keep_pipe_entities: bool) -> str:
+def _flatten_plain(nodes: list) -> str:
     """Concatenate stripped raw-text content of all nodes (formatting
     markers dropped) — the reference's table-row buffering
     (md_backend.py:482-500: RawText pieces ``+=`` into the row buffer,
@@ -392,12 +392,24 @@ def parse_blocks(lines: list[str]) -> list:
         stripped = line.strip()
 
         fence = _FENCE_RE.match(line)
-        if fence and not para:
-            marker = fence.group(2)[:3]
+        if fence:
+            # CommonMark: a fence INTERRUPTS a paragraph (the old
+            # not-para gate swallowed a post-paragraph fence into the
+            # paragraph as an inline code span)
+            flush_para()
+            fmark = fence.group(2)
+            fchar, flen = fmark[0], len(fmark)
             lang = fence.group(3)
             j = i + 1
             code: list[str] = []
-            while j < n and not lines[j].strip().startswith(marker):
+            while j < n:
+                s = lines[j].strip()
+                # closing run: same char only, at least the opening
+                # length, nothing else on the line — a prefix match
+                # closed ````-fences at inner ``` lines and treated
+                # '``` trailing text' content lines as closers
+                if s and set(s) == {fchar} and len(s) >= flen:
+                    break
                 code.append(lines[j])
                 j += 1
             text = "\n".join(code).strip("\n")
@@ -420,7 +432,9 @@ def parse_blocks(lines: list[str]) -> list:
             i += 1
             continue
 
-        if _THEMATIC_RE.match(line) and not _ULIST_RE.match(line):
+        if _THEMATIC_RE.match(line):
+            # includes spaced forms ('- - -', '* * *'): CommonMark gives
+            # the thematic break priority over the list reading
             flush_para()
             i += 1
             continue
@@ -455,14 +469,14 @@ def parse_blocks(lines: list[str]) -> list:
             continue
 
         lm = _ULIST_RE.match(line) or _OLIST_RE.match(line)
-        if lm is not None and not (
-            _THEMATIC_RE.match(line) and len(stripped.replace(" ", "")) >= 3
-        ):
+        if lm is not None:  # thematic-break lines were consumed above
             flush_para()
             i = _parse_list(lines, i, blocks)
             continue
 
-        if stripped.startswith("|") and not para:
+        if stripped.startswith("|"):
+            # the reference's RawText table sniff buffers '|'-rows as a
+            # table even directly after a paragraph line
             flush_para()
             rows: list[str] = []
             j = i
@@ -531,10 +545,16 @@ def _parse_list(lines: list[str], start: int, blocks: list) -> int:
         m = _ULIST_RE.match(line)
         om = None if m else _OLIST_RE.match(line)
         if m is None and om is None:
-            # lazy continuation: indented non-marker line appends to the
-            # last item's text
-            ind = _indent_width(line[:len(line) - len(line.lstrip())])
-            if stack and ind >= stack[-1][0] + 2 and stack[-1][3]:
+            # lazy continuation (CommonMark): a plain non-marker line at
+            # ANY indent joins the last item's paragraph; block-opening
+            # lines (fence/heading/table/quote/html/thematic) terminate
+            # the list instead
+            opens_block = (
+                _ATX_RE.match(line) or _FENCE_RE.match(line)
+                or _THEMATIC_RE.match(line) or _HTML_OPEN_RE.match(line)
+                or line.strip().startswith(("|", ">"))
+            )
+            if stack and stack[-1][3] and not opens_block:
                 li = stack[-1][3][-1]
                 li.inline.append(("soft",))
                 li.inline.extend(parse_inline(line.strip()))
@@ -566,8 +586,8 @@ def _parse_list(lines: list[str], start: int, blocks: list) -> int:
                 blocks.append(("list", ordered, num, items))
             stack.append((indent, ordered, marker, items))
         nodes = parse_inline(text)
-        if _significant(nodes) or True:
-            stack[-1][3].append(_Li(nodes))
+        # empty items are filtered at emit time (emit_list/_list_html)
+        stack[-1][3].append(_Li(nodes))
         j += 1
     while stack:
         _close_list_level(stack, blocks)
@@ -590,7 +610,7 @@ def _table_cells(row_line: str) -> list[str]:
     protected = row_line
     for ent in _PIPE_ENTITIES:
         protected = protected.replace(ent, guard)
-    flat = _flatten_plain(parse_inline(protected), keep_pipe_entities=True)
+    flat = _flatten_plain(parse_inline(protected))
     parts = flat.split("|")[1:-1]
     return [p.strip().replace(guard, "&#124;") for p in parts]
 
@@ -633,10 +653,15 @@ def _emit_items(blocks: list, items: list[Item]) -> None:
 
     def emit_images(nodes, par) -> None:
         for img in _images_of(nodes):
-            _alt, _dest, title = img[1], img[2], img[3]
+            alt, _dest, title = img[1], img[2], img[3]
             if title:
                 _mk_item(items, par, "caption", depth(), title.strip(), "body")
             _mk_item(items, par, "picture", depth(), "", "body")
+            # the reference walks the Image's alt children as ordinary
+            # text (Image is not a processed block type) — dropping alt
+            # was silent content loss for alt-only images
+            if alt and alt.strip() and alt.strip() != (title or "").strip():
+                _mk_item(items, par, "text", depth(), alt.strip(), "body")
 
     def emit_list(block, par, lvl) -> None:
         _tag, ordered, start, lis = block
@@ -692,14 +717,18 @@ def _emit_items(blocks: list, items: list[Item]) -> None:
                 items[idx]["num_rows"] = nr
                 items[idx]["num_cols"] = nc
         elif kind == "quote":
-            _emit_quote(block[1], items, parent, depth, emit_images)
+            _emit_quote(block[1], items, parent, depth, emit_images,
+                        emit_list)
         elif kind == "html":
             pass  # unreachable: html presence routes to the delegated path
 
 
-def _emit_quote(blocks, items, parent, depth, emit_images) -> None:
+def _emit_quote(blocks, items, parent, depth, emit_images,
+                emit_list=None) -> None:
     """Blockquote interior: flattened to plain blocks (the reference walks
-    marko Quote children with no special casing)."""
+    marko Quote children with no special casing — which means quoted
+    LISTS and TABLES produce real items there; dropping them was silent
+    content loss)."""
     for block in blocks:
         kind = block[0]
         if kind == "para":
@@ -709,8 +738,18 @@ def _emit_quote(blocks, items, parent, depth, emit_images) -> None:
             emit_images(block[1], parent())
         elif kind == "codeblock":
             _mk_item(items, parent(), "code", depth(), block[1], "body")
+        elif kind == "list" and emit_list is not None:
+            emit_list(block, parent(), depth())
+        elif kind == "table":
+            text, nr, nc = _normalize_table(block[1])
+            if text:
+                idx = _mk_item(items, parent(), "table", depth(), text,
+                               "body")
+                items[idx]["num_rows"] = nr
+                items[idx]["num_cols"] = nc
         elif kind == "quote":
-            _emit_quote(block[1], items, parent, depth, emit_images)
+            _emit_quote(block[1], items, parent, depth, emit_images,
+                        emit_list)
         elif kind == "heading":
             text = render_inline_md(block[2])
             if text:
@@ -726,7 +765,7 @@ def _inline_html(nodes: list) -> str:
     for nd in nodes:
         k = nd[0]
         if k == "text":
-            out.append(_protect_pipe_entities(nd[1]))
+            out.append(_html.escape(nd[1]))
         elif k == "soft":
             out.append(" ")
         elif k == "code":
@@ -746,28 +785,8 @@ def _inline_html(nodes: list) -> str:
     return "".join(out)
 
 
-def _protect_pipe_entities(t: str) -> str:
-    esc = _html.escape(t)
-    return esc
-
-
 def _blocks_to_html(blocks: list) -> str:
     out: list[str] = ["<html><body>"]
-
-    def list_html(block) -> str:
-        _tag, ordered, _start, lis = block
-        real = [li for li in lis if _significant(li.inline) or li.children]
-        if not real:
-            return ""
-        tag = "ol" if ordered else "ul"
-        parts = [f"<{tag}>"]
-        for li in real:
-            inner = _inline_html(li.inline)
-            for sub in li.children:
-                inner += list_html(sub)
-            parts.append("<li>" + inner + "</li>")
-        parts.append(f"</{tag}>")
-        return "".join(parts)
 
     for block in blocks:
         kind = block[0]
@@ -784,25 +803,9 @@ def _blocks_to_html(blocks: list) -> str:
         elif kind == "codeblock":
             out.append("<pre><code>" + block[1] + "</code></pre>")
         elif kind == "list":
-            out.append(list_html(block))
+            out.append(_list_html(block))
         elif kind == "table":
-            rows = block[1]
-            cells_rows = []
-            for ri, row in enumerate(rows):
-                if ri == 1:
-                    continue
-                cells_rows.append(_table_cells(row))
-            if cells_rows and any(cells_rows):
-                out.append("<table>")
-                for ri, cr in enumerate(cells_rows):
-                    tag = "th" if ri == 0 else "td"
-                    out.append(
-                        "<tr>" + "".join(
-                            f"<{tag}>" + _cell_html(c) + f"</{tag}>"
-                            for c in cr
-                        ) + "</tr>"
-                    )
-                out.append("</table>")
+            out.append(_table_html(block[1]))
         elif kind == "quote":
             out.append(_blocks_to_html_inner(block[1]))
         elif kind == "html":
@@ -817,6 +820,47 @@ def _cell_html(c: str) -> str:
     return _html.escape(c).replace("&amp;#124;", "|")
 
 
+def _list_html(block) -> str:
+    _tag, ordered, start, lis = block
+    real = [li for li in lis if _significant(li.inline) or li.children]
+    if not real:
+        return ""
+    # carry the ordered-list start number — htmlx reads attrs['start']
+    # and serialize numbers from it; omitting it renumbered delegated
+    # lists from 1 while the pure path preserved the source numbering
+    tag = ("ol" if start in (None, 1) else f'ol start="{start}"') \
+        if ordered else "ul"
+    close = "ol" if ordered else "ul"
+    parts = [f"<{tag}>"]
+    for li in real:
+        inner = _inline_html(li.inline)
+        for sub in li.children:
+            inner += _list_html(sub)
+        parts.append("<li>" + inner + "</li>")
+    parts.append(f"</{close}>")
+    return "".join(parts)
+
+
+def _table_html(rows: list) -> str:
+    cells_rows = []
+    for ri, row in enumerate(rows):
+        if ri == 1:
+            continue
+        cells_rows.append(_table_cells(row))
+    if not (cells_rows and any(cells_rows)):
+        return ""
+    out = ["<table>"]
+    for ri, cr in enumerate(cells_rows):
+        tag = "th" if ri == 0 else "td"
+        out.append(
+            "<tr>" + "".join(
+                f"<{tag}>" + _cell_html(c) + f"</{tag}>" for c in cr
+            ) + "</tr>"
+        )
+    out.append("</table>")
+    return "".join(out)
+
+
 def _blocks_to_html_inner(blocks: list) -> str:
     parts = []
     for block in blocks:
@@ -824,6 +868,10 @@ def _blocks_to_html_inner(blocks: list) -> str:
             parts.append("<p>" + _inline_html(block[1]) + "</p>")
         elif block[0] == "codeblock":
             parts.append("<pre><code>" + block[1] + "</code></pre>")
+        elif block[0] == "list":
+            parts.append(_list_html(block))
+        elif block[0] == "table":
+            parts.append(_table_html(block[1]))
         elif block[0] == "quote":
             parts.append(_blocks_to_html_inner(block[1]))
         elif block[0] == "heading":
