@@ -44,7 +44,10 @@ CLEAN_UNICODE_REPLACEMENTS: tuple[tuple[str, str], ...] = (
 
 
 _CLEAN_SCAN_RE = re.compile(
-    "[" + "".join(raw for raw, _ in CLEAN_UNICODE_REPLACEMENTS) + "]"
+    # re.escape: a future table entry whose raw char is a class metachar
+    # (']', '\\', '^', '-') must not silently corrupt the gate class
+    "[" + re.escape("".join(raw for raw, _ in CLEAN_UNICODE_REPLACEMENTS))
+    + "]"
 )
 
 
@@ -147,19 +150,14 @@ def rate_text_quality(text: str) -> float:
     """Parser-garbage score in [0,1]; 0.0 on hard-error patterns, penalty
     0.1 per fragmented-word match when there are >= 3 of them.
     (page_preprocessing_model.py:126-151)."""
+    # hard errors evaluated ONCE (the substring scans gate the regex);
+    # only the three slash-dependent patterns sit behind the '/' check —
+    # same fast-path cost, no duplicated hard-error logic to drift
+    if "�" in text or ("GLYPH<" in text and _GLYPH_RE.search(text)):
+        return 0.0
     if "/" not in text:
-        # every slash-pattern below needs a literal '/'; the common clean
-        # text exits on three C-level substring scans instead of four
-        # regex passes (same result by construction)
-        if "�" in text or ("GLYPH<" in text and _GLYPH_RE.search(text)):
-            return 0.0
-        return 1.0
-    if (
-        text.find("�") >= 0
-        or _GLYPH_RE.search(text)
-        or _SLASH_G_RE.search(text)
-        or _SLASH_NUMBER_GARBAGE_RE.match(text)
-    ):
+        return 1.0  # every pattern below needs a literal '/'
+    if _SLASH_G_RE.search(text) or _SLASH_NUMBER_GARBAGE_RE.match(text):
         return 0.0
     penalty = 0.0
     frag_matches = _FRAG_RE.findall(text)
