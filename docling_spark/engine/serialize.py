@@ -48,12 +48,18 @@ def _parse_md_grid(md_table: str) -> tuple[list[list[str]], bool]:
         for line in md_table.splitlines()
         if line.strip()
     ]
+
+    def _is_sep(r):
+        return bool(r) and all(c and set(c) <= {"-"} for c in r)
+
+    # ONLY row index 1 can be the separator (markdown grammar): dropping
+    # every all-dash row deleted real data rows whose cells were '-'
+    has_header = len(rows) > 1 and _is_sep(rows[1])
     body = [
         [c.replace("&#124;", "|") for c in r]
-        for r in rows
-        if not (r and all(c and set(c) <= {"-"} for c in r))
+        for ri, r in enumerate(rows)
+        if not (ri == 1 and has_header)
     ]
-    has_header = len(body) < len(rows)  # a separator marks row 0 as header
     return body, has_header
 
 
@@ -64,10 +70,28 @@ def _otsl(md_table: str) -> str:
     for ri, row in enumerate(body):
         cell_tag = "<ched>" if (has_header and ri == 0) else "<fcel>"
         for c in row:
-            out.append(cell_tag + c)
+            # the OTSL grammar's empty-cell token (reference groundtruth
+            # vocabulary); our reader accepts both, the reference's only
+            # emits <ecel> for empties
+            out.append("<ecel>" if c == "" and cell_tag == "<fcel>"
+                       else cell_tag + c)
         out.append("<nl>")
     out.append("</otsl>")
     return "".join(out)
+
+
+def _is_ordered(group: dict, children: list[dict]) -> bool:
+    """THE ordered-list rule (was three hand-rolled copies that had
+    already drifted between equality and startswith): ordered when the
+    group text says so, or when any child carries an explicit numeric
+    marker (docbinx/pptbinx groups keep text='list' for itxt parity)."""
+    if str(group.get("text", "")).startswith("ordered list"):
+        return True
+    return any(
+        str(k.get("_marker", "")).endswith(".")
+        and str(k.get("_marker", ""))[:-1].isdigit()
+        for k in children
+    )
 
 
 def serialize_doctags(items: list[dict]) -> str:
@@ -80,16 +104,9 @@ def serialize_doctags(items: list[dict]) -> str:
     lines: list[str] = []
 
     def list_tag(it: dict) -> str:
-        """Ordered when the group says so OR its items carry explicit
-        numeric markers (docbinx/pptbinx groups keep text='list' for
-        itxt parity and mark items individually)."""
-        if it["text"] == "ordered list":
-            return "ordered_list"
-        for k in by_parent.get(it["item_idx"], []):
-            m = k.get("_marker", "")
-            if m.endswith(".") and m[:-1].isdigit():
-                return "ordered_list"
-        return "unordered_list"
+        return ("ordered_list"
+                if _is_ordered(it, by_parent.get(it["item_idx"], []))
+                else "unordered_list")
 
     def inline(it: dict) -> str:
         """Nested-under-list-item serialization (single inline string)."""
@@ -118,8 +135,14 @@ def serialize_doctags(items: list[dict]) -> str:
         if label == "table":
             lines.append(_otsl(it["text"]))
         elif label == "section_header":
+            # level from _hlevel (mirrors serialize_docling_json; our
+            # doctags reader maps level N back to _hlevel N+1) —
+            # hardcoding level 1 flattened heading hierarchy on the
+            # doctags round-trip
+            lvl = max(1, int(it.get("_hlevel", 2)) - 1)
             lines.append(
-                f"<section_header_level_1>{it['text']}</section_header_level_1>"
+                f"<section_header_level_{lvl}>{it['text']}"
+                f"</section_header_level_{lvl}>"
             )
         elif label in _GROUP_LABELS:
             pass  # structural group: children emit at top level
@@ -248,7 +271,9 @@ def _html_text(md_text: str) -> str:
     for i, part in enumerate(_MD_LINK_RE.split(md_text)):
         if i % 2 == 1:
             m = _MD_LINK_PARTS.match(part)
-            out.append(f'<a href="{m.group(2)}">'
+            href = (m.group(2).replace("&", "&amp;")
+                    .replace('"', "&quot;"))
+            out.append(f'<a href="{href}">'
                        f"{convert_spans(m.group(1))}</a>")
         else:
             out.append(convert_spans(part))
@@ -275,7 +300,7 @@ def serialize_html(items: list[dict], layer: str = "body",
         # re-extraction rebuilds the same join: image markers → <img/>,
         # fenced ``` code ``` → <pre>, other blocks → <p>
         # (&#124; already undone by _parse_md_grid)
-        blocks = [b for b in c.split("  ")]
+        blocks = c.split("  ")
         if len(blocks) == 1 and "<!-- image -->" not in c:
             m = _re.fullmatch(r"``` (.*) ```", c)
             if m:
@@ -309,11 +334,7 @@ def serialize_html(items: list[dict], layer: str = "body",
         return min(6, max(2, int(it.get("_hlevel", 2))))
 
     def list_html(group: dict) -> str:
-        ordered = group.get("text") == "ordered list" or any(
-            ch.get("_marker", "").endswith(".")
-            and ch.get("_marker", "")[:-1].isdigit()
-            for ch in by_parent.get(group["item_idx"], [])
-        )
+        ordered = _is_ordered(group, by_parent.get(group["item_idx"], []))
         start = group.get("_start", 1)
         open_tag = "<ol>" if ordered and start in (1, None) else (
             f'<ol start="{start}">' if ordered else "<ul>")
@@ -330,9 +351,21 @@ def serialize_html(items: list[dict], layer: str = "body",
                         inner += "<img/>"
                     elif sub["label"] == "caption":
                         inner += f"<p>{_html_text(sub['text'])}</p>"
+                    elif sub["label"] == "table":
+                        # a table nested in a list item must survive the
+                        # export (doctags keeps it; dropping it broke
+                        # the documented md round-trip)
+                        if sub["text"]:
+                            inner += table_html(sub["text"])
+                    elif sub.get("text"):
+                        inner += f"<p>{_html_text(sub['text'])}</p>"
                 parts.append(f"<li>{inner}</li>")
             elif ch["label"] == "list":
                 parts.append(list_html(ch))
+            elif ch.get("text"):
+                # non-list-item child of a list group (caption/text):
+                # emit rather than silently drop
+                parts.append(f"<p>{_html_text(ch['text'])}</p>")
             elif ch["label"] == "picture":
                 parts.append("<li><img/></li>")
         parts.append("</ol>" if ordered else "</ul>")
@@ -366,21 +399,27 @@ def serialize_html(items: list[dict], layer: str = "body",
                     out.append(f"<p>{_html_text(it['text'])}</p>")
             elif label == "picture":
                 out.append("<img/>")
+                walk(it["item_idx"])  # glmx attaches children to pictures
             elif label == "formula":
                 d = "$" if it.get("_inline") else "$$"
-                out.append(f"<p>{d}{it['text']}{d}</p>")
+                # escape like the code branch: latex routinely contains
+                # < > & ('$$a<b$$' would open a bold tag and swallow the
+                # rest of the formula on re-extraction)
+                ftxt = (it["text"].replace("&", "&amp;")
+                        .replace("<", "&lt;").replace(">", "&gt;"))
+                out.append(f"<p>{d}{ftxt}{d}</p>")
             elif label == "field_region":
                 # re-emit the reference's form container markup
                 # (html_backend.py:169-175 semantic ids) so re-extraction
                 # rebuilds the identical field_region/field_item tree
                 parts = ['<div class="form_region">']
-                nonlocal_key = [0]
+                key_n = 0
                 for fi in by_parent.get(it["item_idx"], []):
                     if fi["label"] != "field_item":
                         parts.append(f"<p>{_html_text(fi['text'])}</p>")
                         continue
-                    nonlocal_key[0] += 1
-                    k = nonlocal_key[0]
+                    key_n += 1
+                    k = key_n
                     nv = 0
                     parts.append("<div>")
                     for part in by_parent.get(fi["item_idx"], []):
@@ -396,7 +435,7 @@ def serialize_html(items: list[dict], layer: str = "body",
                     parts.append("</div>")
                 parts.append("</div>")
                 out.append("".join(parts))
-            elif label in _GROUP_LABELS or label == "section":
+            elif label in _GROUP_LABELS:
                 walk(it["item_idx"])
             else:
                 if it["text"]:
@@ -405,8 +444,10 @@ def serialize_html(items: list[dict], layer: str = "body",
 
     walk(0)
     body = "\n".join(out)
+    safe_title = (title.replace("&", "&amp;").replace("<", "&lt;")
+                  .replace(">", "&gt;"))
     return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\">"
-            f"<title>{title}</title></head>\n<body>\n{body}\n"
+            f"<title>{safe_title}</title></head>\n<body>\n{body}\n"
             "</body>\n</html>\n")
 
 
@@ -421,7 +462,7 @@ def serialize_html_split_page(items: list[dict], layer: str = "body",
     by_page: dict[int, list[dict]] = {}
     root = items[0] if items else None
     by_idx = {it["item_idx"]: it for it in items}
-    for it in items[1:] if items else []:
+    for it in items[1:]:
         by_page.setdefault(int(it.get("page_no", 1)), []).append(it)
     pages_html: list[str] = []
     for page_no in sorted(by_page):
@@ -439,7 +480,16 @@ def serialize_html_split_page(items: list[dict], layer: str = "body",
                 if anc is None or anc["label"] not in _GROUP_LABELS:
                     break
                 page_set.add(p)
-                stubs.append(anc)
+                stub = dict(anc)
+                if str(stub.get("text", "")).startswith("ordered list"):
+                    # an ordered list continuing onto this page must keep
+                    # its numbering: derive start from the first
+                    # continued child's numeric marker (cloning the
+                    # original _start restarted every page at 1)
+                    mk = str(it.get("_marker", ""))
+                    if mk.endswith(".") and mk[:-1].isdigit():
+                        stub["_start"] = int(mk[:-1])
+                stubs.append(stub)
                 p = anc["parent_idx"]
         sub = [dict(root)] if root else []
         remap = {0: 0}
@@ -453,8 +503,10 @@ def serialize_html_split_page(items: list[dict], layer: str = "body",
         pages_html.append(
             f'<div class="page" data-page="{page_no}">\n{body}\n</div>')
     joined = "\n".join(pages_html)
+    safe_title = (title.replace("&", "&amp;").replace("<", "&lt;")
+                  .replace(">", "&gt;"))
     return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\">"
-            f"<title>{title}</title></head>\n<body>\n{joined}\n"
+            f"<title>{safe_title}</title></head>\n<body>\n{joined}\n"
             "</body>\n</html>\n")
 
 
