@@ -151,3 +151,63 @@ def test_split_page_cross_page_list_keeps_structure():
     page2 = html.split('data-page="2">', 1)[1]
     assert "<li>on page two</li>" in page2
     assert "<ul>" in page2
+
+
+class TestSerializerReviewFixes:
+    def _root(self):
+        return dict(item_idx=0, parent_idx=-1, label="unspecified",
+                    level=0, text="_root_", content_layer="body")
+
+    def test_dash_data_rows_survive(self):
+        from docling_spark.engine.serialize import _parse_md_grid
+
+        body, has_header = _parse_md_grid("| a |\n| - |\n| - |\n| b |")
+        assert body == [["a"], ["-"], ["b"]] and has_header
+
+    def test_doctags_heading_level_from_hlevel(self):
+        from docling_spark.engine.serialize import serialize_doctags
+
+        items = [self._root(),
+                 dict(item_idx=1, parent_idx=0, label="section_header",
+                      level=1, text="Deep", content_layer="body",
+                      _hlevel=3)]
+        assert "section_header_level_2" in serialize_doctags(items)
+
+    def test_formula_and_title_escaped(self):
+        from docling_spark.engine.serialize import serialize_html
+
+        items = [self._root(),
+                 dict(item_idx=1, parent_idx=0, label="formula", level=1,
+                      text="a < b & c", content_layer="body")]
+        h = serialize_html(items, title="T&C <x>")
+        assert "$$a &lt; b &amp; c$$" in h and "T&amp;C &lt;x&gt;" in h
+
+    def test_table_in_list_item_survives_html(self):
+        from docling_spark.engine.htmlx import extract_html
+        from docling_spark.engine.serialize import serialize_html
+
+        _text, items = extract_html(
+            "<body><ul><li>one<table><tr><td>x</td><td>y</td></tr>"
+            "</table></li></ul></body>")
+        h = serialize_html(items)
+        assert "<table>" in h and "<td>x</td>" in h
+
+    def test_split_page_ordered_continuation_start(self):
+        from docling_spark.engine.serialize import serialize_html_split_page
+
+        items = [self._root(),
+                 dict(item_idx=1, parent_idx=0, label="list", level=1,
+                      text="ordered list", content_layer="body",
+                      _start=1, page_no=1),
+                 dict(item_idx=2, parent_idx=1, label="list_item", level=2,
+                      text="one", content_layer="body", _marker="1.",
+                      page_no=1),
+                 dict(item_idx=3, parent_idx=1, label="list_item", level=2,
+                      text="two", content_layer="body", _marker="2.",
+                      page_no=2)]
+        assert '<ol start="2">' in serialize_html_split_page(items)
+
+    def test_empty_cell_emits_ecel(self):
+        from docling_spark.engine.serialize import _otsl
+
+        assert "<ecel>" in _otsl("| a | b |\n| - | - |\n| c |  |")
