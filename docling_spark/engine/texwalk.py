@@ -176,7 +176,7 @@ MACRO_SPECS: dict[str, str] = {
 # leaves 'c]' in the stream, matching groundtruth 'c]@c@Chatbot Arena'.
 # wrapfigure is unknown: its {r}{0.275\textwidth} groups leak ('r0.275').
 ENV_SPECS: dict[str, str] = {
-    "tabular": "{", "array": "{",
+    "tabular": "{", "tabular*": "{{", "array": "{",
     # minipage is unknown: its [t]{0.5\textwidth} args leak as '[t]0.5'
     # (1706.03762 groundtruth)
     "figure": "[", "table": "[", "figure*": "[", "table*": "[",
@@ -228,7 +228,16 @@ class _Parser:
 
     def _skip_ws(self, pos: int) -> int:
         m = _WS_RE.match(self.src, pos)
-        return m.end()
+        p = m.end()
+        # skip %-comments between a macro and its arguments: without
+        # this, '\section %titles\n{Real Title}' captured '%' as the
+        # mandatory argument and leaked the comment body into text
+        while p < self.n and self.src[p] == "%":
+            nl = self.src.find("\n", p)
+            p = self.n if nl < 0 else nl + 1
+            m = _WS_RE.match(self.src, p)
+            p = m.end()
+        return p
 
     def _scan_math(self, pos: int, closer: str) -> int:
         """Index of `closer` starting at pos, honouring backslash
@@ -650,8 +659,15 @@ class TexWalker:
         return node_verbatim(self.src, node)
 
     def _expand_macros(self, s: str) -> str:
+        if "\\" not in s:
+            return s  # no macro can occur — skip every substitution
         for name, definition in self.custom.items():
             if self.custom_nargs.get(name, 0) > 0:
+                continue
+            if "\\" + name not in s:
+                # substring guard: macro-heavy papers define hundreds of
+                # commands; paying a regex pass per definition per math
+                # node dominated profiles
                 continue
             s = re.sub(rf"\\{re.escape(name)}(?![a-zA-Z])",
                        lambda m: definition, s)
@@ -828,6 +844,11 @@ class TexWalker:
         if node.name == "\\":
             return ("\n", consumed)
         if node.name == "~":
+            # bare tie -> space; the tilde ACCENT \~{n} keeps its letter
+            # (every other accent does — dropping it turned 'Pe\~na'
+            # into 'Pe a')
+            if node.args and any(a is not None for a in node.args):
+                return (self._extract_all_args_inline(node), consumed)
             return (" ", consumed)
         if node.name == "item":
             if node.args and node.args[0] is not None:
@@ -991,7 +1012,13 @@ class TexWalker:
                               nodes, start: int) -> int:
         name = node.name
         if name in _INLINE_VERBATIM:
-            buffer.append(" " if name == "~" else name)
+            if name == "~" and node.args and \
+                    any(a is not None for a in node.args):
+                t = self._extract_all_args_inline(node)  # tilde accent
+                if t:
+                    buffer.append(t)
+            else:
+                buffer.append(" " if name == "~" else name)
         elif name == " ":
             buffer.append(" ")
         elif name in _TEXT_FORMATTING:
@@ -1163,6 +1190,10 @@ class TexWalker:
             try:
                 sub_nodes = _Parser(content).parse()
                 self.src = content
+                # definitions living in the included file (the arXiv
+                # math_commands.tex pattern) must expand in the main
+                # document's math — register before walking
+                self.extract_custom_macros(sub_nodes)
                 self.process_nodes(sub_nodes, parent, text_label)
             except Exception:
                 pass
@@ -1201,8 +1232,8 @@ class TexWalker:
             self.process_nodes(node.nodes, parent, text_label)
         elif name in _ENV_LIST:
             self._process_list(node, parent, text_label)
-        elif name == "tabular":
-            self._process_table(node, parent)
+        elif base == "tabular":
+            self._process_table(node, parent)  # includes tabular*
         elif name in ("table", "table*"):
             self.process_nodes(node.nodes, parent, text_label)
         elif name in ("figure", "figure*"):
@@ -1243,8 +1274,16 @@ class TexWalker:
                 if current:
                     groups.append(current)
                 current = []
-                if n.args and any(a is not None for a in n.args):
-                    current.append(n)
+                if n.args and n.args[0] is not None:
+                    # \item[Label] -> 'Label: ' prefixing the item text,
+                    # the same rendering _macro_node_to_text gives this
+                    # node in inline contexts (the structural path used
+                    # to drop the label entirely)
+                    opt = self._verb(n.args[0]).strip("[] ")
+                    if opt:
+                        # no trailing space: the source text after ']'
+                        # almost always opens with one already
+                        current.append(Chars(f"{opt}:"))
             else:
                 current.append(n)
         if current:

@@ -77,3 +77,37 @@ def test_paper_structure() -> None:
     assert {"section_header", "formula", "table", "caption"} <= labels
     assert "## Abstract" in text
     assert "Image:" in text  # figure graphics surface as image lines
+
+
+class TestTexwalkReviewFixes:
+    def _t(self, body):
+        from docling_spark.engine.latexx import extract_latex
+
+        return extract_latex(
+            "\\begin{document}" + body + "\\end{document}")[0]
+
+    def test_description_labels_kept(self):
+        out = self._t("\\begin{description}\\item[Alpha] first"
+                      "\\item[Beta] second\\end{description}")
+        assert out == "- Alpha: first\n- Beta: second"
+
+    def test_tabular_star_is_a_table(self):
+        out = self._t("\\begin{tabular*}{7cm}{lll}a & b & c \\\\"
+                      "\\end{tabular*}")
+        assert out.startswith("| a | b | c |")
+
+    def test_comment_before_macro_args(self):
+        out = self._t("\\section %titles\n{Real Title}\nBody.")
+        assert out == "## Real Title\n\nBody."
+
+    def test_tilde_accent_keeps_letter(self):
+        assert self._t("Pe\\~na and caf\\'e.") == "Pena and cafe."
+
+    def test_input_file_macros_expand(self):
+        from docling_spark.engine.latexx import extract_latex
+
+        files = {"defs.tex": "\\newcommand{\\foo}{x^2}"}
+        out = extract_latex(
+            "\\begin{document}\\input{defs}\n$\\foo + 1$\\end{document}",
+            files=files)[0]
+        assert "x^2" in out and "\\foo" not in out
