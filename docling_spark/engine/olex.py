@@ -44,10 +44,16 @@ class OleFile:
         (self.n_minifat,) = struct.unpack_from("<I", data, 64)
         (self.difat_start,) = struct.unpack_from("<I", data, 68)
         (self.n_difat,) = struct.unpack_from("<I", data, 72)
+        # hard cap every structure by the file's ACTUAL sector count:
+        # header counts and DIFAT contents are attacker-controlled, and
+        # unbounded trust turned a crafted ~KB file into GBs of FAT /
+        # directory data (verified memory-bomb class)
+        self.max_sectors = max(0, (len(data) - 512 + self.sec - 1)
+                               // self.sec)
         self.fat = self._load_fat()
         self.dirs = self._load_dirs()
         self.minifat = self._load_minifat()
-        root = self.dirs[0] if self.dirs else None
+        root = next((d for d in self.dirs if d["type"] == 5), None)
         self.mini_stream = (
             self._read_chain(root["start"], root["size"])
             if root is not None else b""
@@ -58,23 +64,33 @@ class OleFile:
         return self.data[off:off + self.sec]
 
     def _load_fat(self) -> list[int]:
-        # DIFAT: first 109 entries in the header, then chained sectors
+        # DIFAT: first 109 entries in the header, then chained sectors.
+        # visited-set + sector-count caps: a self-referencing DIFAT
+        # chain or repeated DIFAT entries amplified a small file into an
+        # arbitrarily large FAT (109x verified at 5.6KB; unbounded at
+        # larger inputs)
         difat = list(struct.unpack_from("<109I", self.data, 76))
         nxt = self.difat_start
-        hops = 0
-        while nxt not in (_FREE, _ENDCHAIN) and hops < 10000:
+        seen_difat: set[int] = set()
+        while nxt not in (_FREE, _ENDCHAIN):
+            if nxt in seen_difat or len(seen_difat) > self.max_sectors:
+                raise OleError("DIFAT chain cycle")
+            seen_difat.add(nxt)
             s = self._sector(nxt)
             if len(s) < self.sec:
                 break
             vals = struct.unpack(f"<{self.sec // 4}I", s)
             difat.extend(vals[:-1])
             nxt = vals[-1]
-            hops += 1
         fat: list[int] = []
         per = self.sec // 4
+        seen_fs: set[int] = set()
         for fs in difat:
-            if fs in (_FREE, _ENDCHAIN):
+            if fs in (_FREE, _ENDCHAIN) or fs in seen_fs:
                 continue
+            seen_fs.add(fs)
+            if len(fat) >= self.max_sectors + per:
+                break  # entries past EOF can never address real sectors
             s = self._sector(fs)
             if len(s) == self.sec:
                 fat.extend(struct.unpack(f"<{per}I", s))
@@ -83,14 +99,18 @@ class OleFile:
     def _read_chain(self, start: int, size: int | None = None) -> bytes:
         out = bytearray()
         n = start
-        hops = 0
+        seen: set[int] = set()
         limit = len(self.fat)
-        while n not in (_FREE, _ENDCHAIN) and hops < limit + 2:
+        while n not in (_FREE, _ENDCHAIN):
+            if n in seen:
+                raise OleError("FAT chain cycle")
+            if len(seen) > self.max_sectors:
+                raise OleError("FAT chain longer than the file")
+            seen.add(n)
             out += self._sector(n)
             if n >= limit:
                 break
             n = self.fat[n]
-            hops += 1
         return bytes(out[:size]) if size is not None else bytes(out)
 
     def _load_minifat(self) -> list[int]:
@@ -101,14 +121,16 @@ class OleFile:
     def _read_mini_chain(self, start: int, size: int) -> bytes:
         out = bytearray()
         n = start
-        hops = 0
-        while n not in (_FREE, _ENDCHAIN) and hops < len(self.minifat) + 2:
+        seen: set[int] = set()
+        while n not in (_FREE, _ENDCHAIN):
+            if n in seen:
+                raise OleError("miniFAT chain cycle")
+            seen.add(n)
             off = n * self.mini_sec
             out += self.mini_stream[off:off + self.mini_sec]
             if n >= len(self.minifat):
                 break
             n = self.minifat[n]
-            hops += 1
         return bytes(out[:size])
 
     def _load_dirs(self) -> list[dict]:
@@ -120,24 +142,55 @@ class OleFile:
             name = e[:max(0, min(name_len - 2, 64))].decode(
                 "utf-16-le", "replace")
             etype = e[66]
+            left, right, child = struct.unpack_from("<lll", e, 68)
             (start,) = struct.unpack_from("<I", e, 116)
             (size,) = struct.unpack_from("<Q", e, 120)
             if self.sec == 512:
                 size &= 0xFFFFFFFF  # v3 files: only the low 32 bits count
             if etype in (1, 2, 5):  # storage, stream, root
-                out.append({"name": name, "type": etype,
+                out.append({"name": name, "type": etype, "idx": k,
+                            "left": left, "right": right, "child": child,
                             "start": start, "size": size})
         return out
 
+    def _root_level(self) -> list[dict]:
+        """Directory entries that are DIRECT children of the root
+        storage (red-black sibling tree walk from root.child). A flat
+        scan matched streams by bare name across every nested storage —
+        an embedded OLE object's 'WordDocument' could shadow or misroute
+        the real root stream. Falls back to the flat list when the tree
+        is unwalkable (corrupt sibling ids)."""
+        by_idx = {d["idx"]: d for d in self.dirs}
+        root = next((d for d in self.dirs if d["type"] == 5), None)
+        if root is None:
+            return self.dirs
+        out: list[dict] = []
+        seen: set[int] = set()
+        todo = [root["child"]]
+        while todo:
+            i = todo.pop()
+            if i < 0 or i in seen or i not in by_idx:
+                continue
+            seen.add(i)
+            if len(seen) > len(self.dirs):
+                break
+            d = by_idx[i]
+            out.append(d)
+            todo.extend([d["left"], d["right"]])
+        return out if out else self.dirs
+
     def streams(self) -> list[str]:
-        return [d["name"] for d in self.dirs if d["type"] == 2]
+        return [d["name"] for d in self._root_level() if d["type"] == 2]
 
     def read(self, name: str) -> bytes:
-        for d in self.dirs:
-            if d["name"] == name and d["type"] == 2:
-                if d["size"] < self.mini_cutoff:
-                    return self._read_mini_chain(d["start"], d["size"])
-                return self._read_chain(d["start"], d["size"])
+        # root-level streams first; nested storages only as a fallback
+        # (some producers bury a real stream one level down)
+        for scope in (self._root_level(), self.dirs):
+            for d in scope:
+                if d["name"] == name and d["type"] == 2:
+                    if d["size"] < self.mini_cutoff:
+                        return self._read_mini_chain(d["start"], d["size"])
+                    return self._read_chain(d["start"], d["size"])
         raise OleError(f"stream not found: {name!r}")
 
 
@@ -180,6 +233,11 @@ def write_ole2(streams: list[tuple[str, bytes]]) -> bytes:
                child: int = -1, right: int = -1) -> bytes:
         e = bytearray(128)
         enc = name.encode("utf-16-le")
+        if len(enc) + 2 > 64:
+            # spec max: 31 UTF-16 chars + terminator in the 64-byte
+            # field; overflowing silently clobbered the metadata bytes
+            # and made the just-written stream unreadable
+            raise OleError(f"stream name too long: {name!r}")
         e[:len(enc)] = enc
         struct.pack_into("<H", e, 64, len(enc) + 2)
         e[66] = etype
@@ -189,11 +247,19 @@ def write_ole2(streams: list[tuple[str, bytes]]) -> bytes:
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
-    directory = dirent("Root Entry", 5, _ENDCHAIN, 0, child=1)
-    for i, ((name, _data), st, d) in enumerate(zip(streams, starts,
-                                                   padded)):
+    directory = dirent("Root Entry", 5, _ENDCHAIN, 0,
+                       child=1 if streams else -1)
+    for i, ((name, data), st, d) in enumerate(zip(streams, starts,
+                                                  padded)):
         right = i + 2 if i + 1 < len(streams) else -1
-        directory += dirent(name, 2, st, len(d), right=right)
+        # record the TRUE length when it's >= the mini cutoff (padded
+        # sizes appended up to 511 NUL bytes to read-backs); smaller
+        # streams MUST record the padded length — the cutoff routes
+        # sub-4096 sizes to the mini stream, which this writer does not
+        # emit (padding-to-cutoff is what keeps them FAT-resident), so a
+        # true sub-cutoff size would read back empty
+        size = len(data) if len(data) >= 4096 else len(d)
+        directory += dirent(name, 2, st, size, right=right)
     directory += b"\x00" * ((512 * n_dir) - len(directory))
 
     hdr = bytearray(512)

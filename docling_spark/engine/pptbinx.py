@@ -479,11 +479,15 @@ def extract_ppt(payload: bytes) -> tuple[str, list[Item], dict]:
         ole = OleFile(payload)
     except OleError as exc:
         raise PptError(f"not an OLE2 file: {exc}") from exc
-    names = ole.streams()
-    if "PowerPoint Document" not in names:
-        raise PptError("no PowerPoint Document stream")
-    ppt = ole.read("PowerPoint Document")
-    cu = ole.read("Current User") if "Current User" in names else b""
+    try:
+        names = ole.streams()
+        if "PowerPoint Document" not in names:
+            raise PptError("no PowerPoint Document stream")
+        ppt = ole.read("PowerPoint Document")
+        cu = ole.read("Current User") if "Current User" in names else b""
+    except OleError as exc:
+        # chain cycles / bounds violations surface lazily from read()
+        raise PptError(f"corrupt OLE2 container: {exc}") from exc
     try:
         entries = _slide_entries(ppt, cu)
     except struct.error as exc:

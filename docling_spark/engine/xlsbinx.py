@@ -341,11 +341,16 @@ def extract_xls(payload: bytes) -> tuple[str, list[Item], dict]:
         ole = OleFile(payload)
     except OleError as exc:
         raise XlsError(f"not an OLE2 file: {exc}") from exc
-    names = ole.streams()
-    stream_name = next((n for n in ("Workbook", "Book") if n in names), None)
-    if stream_name is None:
-        raise XlsError("no Workbook stream in OLE2 container")
-    wb = ole.read(stream_name)
+    try:
+        names = ole.streams()
+        stream_name = next(
+            (n for n in ("Workbook", "Book") if n in names), None)
+        if stream_name is None:
+            raise XlsError("no Workbook stream in OLE2 container")
+        wb = ole.read(stream_name)
+    except OleError as exc:
+        # chain cycles / bounds violations surface lazily from read()
+        raise XlsError(f"corrupt OLE2 container: {exc}") from exc
     # this parser reads BIFF8 only: earlier versions (BIFF5 'Book'
     # streams from Excel 5.0/95) use flag-less byte strings that would
     # decode as silent garbage — fail contained instead (the reference

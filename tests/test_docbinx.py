@@ -123,3 +123,64 @@ def test_multi_paragraph_cell_joins() -> None:
     text, _items, _m = extract_doc(blob)
     assert "| line one line two | n |" in text
     assert "| x | y |" in text
+
+
+class TestOleRobustness:
+    """Memory-bomb and scoping regressions from the OLE2 review."""
+
+    def test_difat_repetition_bounded(self):
+        import struct
+
+        from docling_spark.engine.olex import OleError, OleFile, write_ole2
+
+        base = bytearray(write_ole2([("S", b"payload")]))
+        # plant 109 copies of FAT sector 0 in the header DIFAT
+        struct.pack_into("<109I", base, 76, *([0] * 109))
+        try:
+            ole = OleFile(bytes(base))
+            # FAT must stay bounded by the file's real sector count
+            assert len(ole.fat) <= ole.max_sectors + 128
+        except OleError:
+            pass  # typed rejection is equally acceptable
+
+    def test_fat_cycle_raises_typed(self):
+        import struct
+
+        from docling_spark.engine.olex import OleError, OleFile, write_ole2
+
+        base = bytearray(write_ole2([("S", b"payload")]))
+        # make the directory chain point at itself: dir_start=n_fat
+        (dir_start,) = struct.unpack_from("<I", base, 48)
+        # fat entry for dir_start lives in FAT sector 0 at offset 512
+        struct.pack_into("<I", base, 512 + 4 * dir_start, dir_start)
+        try:
+            OleFile(bytes(base))
+            raise AssertionError("cycle not detected")
+        except OleError:
+            pass
+
+    def test_nested_stream_does_not_shadow_root(self):
+        from docling_spark.engine.olex import OleFile, write_ole2
+
+        # two streams, both root-level in our writer: sanity of the
+        # sibling-tree walk (regression for the tree-scoped streams())
+        blob = write_ole2([("Workbook", b"W" * 5000),
+                           ("WordDocument", b"D" * 5000)])
+        ole = OleFile(blob)
+        assert set(ole.streams()) == {"Workbook", "WordDocument"}
+        assert ole.read("Workbook")[:1] == b"W"
+
+    def test_writer_rejects_overlong_names(self):
+        import pytest
+
+        from docling_spark.engine.olex import OleError, write_ole2
+
+        with pytest.raises(OleError, match="name"):
+            write_ole2([("X" * 33, b"data")])
+
+    def test_large_stream_true_size_roundtrip(self):
+        from docling_spark.engine.olex import OleFile, write_ole2
+
+        data = b"Z" * 5000  # >= mini cutoff: true size recorded
+        ole = OleFile(write_ole2([("S", data)]))
+        assert ole.read("S") == data  # no padded NUL tail
