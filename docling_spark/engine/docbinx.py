@@ -109,7 +109,9 @@ def _style_names(table: bytes, word: bytes) -> dict[int, str]:
             break
         (cb_std,) = struct.unpack_from("<H", sh, pos)
         body = sh[pos + 2:pos + 2 + cb_std]
-        pos += 2 + cb_std
+        # LPStd entries are 2-byte aligned: an odd cbStd is followed by
+        # a pad byte — skipping it desynchronized every later style name
+        pos += 2 + cb_std + (cb_std & 1)
         if cb_std == 0 or len(body) < cb_std_base + 2:
             continue
         # xstzName directly after the STD base: length-prefixed UTF-16
@@ -131,10 +133,23 @@ def _sprms(grpprl: bytes) -> dict[int, bytes]:
         (opc,) = struct.unpack_from("<H", grpprl, i)
         i += 2
         spra = opc >> 13
-        if spra == 6:
+        if opc == 0xD608:
+            # sprmTDefTable ([MS-DOC] 2.9.320): operand opens with a
+            # 2-byte cb = remaining size + 1 — the generic 1-byte read
+            # desynced the walk for operands >= 256 bytes
+            if i + 2 > len(grpprl):
+                break
+            (cb,) = struct.unpack_from("<H", grpprl, i)
+            i += 2
+            sz = max(cb - 1, 0)
+        elif spra == 6:
             if i >= len(grpprl):
                 break
             sz = grpprl[i]
+            if opc == 0xC615 and sz == 255:
+                # sprmPChgTabs cb==255 escape: size is computed from the
+                # operand's internal arrays; bail rather than desync
+                break
             i += 1
         else:
             sz = _SPRM_SIZES[spra]
@@ -190,7 +205,11 @@ def _paragraph_props(word: bytes, table: bytes) -> list[_ParaProps]:
                 if len(papx) >= 3:
                     # PapxInFkp: cb byte (0 → cb' follows), then istd
                     if papx[0] != 0:
-                        body = papx[1:papx[0] * 2 + 1]
+                        # [MS-DOC] 2.9.115: grpprlInPapx is 2*cb-1 bytes
+                        # (the old 2*cb read pulled one byte past the
+                        # structure, pairing the pad byte with a stolen
+                        # neighbor into a bogus opcode)
+                        body = papx[1:papx[0] * 2]
                     else:
                         body = papx[2:2 + papx[1] * 2]
                     if len(body) >= 2:
@@ -296,17 +315,32 @@ def _bold_runs(word: bytes, table: bytes) -> list[tuple[int, bool]]:
 
 
 def _fc_of_cp(pieces, cp: int) -> int:
-    for cp0, cp1, fc, compressed in pieces:
+    # pieces are CP-sorted: bisect instead of a linear scan (fast-saved
+    # docs carry hundreds of pieces, and this runs per character in the
+    # bold-run lookups — O(chars x pieces) before)
+    starts = [p[0] for p in pieces]
+    k = bisect.bisect_right(starts, cp) - 1
+    if 0 <= k < len(pieces):
+        cp0, cp1, fc, compressed = pieces[k]
         if cp0 <= cp < cp1:
             return fc + (cp - cp0) * (1 if compressed else 2)
     return -1
 
 
-_FIELD_RE = re.compile("\x13[^\x14\x15]*\x14?([^\x15]*)\x15")
+# innermost field only (no \x13 inside either side) — applied
+# repeatedly so nested fields (PAGEREF inside TOC) resolve inside-out;
+# the old single pass leaked a nested field's result from the
+# instruction side into the text
+_FIELD_RE = re.compile(
+    "\x13[^\x13\x14\x15]*(?:\x14([^\x13\x14\x15]*))?\x15")
 
 
 def _clean_para(p: str) -> str:
-    p = _FIELD_RE.sub(r"\1", p)
+    while "\x13" in p:
+        new_p = _FIELD_RE.sub(lambda m: m.group(1) or "", p)
+        if new_p == p:
+            break
+        p = new_p
     p = p.replace("\x13", "").replace("\x14", "").replace("\x15", "")
     p = p.replace("\x0b", "\n")  # soft line break
     p = re.sub(r"[\x00-\x06\x08\x0c-\x1f]", "", p)
@@ -321,7 +355,10 @@ def _rows_md(rows: list[list[str]]) -> tuple[str, int, int] | None:
     ncols = max(len(r) for r in rows)
     md = []
     for ri, r in enumerate(rows):
-        r = [c.replace("|", "&#124;") for c in r] + [""] * (ncols - len(r))
+        # newlines (soft line breaks inside a cell) would splinter the
+        # markdown grid into malformed lines — collapse to spaces
+        r = [c.replace("\n", " ").replace("|", "&#124;") for c in r] \
+            + [""] * (ncols - len(r))
         md.append("| " + " | ".join(r) + " |")
         if ri == 0:
             md.append("| " + " | ".join("-" for _ in range(ncols)) + " |")
@@ -343,14 +380,22 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
         table = ole.read(table_name)
     except OleError as exc:
         raise DocBinError(str(exc)) from exc
-    (ccp_text,) = struct.unpack_from("<i", word, 0x004C)
-    pieces = _pieces(word, table)
-    text = _text(word, pieces, max(ccp_text, 0))
-    names = _style_names(table, word)
-    props = _paragraph_props(word, table)
-    lfo = _lfo_lsids(word, table)
-    nfcs_by_lsid = _list_nfcs(word, table)
-    bolds = _bold_runs(word, table)
+    try:
+        (ccp_text,) = struct.unpack_from("<i", word, 0x004C)
+        pieces = _pieces(word, table)
+        text = _text(word, pieces, max(ccp_text, 0))
+    except struct.error as exc:
+        # truncated FIB/CLX structures must honor the documented
+        # DocBinError contract, not leak a raw unpack error
+        raise DocBinError(f"malformed Word structures: {exc}") from exc
+    try:
+        names = _style_names(table, word)
+        props = _paragraph_props(word, table)
+        lfo = _lfo_lsids(word, table)
+        nfcs_by_lsid = _list_nfcs(word, table)
+        bolds = _bold_runs(word, table)
+    except struct.error as exc:
+        raise DocBinError(f"malformed Word structures: {exc}") from exc
 
     items: list[Item] = []
     _mk_item(items, -1, "unspecified", 0, "_root_", "body")
@@ -426,7 +471,7 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
         cp_end = cp0 + len(utext) + 1
         p = props_for(cp_end)
         if term == "\x07" or p.in_table or p.ttp:
-            if utext == "" and term == "\x07" and (p.ttp or cells) \
+            if utext == "" and term == "\x07" and p.ttp \
                     and not cell_parts:
                 # row-end (TTP) mark
                 rows.append(cells)
@@ -600,11 +645,23 @@ def synthesize_doc_rich(paras: list[tuple[str, str]]) -> bytes:
             grpprl = struct.pack("<HB", _SPRM_PF_IN_TABLE, 1) \
                 + struct.pack("<HB", _SPRM_PF_TTP, 1)
         body = struct.pack("<H", 0) + grpprl  # istd 0
-        if len(body) % 2:
+        # [MS-DOC] 2.9.115: cb counts (len+1)/2 with the body occupying
+        # 2*cb-1 bytes — i.e. an ODD length, padded when even (the old
+        # even-padded layout made the spec-conformant reader drop the
+        # final sprm byte)
+        if len(body) % 2 == 0:
             body += b"\x00"
-        cb = len(body) // 2
+        cb = (len(body) + 1) // 2
         blob = bytes([cb]) + body
         blob_top -= len(blob) + (len(blob) % 2)
+        if blob_top <= 4 * (n + 1) + 13 * n:
+            # the paragraph-count guard alone does not bound the BLOB
+            # area: table-heavy inputs (10 bytes per rowend blob) can
+            # collide with the rgfc/bx arrays well under 24 paragraphs,
+            # silently corrupting the FKP
+            raise DocBinError(
+                "synthesize_doc_rich: FKP page full (too many "
+                "formatted paragraphs for one 512-byte page)")
         word_off = blob_top // 2
         page[word_off * 2:word_off * 2 + len(blob)] = blob
         page[4 * (n + 1) + i * 13] = word_off

@@ -184,3 +184,33 @@ class TestOleRobustness:
         data = b"Z" * 5000  # >= mini cutoff: true size recorded
         ole = OleFile(write_ole2([("S", data)]))
         assert ole.read("S") == data  # no padded NUL tail
+
+
+class TestDocbinReviewFixes:
+    def test_empty_middle_cell_keeps_row_shape(self):
+        from docling_spark.engine.docbinx import (
+            extract_doc,
+            synthesize_doc_rich,
+        )
+
+        b = synthesize_doc_rich([
+            ("A", "cell"), ("", "cell"), ("B", "cell"), ("", "rowend"),
+            ("C", "cell"), ("D", "cell"), ("E", "cell"), ("", "rowend"),
+        ])
+        text, items, _ = extract_doc(b)
+        tables = [it for it in items if it["label"] == "table"]
+        assert tables and tables[0]["num_rows"] == 2
+        assert tables[0]["num_cols"] == 3
+
+    def test_nested_field_resolves_inside_out(self):
+        from docling_spark.engine.docbinx import _clean_para
+
+        p = "\x13TOC \x13PAGEREF\x14 5\x15\x14Contents\x15"
+        assert _clean_para(p) == "Contents"
+
+    def test_soft_break_in_cell_does_not_split_grid(self):
+        from docling_spark.engine.docbinx import _rows_md
+
+        md, nr, nc = _rows_md([["a\nb", "c"]])
+        assert "\n" not in md.split("\n")[0].strip("| ") or True
+        assert md.splitlines()[0] == "| a b | c |"
