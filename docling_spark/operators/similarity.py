@@ -166,10 +166,62 @@ def banded_lsh_buckets(
     )
 
 
+def cap_vector_buckets(
+    banded: DataFrame, max_bucket: int,
+    key_cols: tuple[str, ...] = ("band", "bucket"), id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic per-bucket representative cap for embedding LSH — the
+    vector twin of dedup.cap_buckets: keep the ``max_bucket`` smallest ids
+    of each bucket key, drop the rest.
+
+    Why: every bucket SELF-join is m² in the bucket population, and the
+    population LSH cannot bound is exactly the one dedup targets — m
+    near-identical embeddings (mirrored/boilerplate content at 100 TB)
+    collide in EVERY band, so one hot bucket costs m² pairs in one
+    reducer no matter how many planes are used (planes shrink random
+    collisions, not true duplicates). Capping bounds every bucket at
+    max_bucket² pairs regardless of corpus shape. What the cap drops is
+    near-dup recall among the (cap+1)-th-and-later members of a still-hot
+    bucket; :func:`embedding_bucket_overflow` surfaces that as a measured
+    number rather than a silent loss.
+
+    The window shuffles on the same bucket key the candidate join needs
+    anyway, so the cap adds no new shuffle shape.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
+def embedding_bucket_overflow(
+    emb: DataFrame, n_bands: int = 6, planes_per_band: int = 3,
+    dim: int = 64, max_bucket: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Visibility companion to :func:`cap_vector_buckets` for the banded
+    sign-LSH path: one row per (band, bucket) whose population exceeds
+    ``max_bucket`` — (band, bucket, n_vecs, n_dropped). Emit/monitor this
+    beside any capped run so dropped near-dup recall is observable."""
+    return (
+        banded_lsh_buckets(emb, n_bands, planes_per_band, dim,
+                           vec_col, id_col)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket)
+        .withColumn("n_dropped", F.col("n_vecs") - F.lit(max_bucket))
+    )
+
+
 def cosine_pairs_lsh(
     emb: DataFrame, threshold: float = 0.45,
     n_bands: int = 6, planes_per_band: int = 3, dim: int = 64,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-gated — the 100 TB shape of
     ``cosine_pairs``. Candidates come from a (band, bucket) equi-join
@@ -178,10 +230,19 @@ def cosine_pairs_lsh(
     Scoring is the Arrow-batched numpy kernel. The exact n² variant stays
     as the small-scale test oracle (tests/test_similarity_recall.py).
 
-    At corpus scale raise ``planes_per_band`` (16-20) to shrink buckets;
-    recall for a pair at cosine c is 1-(1-(1-acos(c)/pi)^p)^b, ≈0.9996 at
-    c=0.95 with the defaults here."""
+    ``max_bucket`` (default 64, matching dedup.lsh_candidate_pairs and the
+    streaming state bound) caps each (band, bucket) at its smallest-id
+    representatives BEFORE the self-join so a hot bucket — m identical
+    embeddings colliding in every band — can never cost m² pairs; pass
+    ``None`` only for sf-size oracles. Pair with
+    :func:`embedding_bucket_overflow` to observe what a cap dropped.
+
+    At corpus scale also raise ``planes_per_band`` (16-20) to shrink
+    buckets; recall for a pair at cosine c is 1-(1-(1-acos(c)/pi)^p)^b,
+    ≈0.9996 at c=0.95 with the defaults here."""
     b = banded_lsh_buckets(emb, n_bands, planes_per_band, dim, vec_col, id_col)
+    if max_bucket is not None:
+        b = cap_vector_buckets(b, max_bucket, ("band", "bucket"), id_col)
     a = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).cast("array<double>").alias("va"),
                  "band", "bucket")
@@ -233,6 +294,42 @@ def lsh_buckets(
         for b in range(n_planes)
     )
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_bucket_pairs(
+    emb: DataFrame, threshold: float = 0.2,
+    n_planes: int = 8, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Same-bucket candidate pairs under single-table sign-LSH
+    (:func:`lsh_buckets`), scored by the Arrow-batched cosine kernel.
+
+    ``max_bucket`` caps each bucket at its smallest-id representatives
+    before the self-join (see :func:`cap_vector_buckets` — with n_planes
+    planes there are only 2^n_planes distinct buckets, so without the cap
+    pair volume is ~m²/2^n_planes at ANY corpus size, and m² for a
+    near-dup-heavy bucket). Pass ``None`` only for sf-size oracles.
+
+    Output: (id_a, id_b, bucket, cos) for a < b with cos ≥ threshold.
+    """
+    b = lsh_buckets(emb, n_planes, dim, vec_col, id_col)
+    if max_bucket is not None:
+        b = cap_vector_buckets(b, max_bucket, ("bucket",), id_col)
+    a = b.select(F.col(id_col).alias("id_a"),
+                 F.col(vec_col).cast("array<double>").alias("va"),
+                 F.col("bucket"))
+    c = b.select(F.col(id_col).alias("id_b"),
+                 F.col(vec_col).cast("array<double>").alias("vb"),
+                 F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(c, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", F.round(cosine_fast(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.col("bucket").cast("long").alias("bucket"),
+                "cos")
+    )
 
 
 def ivf_assign(
