@@ -314,11 +314,14 @@ def _bold_runs(word: bytes, table: bytes) -> list[tuple[int, bool]]:
     return out
 
 
-def _fc_of_cp(pieces, cp: int) -> int:
+def _fc_of_cp(pieces, cp: int, starts: list[int] | None = None) -> int:
     # pieces are CP-sorted: bisect instead of a linear scan (fast-saved
     # docs carry hundreds of pieces, and this runs per character in the
-    # bold-run lookups — O(chars x pieces) before)
-    starts = [p[0] for p in pieces]
+    # bold-run lookups). Callers in per-character loops pass the
+    # precomputed ``starts`` — rebuilding it here would keep each lookup
+    # O(pieces) and void the bisect
+    if starts is None:
+        starts = [p[0] for p in pieces]
     k = bisect.bisect_right(starts, cp) - 1
     if 0 <= k < len(pieces):
         cp0, cp1, fc, compressed = pieces[k]
@@ -407,9 +410,10 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
     _default = _ParaProps(0, 0, 0, 0, False, False)
     _prop_ends = [p.fc_end for p in props]
     _bold_ends = [fc_end for fc_end, _b in bolds]
+    _piece_starts = [p[0] for p in pieces]
 
     def props_for(cp_end: int) -> _ParaProps:
-        fc = _fc_of_cp(pieces, max(cp_end - 1, 0))
+        fc = _fc_of_cp(pieces, max(cp_end - 1, 0), _piece_starts)
         if fc >= 0:
             k = bisect.bisect_right(_prop_ends, fc)
             if k < len(props):
@@ -426,7 +430,7 @@ def extract_doc(payload: bytes) -> tuple[str, list[Item], dict]:
             if ch.isspace() or ch < " ":
                 continue
             any_char = True
-            fc = _fc_of_cp(pieces, cp0 + i)
+            fc = _fc_of_cp(pieces, cp0 + i, _piece_starts)
             k = bisect.bisect_right(_bold_ends, fc)
             if k >= len(bolds) or not bolds[k][1]:
                 return False

@@ -53,6 +53,16 @@ def bucket_col(n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the session's Hadoop FileSystem — works
+    for any configured scheme (file://, hdfs://, s3a://), unlike
+    matching 'Path does not exist' substrings in reader exceptions."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def salt_skew(df: DataFrame, parallelism: int) -> DataFrame:
     """Row-level salting: spread every conversation's turns uniformly across
     ``parallelism`` partitions. Long (10^6-turn) conversations cannot
@@ -121,19 +131,18 @@ def run_extract(
 
     done_buckets: set[int] = set()
     if state_path:
-        try:
+        # ONLY the first-run case (no state written yet) may proceed
+        # fresh; any other read failure (corrupt files, transient FS
+        # error) silently resetting done_buckets would reprocess every
+        # bucket and double-append sidecar metrics — real state loss
+        # masked as a clean start. First run is detected by an explicit
+        # Hadoop FileSystem existence probe, never by matching exception
+        # message text (which varies across Spark versions/connectors
+        # and would turn a legitimate first run into a crash)
+        if not _hadoop_path_exists(spark, state_path):
+            state = None
+        else:
             state = spark.read.parquet(state_path)
-        except Exception as exc:
-            # ONLY the first-run case (no state written yet) may proceed
-            # fresh; any other read failure (corrupt files, transient FS
-            # error) silently resetting done_buckets would reprocess
-            # every bucket and double-append sidecar metrics — real
-            # state loss masked as a clean start
-            if "PATH_NOT_FOUND" in str(exc) \
-                    or "Path does not exist" in str(exc):
-                state = None
-            else:
-                raise
         if state is not None:
             # bucket ids are only meaningful under the n_buckets that
             # computed them — resuming with a different modulus would

@@ -32,7 +32,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = T.StructType(
     [
+        # ALL counted turns, incl. null-text (failed-extraction) ones —
+        # the replay guard rebuilds its seen-set from this array, so a
+        # turn that is counted but not recorded would be re-counted when
+        # a later micro-batch redelivers it (at-least-once sources)
         T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
+        # parallel to turn_idxs; None marks a text-less turn (the batch
+        # twin's array_join skips nulls the same way)
         T.StructField("texts", T.ArrayType(T.StringType()), True),
         # ALL turns seen, incl. null-text ones: the batch twin's n_turns
         # is count(*), so the streaming count must not shrink when a
@@ -41,6 +47,22 @@ STATE_SCHEMA = T.StructType(
         T.StructField("n_success", T.IntegerType(), True),
     ]
 )
+
+
+def _read_state(tup) -> tuple[list[int], list, int, int]:
+    """Decode a state row, tolerating earlier layouts: the 3-field schema
+    (no n_success) pads 0, and pre-round-4 states that stored only
+    text-bearing turns get their texts padded back to parallel length (the
+    extra Nones are harmless — worst case a replayed text-less turn from
+    before the upgrade is counted once more, exactly the old behavior)."""
+    vals = list(tup)
+    idxs = [int(i) for i in (vals[0] or [])]
+    texts = list(vals[1] or [])
+    n_seen = int(vals[2]) if len(vals) > 2 and vals[2] is not None else len(idxs)
+    n_success = int(vals[3]) if len(vals) > 3 and vals[3] is not None else 0
+    while len(texts) < len(idxs):  # pre-r4 state: text-bearing only
+        texts.append(None)
+    return idxs, texts, n_seen, n_success
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -53,13 +75,16 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _assemble(conv_id: str, idxs: list[int], texts: list[str],
+def _assemble(conv_id: str, idxs: list[int], texts: list,
               n_seen: int, n_success: int, sep: str) -> pd.DataFrame:
     order = sorted(range(len(idxs)), key=lambda i: idxs[i])
     return pd.DataFrame(
         {
             "conv_id": [conv_id],
-            "conversation_text": [sep.join(texts[i] for i in order)],
+            # None texts are counted turns with no extracted text — the
+            # batch twin's array_join skips nulls, so does the join here
+            "conversation_text": [sep.join(
+                texts[i] for i in order if texts[i] is not None)],
             # count ALL turns (batch twin: F.count('*')), not just the
             # text-bearing ones the join skipped
             "n_turns": [n_seen],
@@ -87,16 +112,12 @@ def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
-            (idxs, texts, n_seen, n_success) = state.get
+            idxs, texts, n_seen, n_success = _read_state(state.get)
             state.remove()
-            yield _assemble(conv_id, list(idxs), list(texts),
-                            int(n_seen), int(n_success), sep)
+            yield _assemble(conv_id, idxs, texts, n_seen, n_success, sep)
             return
         if state.exists:
-            prev_i, prev_t, n_seen, n_success = state.get
-            idxs, texts = list(prev_i), list(prev_t)
-            n_seen = int(n_seen)
-            n_success = int(n_success)
+            idxs, texts, n_seen, n_success = _read_state(state.get)
         else:
             idxs, texts, n_seen, n_success = [], [], 0, 0
         seen_idxs = set(idxs)
@@ -123,12 +144,15 @@ def make_assembler(idle_ms: int = 30_000, sep: str = "\n\n"):
                 n_seen += 1
                 if st == "success":
                     n_success += 1
-                # the batch twin's array_join skips null elements —
-                # str(None) would inject the literal "None" here
-                if v is None or (not isinstance(v, str) and pd.isna(v)):
-                    continue
+                # EVERY counted turn is recorded (text-less ones as None)
+                # so the cross-batch replay guard covers them too; the
+                # batch twin's array_join skips null elements — str(None)
+                # would inject the literal "None" at assembly
                 idxs.append(ii)
-                texts.append(str(v))
+                if v is None or (not isinstance(v, str) and pd.isna(v)):
+                    texts.append(None)
+                else:
+                    texts.append(str(v))
         state.update((idxs, texts, n_seen, n_success))
         state.setTimeoutDuration(idle_ms)
         return

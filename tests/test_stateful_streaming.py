@@ -349,3 +349,50 @@ def test_near_dedup_screens_same_batch_past_cap():
     assert (101, 100) in pairs       # same-batch screen past the cap
     ids, sigs = st.get
     assert list(ids) == [7]          # cap still bounds stored state
+
+
+def test_assembler_null_text_turn_replay_counted_once():
+    """Cross-batch replay of a COUNTED-but-text-less turn (failed
+    extraction) must not re-increment n_seen/n_turns: every counted
+    turn_idx is persisted in state, not just the text-bearing ones."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_assembler
+
+    fn = make_assembler(idle_ms=1000)
+    st = _FakeState()
+    b1 = pd.DataFrame({"turn_idx": [0, 1], "extracted_text": ["a", None],
+                       "status": ["success", "failure"]})
+    list(fn(("c1",), iter([b1]), st))
+    b2 = pd.DataFrame({"turn_idx": [1], "extracted_text": [None],
+                       "status": ["failure"]})  # redelivery, later batch
+    list(fn(("c1",), iter([b2]), st))
+    idxs, texts, n_seen, n_success = st.get
+    assert n_seen == 2 and n_success == 1
+    assert list(idxs) == [0, 1] and list(texts) == ["a", None]
+    st.hasTimedOut = True
+    out = list(fn(("c1",), iter([]), st))[0]
+    assert out["conversation_text"][0] == "a"
+    assert int(out["n_turns"][0]) == 2 and int(out["n_success"][0]) == 1
+
+
+def test_assembler_reads_legacy_state_shapes():
+    """A checkpoint written by the earlier 3-field state schema (no
+    n_success) must be decoded, not crash the first stateful batch."""
+    import pandas as pd
+
+    from docling_spark.streaming.stateful import make_assembler
+
+    fn = make_assembler(idle_ms=1000)
+    st = _FakeState(([0, 2], ["a", "c"], 3))  # legacy: 3 fields, and one
+    # counted turn (n_seen=3) that the old layout never stored
+    b = pd.DataFrame({"turn_idx": [3], "extracted_text": ["d"],
+                      "status": ["success"]})
+    list(fn(("c1",), iter([b]), st))
+    idxs, texts, n_seen, n_success = st.get
+    assert n_seen == 4 and n_success == 1
+    assert list(idxs) == [0, 2, 3] and list(texts) == ["a", "c", "d"]
+    st.hasTimedOut = True
+    out = list(fn(("c1",), iter([]), st))[0]
+    assert out["conversation_text"][0] == "a\n\nc\n\nd"
+    assert int(out["n_turns"][0]) == 4
