@@ -1254,8 +1254,20 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
             gap = r.x - (prev.x + prev.w) if prev is not None else 0.0
             at_edge = prev is not None and gap > 1.5 and any(
                 abs(r.x - e) <= 2.0 for e in edges)
+            # a run need not START at the column edge to be in the next
+            # column — indented paragraph openers and section-number
+            # headings start past it. If the inter-run gap STRADDLES a
+            # detected edge and is at least a full type size (word
+            # spaces are 0.25-0.5x, so full-width lines whose word gap
+            # happens to cross the edge stay whole), the two runs are in
+            # different columns and joining would interleave them.
+            straddles = prev is not None and \
+                gap >= max(prev.size, r.size) * 1.25 and any(
+                    prev.x + prev.w <= e + 2.0 and r.x >= e - 2.0
+                    for e in edges)
             if prev is not None and (
-                    gap > max(prev.size, r.size) * 2.5 or at_edge):
+                    gap > max(prev.size, r.size) * 2.5 or at_edge
+                    or straddles):
                 split_lines.append(cur)
                 cur = []
             cur.append(r)
@@ -1344,26 +1356,40 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
 def _mark_repeated_furniture(cells: list[dict],
                              page_sizes: dict[int, tuple],
                              n_pages: int) -> None:
-    """Rule-based running-header/footer detection: a line whose
-    digit-normalized text repeats on ≥3 pages AND sits in the page's top
-    or bottom 8% is furniture (the deterministic core of what the
-    reference's layout model labels page_header/page_footer; its md
+    """Rule-based header/footer detection (the deterministic core of what
+    the reference's layout model labels page_header/page_footer; its md
     serializer then omits them — mirrored by layoutx FURNITURE_LABELS).
-    Conservative on purpose: single-page docs and twice-repeated lines
-    are left alone."""
-    if n_pages < 3:
-        return
+
+    Headers: a line whose digit-normalized text repeats on ≥3 pages AND
+    sits in the page's top 8% — repetition is required because titles and
+    section headings legitimately START in the top zone.
+
+    Footers: ANY text line that STARTS in the bottom 8% (top ≥ 0.92·h),
+    repeated or not. Body blocks start above the bottom margin; what
+    starts inside it is page numbers, copyright lines, publisher
+    address/ISSN metadata, and one-off footnote markers — which the
+    reference's model excludes from md in every groundtruth doc, while
+    everything it keeps (figure captions, URL footnotes) sits above the
+    zone. The r3 repetition requirement left single-occurrence footers
+    (last-page addresses, one-page docs) inline, which was the largest
+    remaining reading-order gap."""
     counts: dict[str, set[int]] = {}
+    if n_pages >= 3:
+        for c in cells:
+            key = _DIGITRUN_RE.sub("#", c["text"]).strip()
+            if key:
+                counts.setdefault(key, set()).add(c["page_no"])
     for c in cells:
-        key = _DIGITRUN_RE.sub("#", c["text"]).strip()
-        if key:
-            counts.setdefault(key, set()).add(c["page_no"])
-    for c in cells:
+        ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
+        top, bot = c["bbox"][1], c["bbox"][3]
+        if c["label"] == "text" and top >= 0.92 * ph:
+            c["label"] = "page_footer"
+            continue
+        if n_pages < 3:
+            continue
         key = _DIGITRUN_RE.sub("#", c["text"]).strip()
         if len(counts.get(key, ())) < 3:
             continue
-        ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
-        top, bot = c["bbox"][1], c["bbox"][3]
         if bot <= 0.08 * ph:
             c["label"] = "page_header"
         elif top >= 0.92 * ph:

@@ -158,20 +158,25 @@ def test_rc4_and_aes_kats() -> None:
 # -- reading order (sequence-sensitive, not just bag-of-words) --------------
 
 ORDER_FLOORS = {
-    "2305.03393v1-pg9": 0.93,  # ruled table reconstructed from grid lines
-    "amt_handbook_sample": 0.93,   # two-column, 8 pt gutter
-    "code_and_formula": 0.96,
-    "multi_page": 0.97,
-    "normal_4pages": 0.82,         # two-column Korean
-    "picture_classification": 0.97,
-    "redp5110_sampled": 0.85,
-    "table_mislabeled_as_picture": 0.94,
+    # r4 raised every floor to the then-measured value minus ≤0.01: the
+    # unconditional bottom-zone footer rule (publication metadata /
+    # page numbers the reference's model excludes) lifted all docs, and
+    # the column-edge STRADDLE split (pdfx._runs_to_lines) fixed the
+    # normal_4pages gutter-crossing mis-merge that faked a band break
+    "2305.03393v1-pg9": 0.96,  # ruled table reconstructed from grid lines
+    "amt_handbook_sample": 0.96,   # two-column, 8 pt gutter
+    "code_and_formula": 0.99,
+    "multi_page": 0.99,
+    "normal_4pages": 0.90,         # two-column Korean (r3: 0.82)
+    "picture_classification": 0.99,
+    "redp5110_sampled": 0.88,
+    "table_mislabeled_as_picture": 0.98,
     # r3: ≥0.88 on all RTL docs (glyph-overlap dedup); remaining rtl_02
     # gap is the formula region the reference's NN pipeline replaces with
     # 'formula not decoded' — a model boundary, not an ordering defect
-    "right_to_left_01": 0.90,
-    "right_to_left_02": 0.88,
-    "right_to_left_03": 0.89,
+    "right_to_left_01": 0.91,
+    "right_to_left_02": 0.90,
+    "right_to_left_03": 0.91,
 }
 
 
