@@ -531,9 +531,15 @@ from s
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """NOT fanned out (r4): the query's first operator is already a
+    groupBy — its own exchange redistributes, so the _fan_out round-robin
+    shuffle in front of it just moves the full text column twice (the
+    r2→r3 bench drift on this row: 0.31→0.61 s, fan-out alone measured
+    +0.25 s). The map side (md5 over the scan's splits) is byte-bound,
+    exactly what the scan's byte-balanced splits are right for."""
     from docling_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir))
+    return exact_dedup(_read(spark, sf_dir, "documents"))
 
 
 ORACLE_DEDUP_EXACT = """

@@ -18,12 +18,21 @@ REF = pathlib.Path("/root/reference/tests/data/html")
 # Exact-match corpus: every reference HTML source whose md groundtruth we
 # reproduce byte-for-byte. The one exclusion:
 #  - table_06: nested-table-in-cell spacing in the groundtruth is not
-#    derivable from the source — an exhaustive search over per-text-node
-#    whitespace transforms of get_text (html_backend.py:4536-4566) finds
-#    none reproducing it, and structurally identical row boundaries carry
-#    different gap widths (inner-table row gaps are 4 spaces where the
-#    outer table's are 1, with identical whitespace node shapes), i.e. a
-#    generator-version artifact rather than reproducible semantics
+#    derivable from the source. r4 re-derivation: the current reference
+#    stores cell text as get_text(html_cell).strip() with NO whitespace
+#    transform (parse_table_data, html_backend.py:1548-1550; get_text
+#    itself concatenates NavigableStrings raw, :4536-4566), which yields
+#    a 45-space run between 'II' and 'III' where the groundtruth has
+#    exactly 4 — so the groundtruth was not produced by this code path.
+#    No transform of it can work either: the C1→D1 and II→III gaps have
+#    IDENTICAL tree structure (three newline-bearing whitespace nodes +
+#    one td trailing space; they differ only in 44 pre-newline spaces)
+#    yet map to different groundtruth widths (1 vs 4), so the spacing is
+#    not a function of the parse tree at all. The widths DO grow
+#    monotonically with visual nesting depth (4,4,5,4,8 against the
+#    source's cumulative 30px td padding) — consistent with a rendered-
+#    page text layer (the browser mode of html_backend.py:581-951, a
+#    documented non-goal), not DOM semantics.
 EXPECT_MATCH = [
     "example_01", "example_02", "example_03", "example_04", "example_05",
     "example_06", "example_07", "example_08",
