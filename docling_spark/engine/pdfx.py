@@ -1345,8 +1345,23 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
             consumed = set()
         if tcells:
             runs = [r for k, r in enumerate(runs) if k not in consumed]
-        cells.extend(_runs_to_lines(runs, ph))
+        line_cells = _runs_to_lines(runs, ph)
+        rcells: list[dict] = []
+        if not tcells:
+            # rail (borderless) detection only where no ruled grid fired:
+            # a page with a reconstructed ruled table keeps its remaining
+            # text as lines, and mixing the two detectors on one page
+            # risks re-consuming a ruled table's caption zone
+            try:
+                rcells, rconsumed = detect_rail_tables(line_cells, pw)
+            except Exception:
+                rcells, rconsumed = [], set()
+            if rcells:
+                line_cells = [c for k, c in enumerate(line_cells)
+                              if k not in rconsumed]
+        cells.extend(line_cells)
         cells.extend(tcells)
+        cells.extend(rcells)
     _mark_repeated_furniture(cells, page_sizes, len(pages))
     for k, c in enumerate(cells):
         c["index"] = k
@@ -1631,6 +1646,247 @@ def _cluster(vals: list[float], tol: float) -> list[float]:
     return [sum(g) / len(g) for g in out]
 
 
+def detect_rail_tables(line_cells: list[dict],
+                       page_w: float) -> tuple[list[dict], set[int]]:
+    """Borderless-table detection from whitespace rails — the r4 step of
+    what the reference's TableFormer model recovers when a table has no
+    ruling lines (table_structure_model.py): column LEFT edges shared by
+    a block of consecutive baselines become rails; the baselines become
+    rows.
+
+    Deliberately conservative (the false-positive mode — swallowing page
+    columns into a phantom table — is worse than the miss mode, which
+    just leaves text inline). The anchor is a CORE: >=3 consecutive
+    baselines whose fragment left-edge signatures are IDENTICAL with
+    >=3 columns — a pattern running body text (one or two fragments per
+    line-half: text, or marker+text) never produces. The core fixes the
+    rails and the x-extent; neighboring baselines then join as rows only
+    when every fragment they have INSIDE the extent starts on a rail
+    (fragments outside — e.g. the other half of a 2-up page sharing the
+    baseline — are ignored and never consumed). Up to two baselines
+    above join as ONE header row when their fragments lie inside the
+    extent (centered headers don't start on rails; they map to columns
+    by max x-overlap, and a stacked two-line header merges — "State
+    funded" over "legal aid" is one header cell).
+
+    Works on the ALREADY-SPLIT line cells (the baseline splitter breaks
+    at gaps > 2.5x type size, so table cells arrive as separate
+    fragments). Returns (table_cell dicts, consumed line-cell indices);
+    emitted bboxes are grid-aligned so layoutx._assemble_tables clusters
+    rows/columns exactly like the ruled path's output.
+    """
+    if len(line_cells) < 9:
+        return [], set()
+    order = sorted(range(len(line_cells)),
+                   key=lambda k: (line_cells[k]["bbox"][1],
+                                  line_cells[k]["bbox"][0]))
+    baselines: list[list[int]] = []
+    for k in order:
+        t = line_cells[k]["bbox"][1]
+        # chain on the previous CELL's top, not the group's first — 2-up
+        # pages interleave two half-page layouts whose baselines sit a
+        # couple of points apart, and first-anchored grouping splits one
+        # visual row into two
+        if baselines and \
+                t - line_cells[baselines[-1][-1]]["bbox"][1] <= 3.0:
+            baselines[-1].append(k)
+        else:
+            baselines.append([k])
+
+    def top(bi):
+        return min(line_cells[k]["bbox"][1] for k in baselines[bi])
+
+    def sig(bi):
+        """Clustered left edges of the baseline's fragments."""
+        xs = sorted(line_cells[k]["bbox"][0] for k in baselines[bi])
+        grp: list[float] = []
+        for x in xs:
+            if not grp or x - grp[-1] > 3.0:
+                grp.append(x)
+        return grp
+
+    def same_sig(a, b):
+        return len(a) == len(b) and all(abs(x - y) <= 3.0
+                                        for x, y in zip(a, b))
+
+    sigs = [sig(bi) for bi in range(len(baselines))]
+    out: list[dict] = []
+    consumed: set[int] = set()
+    used_baselines: set[int] = set()
+    bi = 0
+    while bi < len(baselines):
+        if bi in used_baselines or len(sigs[bi]) < 3:
+            bi += 1
+            continue
+        # grow the identical-signature core
+        core = [bi]
+        j = bi + 1
+        while j < len(baselines) and same_sig(sigs[bi], sigs[j]) \
+                and top(j) - top(core[-1]) <= 30.0:
+            core.append(j)
+            j += 1
+        if len(core) < 3:
+            bi += 1
+            continue
+        rails = sigs[bi]
+        x_lo = rails[0] - 2.0
+        x_hi = max(line_cells[k]["bbox"][2]
+                   for ci in core for k in baselines[ci]) + 2.0
+
+        def in_extent(k):
+            b = line_cells[k]["bbox"]
+            return b[2] > x_lo and b[0] < x_hi
+
+        def joins_as_row(cand):
+            ins = [k for k in baselines[cand] if in_extent(k)]
+            if len(ins) < 2:
+                return False
+            return all(
+                any(abs(line_cells[k]["bbox"][0] - rx) <= 3.0
+                    for rx in rails)
+                for k in ins
+            )
+
+        rows = list(core)
+        med_pitch = sorted(
+            top(rows[j + 1]) - top(rows[j]) for j in range(len(rows) - 1)
+        )[(len(rows) - 2) // 2] or 18.0
+        # extend down then up with rail-conforming neighbors; baselines
+        # whose fragments ALL lie outside the extent (the other half of
+        # a 2-up page) are transparent — skipped, never consumed, and
+        # the row-pitch gap is measured against the last ACCEPTED row
+        j = core[-1] + 1
+        while j < len(baselines) and j not in used_baselines:
+            if not any(in_extent(k) for k in baselines[j]):
+                j += 1
+                continue
+            if top(j) - top(rows[-1]) <= 1.8 * med_pitch \
+                    and joins_as_row(j):
+                rows.append(j)
+                j += 1
+            else:
+                break
+        j = core[0] - 1
+        while j >= 0 and j not in used_baselines:
+            if not any(in_extent(k) for k in baselines[j]):
+                j -= 1
+                continue
+            if top(rows[0]) - top(j) <= 1.8 * med_pitch \
+                    and joins_as_row(j):
+                rows.insert(0, j)
+                j -= 1
+            else:
+                break
+        # header rows: up to 2 baselines above, fragments inside extent
+        headers: list[int] = []
+        j = rows[0] - 1
+        while j >= 0 and len(headers) < 2 and j not in used_baselines:
+            ins = [k for k in baselines[j] if in_extent(k)]
+            if not ins:
+                j -= 1
+                continue
+            below = headers[-1] if headers else rows[0]
+            if top(below) - top(j) <= 1.8 * med_pitch:
+                headers.append(j)
+                j -= 1
+            else:
+                break
+        joined = "".join(line_cells[k]["text"]
+                         for ci in headers + rows for k in baselines[ci])
+        if _rtl_dominant(joined):
+            bi = core[-1] + 1
+            continue
+        bounds = [x_lo] + [rails[j2] - 2.0
+                           for j2 in range(1, len(rails))] + [x_hi]
+        page_no = line_cells[baselines[rows[0]][0]]["page_no"]
+
+        def emit_row(members: list[int]) -> None:
+            ins = [k for k in members if in_extent(k)]
+            if not ins:
+                return
+            row_top = min(line_cells[k]["bbox"][1] for k in ins)
+            row_bot = max(line_cells[k]["bbox"][3] for k in ins)
+            by_col: dict[int, list[int]] = {}
+            for k in ins:
+                b = line_cells[k]["bbox"]
+                overlaps = [
+                    min(b[2], bounds[j2 + 1]) - max(b[0], bounds[j2])
+                    for j2 in range(len(rails))
+                ]
+                col = max(range(len(rails)), key=lambda j2: overlaps[j2])
+                by_col.setdefault(col, []).append(k)
+                consumed.add(k)
+            for col, ks in sorted(by_col.items()):
+                ks.sort(key=lambda k: (line_cells[k]["bbox"][1],
+                                       line_cells[k]["bbox"][0]))
+                text = _WSRUN_RE.sub(
+                    " ",
+                    " ".join(line_cells[k]["text"].strip()
+                             for k in ks)).strip()
+                out.append({
+                    "page_no": page_no,
+                    "bbox": (bounds[col], row_top,
+                             bounds[col + 1], row_bot),
+                    "text": text,
+                    "conf": 1.0,
+                    "label": "table_cell",
+                })
+
+        if headers:
+            emit_row([k for ci in sorted(headers) for k in baselines[ci]])
+        for ci in rows:
+            emit_row(list(baselines[ci]))
+        used_baselines.update(headers)
+        used_baselines.update(rows)
+        bi = rows[-1] + 1
+    return out, consumed
+
+
+def _coalesce_segments(segs: list, axis: int, line_tol: float = 2.0,
+                       gap_tol: float = 5.0) -> list:
+    """Merge collinear rule segments into maximal spans.
+
+    ``axis=0``: horizontal segments — grouped by y center, merged along
+    x. ``axis=1``: vertical — grouped by x center, merged along y.
+    Returns (x0, y0, x1, y1) tuples like the input.
+    """
+    if not segs:
+        return segs
+    if axis == 0:
+        keyed = sorted(((sg[1] + sg[3]) / 2.0, min(sg[0], sg[2]),
+                        max(sg[0], sg[2])) for sg in segs)
+    else:
+        keyed = sorted(((sg[0] + sg[2]) / 2.0, min(sg[1], sg[3]),
+                        max(sg[1], sg[3])) for sg in segs)
+    out = []
+    group: list[tuple[float, float, float]] = []
+
+    def flush():
+        if not group:
+            return
+        k = sum(g[0] for g in group) / len(group)
+        spans = sorted((g[1], g[2]) for g in group)
+        lo, hi = spans[0]
+        merged = []
+        for s, e in spans[1:]:
+            if s - hi <= gap_tol:
+                hi = max(hi, e)
+            else:
+                merged.append((lo, hi))
+                lo, hi = s, e
+        merged.append((lo, hi))
+        for lo, hi in merged:
+            out.append((lo, k, hi, k) if axis == 0 else (k, lo, k, hi))
+
+    for item in keyed:
+        if group and item[0] - group[-1][0] > line_tol:
+            flush()
+            group = []
+        group.append(item)
+    flush()
+    return out
+
+
 def detect_ruled_tables(
     rules: list[tuple], runs: list["_Run"], page_h: float
 ) -> tuple[list[dict], set[int]]:
@@ -1651,6 +1907,15 @@ def detect_ruled_tables(
     vs = [sg for sg in rules if abs(sg[2] - sg[0]) < 0.7]
     if len(hs) < 3 or len(vs) < 2:
         return [], set()
+    # COALESCE collinear segments first: many generators stroke each
+    # cell's border separately, so a single visual rule arrives as a row
+    # of short segments — none of which would pass the 60%-of-extent
+    # full-width check below (r3 left such grids unreconstructed and
+    # their text inline). Segments on one line (±2 pt) whose gaps are
+    # ≤ 5 pt merge into one span; idempotent, so the band-split
+    # recursion re-coalescing is harmless.
+    hs = _coalesce_segments(hs, axis=0)
+    vs = _coalesce_segments(vs, axis=1)
     # BAND-SPLIT first: all painted rules on a page are NOT one grid — a
     # footnote separator or a second stacked table hundreds of points
     # away would otherwise extend the lattice and swallow the body text

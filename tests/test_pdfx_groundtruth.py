@@ -283,3 +283,23 @@ def test_corrupted_pdfs_always_contained() -> None:
 
         res = extract_payload(base64.b64encode(bytes(data)).decode(), "pdf")
         assert res["status"] in ("success", "failure", "skipped")
+
+
+def test_borderless_rail_table_reconstruction() -> None:
+    """table_mislabeled_as_picture: the questionnaire grid has NO ruling
+    lines (the page's only painted rules are crop-frame artifacts); the
+    whitespace-rail detector must reconstruct the groundtruth's 4-column
+    grid — stacked two-line header merged into one row, the 2-up page's
+    left half untouched."""
+    text, items, _ = extract_pdf(
+        (SRC / "table_mislabeled_as_picture.pdf").read_bytes())
+    tables = [it for it in items if it["label"] == "table"]
+    assert len(tables) == 1
+    lines = tables[0]["text"].splitlines()
+    assert lines[0] == "|  |  | State funded legal aid | CSOs |"
+    body = [ln for ln in lines[2:]]
+    assert len(body) == 7
+    assert body[0] == "| y | Persons with disabilities | * | * |"
+    assert body[-1] == "| y | Internally displaced persons | * | * |"
+    # the left half of the 2-up page keeps its text inline
+    assert "Yes, at the national (federal) level" in text
