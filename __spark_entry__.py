@@ -2714,6 +2714,170 @@ from t
 """
 
 
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_UNI_LM_SQL = f"""corpus as (
+  select unnest(list_filter(
+    string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> ''
+  )) as token from documents
+),
+uni as (select token, count(*) as n_t from corpus group by 1),
+tot as (select sum(n_t) as n_total, count(*) as vocab from uni)"""
+
+
+def q_line_perplexity(spark, sf_dir):
+    """CCNet's line-scoring primitive: per-line perplexity under the
+    corpus's own unigram LM (CCNet proper scores with a pretrained KenLM
+    — a model artifact this sandbox doesn't have; the corpus LM stands
+    in behind the same broadcast-join plumbing). Plan: line posexplode →
+    token join against the one-groupBy unigram table → per-line agg."""
+    from docling_spark.operators.textstats import line_perplexity
+
+    return line_perplexity(_docs(spark, sf_dir))
+
+
+ORACLE_LINE_PPL = f"""
+with lines as (
+  select doc_id, cast(i - 1 as int) as line_no, parts[i] as line
+  from (select doc_id, string_split(coalesce(text, ''), chr(10)) as parts
+        from documents),
+       unnest(generate_series(1, len(parts))) as g(i)
+),
+ltoks as (
+  select doc_id, line_no, unnest(list_filter(
+    string_split({_NORM_SQL.format(c='line')}, ' '), x -> x <> ''
+  )) as token from lines
+),
+{_UNI_LM_SQL},
+per_line as (
+  select doc_id, line_no, count(*) as n_tokens,
+         round(exp(avg(-ln((n_t + 1.0) / (n_total + vocab)))), 6) as ppl
+  from ltoks join uni using (token) cross join tot
+  group by 1, 2
+)
+select l.doc_id, l.line_no,
+       coalesce(p.n_tokens, 0)::bigint as n_tokens, p.ppl
+from lines l left join per_line p using (doc_id, line_no)
+"""
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-document perplexity, tercile cutoffs
+    as an exact-percentile 2-value aggregate broadcast back (never a
+    global ntile window — that is the single-reducer shape the plan
+    audit screens out)."""
+    from docling_spark.operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+ORACLE_CCNET = f"""
+with dtoks as (
+  select doc_id, unnest(list_filter(
+    string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> ''
+  )) as token from documents
+),
+{_UNI_LM_SQL},
+per_doc as (
+  select doc_id,
+         round(exp(avg(-ln((n_t + 1.0) / (n_total + vocab)))), 6) as ppl
+  from dtoks join uni using (token) cross join tot
+  group by 1
+),
+cuts as (
+  select quantile_cont(ppl, 1.0/3) as c1, quantile_cont(ppl, 2.0/3) as c2
+  from per_doc
+)
+select d.doc_id, p.ppl,
+       case when p.ppl is null then 'tail'
+            when p.ppl <= c.c1 then 'head'
+            when p.ppl <= c.c2 then 'middle'
+            else 'tail' end as bucket
+from documents d
+left join per_doc p using (doc_id)
+cross join cuts c
+"""
+
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(fp_expr: str) -> str:
+    probes = ", ".join(f"({i})" for i in range(_BLOOM_K))
+    return f"""select mod(('0x' || substr(md5('bloom:' || t.i || ':' || {fp_expr}),
+                       1, 15))::bigint, {_BLOOM_M}) as pos
+  from f, (values {probes}) t(i)"""
+
+
+def q_bloom_filter_build(spark, sf_dir):
+    """Dolma-style Bloom-filter dedup index: the whole corpus's
+    membership structure as an O(m)-bit bitmap (m/32 int32-keyed longs)
+    built by one groupBy(word_idx).agg(bit_or) — constant-size output
+    regardless of corpus size, broadcastable to any probe join."""
+    from docling_spark.operators.dedup import bloom_build
+
+    return bloom_build(_docs(spark, sf_dir), m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+ORACLE_BLOOM_BUILD = f"""
+with f as (
+  select md5({_NORM_SQL.format(c='text')}) as fp from documents
+),
+pos as ({_bloom_pos_sql('f.fp')})
+select cast(floor(pos / 32) as int) as word_idx,
+       bit_or(1::bigint << cast(mod(pos, 32) as int)) as bits
+from pos group by 1
+"""
+
+
+def q_bloom_dedup_check(spark, sf_dir):
+    """Incremental-ingestion membership probe: the even-doc_id half of
+    the corpus builds the filter, every document probes it. Evens are
+    always maybe_dup (no false negatives); odds only via the documented
+    false-positive rate — deterministic under the md5 hash family, so
+    the oracle reproduces every verdict bit-for-bit."""
+    from docling_spark.operators.dedup import bloom_build, bloom_check
+
+    docs = _docs(spark, sf_dir)
+    bloom = bloom_build(docs.filter(F.col("doc_id") % 2 == 0),
+                        m_bits=_BLOOM_M, k=_BLOOM_K)
+    return bloom_check(docs, bloom, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+ORACLE_BLOOM_CHECK = f"""
+with f as (
+  select md5({_NORM_SQL.format(c='text')}) as fp from documents
+  where doc_id % 2 = 0
+),
+pos as ({_bloom_pos_sql('f.fp')}),
+bloom as (
+  select cast(floor(pos / 32) as int) as word_idx,
+         bit_or(1::bigint << cast(mod(pos, 32) as int)) as bits
+  from pos group by 1
+),
+probe_f as (
+  select doc_id, md5({_NORM_SQL.format(c='text')}) as fp from documents
+),
+probes as (
+  select doc_id,
+         mod(('0x' || substr(md5('bloom:' || t.i || ':' || p.fp),
+              1, 15))::bigint, {_BLOOM_M}) as pos
+  from probe_f p, (values (0), (1), (2), (3)) t(i)
+),
+hits as (
+  select p.doc_id,
+         case when b.bits is not null
+                   and (b.bits & (1::bigint << cast(mod(p.pos, 32) as int)))
+                       = (1::bigint << cast(mod(p.pos, 32) as int))
+              then 1 else 0 end as hit
+  from probes p
+  left join bloom b on b.word_idx = cast(floor(p.pos / 32) as int)
+)
+select doc_id, sum(hit) = {_BLOOM_K} as maybe_dup
+from hits group by 1
+"""
+
+
 def q_bigram_lm(spark, sf_dir):
     """Corpus bigram LM count table (top-k by pair count with conditional
     probabilities) — the n-gram artifact an LM-data pipeline builds for
@@ -7294,6 +7458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
         "bigram_lm": q_bigram_lm,
+        "line_perplexity": q_line_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
+        "bloom_filter_build": q_bloom_filter_build,
+        "bloom_dedup_check": q_bloom_dedup_check,
         "bm25_scores": q_bm25_scores,
         "extract_xbrl": q_extract_xbrl,
         "extract_deepseek": q_extract_deepseek,
@@ -7455,6 +7623,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_xls": ORACLE_EXTRACT_XLS,
         "extract_ppt": ORACLE_EXTRACT_PPT,
         "bigram_lm": ORACLE_BIGRAM_LM,
+        "line_perplexity": ORACLE_LINE_PPL,
+        "ccnet_buckets": ORACLE_CCNET,
+        "bloom_filter_build": ORACLE_BLOOM_BUILD,
+        "bloom_dedup_check": ORACLE_BLOOM_CHECK,
         "bm25_scores": ORACLE_BM25,
         "extract_xbrl": ORACLE_EXTRACT_XBRL,
         "extract_deepseek": ORACLE_EXTRACT_DEEPSEEK,

@@ -33,6 +33,83 @@ def hash60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _bloom_positions(fp: "F.Column", m_bits: int, k: int) -> list:
+    """k deterministic bit positions for a fingerprint — md5 hash family
+    seeded per probe, so Spark and any oracle derive identical bits."""
+    return [
+        F.pmod(hash60(F.concat(F.lit(f"bloom:{i}:"), fp)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def bloom_build(docs: DataFrame, m_bits: int = 1 << 16, k: int = 4,
+                text_col: str = "text") -> DataFrame:
+    """Corpus Bloom filter as a (word_idx, bits) bitmap table — the
+    Dolma-style probabilistic dedup index: O(m) bits total regardless of
+    corpus size, so a 100 TB corpus's membership structure fits in
+    executor memory as a broadcast (m = 2^32 bits is 512 MB; the sf
+    default 2^16 keeps oracles cheap).
+
+    Spark-first: each document's normalized-text fingerprint sets k
+    md5-derived bit positions; positions group into 32-bit words and a
+    single groupBy(word_idx).agg(bit_or(mask)) builds the bitmap — one
+    shuffle of (int, long) pairs with map-side partial OR, no driver
+    state. Unset words are absent (sparse).
+    """
+    fp = F.md5(norm_text(F.col(text_col)))
+    pos = docs.select(
+        F.explode(F.array(*_bloom_positions(fp, m_bits, k))).alias("pos")
+    )
+    # 32-bit words: bit 63 of a 64-bit word would need 1<<63, which
+    # overflows signed arithmetic in ANSI engines (DuckDB raises); 32-bit
+    # masks stay comfortably positive in a long on both sides
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("int").alias("word_idx"),
+            # expr form: the DataFrame shiftleft() only takes a literal
+            # bit count; the SQL function accepts a column
+            F.expr("shiftleft(1L, int(pmod(pos, 32)))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_check(batch: DataFrame, bloom: DataFrame,
+                m_bits: int = 1 << 16, k: int = 4,
+                text_col: str = "text") -> DataFrame:
+    """Membership probe against a :func:`bloom_build` bitmap: a document
+    is ``maybe_dup`` iff ALL k of its bits are set (false positives at
+    the classic (1-e^{-kn/m})^k rate, never false negatives — exactly
+    the asymmetry incremental ingestion wants: 'definitely new' is
+    trustworthy, 'maybe dup' goes to the exact dedup path).
+
+    The probe is an equi-join of the batch's k (word_idx, mask) probes
+    against the (≤ m/32)-row bitmap — broadcast by construction.
+    """
+    fp = F.md5(norm_text(F.col(text_col)))
+    probes = batch.select(
+        "doc_id",
+        F.posexplode(F.array(*_bloom_positions(fp, m_bits, k)))
+        .alias("probe_i", "pos"),
+    ).select(
+        "doc_id", "probe_i",
+        (F.col("pos") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, int(pmod(pos, 32)))").alias("mask"),
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select("doc_id", hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg((F.sum("hit") == F.lit(k)).alias("maybe_dup"))
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the smallest doc_id per normalized-text fingerprint.
     One shuffle on the 32-char fingerprint; map-side partial min."""

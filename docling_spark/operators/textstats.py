@@ -402,6 +402,120 @@ def bigram_lm(docs: DataFrame, k: int = 30, min_count: int = 2,
     return scored.orderBy(F.desc("pair_count"), "w1", "w2").limit(k)
 
 
+def line_perplexity(docs: DataFrame, text_col: str = "text",
+                    doc_col: str = "doc_id") -> DataFrame:
+    """Per-LINE unigram perplexity under the corpus's own LM — the CCNet
+    line-scoring primitive (CCNet buckets web documents by LM perplexity
+    into head/middle/tail; Nemotron-CC and RedPajama-v2 carry the same
+    signal). CCNet scores with a pretrained KenLM; no model artifacts
+    exist in this sandbox, so the corpus unigram distribution stands in —
+    the plumbing (line explode, token join, per-line aggregation) is the
+    production shape either way, and a real LM slots in as a broadcast
+    table behind the same join.
+
+    Spark-first shape that survives 100 TB:
+    - lines explode per document (posexplode on the newline split) — no
+      global state;
+    - the unigram table is one groupBy (map-side partial agg) and joins
+      back by token — a short-key equi-join, broadcast when the vocab
+      fits;
+    - add-one smoothing makes OOV impossible by construction here (the
+      corpus scores itself) but keeps the formula total: cost(t) =
+      -ln((n_t + 1) / (N + V)).
+
+    Output: (doc_id, line_no, n_tokens, ppl) — ppl rounded to 6 dp,
+    NULL for token-less lines (they carry no signal; filters drop them).
+    """
+    lines = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("line_no", "line"),
+    )
+    ltoks = lines.select(
+        "doc_id", "line_no",
+        F.explode(F.split(norm_text(F.col("line")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    corpus = docs.select(
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    uni = corpus.groupBy("token").agg(F.count("*").alias("n_t"))
+    totals = uni.agg(
+        F.sum("n_t").alias("n_total"),
+        F.count("*").alias("vocab"),
+    )
+    scored = (
+        ltoks.join(uni, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "cost",
+            -F.log((F.col("n_t") + 1) / (F.col("n_total") + F.col("vocab"))),
+        )
+    )
+    per_line = scored.groupBy("doc_id", "line_no").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.exp(F.avg("cost")), 6).alias("ppl"),
+    )
+    # token-less lines re-enter with NULL ppl (left join keeps totality)
+    return (
+        lines.select("doc_id", "line_no")
+        .join(per_line, ["doc_id", "line_no"], "left")
+        .select(
+            "doc_id", "line_no",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            "ppl",
+        )
+    )
+
+
+def ccnet_buckets(docs: DataFrame, text_col: str = "text",
+                  doc_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: per-DOCUMENT perplexity under the
+    corpus unigram LM, then tercile bucketing — head = lowest-perplexity
+    third (most fluent), tail = highest. The cutoffs are exact corpus
+    percentiles computed as a 2-value aggregate and broadcast back — one
+    scan + a scalar attach, never a global ``ntile`` window (a
+    no-partition window is the single-reducer shape the plan audit
+    screens out; CCNet itself assigns against precomputed thresholds the
+    same way).
+
+    Output: (doc_id, ppl, bucket) with bucket in {'head','middle','tail'};
+    documents with no tokens get NULL ppl and bucket 'tail' (CCNet drops
+    them from head/middle too).
+    """
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    uni = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    totals = uni.agg(F.sum("n_t").alias("n_total"),
+                     F.count("*").alias("vocab"))
+    per_doc = (
+        toks.join(uni, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "cost",
+            -F.log((F.col("n_t") + 1) / (F.col("n_total") + F.col("vocab"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.exp(F.avg("cost")), 6).alias("ppl"))
+    )
+    cuts = per_doc.agg(
+        F.percentile("ppl", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("ppl", F.lit(2.0 / 3)).alias("c2"),
+    )
+    base = docs.select(F.col(doc_col).alias("doc_id")) \
+        .join(per_doc, "doc_id", "left") \
+        .crossJoin(F.broadcast(cuts))
+    return base.select(
+        "doc_id", "ppl",
+        F.when(F.col("ppl").isNull(), F.lit("tail"))
+        .when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = 1.2, b: float = 0.75,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

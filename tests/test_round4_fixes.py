@@ -136,3 +136,65 @@ def test_simhash_width_guard():
 
     with pytest.raises(ValueError):
         simhash(None, bits=61)  # hash60 has no bit 60
+
+
+# ------------------------------------------- r4 curation operators
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from docling_spark.operators.dedup import bloom_build, bloom_check
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words {i * 7}")
+         for i in range(200)],
+        "doc_id long, text string")
+    corpus = docs.filter("doc_id < 100")
+    bloom = bloom_build(corpus, m_bits=1 << 16, k=4)
+    got = {r.doc_id: r.maybe_dup
+           for r in bloom_check(docs, bloom, m_bits=1 << 16, k=4).collect()}
+    # members are ALWAYS flagged (no false negatives)
+    assert all(got[i] for i in range(100))
+    # non-members: false-positive rate far under the load factor's bound
+    fps = sum(1 for i in range(100, 200) if got[i])
+    assert fps <= 5
+
+
+def test_bloom_filter_is_constant_size(spark):
+    from docling_spark.operators.dedup import bloom_build
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string")
+    assert bloom_build(docs, m_bits=1 << 16, k=4).count() <= (1 << 16) / 32
+
+
+def test_ccnet_buckets_terciles(spark):
+    from docling_spark.operators.textstats import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(i, ("common words repeated " * 5) if i % 3 == 0
+          else f"rare{i} unusual{i} singleton{i} tokens{i}")
+         for i in range(90)] + [(1000, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in ccnet_buckets(docs).collect()}
+    assert len(rows) == 91
+    # the empty doc has NULL ppl and lands in tail
+    assert rows[1000].ppl is None and rows[1000].bucket == "tail"
+    # common-word docs are low-perplexity → head
+    assert all(rows[i].bucket == "head" for i in range(0, 90, 3))
+    counts = {}
+    for r in rows.values():
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    assert counts["head"] == 30
+
+
+def test_line_perplexity_totality(spark):
+    from docling_spark.operators.textstats import line_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "first line\n\nthird line here"), (2, None)],
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.line_no): r for r in line_perplexity(docs).collect()}
+    # every physical line present, including the empty and the null doc
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert rows[(1, 1)].ppl is None and rows[(1, 1)].n_tokens == 0
+    assert rows[(2, 0)].ppl is None
+    assert rows[(1, 2)].n_tokens == 3 and rows[(1, 2)].ppl is not None
