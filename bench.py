@@ -193,6 +193,11 @@ def main() -> None:
         "conversation_stats",
         "script_profile",
         "readability",
+        # round-4 surface
+        "embed_cosine_pairs",
+        "simhash_near_pairs",
+        "ccnet_buckets",
+        "bloom_dedup_check",
     ]
     for name in bench_queries:
         # drop caches persisted by the PREVIOUS query (several queries
