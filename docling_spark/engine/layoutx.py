@@ -228,8 +228,14 @@ def sort_clusters(cells: list[dict], mode: str = "id") -> list[dict]:
 
 
 def filter_cells(cells: list[dict]) -> list[dict]:
-    """Confidence + garbage + empty filtering (layout_postprocessor.py:259-284,
-    page_preprocessing quality gate)."""
+    """Confidence + empty filtering (layout_postprocessor.py:259-284).
+
+    Deliberately does NOT drop quality-0 cells: the reference's
+    rate_text_quality feeds ONLY the page parse_score confidence metric
+    (page_preprocessing_model.py:75-88) and never filters — its own
+    groundtruth keeps /gNNN glyph-name text (redp5110) that scores 0.0.
+    Rounds 1-3 dropped q==0 cells here, which silently deleted every
+    unmapped-subset-font region."""
     kept = []
     for c in cells:
         thr = CONF_THRESHOLDS.get(c["label"], DEFAULT_CONF_THRESHOLD)
@@ -240,11 +246,6 @@ def filter_cells(cells: list[dict]) -> list[dict]:
         # 279-284); PICTURE needs no text cells either (it is a bitmap box)
         if not text and c["label"] not in ("formula", "picture"):
             continue
-        if text:
-            q = (c["_q_raw"] if text == c["text"] and "_q_raw" in c
-                 else rate_text_quality(text))
-            if q == 0.0:
-                continue
         c = dict(c, text=text)
         kept.append(c)
     return kept

@@ -621,7 +621,11 @@ def _glyph_to_char(name: str) -> str:
             return "�"
     m = re.fullmatch(r"([A-Za-z])\d+", name)  # g123 / C42 subset names
     if m:
-        return "�"
+        # docling-parse emits the literal slash-prefixed glyph name for
+        # subset-font names with no Unicode meaning ('/g115/g3 /g40...'
+        # in the redp5110 groundtruth) — text is preserved as glyph
+        # references instead of vanishing into replacement chars
+        return f"/{name}"
     return "�"
 
 

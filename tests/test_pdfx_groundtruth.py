@@ -38,7 +38,7 @@ FLOORS = {
     "multi_page": (0.97, 0.97),
     "normal_4pages": (0.96, 0.93),
     "picture_classification": (0.97, 0.97),
-    "redp5110_sampled": (0.92, 0.92),
+    "redp5110_sampled": (0.98, 0.93),  # r4: /gNNN glyph-name fallback
     "right_to_left_01": (0.90, 0.89),
     "right_to_left_02": (0.90, 0.84),
     "right_to_left_03": (0.93, 0.92),
@@ -169,7 +169,7 @@ ORDER_FLOORS = {
     "multi_page": 0.99,
     "normal_4pages": 0.90,         # two-column Korean (r3: 0.82)
     "picture_classification": 0.99,
-    "redp5110_sampled": 0.88,
+    "redp5110_sampled": 0.92,  # r4: glyph-name fallback (was 0.89)
     "table_mislabeled_as_picture": 0.98,
     # r3: ≥0.88 on all RTL docs (glyph-overlap dedup); remaining rtl_02
     # gap is the formula region the reference's NN pipeline replaces with
