@@ -328,6 +328,11 @@ def _dedup_cells_one_page(cells: list[dict]) -> list[dict]:
             if removed[j]:
                 continue
             b = cells[j]
+            # a picture region legitimately overlaps the text drawn over
+            # or around it — cross-class pairs never dedup (the larger
+            # picture box would swallow real text cells)
+            if (a["label"] == "picture") != (b["label"] == "picture"):
+                continue
             if (
                 _iou_over_self(a["bbox"], b["bbox"]) > 0.8
                 or _iou_over_self(b["bbox"], a["bbox"]) > 0.8
@@ -354,6 +359,7 @@ def _dedup_cells_all_pairs(cells: list[dict]) -> list[dict]:
     boxes = [c["bbox"] for c in cells]
     confs = [c["conf"] for c in cells]
     areas = [(b[2] - b[0]) * (b[3] - b[1]) for b in boxes]
+    is_pic = [c["label"] == "picture" for c in cells]
     for i in range(n):
         if removed[i]:
             continue
@@ -362,6 +368,10 @@ def _dedup_cells_all_pairs(cells: list[dict]) -> list[dict]:
         key_a = (confs[i], areas[i])
         for j in range(i + 1, n):
             if removed[j]:
+                continue
+            # cross-class pairs never dedup: a picture region
+            # legitimately overlaps the text drawn over or around it
+            if is_pic[i] != is_pic[j]:
                 continue
             bl, bt, br, bb = boxes[j]
             il = al if al > bl else bl
@@ -462,7 +472,12 @@ def reading_order(cells: list[dict],
         body.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
         bands: list[list[dict]] = [[]]
         for c in body:
-            if c["bbox"][0] < split < c["bbox"][2]:
+            # pictures never separate bands: a figure composed of tiles
+            # whose union happens to cross the gutter is column content,
+            # not a full-width break — letting it split bands scrambles
+            # the column-major order of the TEXT around it
+            if c["bbox"][0] < split < c["bbox"][2] \
+                    and c["label"] != "picture":
                 bands.append([c])
                 bands.append([])
             else:

@@ -897,11 +897,14 @@ class _Run:
 
 
 def interpret_page(doc: PdfDocument, page: dict, page_no: int,
-                   rules_out: list | None = None) -> tuple[list, tuple]:
+                   rules_out: list | None = None,
+                   images_out: list | None = None) -> tuple[list, tuple]:
     """Content stream → positioned text runs (device space, y up).
     ``rules_out`` (optional) collects painted axis-aligned line segments
     ((x0, y0, x1, y1) device space) — the raw material for ruled-table
-    grid detection."""
+    grid detection. ``images_out`` (optional) collects drawn bitmap
+    rects ((x0, y0, x1, y1) device space: the image unit square under
+    the CTM) — the raw material for picture items."""
     mb = [float(doc.resolve(v) or 0) for v in
           (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
     page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
@@ -912,13 +915,14 @@ def interpret_page(doc: PdfDocument, page: dict, page_no: int,
     base = _ID if (mb[0] == 0.0 and mb[1] == 0.0) else \
         (1.0, 0.0, 0.0, 1.0, -mb[0], -mb[1])
     _interpret(doc, content, page.get("Resources"), base, page_no, runs, 0,
-               rules_out)
+               rules_out, images_out)
     return runs, (page_w, page_h)
 
 
 def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                page_no: int, runs: list, depth: int,
-               rules_out: list | None = None) -> None:
+               rules_out: list | None = None,
+               images_out: list | None = None) -> None:
     if depth > 8:
         return
     res = doc.resolve(resources) or {}
@@ -1119,6 +1123,8 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                     if gstack:
                         ctm, tf, size, tc, tw, th, tl = gstack.pop()
                 elif op == b"BI":
+                    if images_out is not None:
+                        images_out.append(_unit_rect(ctm))
                     # inline image: skip past EI. The raw sample data can
                     # contain the byte pair 'EI', so require whitespace on
                     # both sides (the spec's operator delimiting) — a bare
@@ -1134,6 +1140,12 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                 elif op == b"Do" and stack and isinstance(xobjects, dict):
                     xo = doc.resolve(xobjects.get(str(stack[-1])))
                     if isinstance(xo, Stream) and \
+                            str(doc.resolve(xo.d.get("Subtype"))) \
+                            == "Image" and images_out is not None:
+                        # bitmap draw: the image fills the unit square
+                        # under the current CTM
+                        images_out.append(_unit_rect(ctm))
+                    if isinstance(xo, Stream) and \
                             str(doc.resolve(xo.d.get("Subtype"))) == "Form":
                         fm = doc.resolve(xo.d.get("Matrix")) or \
                             [1, 0, 0, 1, 0, 0]
@@ -1143,11 +1155,49 @@ def _interpret(doc: PdfDocument, content: bytes, resources, base_ctm,
                         _interpret(
                             doc, decode_stream(xo, doc.resolve),
                             xo.d.get("Resources") or res, inner_ctm,
-                            page_no, runs, depth + 1, rules_out)
+                            page_no, runs, depth + 1, rules_out,
+                            images_out)
                 stack.clear()
         except (PdfError, IndexError, ValueError, TypeError):
             stack.clear()
             i = m.end() if m.end() > i else i + 1
+
+
+def _cluster_image_rects(rects: list, gap: float = 10.0) -> list:
+    """Merge drawn-bitmap rects whose gap-expanded boxes touch into
+    maximal cluster boxes — generators routinely compose ONE visual
+    figure from several bitmap tiles (sliced photos, logo + art), and
+    the reference's layout model emits one picture region per figure.
+    Greedy fixpoint; n is tiny (images per page, not text runs)."""
+    boxes = [list(r) for r in rects]
+    changed = True
+    while changed:
+        changed = False
+        out: list = []
+        for b in boxes:
+            merged = False
+            for o in out:
+                if (b[0] - gap <= o[2] and b[2] + gap >= o[0]
+                        and b[1] - gap <= o[3] and b[3] + gap >= o[1]):
+                    o[0] = min(o[0], b[0]); o[1] = min(o[1], b[1])
+                    o[2] = max(o[2], b[2]); o[3] = max(o[3], b[3])
+                    merged = changed = True
+                    break
+            if not merged:
+                out.append(b)
+        boxes = out
+    return [tuple(b) for b in boxes]
+
+
+def _unit_rect(ctm) -> tuple:
+    """Device-space bounding rect of the unit square under a CTM."""
+    pts = [(ctm[4], ctm[5]),
+           (ctm[0] + ctm[4], ctm[1] + ctm[5]),
+           (ctm[2] + ctm[4], ctm[3] + ctm[5]),
+           (ctm[0] + ctm[2] + ctm[4], ctm[1] + ctm[3] + ctm[5])]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
 
 
 # ---------------------------------------------------------------------------
@@ -1335,13 +1385,18 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
         raise PdfError("no pages")
     cells: list[dict] = []
     page_sizes: dict[int, tuple] = {}
+    page_images: dict[int, list] = {}
     for pno, page in enumerate(pages, start=1):
         rules: list = []
+        images: list = []
         try:
-            runs, (pw, ph) = interpret_page(doc, page, pno, rules_out=rules)
+            runs, (pw, ph) = interpret_page(doc, page, pno,
+                                            rules_out=rules,
+                                            images_out=images)
         except Exception:
             runs, (pw, ph) = [], (612.0, 792.0)
         page_sizes[pno] = (pw, ph)
+        page_images[pno] = images
         tcells: list[dict] = []
         try:
             tcells, consumed = detect_ruled_tables(rules, runs, ph)
@@ -1349,7 +1404,8 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
             consumed = set()
         if tcells:
             runs = [r for k, r in enumerate(runs) if k not in consumed]
-        line_cells = _runs_to_lines(runs, ph)
+        line_cells = _absorb_text_on_bitmaps(
+            _runs_to_lines(runs, ph), images, (pw, ph))
         rcells: list[dict] = []
         if not tcells:
             # rail (borderless) detection only where no ruled grid fired:
@@ -1366,10 +1422,104 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
         cells.extend(line_cells)
         cells.extend(tcells)
         cells.extend(rcells)
+    cells.extend(_picture_cells(page_images, page_sizes, len(pages)))
     _mark_repeated_furniture(cells, page_sizes, len(pages))
     for k, c in enumerate(cells):
         c["index"] = k
     return cells, page_sizes
+
+
+def _absorb_text_on_bitmaps(line_cells: list[dict], images: list,
+                            page_size: tuple) -> list[dict]:
+    """Drop text lines drawn ON a bitmap (≥80% of the line inside one
+    drawn image rect) — the reference's layout postprocessor absorbs
+    text cells into the picture cluster that contains them, so banner
+    titles and text baked into figures never reach the md (its
+    groundtruth omits them). Two deliberate limits: containment is
+    tested against INDIVIDUAL image draws, never a cluster union (text
+    BETWEEN the tiles of a composed figure is real content), and
+    near-full-page images absorb nothing (scanned/OCR pages carry their
+    whole text layer over a page-sized background bitmap)."""
+    pw, ph = page_size
+    page_area = max(pw * ph, 1e-9)
+    tiles = []
+    for r in images:
+        w, h = r[2] - r[0], r[3] - r[1]
+        if w < 8.0 or h < 8.0:
+            continue
+        if (w * h) / page_area >= 0.90:
+            continue  # background bitmap of a scanned page
+        # device y-up → top-left-origin, like the line cells
+        tiles.append((r[0], ph - r[3], r[2], ph - r[1]))
+    if not tiles:
+        return line_cells
+    kept = []
+    for c in line_cells:
+        l, t, r_, b = c["bbox"]
+        area = max((r_ - l) * (b - t), 1e-9)
+        absorbed = False
+        for tl, tt, tr, tb in tiles:
+            il, it = max(l, tl), max(t, tt)
+            ir, ib = min(r_, tr), min(b, tb)
+            if ir > il and ib > it and \
+                    (ir - il) * (ib - it) >= 0.8 * area:
+                absorbed = True
+                break
+        if not absorbed:
+            kept.append(c)
+    return kept
+
+
+def _picture_cells(page_images: dict[int, list],
+                   page_sizes: dict[int, tuple],
+                   n_pages: int) -> list[dict]:
+    """Drawn-bitmap rects → picture cells (the md serializer's
+    ``<!-- image -->`` placeholders, matching the reference pipeline's
+    picture regions).
+
+    Rules, all derived from what the reference's layout model produces
+    on the groundtruth corpus: exact-duplicate draws dedup (tiled
+    backgrounds re-stroke one XObject); rects tile into one figure via
+    :func:`_cluster_image_rects`; sub-8-pt boxes are decoration, not
+    figures; a cluster whose ROUNDED position repeats on ≥3 pages is a
+    running banner/logo — furniture the reference's md omits (the
+    picture twin of the repeated-text header rule); full-page covers are
+    handled downstream by drop_full_page_pictures."""
+    clustered: dict[int, list] = {}
+    pos_pages: dict[tuple, set] = {}
+    for pno, imgs in page_images.items():
+        seen: set = set()
+        rects = []
+        for r in imgs:
+            k = tuple(round(v, 1) for v in r)
+            if k in seen:
+                continue
+            seen.add(k)
+            rects.append(r)
+        boxes = [
+            b for b in _cluster_image_rects(rects, gap=0.0)
+            if b[2] - b[0] >= 8.0 and b[3] - b[1] >= 8.0
+        ]
+        clustered[pno] = boxes
+        for b in boxes:
+            key = tuple(round(v) for v in b)
+            pos_pages.setdefault(key, set()).add(pno)
+    out: list[dict] = []
+    for pno, boxes in clustered.items():
+        ph = page_sizes.get(pno, (612.0, 792.0))[1] or 792.0
+        for b in boxes:
+            if n_pages >= 3 and \
+                    len(pos_pages[tuple(round(v) for v in b)]) >= 3:
+                continue  # repeated-position banner/logo
+            out.append({
+                "page_no": pno,
+                # device y-up → top-left-origin like every other cell
+                "bbox": (b[0], ph - b[3], b[2], ph - b[1]),
+                "text": "",
+                "conf": 1.0,
+                "label": "picture",
+            })
+    return out
 
 
 def _mark_repeated_furniture(cells: list[dict],

@@ -164,12 +164,12 @@ ORDER_FLOORS = {
     # the column-edge STRADDLE split (pdfx._runs_to_lines) fixed the
     # normal_4pages gutter-crossing mis-merge that faked a band break
     "2305.03393v1-pg9": 0.96,  # ruled table reconstructed from grid lines
-    "amt_handbook_sample": 0.96,   # two-column, 8 pt gutter
+    "amt_handbook_sample": 0.97,   # two-column, 8 pt gutter (r4 pictures: 0.98)
     "code_and_formula": 0.99,
     "multi_page": 0.99,
-    "normal_4pages": 0.90,         # two-column Korean (r3: 0.82)
+    "normal_4pages": 0.94,         # two-column Korean (r3: 0.82; r4 pictures+absorb: 0.95)
     "picture_classification": 0.99,
-    "redp5110_sampled": 0.92,  # r4: glyph-name fallback (was 0.89)
+    "redp5110_sampled": 0.93,  # r4: glyph-name fallback + pictures (was 0.89)
     "table_mislabeled_as_picture": 0.98,
     # r3: ≥0.88 on all RTL docs (glyph-overlap dedup); remaining rtl_02
     # gap is the formula region the reference's NN pipeline replaces with
@@ -303,3 +303,24 @@ def test_borderless_rail_table_reconstruction() -> None:
     assert body[-1] == "| y | Internally displaced persons | * | * |"
     # the left half of the 2-up page keeps its text inline
     assert "Yes, at the national (federal) level" in text
+
+
+def test_picture_placeholders_and_text_absorption() -> None:
+    """r4 picture pipeline: drawn bitmaps become picture items (the md
+    '<!-- image -->' markers the reference's model emits), text baked ON
+    a bitmap is absorbed like the reference's postprocessor does, and
+    text BETWEEN the tiles of a composed figure survives."""
+    text, items, _ = extract_pdf(
+        (SRC / "picture_classification.pdf").read_bytes())
+    assert text.count("<!-- image -->") == 2  # matches groundtruth
+
+    text, _, _ = extract_pdf(
+        (SRC / "amt_handbook_sample.pdf").read_bytes())
+    assert text.count("<!-- image -->") >= 1
+    # between-tile text survives (GT keeps it)...
+    assert "locks the nut firmly" in text
+
+    text, _, _ = extract_pdf((SRC / "normal_4pages.pdf").read_bytes())
+    # ...while banner-baked text is absorbed (GT omits the masthead
+    # that is part of the title-banner bitmap)
+    assert text.count("<!-- image -->") >= 3
