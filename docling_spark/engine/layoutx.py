@@ -514,9 +514,19 @@ def _assemble_tables(ordered: list[dict]) -> list[dict]:
                 and ordered[j]["page_no"] == c["page_no"]:
             tcells.append(ordered[j])
             j += 1
-        # cluster rows by top coordinate (tolerance = half median height)
+        # cluster rows by top coordinate. Tolerance: half the median
+        # height absorbs OCR jitter, but capped so it can never exceed a
+        # real row pitch — one tall row (a multi-line cell) would
+        # otherwise inflate the median past the short rows' spacing and
+        # merge adjacent rows (the Korean 5-row grid lost its header
+        # this way). The cap is half the smallest non-jitter gap
+        # between distinct tops.
         heights = sorted(cell["bbox"][3] - cell["bbox"][1] for cell in tcells)
         tol = max(heights[len(heights) // 2] / 2.0, 1e-6)
+        tops = sorted({round(cell["bbox"][1], 1) for cell in tcells})
+        gaps = [b - a for a, b in zip(tops, tops[1:]) if b - a > 3.0]
+        if gaps:
+            tol = min(tol, min(gaps) / 2.0)
         rows: list[list[dict]] = []
         for cell in sorted(tcells, key=lambda x: (x["bbox"][1], x["bbox"][0])):
             if rows and abs(cell["bbox"][1] - rows[-1][0]["bbox"][1]) <= tol:

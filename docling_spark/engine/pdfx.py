@@ -2102,6 +2102,18 @@ def detect_ruled_tables(
             all_cells.extend(c)
             all_consumed |= used
         return all_cells, all_consumed
+    # MUTUAL-EXTENT clip (r4): the grid lives where horizontal and
+    # vertical rules overlap. A page mixes the table's rules with title
+    # underlines and other-column separators; those widen the h extent
+    # so no rule passes the full-width check below. When the clip keeps
+    # a viable grid (≥3 h-rules inside the v-rules' y-span), evaluate
+    # THAT; otherwise fall through with everything (booktabs grids with
+    # only short verticals must keep working).
+    vy_lo = min(min(sg[1], sg[3]) for sg in vs) - 2.0
+    vy_hi = max(max(sg[1], sg[3]) for sg in vs) + 2.0
+    hs_grid = [sg for sg in hs if vy_lo <= (sg[1] + sg[3]) / 2.0 <= vy_hi]
+    if len(hs_grid) >= 3:
+        hs = hs_grid
     # grid extent: the span the rules actually cover
     x_lo = min(min(sg[0], sg[2]) for sg in hs) - 2.0
     x_hi = max(max(sg[0], sg[2]) for sg in hs) + 2.0

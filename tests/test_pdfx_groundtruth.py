@@ -324,3 +324,18 @@ def test_picture_placeholders_and_text_absorption() -> None:
     # ...while banner-baked text is absorbed (GT omits the masthead
     # that is part of the title-banner bitmap)
     assert text.count("<!-- image -->") >= 3
+
+
+def test_korean_ruled_table_reconstruction() -> None:
+    """normal_4pages: the 3-column revision-comparison table is drawn with
+    per-column rules PLUS unrelated title underlines on the same page;
+    the r4 mutual-extent clip (h-rules inside the v-rules' y-span) must
+    isolate the real grid and assemble all 5 groundtruth rows."""
+    text, items, _ = extract_pdf((SRC / "normal_4pages.pdf").read_bytes())
+    tables = [it for it in items if it["label"] == "table"]
+    assert len(tables) == 1
+    lines = tables[0]["text"].splitlines()
+    assert lines[0] == "| 구분 | 개정전 | 개정후 |"
+    assert len(lines) == 6  # header + separator + 4 data rows
+    assert lines[2].startswith("| 분류 |")
+    assert lines[-1].startswith("| U코드 |")
