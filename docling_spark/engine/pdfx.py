@@ -1442,6 +1442,13 @@ def _absorb_text_on_bitmaps(line_cells: list[dict], images: list,
     whole text layer over a page-sized background bitmap)."""
     pw, ph = page_size
     page_area = max(pw * ph, 1e-9)
+    # adversarial bound: a crafted page stroking tens of thousands of
+    # images would make this containment pass (tiles x lines) and the
+    # cluster fixpoint quadratic wall-time bombs. Real pages draw a
+    # handful of bitmaps; past the cap the page keeps ALL its text
+    # (degrade = absorb nothing, never drop content)
+    if len(images) > 512:
+        return line_cells
     tiles = []
     for r in images:
         w, h = r[2] - r[0], r[3] - r[1]
@@ -1496,6 +1503,12 @@ def _picture_cells(page_images: dict[int, list],
                 continue
             seen.add(k)
             rects.append(r)
+        if len(rects) > 512:
+            # crafted image-bomb page: the cluster fixpoint is quadratic
+            # in draw count — emit no picture items rather than stall
+            # (text extraction is unaffected)
+            clustered[pno] = []
+            continue
         boxes = [
             b for b in _cluster_image_rects(rects, gap=0.0)
             if b[2] - b[0] >= 8.0 and b[3] - b[1] >= 8.0
