@@ -34,6 +34,8 @@ BNLJ_SCALAR_ATTACH = {
     "mixture_plan",       # global max-feasible-corpus min (1 row)
     "temperature_mixture",  # Z normalizer + corpus min (1 row each)
     "kmeans_codebook",    # codebook attach per Lloyd iteration (k rows)
+    "line_perplexity",    # corpus (n_total, vocab) LM stats (1 row)
+    "ccnet_buckets",      # LM stats + tercile cutoffs (1 row each)
 }
 
 pytestmark = pytest.mark.skipif(
