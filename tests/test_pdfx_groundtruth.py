@@ -339,3 +339,19 @@ def test_korean_ruled_table_reconstruction() -> None:
     assert len(lines) == 6  # header + separator + 4 data rows
     assert lines[2].startswith("| 분류 |")
     assert lines[-1].startswith("| U코드 |")
+
+
+def test_failed_page_corpus_keeps_all_page_numbers() -> None:
+    """The reference's failed-pages contract (test_failed_pages.py):
+    pages its docling-parse backend cannot parse must still appear in
+    the document so numbering and page-break export stay correct. Our
+    parser goes further — it degrades to partial text on those pages —
+    but the totality contract is the pinned part: every physical page
+    present, in order, with its size."""
+    for name, n_pages in (("skipped_1page", 3), ("skipped_2pages", 4)):
+        cells, sizes = __import__(
+            "docling_spark.engine.pdfx", fromlist=["pdf_line_cells"]
+        ).pdf_line_cells((SRC / f"{name}.pdf").read_bytes())
+        assert sorted(sizes) == list(range(1, n_pages + 1))
+        pages_with_cells = {c["page_no"] for c in cells}
+        assert pages_with_cells == set(range(1, n_pages + 1))
