@@ -2862,7 +2862,7 @@ probes as (
   select doc_id,
          mod(('0x' || substr(md5('bloom:' || t.i || ':' || p.fp),
               1, 15))::bigint, {_BLOOM_M}) as pos
-  from probe_f p, (values (0), (1), (2), (3)) t(i)
+  from probe_f p, (values {", ".join(f"({i})" for i in range(_BLOOM_K))}) t(i)
 ),
 hits as (
   select p.doc_id,

@@ -638,16 +638,10 @@ def extract_from_cells(
     """Validated layout cells → (extracted_text, items, metrics): the
     shared tail of the pdfish pipeline, also fed by cell sources that are
     not JSON-lines payloads (METS/hOCR page scans, engine/metsx.py)."""
-    # score each cell ONCE: parse_score quantiles the raw-text quality,
-    # and filter_cells reuses the cached value whenever fix_stx+strip is
-    # the identity (the overwhelmingly common case) — previously every
-    # cell was regex-scanned twice on the hot path
-    scores = []
-    for c in raw:
-        q = rate_text_quality(c["text"])
-        c["_q_raw"] = q
-        scores.append(q)
-    scores.sort()
+    # parse_score quantiles the raw-text quality — the score's ONLY
+    # consumer since r4 (the reference feeds rate_text_quality into the
+    # page confidence metric and never filters cells on it)
+    scores = sorted(rate_text_quality(c["text"]) for c in raw)
     parse_score = (
         scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
     )

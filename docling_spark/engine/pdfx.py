@@ -1311,12 +1311,14 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
             # a run need not START at the column edge to be in the next
             # column — indented paragraph openers and section-number
             # headings start past it. If the inter-run gap STRADDLES a
-            # detected edge and is at least a full type size (word
-            # spaces are 0.25-0.5x, so full-width lines whose word gap
-            # happens to cross the edge stay whole), the two runs are in
-            # different columns and joining would interleave them.
+            # detected edge and is at least 1.5x the type size (word
+            # spaces are 0.25-0.5x unjustified; justified lines stretch
+            # them, but rarely past 1.5 em — and the gutter-crossing
+            # mis-merges this rule targets measured 2x+), the two runs
+            # are in different columns and joining would interleave
+            # them.
             straddles = prev is not None and \
-                gap >= max(prev.size, r.size) * 1.25 and any(
+                gap >= max(prev.size, r.size) * 1.5 and any(
                     prev.x + prev.w <= e + 2.0 and r.x >= e - 2.0
                     for e in edges)
             if prev is not None and (
@@ -1413,7 +1415,7 @@ def pdf_line_cells(payload: "bytes | PdfDocument",
             # text as lines, and mixing the two detectors on one page
             # risks re-consuming a ruled table's caption zone
             try:
-                rcells, rconsumed = detect_rail_tables(line_cells, pw)
+                rcells, rconsumed = detect_rail_tables(line_cells)
             except Exception:
                 rcells, rconsumed = [], set()
             if rcells:
@@ -1450,15 +1452,24 @@ def _absorb_text_on_bitmaps(line_cells: list[dict], images: list,
     if len(images) > 512:
         return line_cells
     tiles = []
+    covered = 0.0
     for r in images:
         w, h = r[2] - r[0], r[3] - r[1]
         if w < 8.0 or h < 8.0:
             continue
         if (w * h) / page_area >= 0.90:
             continue  # background bitmap of a scanned page
+        covered += max(w, 0.0) * max(h, 0.0)
         # device y-up → top-left-origin, like the line cells
         tiles.append((r[0], ph - r[3], r[2], ph - r[1]))
     if not tiles:
+        return line_cells
+    # scanners routinely emit a page scan as SEVERAL strips, each under
+    # the single-bitmap 90% guard; when the tiles together blanket the
+    # page, they are its background, and absorbing would delete the
+    # whole OCR text layer. Summed area over-counts overlap, so this
+    # errs toward keeping text — the safe direction.
+    if covered / page_area >= 0.90:
         return line_cells
     kept = []
     for c in line_cells:
@@ -1546,25 +1557,56 @@ def _mark_repeated_furniture(cells: list[dict],
     sits in the page's top 8% — repetition is required because titles and
     section headings legitimately START in the top zone.
 
-    Footers: ANY text line that STARTS in the bottom 8% (top ≥ 0.92·h),
-    repeated or not. Body blocks start above the bottom margin; what
-    starts inside it is page numbers, copyright lines, publisher
+    Footers: a text line that STARTS in the bottom 8% (top ≥ 0.92·h)
+    AND is vertically DETACHED from the body above it (gap ≥ 1.5× the
+    page's median line height, measured on the r4 groundtruth survey:
+    real footers sit 17-193 pt below the last body line, while a body
+    continuation line follows its predecessor within a few points).
+    What passes both gates is page numbers, copyright lines, publisher
     address/ISSN metadata, and one-off footnote markers — which the
     reference's model excludes from md in every groundtruth doc, while
     everything it keeps (figure captions, URL footnotes) sits above the
-    zone. The r3 repetition requirement left single-occurrence footers
-    (last-page addresses, one-page docs) inline, which was the largest
-    remaining reading-order gap."""
+    zone. The detachment gate keeps the rule safe on tight-margin
+    layouts whose last body line starts inside the band; the r3
+    repetition requirement (which left single-occurrence footers inline)
+    stays only for headers."""
     counts: dict[str, set[int]] = {}
     if n_pages >= 3:
         for c in cells:
             key = _DIGITRUN_RE.sub("#", c["text"]).strip()
             if key:
                 counts.setdefault(key, set()).add(c["page_no"])
+    by_page: dict[int, list[dict]] = {}
+    for c in cells:
+        by_page.setdefault(c["page_no"], []).append(c)
+
+    def _zone_detached(pc: list[dict], ph: float) -> "set[int]":
+        """ids of bottom-zone text cells detached from the body: the gap
+        is measured against the nearest NON-candidate cell above, so a
+        stacked footer block (address + tel + ISSN lines) detaches as a
+        unit instead of each line vetoing the next."""
+        cand = [c for c in pc
+                if c["label"] == "text" and c["bbox"][1] >= 0.92 * ph]
+        if not cand:
+            return set()
+        cand_ids = {id(c) for c in cand}
+        hs = sorted(x["bbox"][3] - x["bbox"][1] for x in pc)
+        med_h = hs[len(hs) // 2] if hs else 12.0
+        body_bots = [x["bbox"][3] for x in pc if id(x) not in cand_ids]
+        zone_top = min(c["bbox"][1] for c in cand)
+        above = [b for b in body_bots if b <= zone_top + 1.0]
+        gap = zone_top - max(above) if above else float("inf")
+        return cand_ids if gap >= 1.5 * max(med_h, 1.0) else set()
+
+    zone_ok: set[int] = set()
+    for pno, pc in by_page.items():
+        ph = page_sizes.get(pno, (612.0, 792.0))[1] or 792.0
+        zone_ok |= _zone_detached(pc, ph)
+
     for c in cells:
         ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
         top, bot = c["bbox"][1], c["bbox"][3]
-        if c["label"] == "text" and top >= 0.92 * ph:
+        if id(c) in zone_ok:
             c["label"] = "page_footer"
             continue
         if n_pages < 3:
@@ -1813,8 +1855,7 @@ def _cluster(vals: list[float], tol: float) -> list[float]:
     return [sum(g) / len(g) for g in out]
 
 
-def detect_rail_tables(line_cells: list[dict],
-                       page_w: float) -> tuple[list[dict], set[int]]:
+def detect_rail_tables(line_cells: list[dict]) -> tuple[list[dict], set[int]]:
     """Borderless-table detection from whitespace rails — the r4 step of
     what the reference's TableFormer model recovers when a table has no
     ruling lines (table_structure_model.py): column LEFT edges shared by
@@ -1944,8 +1985,15 @@ def detect_rail_tables(line_cells: list[dict],
                 j -= 1
             else:
                 break
-        # header rows: up to 2 baselines above, fragments inside extent
+        # header rows: up to 2 baselines above, fragments inside extent.
+        # Guarded against swallowing non-header text: a table caption or
+        # the last line of the paragraph above also sits directly over
+        # the grid — real header cells are NARROW column labels, so a
+        # baseline whose in-extent fragments span >60% of the extent, or
+        # that reads like a caption, ends the walk instead of joining.
         headers: list[int] = []
+        cap_re = re.compile(
+            r"^\s*(table|figure|fig\.|tab\.|표|그림)\s*\d", re.I)
         j = rows[0] - 1
         while j >= 0 and len(headers) < 2 and j not in used_baselines:
             ins = [k for k in baselines[j] if in_extent(k)]
@@ -1953,7 +2001,12 @@ def detect_rail_tables(line_cells: list[dict],
                 j -= 1
                 continue
             below = headers[-1] if headers else rows[0]
-            if top(below) - top(j) <= 1.8 * med_pitch:
+            span = sum(min(line_cells[k]["bbox"][2], x_hi)
+                       - max(line_cells[k]["bbox"][0], x_lo) for k in ins)
+            looks_caption = any(
+                cap_re.match(line_cells[k]["text"]) for k in ins)
+            if top(below) - top(j) <= 1.8 * med_pitch \
+                    and span <= 0.6 * (x_hi - x_lo) and not looks_caption:
                 headers.append(j)
                 j -= 1
             else:
@@ -2126,7 +2179,14 @@ def detect_ruled_tables(
     vy_hi = max(max(sg[1], sg[3]) for sg in vs) + 2.0
     hs_grid = [sg for sg in hs if vy_lo <= (sg[1] + sg[3]) / 2.0 <= vy_hi]
     if len(hs_grid) >= 3:
-        hs = hs_grid
+        # re-admit rules within ONE median row pitch of the span: grids
+        # whose verticals start below the header row would otherwise
+        # lose their top border (and with it the header row)
+        g_ys = sorted({round((sg[1] + sg[3]) / 2.0, 1) for sg in hs_grid})
+        g_gaps = sorted(b - a for a, b in zip(g_ys, g_ys[1:]) if b - a > 2.0)
+        pitch = g_gaps[len(g_gaps) // 2] if g_gaps else 0.0
+        lo2, hi2 = vy_lo - pitch - 2.0, vy_hi + pitch + 2.0
+        hs = [sg for sg in hs if lo2 <= (sg[1] + sg[3]) / 2.0 <= hi2]
     # grid extent: the span the rules actually cover
     x_lo = min(min(sg[0], sg[2]) for sg in hs) - 2.0
     x_hi = max(max(sg[0], sg[2]) for sg in hs) + 2.0

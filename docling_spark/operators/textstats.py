@@ -431,13 +431,16 @@ def line_perplexity(docs: DataFrame, text_col: str = "text",
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
         .alias("line_no", "line"),
     )
+    # the module's ONE tokenizer (tokens(): whitespace split, phantom
+    # empties filtered) — inlining a second splitter here is how the
+    # Spark side and the 61 oracle twins drift
     ltoks = lines.select(
         "doc_id", "line_no",
-        F.explode(F.split(norm_text(F.col("line")), " ")).alias("token"),
-    ).filter(F.col("token") != "")
+        F.explode(tokens(norm_text(F.col("line")))).alias("token"),
+    )
     corpus = docs.select(
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token")
-    ).filter(F.col("token") != "")
+        F.explode(tokens(norm_text(F.col(text_col)))).alias("token")
+    )
     uni = corpus.groupBy("token").agg(F.count("*").alias("n_t"))
     totals = uni.agg(
         F.sum("n_t").alias("n_total"),
@@ -485,8 +488,8 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text",
     """
     toks = docs.select(
         F.col(doc_col).alias("doc_id"),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("token"),
-    ).filter(F.col("token") != "")
+        F.explode(tokens(norm_text(F.col(text_col)))).alias("token"),
+    )
     uni = toks.groupBy("token").agg(F.count("*").alias("n_t"))
     totals = uni.agg(F.sum("n_t").alias("n_total"),
                      F.count("*").alias("vocab"))

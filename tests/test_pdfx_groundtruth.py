@@ -355,3 +355,45 @@ def test_failed_page_corpus_keeps_all_page_numbers() -> None:
         assert sorted(sizes) == list(range(1, n_pages + 1))
         pages_with_cells = {c["page_no"] for c in cells}
         assert pages_with_cells == set(range(1, n_pages + 1))
+
+
+def test_bottom_zone_footer_requires_detachment() -> None:
+    """A tight-margin page whose last BODY line starts inside the bottom
+    8% must keep it (continuation lines follow their predecessor within
+    a line height); a detached line in the same zone is furniture."""
+    from docling_spark.engine.pdfx import _mark_repeated_furniture
+
+    def cell(top, bot, text):
+        return {"page_no": 1, "bbox": (72.0, top, 400.0, bot),
+                "text": text, "conf": 1.0, "label": "text"}
+
+    # body runs to the margin: lines every 14pt, last one at 740 (0.934)
+    cells = [cell(600 + 14 * i, 610 + 14 * i, f"body line {i}")
+             for i in range(11)]
+    _mark_repeated_furniture(cells, {1: (612.0, 792.0)}, 1)
+    assert all(c["label"] == "text" for c in cells)
+
+    # same zone, but DETACHED from the body (gap 60pt) -> footer; the
+    # stacked second footer line detaches as part of the block
+    cells = [cell(600 + 14 * i, 610 + 14 * i, f"body line {i}")
+             for i in range(5)] + [
+        cell(730.0, 740.0, "publisher address line"),
+        cell(744.0, 754.0, "Tel. 000-0000 ISSN 0000-0000"),
+    ]
+    _mark_repeated_furniture(cells, {1: (612.0, 792.0)}, 1)
+    assert [c["label"] for c in cells[-2:]] == ["page_footer"] * 2
+    assert all(c["label"] == "text" for c in cells[:-2])
+
+
+def test_multi_strip_scan_background_absorbs_nothing() -> None:
+    """A page scanned as two ~49% strips must keep its whole OCR text
+    layer even though each strip passes the single-bitmap 90% guard."""
+    from docling_spark.engine.pdfx import _absorb_text_on_bitmaps
+
+    strips = [(0.0, 0.0, 612.0, 390.0), (0.0, 390.0, 612.0, 792.0)]
+    cells = [{"page_no": 1, "bbox": (72.0, 100.0 + 20 * i, 400.0,
+                                     112.0 + 20 * i),
+              "text": f"ocr line {i}", "conf": 1.0, "label": "text"}
+             for i in range(10)]
+    out = _absorb_text_on_bitmaps(cells, strips, (612.0, 792.0))
+    assert len(out) == 10
