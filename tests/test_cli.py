@@ -1,0 +1,87 @@
+"""CLI (docling_spark/cli.py): the file-oriented twin of the reference's
+``docling`` command — one output file per (input, format), through the
+same extraction kernel and export sinks as the table job."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+REF = pathlib.Path("/root/reference/tests/data")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available")
+
+
+def test_parse_args_rejects_unknown_format():
+    from docling_spark.cli import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["convert", "x.html", "--to", "md,bogus"])
+
+
+def test_collect_files_recurses_and_errors():
+    from docling_spark.cli import _collect_files
+
+    got = _collect_files([str(REF / "html" / "sources")])
+    assert any(p.name == "example_02.html" for p in got)
+    with pytest.raises(FileNotFoundError):
+        _collect_files(["/no/such/path"])
+
+
+def test_convert_end_to_end(tmp_path, spark):
+    """Real files through the full CLI path (reusing the session fixture
+    keeps this off a second JVM): groundtruth-exact md for the HTML and
+    DOCX inputs, item sinks emitted, summary exit code 0."""
+    import docling_spark.cli as cli
+
+    # reuse the test session instead of letting the CLI build its own
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "convert",
+            str(REF / "html" / "sources" / "example_02.html"),
+            str(REF / "docx" / "sources" / "word_sample.docx"),
+            "--to", "md,json,doctags",
+            "--output", str(tmp_path),
+        ])
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    md = (tmp_path / "example_02.md").read_text()
+    gt = (REF / "html" / "groundtruth" / "example_02.html.md").read_text()
+    assert md.strip() == gt.strip()
+    md2 = (tmp_path / "word_sample.md").read_text()
+    gt2 = (REF / "docx" / "groundtruth" / "word_sample.docx.md").read_text()
+    assert md2.strip() == gt2.strip()
+    assert (tmp_path / "example_02.json").exists()
+    assert (tmp_path / "word_sample.doctags.txt").exists()
+
+
+def test_convert_from_policy_and_abort(tmp_path, spark):
+    """--from gates formats into SKIPPED; --abort-on-error returns
+    non-zero when a document fails."""
+    import docling_spark.cli as cli
+
+    bad = tmp_path / "broken.pdf"
+    bad.write_bytes(b"%PDF-1.4\ngarbage with no objects at all")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "convert", str(REF / "html" / "sources" / "example_02.html"),
+            "--from", "pdf", "--to", "md",
+            "--output", str(tmp_path / "out1"),
+        ])
+        assert rc == 0  # skipped is not an error
+        assert not (tmp_path / "out1" / "example_02.md").exists()
+
+        rc = cli.main([
+            "convert", str(bad), "--to", "md", "--abort-on-error",
+            "--output", str(tmp_path / "out2"),
+        ])
+        assert rc == 1
+    finally:
+        spark.stop = real_stop
