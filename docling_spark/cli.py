@@ -8,12 +8,14 @@ html_split_page,doclang,dclx] [--output DIR] [--password PW]... \
         [--parallelism N] [--abort-on-error] [-v]
 
 Spark-first even at file granularity: sources load as a ``binaryFile``
-DataFrame, extraction runs through the same Arrow-batched mapInPandas
-kernel the 10^12-turn table job uses (operators/extract_ops.py), and
-serialization reuses the export sinks (operators/export.py) — the CLI is
-a thin shell over the cluster path, never a second engine. Output
-filenames mirror the reference's export_documents
-(cli/export_utils.py): ``<stem>.<ext>`` in the output directory.
+DataFrame (bytes stay executor-side; the driver never materializes
+payloads), the text/base64 payload encoding happens inside the same
+Arrow batch that feeds the extraction kernel the 10^12-turn table job
+uses (operators/extract_ops.py), and serialization reuses the export
+sinks (operators/export.py) — the CLI is a thin shell over the cluster
+path, never a second engine. Output filenames mirror the reference's
+export_documents (cli/export_utils.py): ``<stem>.<ext>`` in the output
+directory, with colliding stems disambiguated by a numeric suffix.
 """
 
 from __future__ import annotations
@@ -29,13 +31,20 @@ import sys
 _ITEM_FORMATS = ("json", "yaml", "doctags", "itxt", "html",
                  "html_split_page", "doclang", "dclx")
 _ALL_FORMATS = ("md", "text") + _ITEM_FORMATS
+# html and html_split_page must not share one extension — the second
+# write would silently clobber the first
 _EXTENSIONS = {"md": "md", "text": "txt", "json": "json", "yaml": "yaml",
                "doctags": "doctags.txt", "itxt": "itxt", "html": "html",
-               "html_split_page": "html", "doclang": "doclang",
+               "html_split_page": "split.html", "doclang": "doclang",
                "dclx": "dclx", "vtt": "vtt"}
+# formats whose string transport is base64 of real bytes — decoded at
+# the file boundary so the on-disk artifact is the actual archive
+_B64_FORMATS = frozenset({"dclx"})
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    from docling_spark.engine.extract import _HINT_ALIASES, KNOWN_FORMATS
+
     p = argparse.ArgumentParser(
         prog="docling-spark",
         description="Convert documents through the Spark-native engine")
@@ -63,19 +72,34 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     bad = [f for f in args.to_formats.split(",") if f not in _ALL_FORMATS]
     if bad:
         p.error(f"unknown output format(s): {','.join(bad)}")
+    if args.from_formats:
+        # a typo'd allow-list would silently SKIP every input and exit 0
+        # — validate it the way --to is validated
+        known = set(KNOWN_FORMATS) | set(_HINT_ALIASES)
+        bad = [f for f in args.from_formats.split(",") if f not in known]
+        if bad:
+            p.error(f"unknown input format(s): {','.join(bad)}")
     return args
 
 
 def _collect_files(sources: list[str]) -> list[pathlib.Path]:
     out: list[pathlib.Path] = []
+    seen: set[str] = set()
     for s in sources:
         path = pathlib.Path(s)
         if path.is_dir():
-            out.extend(sorted(f for f in path.rglob("*") if f.is_file()))
+            found = sorted(f for f in path.rglob("*") if f.is_file())
         elif path.is_file():
-            out.append(path)
+            found = [path]
         else:
             raise FileNotFoundError(s)
+        for f in found:
+            # dedupe resolved paths: the same file listed twice must
+            # convert (and count) once, not fan out into a dup join
+            key = str(f.resolve())
+            if key not in seen:
+                seen.add(key)
+                out.append(f)
     return out
 
 
@@ -87,6 +111,55 @@ def _payload_of(data: bytes) -> str:
         return data.decode("utf-8")
     except UnicodeDecodeError:
         return base64.b64encode(data).decode("ascii")
+
+
+def _sources_df(spark, files: list[pathlib.Path]):
+    """binaryFile scan → the table-job row shape. Payload encoding runs
+    INSIDE the Arrow batch on executors — the driver holds paths only."""
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load([str(f) for f in files])
+        .select("path", "content")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            paths = []
+            texts = []
+            tools = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # binaryFile reports file: URIs; strip back to a path
+                p = path[7:] if path.startswith("file://") else path
+                paths.append(p)
+                texts.append(_payload_of(bytes(content)))
+                tools.append(pathlib.PurePath(p).suffix.lstrip(".").lower())
+            yield pd.DataFrame({
+                "conv_id": paths,
+                "turn_idx": [0] * len(paths),
+                "role": ["user"] * len(paths),
+                "text": texts,
+                "tool": tools,
+            })
+
+    return raw.mapInPandas(
+        encode,
+        schema="conv_id string, turn_idx int, role string, "
+               "text string, tool string")
+
+
+def _out_path(out_dir: pathlib.Path, stem: str, ext: str,
+              taken: set[str]) -> pathlib.Path:
+    """Collision-safe target: report.pdf from two directories must not
+    clobber each other's report.md."""
+    name = f"{stem}.{ext}"
+    k = 1
+    while name in taken:
+        k += 1
+        name = f"{stem}_{k}.{ext}"
+    taken.add(name)
+    return out_dir / name
 
 
 def run_convert(args: argparse.Namespace) -> int:
@@ -116,18 +189,11 @@ def run_convert(args: argparse.Namespace) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        rows = [
-            (str(f), 0, "user", _payload_of(f.read_bytes()),
-             f.suffix.lstrip(".").lower())
-            for f in files
-        ]
-        df = spark.createDataFrame(
-            rows, "conv_id string, turn_idx int, role string, "
-                  "text string, tool string")
+        df = _sources_df(spark, files)
         # one file per task: the kernel cost is per-document CPU, and a
         # CLI batch is small — the same pinned fan-out rationale as the
         # table job's salting
-        df = df.repartition(min(len(rows),
+        df = df.repartition(min(len(files),
                                 spark.sparkContext.defaultParallelism))
         extracted = extract_turns(
             df, pdf_passwords=tuple(args.password),
@@ -141,9 +207,12 @@ def run_convert(args: argparse.Namespace) -> int:
             ser = export_items(
                 extracted.select(F.col("conv_id").alias("path"), "items"),
                 fmt=fmt, keep_cols=("path",))
+            # "path" is unique by construction (_collect_files dedupes
+            # resolved paths), so this join is 1:1
             plan = plan.join(ser, "path", "left")
 
         n_ok = n_fail = n_skip = 0
+        taken: set[str] = set()
         for row in plan.toLocalIterator():
             stem = pathlib.Path(row["path"]).stem
             if row["status"] == "success":
@@ -159,12 +228,18 @@ def run_convert(args: argparse.Namespace) -> int:
             if row["status"] != "success":
                 continue
             for fmt in to_formats:
-                ext = _EXTENSIONS[fmt]
                 content = (row["extracted_text"]
                            if fmt in ("md", "text") else row[fmt])
                 if content is None:
                     continue
-                (out_dir / f"{stem}.{ext}").write_text(content)
+                target = _out_path(out_dir, stem, _EXTENSIONS[fmt], taken)
+                if fmt in _B64_FORMATS:
+                    # string transport is base64 of a real archive —
+                    # the on-disk artifact must be the bytes
+                    target.write_bytes(base64.b64decode(content))
+                else:
+                    target.write_text(content, encoding="utf-8")
+        extracted.unpersist()
         print(f"converted {n_ok} ok, {n_skip} skipped, {n_fail} failed "
               f"-> {out_dir}")
         if args.abort_on_error and n_fail:

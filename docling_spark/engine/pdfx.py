@@ -1453,7 +1453,15 @@ def _absorb_text_on_bitmaps(line_cells: list[dict], images: list,
         return line_cells
     tiles = []
     covered = 0.0
+    seen_rects: set = set()
     for r in images:
+        # dedup identical draws BEFORE the coverage sum: one modest
+        # figure re-stroked many times must not fake page-blanket
+        # coverage and disable absorption for the whole page
+        key = tuple(round(v, 1) for v in r)
+        if key in seen_rects:
+            continue
+        seen_rects.add(key)
         w, h = r[2] - r[0], r[3] - r[1]
         if w < 8.0 or h < 8.0:
             continue
@@ -1581,22 +1589,41 @@ def _mark_repeated_furniture(cells: list[dict],
         by_page.setdefault(c["page_no"], []).append(c)
 
     def _zone_detached(pc: list[dict], ph: float) -> "set[int]":
-        """ids of bottom-zone text cells detached from the body: the gap
-        is measured against the nearest NON-candidate cell above, so a
-        stacked footer block (address + tel + ISSN lines) detaches as a
-        unit instead of each line vetoing the next."""
-        cand = [c for c in pc
-                if c["label"] == "text" and c["bbox"][1] >= 0.92 * ph]
+        """ids of bottom-zone text cells detached from the body. Walked
+        top-down per candidate: a candidate whose gap to the content
+        above (body, or an earlier candidate that proved to BE body) is
+        under the threshold is a body continuation line; once one
+        candidate detaches, everything below it detaches with it — so a
+        stacked footer block (address + tel + ISSN lines) qualifies as a
+        unit, while a tight-margin page keeps its last body lines AND
+        still sheds a genuinely detached page number further down."""
+        cand = sorted(
+            (c for c in pc
+             if c["label"] == "text" and c["bbox"][1] >= 0.92 * ph),
+            key=lambda c: c["bbox"][1])
         if not cand:
             return set()
         cand_ids = {id(c) for c in cand}
         hs = sorted(x["bbox"][3] - x["bbox"][1] for x in pc)
         med_h = hs[len(hs) // 2] if hs else 12.0
+        thr = 1.5 * max(med_h, 1.0)
         body_bots = [x["bbox"][3] for x in pc if id(x) not in cand_ids]
-        zone_top = min(c["bbox"][1] for c in cand)
-        above = [b for b in body_bots if b <= zone_top + 1.0]
-        gap = zone_top - max(above) if above else float("inf")
-        return cand_ids if gap >= 1.5 * max(med_h, 1.0) else set()
+        out: set[int] = set()
+        detached = False
+        for c in cand:
+            if detached:
+                out.add(id(c))
+                continue
+            above = [b for b in body_bots if b <= c["bbox"][1] + 1.0]
+            gap = c["bbox"][1] - max(above) if above else float("inf")
+            if gap >= thr:
+                detached = True
+                out.add(id(c))
+            else:
+                # body continuation: its own bottom now shields the
+                # candidates below it like any other body line
+                body_bots.append(c["bbox"][3])
+        return out
 
     zone_ok: set[int] = set()
     for pno, pc in by_page.items():
@@ -2179,13 +2206,17 @@ def detect_ruled_tables(
     vy_hi = max(max(sg[1], sg[3]) for sg in vs) + 2.0
     hs_grid = [sg for sg in hs if vy_lo <= (sg[1] + sg[3]) / 2.0 <= vy_hi]
     if len(hs_grid) >= 3:
-        # re-admit rules within ONE median row pitch of the span: grids
-        # whose verticals start below the header row would otherwise
-        # lose their top border (and with it the header row)
+        # re-admit rules within ONE median row pitch ABOVE the span:
+        # grids whose verticals start below the header row would
+        # otherwise lose their top border (and with it the header row).
+        # Only the top side widens — below the bottom border sits body
+        # text and footnote separators, and re-admitting one would
+        # swallow that text into a phantom table row (device y-up: the
+        # top border is the vy_hi side)
         g_ys = sorted({round((sg[1] + sg[3]) / 2.0, 1) for sg in hs_grid})
         g_gaps = sorted(b - a for a, b in zip(g_ys, g_ys[1:]) if b - a > 2.0)
         pitch = g_gaps[len(g_gaps) // 2] if g_gaps else 0.0
-        lo2, hi2 = vy_lo - pitch - 2.0, vy_hi + pitch + 2.0
+        lo2, hi2 = vy_lo, vy_hi + pitch + 2.0
         hs = [sg for sg in hs if lo2 <= (sg[1] + sg[3]) / 2.0 <= hi2]
     # grid extent: the span the rules actually cover
     x_lo = min(min(sg[0], sg[2]) for sg in hs) - 2.0

@@ -44,9 +44,15 @@ class JobService:
     """Task store + single Spark worker. Start/stop from the host
     process (spark-submit driver or a test)."""
 
+    # terminal tasks beyond this count are evicted oldest-first — the
+    # mirrored docling-serve API also expires results; without a bound a
+    # long-running service accumulates every request payload and result
+    MAX_TERMINAL_TASKS = 100
+
     def __init__(self, spark):
         self.spark = spark
         self.tasks: dict[str, dict] = {}
+        self._terminal_order: list[str] = []
         self._q: "queue.Queue[str]" = queue.Queue()
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -98,6 +104,12 @@ class JobService:
                 with self._lock:
                     self.tasks[task_id]["error"] = f"{type(exc).__name__}: {exc}"
                     self.tasks[task_id]["task_status"] = "failure"
+            with self._lock:
+                self.tasks[task_id]["request"] = None  # payload no longer needed
+                self._terminal_order.append(task_id)
+                while len(self._terminal_order) > self.MAX_TERMINAL_TASKS:
+                    old = self._terminal_order.pop(0)
+                    self.tasks.pop(old, None)
 
     def _convert(self, body: dict) -> dict:
         from pyspark.sql import functions as F
@@ -113,6 +125,7 @@ class JobService:
         allowed = opts.get("from_formats")
         pw = tuple(opts.get("pdf_passwords") or ())
         rows = []
+        names = []
         for i, s in enumerate(sources):
             payload = s.get("payload")
             if s.get("b64"):
@@ -120,33 +133,42 @@ class JobService:
                 # engine's sniffers accept the b64 spelling natively
                 payload = payload if isinstance(payload, str) else \
                     base64.b64encode(payload).decode("ascii")
-            rows.append((s.get("name") or f"doc_{i}", 0, "user",
-                         payload, s.get("tool") or ""))
+            names.append(s.get("name") or f"doc_{i}")
+            # conv_id = the batch INDEX, not the client-supplied name:
+            # two sources sharing a name would cross-multiply the
+            # per-format export joins (2 duplicate names x 2 sinks ->
+            # 4 rows mixing one document's md with the other's json)
+            rows.append((str(i), 0, "user", payload, s.get("tool") or ""))
         df = self.spark.createDataFrame(
             rows, "conv_id string, turn_idx int, role string, "
                   "text string, tool string")
         extracted = extract_turns(
             df, pdf_passwords=pw,
             allowed_formats=frozenset(allowed) if allowed else None).cache()
-        plan = extracted.select(
-            F.col("conv_id").alias("name"), "status", "format",
-            "extracted_text")
-        for fmt in [f for f in to_formats if f in _ITEM_FORMATS]:
-            ser = export_items(
-                extracted.select(F.col("conv_id").alias("name"), "items"),
-                fmt=fmt, keep_cols=("name",))
-            plan = plan.join(ser, "name", "left")
-        docs = []
-        for row in plan.toLocalIterator():
-            d = {"name": row["name"], "status": row["status"],
-                 "format": row["format"]}
-            for fmt in to_formats:
-                if fmt in ("md", "text"):
-                    d[f"{fmt}_content"] = row["extracted_text"]
-                elif fmt in _ITEM_FORMATS:
-                    d[f"{fmt}_content"] = row[fmt]
-            docs.append(d)
-        return {"documents": docs}
+        try:
+            plan = extracted.select(
+                F.col("conv_id").alias("uid"), "status", "format",
+                "extracted_text")
+            for fmt in [f for f in to_formats if f in _ITEM_FORMATS]:
+                ser = export_items(
+                    extracted.select(F.col("conv_id").alias("uid"),
+                                     "items"),
+                    fmt=fmt, keep_cols=("uid",))
+                plan = plan.join(ser, "uid", "left")
+            docs: list[dict | None] = [None] * len(names)
+            for row in plan.toLocalIterator():
+                idx = int(row["uid"])
+                d = {"name": names[idx], "status": row["status"],
+                     "format": row["format"]}
+                for fmt in to_formats:
+                    if fmt in ("md", "text"):
+                        d[f"{fmt}_content"] = row["extracted_text"]
+                    elif fmt in _ITEM_FORMATS:
+                        d[f"{fmt}_content"] = row[fmt]
+                docs[idx] = d
+            return {"documents": [d for d in docs if d is not None]}
+        finally:
+            extracted.unpersist()
 
 
 def make_handler(service: JobService):

@@ -397,3 +397,36 @@ def test_multi_strip_scan_background_absorbs_nothing() -> None:
              for i in range(10)]
     out = _absorb_text_on_bitmaps(cells, strips, (612.0, 792.0))
     assert len(out) == 10
+
+
+def test_footer_detachment_is_per_candidate() -> None:
+    """A tight-margin page keeps its last body line (continuation gap)
+    while STILL shedding the genuinely detached page number below it."""
+    from docling_spark.engine.pdfx import _mark_repeated_furniture
+
+    def cell(top, bot, text):
+        return {"page_no": 1, "bbox": (72.0, top, 400.0, bot),
+                "text": text, "conf": 1.0, "label": "text"}
+
+    cells = [cell(700 + 14 * i, 710 + 14 * i, f"body {i}")
+             for i in range(4)]  # last body line top 742 (in zone)
+    cells.append(cell(772.0, 782.0, "17"))  # page number, 20pt detached
+    _mark_repeated_furniture(cells, {1: (612.0, 792.0)}, 1)
+    assert [c["label"] for c in cells] == ["text"] * 4 + ["page_footer"]
+
+
+def test_restroked_figure_does_not_disable_absorption() -> None:
+    """One 25%-area figure re-stroked 5x must not fake page-blanket
+    coverage: text ON it is still absorbed."""
+    from docling_spark.engine.pdfx import _absorb_text_on_bitmaps
+
+    fig = (100.0, 100.0, 406.0, 496.0)  # ~25% of 612x792
+    cells = [
+        {"page_no": 1, "bbox": (120.0, 792 - 480.0, 300.0, 792 - 468.0),
+         "text": "caption baked into the figure", "conf": 1.0,
+         "label": "text"},
+        {"page_no": 1, "bbox": (72.0, 720.0, 400.0, 732.0),
+         "text": "real body text outside", "conf": 1.0, "label": "text"},
+    ]
+    out = _absorb_text_on_bitmaps(cells, [fig] * 5, (612.0, 792.0))
+    assert [c["text"] for c in out] == ["real body text outside"]

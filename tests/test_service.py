@@ -101,3 +101,33 @@ def test_service_error_paths(spark):
     finally:
         server.shutdown()
         service.shutdown()
+
+
+def test_duplicate_names_stay_distinct(spark):
+    """Two sources sharing a name must produce exactly two documents,
+    each pairing its OWN md with its OWN json (the name-keyed join
+    cross-multiplied them before the uid fix)."""
+    from docling_spark.jobs.service import JobService
+
+    svc = JobService(spark)
+    try:
+        tid = svc.submit({
+            "sources": [
+                {"name": "doc", "payload": "<h1>A</h1>", "tool": "html"},
+                {"name": "doc", "payload": "<h1>B</h1>", "tool": "html"},
+            ],
+            "options": {"to_formats": ["md", "json"]},
+        })
+        for _ in range(300):
+            if svc.status(tid)["task_status"] in ("success", "failure"):
+                break
+            time.sleep(0.1)
+        res = svc.result(tid)
+        docs = res["documents"]
+        assert len(docs) == 2
+        assert sorted(d["md_content"] for d in docs) == ["# A", "# B"]
+        for d in docs:
+            want = d["md_content"].lstrip("# ")
+            assert f'"{want}"' in d["json_content"]
+    finally:
+        svc.shutdown()
