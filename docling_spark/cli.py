@@ -22,8 +22,10 @@ from __future__ import annotations
 
 import argparse
 import base64
+import json
 import pathlib
 import sys
+import urllib.parse
 
 # md/text render from the document's extracted markdown; the rest are
 # item-table serializers (the same sink registry the table job's --to
@@ -49,25 +51,43 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         prog="docling-spark",
         description="Convert documents through the Spark-native engine")
     sub = p.add_subparsers(dest="command", required=True)
+
+    def _common(c):
+        c.add_argument("sources", nargs="+",
+                       help="input files or directories (recursed)")
+        c.add_argument("--from", dest="from_formats", default=None,
+                       help="comma-separated allowed input formats; "
+                            "detected formats outside the set become "
+                            "SKIPPED results (the reference CLI's --from)")
+        c.add_argument("--to", dest="to_formats", default="md",
+                       help=f"comma-separated output formats "
+                            f"({','.join(_ALL_FORMATS)}); default md")
+        c.add_argument("--output", default=".",
+                       help="output directory (created if missing)")
+        c.add_argument("--password", action="append", default=[],
+                       help="password to try for encrypted PDFs "
+                            "(repeatable)")
+        c.add_argument("-v", "--verbose", action="store_true")
+
     c = sub.add_parser("convert", help="convert files to structured text")
-    c.add_argument("sources", nargs="+",
-                   help="input files or directories (recursed)")
-    c.add_argument("--from", dest="from_formats", default=None,
-                   help="comma-separated allowed input formats; detected "
-                        "formats outside the set become SKIPPED results "
-                        "(the reference CLI's --from)")
-    c.add_argument("--to", dest="to_formats", default="md",
-                   help=f"comma-separated output formats "
-                        f"({','.join(_ALL_FORMATS)}); default md")
-    c.add_argument("--output", default=".",
-                   help="output directory (created if missing)")
-    c.add_argument("--password", action="append", default=[],
-                   help="password to try for encrypted PDFs (repeatable)")
+    _common(c)
     c.add_argument("--parallelism", type=int, default=None,
                    help="Spark local[] core count (default: all cores)")
     c.add_argument("--abort-on-error", action="store_true",
                    help="exit non-zero if any document fails")
-    c.add_argument("-v", "--verbose", action="store_true")
+
+    # the reference's `docling convert-remote` twin
+    # (docling/cli/remote.py:132): same sources/sinks, but the work runs
+    # on a docling-spark job service over its task API
+    r = sub.add_parser("convert-remote",
+                       help="convert via a running docling-spark job "
+                            "service (jobs/service.py task API)")
+    _common(r)
+    r.add_argument("--url", required=True,
+                   help="service base URL, e.g. http://127.0.0.1:5001")
+    r.add_argument("--poll-interval", type=float, default=0.5,
+                   help="seconds between status polls (sent as ?wait=)")
+
     args = p.parse_args(argv)
     bad = [f for f in args.to_formats.split(",") if f not in _ALL_FORMATS]
     if bad:
@@ -130,8 +150,13 @@ def _sources_df(spark, files: list[pathlib.Path]):
             texts = []
             tools = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                # binaryFile reports file: URIs; strip back to a path
-                p = path[7:] if path.startswith("file://") else path
+                # binaryFile reports file: URIs — sometimes single-slash
+                # 'file:/…' with percent-escapes; parse, don't slice
+                if path.startswith("file:"):
+                    parts = urllib.parse.urlsplit(path)
+                    p = urllib.parse.unquote(parts.path)
+                else:
+                    p = path
                 paths.append(p)
                 texts.append(_payload_of(bytes(content)))
                 tools.append(pathlib.PurePath(p).suffix.lstrip(".").lower())
@@ -249,10 +274,121 @@ def run_convert(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def _write_doc_outputs(doc: dict, status: str, out_dir: pathlib.Path,
+                       to_formats: list[str], taken: set[str],
+                       verbose: bool) -> str:
+    """Materialize one result document's content fields as files —
+    the shared sink for both the local and remote convert paths."""
+    stem = pathlib.Path(doc.get("filename") or "document").stem
+    errs = "; ".join(e.get("error_message") or e.get("message") or ""
+                     for e in (doc.get("errors") or []))
+    if verbose or status != "success":
+        print(f"{status:8s} {doc.get('filename')}"
+              + (f"  [{errs}]" if errs else ""))
+    if status != "success":
+        return status
+    for fmt in to_formats:
+        content = doc.get(f"{fmt}_content")
+        if content is None:
+            continue
+        target = _out_path(out_dir, stem, _EXTENSIONS[fmt], taken)
+        if fmt in _B64_FORMATS:
+            target.write_bytes(base64.b64decode(content))
+        elif fmt == "json" and not isinstance(content, str):
+            # remote json_content travels as a DoclingDocument OBJECT
+            # (ExportDocumentResponse, responses.py:67)
+            target.write_text(json.dumps(content, ensure_ascii=False,
+                                         indent=2), encoding="utf-8")
+        else:
+            target.write_text(content, encoding="utf-8")
+    return status
+
+
+def run_convert_remote(args: argparse.Namespace) -> int:
+    """The reference's ``convert-remote`` loop (service_client/client.py:
+    submit → poll → fetch) as a thin stdlib client over our own service:
+    POST /v1/convert/source/async, GET /v1/status/poll/<id>?wait=,
+    GET /v1/result/<id>, then the same file sinks as local convert."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    files = _collect_files(args.sources)
+    if not files:
+        print("no input files", file=sys.stderr)
+        return 2
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    to_formats = args.to_formats.split(",")
+    base = args.url.rstrip("/")
+
+    sources = []
+    for f in files:
+        data = f.read_bytes()
+        payload = _payload_of(data)
+        sources.append({"name": f.name, "payload": payload,
+                        # binary payloads already travel base64; the
+                        # b64 flag is for raw-bytes senders only
+                        "b64": False,
+                        "tool": f.suffix.lstrip(".").lower()})
+    body = {"sources": sources,
+            "options": {"to_formats": to_formats}}
+    if args.from_formats:
+        body["options"]["from_formats"] = args.from_formats.split(",")
+    if args.password:
+        body["options"]["pdf_passwords"] = args.password
+
+    req = urllib.request.Request(
+        f"{base}/v1/convert/source/async",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        task_id = json.loads(resp.read())["task_id"]
+    if args.verbose:
+        print(f"task {task_id} submitted")
+
+    while True:
+        poll = (f"{base}/v1/status/poll/{task_id}"
+                f"?wait={args.poll_interval}")
+        with urllib.request.urlopen(poll) as resp:
+            st = json.loads(resp.read())
+        if st["task_status"] in ("success", "failure"):
+            break
+        time.sleep(args.poll_interval)
+
+    with urllib.request.urlopen(f"{base}/v1/result/{task_id}") as resp:
+        res = json.loads(resp.read())
+    if st["task_status"] == "failure":
+        print(f"task failed: {res.get('error')}", file=sys.stderr)
+        return 1
+
+    taken: set[str] = set()
+    n_ok = n_fail = n_skip = 0
+    if "document" in res:  # single-source ConvertDocumentResponse
+        docs = [(res["document"] | {"errors": res.get("errors") or []},
+                 res["status"])]
+    else:
+        docs = [(d, d.get("status")) for d in res.get("documents") or []]
+    for doc, status in docs:
+        s = _write_doc_outputs(doc, status, out_dir, to_formats, taken,
+                               args.verbose)
+        if s == "success":
+            n_ok += 1
+        elif s == "skipped":
+            n_skip += 1
+        else:
+            n_fail += 1
+    print(f"converted {n_ok} ok, {n_skip} skipped, {n_fail} failed "
+          f"-> {out_dir}")
+    return 0 if n_fail == 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     if args.command == "convert":
         return run_convert(args)
+    if args.command == "convert-remote":
+        return run_convert_remote(args)
     return 2  # pragma: no cover
 
 

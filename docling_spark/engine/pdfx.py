@@ -1630,6 +1630,31 @@ def _mark_repeated_furniture(cells: list[dict],
         ph = page_sizes.get(pno, (612.0, 792.0))[1] or 792.0
         zone_ok |= _zone_detached(pc, ph)
 
+    def _footerish_text(text: str) -> bool:
+        """Corroboration for single-page documents: purely geometric
+        detachment is unsafe there (a detached final line can be a
+        signature block, dateline, or closing quote), so require the
+        text to look like furniture — digit-heavy or carrying a page/
+        ISSN/copyright marker, the shape of real single-page footers."""
+        t = text.strip()
+        if not t:
+            return True
+        digits = sum(ch.isdigit() for ch in t)
+        return (digits / len(t) >= 0.25
+                or (len(t) <= 6 and digits > 0)
+                or "issn" in t.lower() or "©" in t
+                or t.lower().startswith(("page ", "copyright")))
+
+    if n_pages < 2 and zone_ok:
+        # the detached block relabels as a UNIT (address + tel + ISSN
+        # stacks), so corroborate at block level: one footerish line
+        # vouches for its whole page's block; none → leave the block
+        # inline (it is prose, not furniture)
+        vouched = {c["page_no"] for c in cells
+                   if id(c) in zone_ok and _footerish_text(c["text"])}
+        zone_ok = {i for c in cells for i in (id(c),)
+                   if i in zone_ok and c["page_no"] in vouched}
+
     for c in cells:
         ph = page_sizes.get(c["page_no"], (612.0, 792.0))[1] or 792.0
         top, bot = c["bbox"][1], c["bbox"][3]

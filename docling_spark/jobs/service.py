@@ -20,9 +20,19 @@ Request body (JSON)::
                  "from_formats": ["html"],          # optional allow-list
                  "pdf_passwords": ["1234"]}}        # optional
 
-Result body: ``{"documents": [{"name", "status", "format",
-"md_content", "<fmt>_content"...}]}`` — the md/json content-field
-naming the reference client reads (client.py:424).
+Result body matches the reference's ``ConvertDocumentResponse``
+(docling/datamodel/service/responses.py:270-279) for single-source
+tasks — a singular required ``document`` (``ExportDocumentResponse``
+with ``filename`` + ``md_content``/``json_content``/... fields,
+responses.py:64-71, ``json_content`` an OBJECT the client validates as
+a DoclingDocument) plus required top-level ``status`` and
+``processing_time`` — so the reference's ``convert-remote`` client can
+parse it directly (client.py:413-440 ``_build_conversion_result``).
+Multi-source tasks get the documented batch shape
+``{"documents": [{"filename", "status", "errors", "<fmt>_content"...}],
+"status", "processing_time", "num_converted", "num_succeeded",
+"num_failed"}`` (counts per ``ConvertedOutcomeCountsMixin``,
+responses.py:200-204).
 """
 
 from __future__ import annotations
@@ -31,11 +41,14 @@ import base64
 import json
 import queue
 import threading
+import time
+import urllib.parse
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _ITEM_FORMATS = ("json", "yaml", "doctags", "itxt", "html",
                  "html_split_page", "doclang", "dclx")
+_ALL_FORMATS = ("md", "text") + _ITEM_FORMATS
 
 TERMINAL = ("success", "failure")
 
@@ -114,15 +127,30 @@ class JobService:
     def _convert(self, body: dict) -> dict:
         from pyspark.sql import functions as F
 
+        from docling_spark.engine.extract import _HINT_ALIASES, KNOWN_FORMATS
         from docling_spark.operators.export import export_items
         from docling_spark.operators.extract_ops import extract_turns
 
+        t0 = time.monotonic()
         sources = body.get("sources") or []
         if not sources:
             raise ValueError("no sources")
         opts = body.get("options") or {}
         to_formats = opts.get("to_formats") or ["md"]
         allowed = opts.get("from_formats")
+        # validate both lists exactly like the CLI (cli.py parse_args):
+        # a typo'd from_formats would otherwise silently yield an
+        # all-SKIPPED success, a typo'd to_formats documents with no
+        # content fields
+        bad = [f for f in to_formats if f not in _ALL_FORMATS]
+        if bad:
+            raise ValueError(f"unknown output format(s): {','.join(bad)}")
+        if allowed:
+            known = set(KNOWN_FORMATS) | set(_HINT_ALIASES)
+            bad = [f for f in allowed if f not in known]
+            if bad:
+                raise ValueError(
+                    f"unknown input format(s): {','.join(bad)}")
         pw = tuple(opts.get("pdf_passwords") or ())
         rows = []
         names = []
@@ -148,7 +176,7 @@ class JobService:
         try:
             plan = extracted.select(
                 F.col("conv_id").alias("uid"), "status", "format",
-                "extracted_text")
+                "extracted_text", "errors")
             for fmt in [f for f in to_formats if f in _ITEM_FORMATS]:
                 ser = export_items(
                     extracted.select(F.col("conv_id").alias("uid"),
@@ -156,17 +184,51 @@ class JobService:
                     fmt=fmt, keep_cols=("uid",))
                 plan = plan.join(ser, "uid", "left")
             docs: list[dict | None] = [None] * len(names)
+            statuses: list[str] = [""] * len(names)
             for row in plan.toLocalIterator():
                 idx = int(row["uid"])
-                d = {"name": names[idx], "status": row["status"],
-                     "format": row["format"]}
+                d = {"filename": names[idx]}
                 for fmt in to_formats:
                     if fmt in ("md", "text"):
                         d[f"{fmt}_content"] = row["extracted_text"]
-                    elif fmt in _ITEM_FORMATS:
+                    elif fmt == "json":
+                        # the client validates json_content as a
+                        # DoclingDocument OBJECT, not a string
+                        # (responses.py:67)
+                        d["json_content"] = (
+                            json.loads(row["json"])
+                            if row["json"] is not None else None)
+                    else:
                         d[f"{fmt}_content"] = row[fmt]
+                d["errors"] = [
+                    {"component_type": "document_backend",
+                     "module_name": e["module"],
+                     "error_message": e["message"]}
+                    for e in (row["errors"] or [])]
+                statuses[idx] = row["status"]
                 docs[idx] = d
-            return {"documents": [d for d in docs if d is not None]}
+            elapsed = time.monotonic() - t0
+            present = [(d, s) for d, s in zip(docs, statuses)
+                       if d is not None]
+            n_ok = sum(1 for _, s in present if s == "success")
+            overall = ("success" if n_ok == len(present)
+                       else "failure" if n_ok == 0
+                       else "partial_success")
+            if len(sources) == 1 and present:
+                # reference-exact ConvertDocumentResponse: singular
+                # `document`, flattened status/errors/processing_time
+                doc, status = present[0]
+                errors = doc.pop("errors")
+                return {"document": doc, "status": status,
+                        "errors": errors, "processing_time": elapsed}
+            return {"documents": [
+                        {**d, "status": s} for d, s in present],
+                    "status": overall,
+                    "processing_time": elapsed,
+                    "num_converted": len(present),
+                    "num_succeeded": n_ok,
+                    "num_failed": sum(1 for _, s in present
+                                      if s == "failure")}
         finally:
             extracted.unpersist()
 
@@ -185,7 +247,8 @@ def make_handler(service: JobService):
             self.wfile.write(data)
 
         def do_POST(self):
-            if self.path != "/v1/convert/source/async":
+            if urllib.parse.urlsplit(self.path).path != \
+                    "/v1/convert/source/async":
                 self._send(404, {"detail": "not found"})
                 return
             try:
@@ -199,15 +262,19 @@ def make_handler(service: JobService):
                              "task_status": "pending"})
 
         def do_GET(self):
-            if self.path.startswith("/v1/status/poll/"):
-                st = service.status(self.path.rsplit("/", 1)[1])
+            # the reference client polls GET /v1/status/poll/<id>?wait=<f>
+            # (client.py:1324-1328) — the query string must not leak
+            # into the task-id lookup
+            path = urllib.parse.urlsplit(self.path).path
+            if path.startswith("/v1/status/poll/"):
+                st = service.status(path.rsplit("/", 1)[1])
                 if st is None:
                     self._send(404, {"detail": "unknown task"})
                 else:
                     self._send(200, st)
                 return
-            if self.path.startswith("/v1/result/"):
-                res = service.result(self.path.rsplit("/", 1)[1])
+            if path.startswith("/v1/result/"):
+                res = service.result(path.rsplit("/", 1)[1])
                 if res is None:
                     self._send(404, {"detail": "task not finished"})
                 else:

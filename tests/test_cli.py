@@ -85,3 +85,47 @@ def test_convert_from_policy_and_abort(tmp_path, spark):
         assert rc == 1
     finally:
         spark.stop = real_stop
+
+
+def test_convert_remote_roundtrip(tmp_path, spark):
+    """Both ends of our own protocol: `convert-remote` submits real
+    files to a live jobs/service.py over HTTP (POST async → ?wait=
+    poll → result), then writes the same artifacts `convert` writes —
+    the reference's client.py submit/poll/fetch loop in miniature."""
+    import threading
+
+    import docling_spark.cli as cli
+    from docling_spark.jobs.service import serve
+
+    server, service = serve(spark)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rc = cli.main([
+            "convert-remote",
+            str(REF / "html" / "sources" / "example_02.html"),
+            str(REF / "docx" / "sources" / "word_sample.docx"),
+            "--url", f"http://{host}:{port}",
+            "--to", "md,json",
+            "--output", str(tmp_path),
+        ])
+        assert rc == 0
+        md = (tmp_path / "example_02.md").read_text()
+        gt = (REF / "html" / "groundtruth" /
+              "example_02.html.md").read_text()
+        assert md.strip() == gt.strip()
+        assert (tmp_path / "word_sample.json").exists()
+
+        # single source exercises the ConvertDocumentResponse branch
+        rc = cli.main([
+            "convert-remote",
+            str(REF / "html" / "sources" / "example_02.html"),
+            "--url", f"http://{host}:{port}",
+            "--to", "md", "--output", str(tmp_path / "solo"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "solo" / "example_02.md").read_text().strip() \
+            == gt.strip()
+    finally:
+        server.shutdown()
+        service.shutdown()

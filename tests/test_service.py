@@ -45,7 +45,9 @@ def test_submit_poll_result_roundtrip(spark):
         task_id = resp["task_id"]
         assert resp["task_status"] == "pending"
         for _ in range(300):
-            code, st = _get(f"{base}/v1/status/poll/{task_id}")
+            # the reference client polls with ?wait= (client.py:1324-1328)
+            # — the query string must not corrupt the task-id lookup
+            code, st = _get(f"{base}/v1/status/poll/{task_id}?wait=0.5")
             assert code == 200
             if st["task_status"] in ("success", "failure"):
                 break
@@ -53,10 +55,15 @@ def test_submit_poll_result_roundtrip(spark):
         assert st["task_status"] == "success"
         code, res = _get(f"{base}/v1/result/{task_id}")
         assert code == 200
-        docs = {d["name"]: d for d in res["documents"]}
+        # batch shape: documents list + overall status + counts + timing
+        assert res["status"] == "success"
+        assert res["num_converted"] == 2 and res["num_succeeded"] == 2
+        assert res["processing_time"] > 0
+        docs = {d["filename"]: d for d in res["documents"]}
         assert docs["a.html"]["md_content"] == "# T\n\nbody"
         assert docs["a.html"]["status"] == "success"
-        assert json.loads(docs["a.html"]["json_content"])[
+        # json_content is an OBJECT (the client validates DoclingDocument)
+        assert docs["a.html"]["json_content"][
             "schema_name"] == "DoclingDocument"
         assert "<doctag>" in docs["b.md"]["doctags_content"]
     finally:
@@ -128,6 +135,67 @@ def test_duplicate_names_stay_distinct(spark):
         assert sorted(d["md_content"] for d in docs) == ["# A", "# B"]
         for d in docs:
             want = d["md_content"].lstrip("# ")
-            assert f'"{want}"' in d["json_content"]
+            texts = [t["text"] for t in d["json_content"]["texts"]]
+            assert want in texts
+    finally:
+        svc.shutdown()
+
+
+def test_single_source_reference_envelope(spark):
+    """One source → the reference's exact ConvertDocumentResponse shape
+    (responses.py:270-279): singular required `document` holding
+    `filename` (not `name`), top-level `status` + `processing_time`,
+    `errors` list — the fields client.py:413-440 reads when rebuilding
+    a ConversionResult."""
+    from docling_spark.jobs.service import JobService
+
+    svc = JobService(spark)
+    try:
+        tid = svc.submit({
+            "sources": [{"name": "solo.html",
+                         "payload": "<h1>Solo</h1><p>text</p>",
+                         "tool": "html"}],
+            "options": {"to_formats": ["md", "json"]},
+        })
+        for _ in range(300):
+            if svc.status(tid)["task_status"] in ("success", "failure"):
+                break
+            time.sleep(0.05)
+        res = svc.result(tid)
+        assert set(res) == {"document", "status", "errors",
+                            "processing_time"}
+        assert res["status"] == "success"
+        assert res["document"]["filename"] == "solo.html"
+        assert res["document"]["md_content"] == "# Solo\n\ntext"
+        assert res["document"]["json_content"][
+            "schema_name"] == "DoclingDocument"
+        assert res["errors"] == [] and res["processing_time"] > 0
+    finally:
+        svc.shutdown()
+
+
+def test_bad_format_options_fail_task(spark):
+    """A typo'd from_formats/to_formats must FAIL the task with a clear
+    message, not silently produce an all-SKIPPED success (the CLI
+    validates both; the service must too)."""
+    from docling_spark.jobs.service import JobService
+
+    svc = JobService(spark)
+    try:
+        for opts in ({"to_formats": ["markdwn"]},
+                     {"from_formats": ["hmtl"]}):
+            tid = svc.submit({
+                "sources": [{"name": "a.html", "payload": "<h1>x</h1>",
+                             "tool": "html"}],
+                "options": opts,
+            })
+            for _ in range(300):
+                if svc.status(tid)["task_status"] in ("success",
+                                                      "failure"):
+                    break
+                time.sleep(0.05)
+            assert svc.status(tid)["task_status"] == "failure"
+            err = svc.result(tid)["error"]
+            assert "unknown" in err and "format" in err
     finally:
         svc.shutdown()
