@@ -191,16 +191,24 @@ def hybrid_chunks(
     max_tokens: int = 128,
     merge_peers: bool = True,
     doc_col: str = "doc_id",
+    tokenizer_json: "str | dict | None" = None,
 ) -> DataFrame:
     """Token-aware hybrid chunking — the docling-core HybridChunker
     pipeline (docling/chunking/__init__.py:7-13, driven by the CLI's
     chunked-JSONL sink docling/cli/main.py:594-622) re-expressed over the
-    flattened items table with this repo's deterministic whitespace
-    tokenizer standing in for the HF tokenizer (the reference counts
-    tokens with a downloaded HuggingFace tokenizer; no model artifacts
-    exist in this environment, so exact token-boundary parity with any
-    specific BPE vocab is non-derivable here — every other rule below is
-    pinned):
+    flattened items table.
+
+    Token counting has two modes. Default (``tokenizer_json=None``):
+    this repo's deterministic whitespace tokenizer (oracle-expressible —
+    the contract queries pin this mode). With ``tokenizer_json`` (a path
+    to, or parsed dict of, a HuggingFace ``tokenizer.json`` file — the
+    format the reference's HybridChunker downloads), counts come from
+    the from-scratch BPE/WordPiece encoder in ``functions/bpe.py``, so a
+    user supplying the reference's tokenizer file gets the reference's
+    token counts and therefore its chunk boundaries. The spec ships to
+    executors as a Spark broadcast and the encoder builds once per task,
+    Arrow-batched — never per-row Python. Chunking rules (identical in
+    both modes):
 
     1. hierarchical pass: one chunk candidate per body item
        (text/list_item/code/caption), carrying the ACTIVE HEADING PATH —
@@ -235,6 +243,16 @@ def hybrid_chunks(
     if max_tokens < 2:
         raise ValueError("max_tokens must be >= 2 (heading context plus "
                          "at least one body token)")
+    if tokenizer_json is None:
+        bc_spec = None
+    else:
+        if isinstance(tokenizer_json, str):
+            import json as _json
+            with open(tokenizer_json, encoding="utf-8") as fh:
+                spec = _json.load(fh)
+        else:
+            spec = tokenizer_json
+        bc_spec = items.sparkSession.sparkContext.broadcast(spec)
     doc_type = {f.name: f.dataType.simpleString()
                 for f in items.schema.fields}[doc_col]
     lvl = (F.col("level").cast("int") if "level" in items.columns
@@ -265,6 +283,40 @@ def hybrid_chunks(
         packed = packed.repartition(par)
 
     def run(batches):
+        # counting abstraction shared by both modes. Additivity (pinned
+        # by test_bpe parity tests) lets the scan stay linear: a
+        # window's/merge's count is the sum of per-word costs plus a
+        # fixed separator cost, never a from-scratch re-encode of the
+        # growing chunk. Whitespace mode reproduces the legacy
+        # oracle-checked behavior bit-for-bit (wcost=1, sep=0).
+        if bc_spec is None:
+            tok = None
+            sep_cost = 0
+
+            def head_cost(path):
+                return sum(len(h.split()) for h in path)
+
+            def wcost(word, first):
+                return 1
+        else:
+            from docling_spark.functions.bpe import Tokenizer
+
+            tok = Tokenizer(bc_spec.value)
+            # byte-level BPE keeps "\n" as its own pretoken (cost 1);
+            # WordPiece's whitespace split erases it (cost 0)
+            sep_cost = tok.count("a\nb") - tok.count("a") - tok.count("b")
+
+            def head_cost(path):
+                # heading block INCLUDING the trailing separator before
+                # the body text, so head_cost + sum(word costs) ==
+                # count(contextualized) exactly
+                if not path:
+                    return 0
+                return tok.count("\n".join(list(path) + [""]))
+
+            def wcost(word, first):
+                return tok.count(word if first else " " + word)
+
         for pdf in batches:
             out = {doc_col: [], "chunk_idx": [], "headings": [],
                    "chunk_text": [], "contextualized": [], "n_tokens": []}
@@ -282,23 +334,40 @@ def hybrid_chunks(
                         stack.append((lv, text))
                         continue
                     path = tuple(t for _, t in stack)
-                    head_tok = sum(len(h.split()) for h in path)
+                    head_tok = head_cost(path)
                     avail = max(max_tokens - head_tok, 1)
                     toks = text.split()
-                    if len(toks) <= avail:
-                        chunks.append((path, " ".join(toks), len(toks)))
+                    costs = [wcost(w, k == 0)
+                             for k, w in enumerate(toks)]
+                    total = sum(costs)
+                    if total <= avail:
+                        chunks.append((path, " ".join(toks), total))
                     else:
-                        for s in range(0, len(toks), avail):
-                            win = toks[s:s + avail]
-                            chunks.append((path, " ".join(win), len(win)))
+                        # greedy windows: grow while the window still
+                        # fits; a window always takes >= 1 word. The
+                        # window's first word re-costs as first=True —
+                        # it loses its leading space when the window
+                        # becomes its own chunk text.
+                        s = 0
+                        while s < len(toks):
+                            cum = wcost(toks[s], True)
+                            e = s + 1
+                            while e < len(toks) and \
+                                    cum + costs[e] <= avail:
+                                cum += costs[e]
+                                e += 1
+                            chunks.append(
+                                (path, " ".join(toks[s:e]), cum))
+                            s = e
                 if merge_peers:
                     merged: list[list] = []
                     for path, text, ntok in chunks:
                         if merged and merged[-1][0] == path:
-                            head_tok = sum(len(h.split()) for h in path)
-                            if merged[-1][2] + ntok + head_tok <= max_tokens:
+                            head_tok = head_cost(path)
+                            if merged[-1][2] + sep_cost + ntok \
+                                    + head_tok <= max_tokens:
                                 merged[-1][1] += "\n" + text
-                                merged[-1][2] += ntok
+                                merged[-1][2] += sep_cost + ntok
                                 continue
                         merged.append([path, text, ntok])
                     chunks = [tuple(m) for m in merged]
@@ -309,8 +378,7 @@ def hybrid_chunks(
                     out["headings"].append(list(path))
                     out["chunk_text"].append(text)
                     out["contextualized"].append(ctx)
-                    out["n_tokens"].append(
-                        ntok + sum(len(h.split()) for h in path))
+                    out["n_tokens"].append(ntok + head_cost(path))
             yield pd.DataFrame(out)
 
     return packed.mapInPandas(
