@@ -2715,13 +2715,30 @@ from t
 
 
 _NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+# bounded LM vocabulary (textstats.DEFAULT_MAX_VOCAB): top-V types by
+# (count desc, token asc) with the dropped mass pooled into one unk
+# bucket — the oracle expresses the SAME cutoff as the Spark operator,
+# so parity holds even on a corpus whose type count exceeds V
+_LM_MAX_VOCAB = 1 << 18
 _UNI_LM_SQL = f"""corpus as (
   select unnest(list_filter(
     string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> ''
   )) as token from documents
 ),
-uni as (select token, count(*) as n_t from corpus group by 1),
-tot as (select sum(n_t) as n_total, count(*) as vocab from uni)"""
+uni_all as (select token, count(*) as n_t from corpus group by 1),
+tot_all as (select coalesce(sum(n_t), 0) as n_total,
+                   count(*) as vocab_all from uni_all),
+uni as (select token, n_t from uni_all
+        order by n_t desc, token limit {_LM_MAX_VOCAB}),
+tot as (
+  select t.n_total,
+         k.v_top + case when t.vocab_all > k.v_top then 1 else 0 end
+           as vocab,
+         (t.n_total - k.n_top)
+           / greatest(t.vocab_all - k.v_top, 1) as unk_mean
+  from tot_all t,
+       (select count(*) as v_top, coalesce(sum(n_t), 0) as n_top
+        from uni) k)"""
 
 
 def q_line_perplexity(spark, sf_dir):
@@ -2750,8 +2767,9 @@ ltoks as (
 {_UNI_LM_SQL},
 per_line as (
   select doc_id, line_no, count(*) as n_tokens,
-         round(exp(avg(-ln((n_t + 1.0) / (n_total + vocab)))), 6) as ppl
-  from ltoks join uni using (token) cross join tot
+         round(exp(avg(-ln((coalesce(n_t, unk_mean) + 1.0)
+                          / (n_total + vocab)))), 6) as ppl
+  from ltoks left join uni using (token) cross join tot
   group by 1, 2
 )
 select l.doc_id, l.line_no,
@@ -2779,8 +2797,9 @@ with dtoks as (
 {_UNI_LM_SQL},
 per_doc as (
   select doc_id,
-         round(exp(avg(-ln((n_t + 1.0) / (n_total + vocab)))), 6) as ppl
-  from dtoks join uni using (token) cross join tot
+         round(exp(avg(-ln((coalesce(n_t, unk_mean) + 1.0)
+                          / (n_total + vocab)))), 6) as ppl
+  from dtoks left join uni using (token) cross join tot
   group by 1
 ),
 cuts as (
@@ -2795,6 +2814,36 @@ select d.doc_id, p.ppl,
 from documents d
 left join per_doc p using (doc_id)
 cross join cuts c
+"""
+
+
+def q_lm_vocab_overflow(spark, sf_dir):
+    """Visibility companion to the bounded LM vocabulary: with a
+    planted small cutoff (V=16; the synthetic corpus has ~31 types) the
+    one-row report (vocab_all, vocab_kept, dropped_types,
+    unk_token_count) exercises the top-V selection and the pooled unk
+    mass end-to-end at test scale; production uses DEFAULT_MAX_VOCAB."""
+    from docling_spark.operators.textstats import lm_vocab_overflow
+
+    return lm_vocab_overflow(_docs(spark, sf_dir), max_vocab=16)
+
+
+ORACLE_LM_OVERFLOW = f"""
+with corpus as (
+  select unnest(list_filter(
+    string_split({_NORM_SQL.format(c='text')}, ' '), x -> x <> ''
+  )) as token from documents
+),
+uni_all as (select token, count(*) as n_t from corpus group by 1),
+top as (select token, n_t from uni_all order by n_t desc, token limit 16)
+select a.vocab_all, k.vocab_kept,
+       a.vocab_all - k.vocab_kept as dropped_types,
+       a.n_total - k.n_top as unk_token_count
+from (select count(*)::bigint as vocab_all,
+             coalesce(sum(n_t), 0)::bigint as n_total from uni_all) a,
+     (select count(*)::bigint as vocab_kept,
+             coalesce(sum(n_t), 0)::bigint as n_top from top) k
+where a.vocab_all > k.vocab_kept
 """
 
 
@@ -7460,6 +7509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "line_perplexity": q_line_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
+        "lm_vocab_overflow": q_lm_vocab_overflow,
         "bloom_filter_build": q_bloom_filter_build,
         "bloom_dedup_check": q_bloom_dedup_check,
         "bm25_scores": q_bm25_scores,
@@ -7625,6 +7675,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": ORACLE_BIGRAM_LM,
         "line_perplexity": ORACLE_LINE_PPL,
         "ccnet_buckets": ORACLE_CCNET,
+        "lm_vocab_overflow": ORACLE_LM_OVERFLOW,
         "bloom_filter_build": ORACLE_BLOOM_BUILD,
         "bloom_dedup_check": ORACLE_BLOOM_CHECK,
         "bm25_scores": ORACLE_BM25,

@@ -402,8 +402,87 @@ def bigram_lm(docs: DataFrame, k: int = 30, min_count: int = 2,
     return scored.orderBy(F.desc("pair_count"), "w1", "w2").limit(k)
 
 
+# CCNet/KenLM practice: the LM vocabulary is top-V by frequency with an
+# OOV bucket — never the raw corpus type count, which grows without
+# bound (typos, hashes, serial numbers make web-corpus vocab ~O(tokens))
+DEFAULT_MAX_VOCAB = 1 << 18
+
+
+def _bounded_unigrams(corpus_toks: DataFrame,
+                      max_vocab: int) -> tuple:
+    """(top, scalars) for the bounded-vocab corpus LM shared by
+    :func:`line_perplexity` / :func:`ccnet_buckets`.
+
+    ``top``: the top-``max_vocab`` (token, n_t) rows by (count desc,
+    token asc) — deterministic, and O(V) at ANY corpus size, so the
+    token join stays broadcastable where the raw unigram table would
+    grow with the corpus. The sort+limit compiles to
+    TakeOrderedAndProject (per-partition partial top-V, merged once) —
+    no global sort.
+
+    ``scalars``: one row (n_total, v_eff, n_unk, unk_mean). ``v_eff``
+    counts the retained types plus one ``<unk>`` type when anything
+    overflowed; ``n_unk`` is the dropped tokens' total count and
+    ``unk_mean`` the mean count of a dropped TYPE — every OOV token
+    scores as an average dropped type, cost
+    -ln((unk_mean+1)/(n_total+v_eff)), so a long tail of singletons
+    stays expensive (pooling the whole unk mass into each token's
+    probability would make OOV cheaper than the head vocabulary).
+    When the vocabulary fits (v_eff == vocab, unk never consulted)
+    the formula reduces exactly to the unbounded LM, which is what
+    the DuckDB oracles pin.
+    """
+    uni = corpus_toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    tot = uni.agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_total"),
+                  F.count("*").alias("vocab_all"))
+    top = uni.orderBy(F.desc("n_t"), "token").limit(max_vocab)
+    top_tot = top.agg(
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_top"),
+        F.count("*").alias("v_top"))
+    scalars = tot.crossJoin(top_tot).select(
+        "n_total",
+        (F.col("v_top")
+         + F.when(F.col("vocab_all") > F.col("v_top"), F.lit(1))
+         .otherwise(F.lit(0))).alias("v_eff"),
+        (F.col("n_total") - F.col("n_top")).alias("n_unk"),
+        ((F.col("n_total") - F.col("n_top"))
+         / F.greatest(F.col("vocab_all") - F.col("v_top"), F.lit(1)))
+        .alias("unk_mean"),
+    )
+    return top, scalars
+
+
+def lm_vocab_overflow(docs: DataFrame, text_col: str = "text",
+                      max_vocab: int = DEFAULT_MAX_VOCAB) -> DataFrame:
+    """Visibility companion to the bounded LM vocabulary: one row when
+    the corpus type count exceeds ``max_vocab`` — (vocab_all,
+    vocab_kept, dropped_types, unk_token_count); empty otherwise. Emit
+    beside any bounded-vocab perplexity run so the OOV mass is a
+    measured number, not a silent approximation."""
+    toks = docs.select(
+        F.explode(tokens(norm_text(F.col(text_col)))).alias("token"))
+    top, scalars = _bounded_unigrams(toks, max_vocab)
+    kept = top.agg(F.count("*").alias("vocab_kept"))
+    uni_all = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    all_tot = uni_all.agg(F.count("*").alias("vocab_all"))
+    return (
+        all_tot.crossJoin(kept).crossJoin(
+            scalars.select(F.col("n_unk").alias("unk_token_count")))
+        .filter(F.col("vocab_all") > F.col("vocab_kept"))
+        .select(
+            F.col("vocab_all").cast("bigint").alias("vocab_all"),
+            F.col("vocab_kept").cast("bigint").alias("vocab_kept"),
+            (F.col("vocab_all") - F.col("vocab_kept")).cast("bigint")
+            .alias("dropped_types"),
+            F.col("unk_token_count").cast("bigint")
+            .alias("unk_token_count"),
+        )
+    )
+
+
 def line_perplexity(docs: DataFrame, text_col: str = "text",
-                    doc_col: str = "doc_id") -> DataFrame:
+                    doc_col: str = "doc_id",
+                    max_vocab: int = DEFAULT_MAX_VOCAB) -> DataFrame:
     """Per-LINE unigram perplexity under the corpus's own LM — the CCNet
     line-scoring primitive (CCNet buckets web documents by LM perplexity
     into head/middle/tail; Nemotron-CC and RedPajama-v2 carry the same
@@ -416,12 +495,14 @@ def line_perplexity(docs: DataFrame, text_col: str = "text",
     Spark-first shape that survives 100 TB:
     - lines explode per document (posexplode on the newline split) — no
       global state;
-    - the unigram table is one groupBy (map-side partial agg) and joins
-      back by token — a short-key equi-join, broadcast when the vocab
-      fits;
-    - add-one smoothing makes OOV impossible by construction here (the
-      corpus scores itself) but keeps the formula total: cost(t) =
-      -ln((n_t + 1) / (N + V)).
+    - the unigram table is one groupBy (map-side partial agg) bounded to
+      the top-``max_vocab`` types (see :func:`_bounded_unigrams` — O(V)
+      at any corpus size, so it broadcasts unconditionally) and joins
+      back by token;
+    - add-one smoothing over the effective vocabulary: cost(t) =
+      -ln((n_t + 1) / (N + V_eff)), with an OOV token (beyond top-V)
+      scoring as a mean dropped type — below the cutoff this reduces
+      exactly to the unbounded corpus LM.
 
     Output: (doc_id, line_no, n_tokens, ppl) — ppl rounded to 6 dp,
     NULL for token-less lines (they carry no signal; filters drop them).
@@ -441,17 +522,14 @@ def line_perplexity(docs: DataFrame, text_col: str = "text",
     corpus = docs.select(
         F.explode(tokens(norm_text(F.col(text_col)))).alias("token")
     )
-    uni = corpus.groupBy("token").agg(F.count("*").alias("n_t"))
-    totals = uni.agg(
-        F.sum("n_t").alias("n_total"),
-        F.count("*").alias("vocab"),
-    )
+    uni, totals = _bounded_unigrams(corpus, max_vocab)
     scored = (
-        ltoks.join(uni, "token")
+        ltoks.join(F.broadcast(uni), "token", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "cost",
-            -F.log((F.col("n_t") + 1) / (F.col("n_total") + F.col("vocab"))),
+            -F.log((F.coalesce(F.col("n_t"), F.col("unk_mean")) + 1)
+                   / (F.col("n_total") + F.col("v_eff"))),
         )
     )
     per_line = scored.groupBy("doc_id", "line_no").agg(
@@ -472,7 +550,8 @@ def line_perplexity(docs: DataFrame, text_col: str = "text",
 
 
 def ccnet_buckets(docs: DataFrame, text_col: str = "text",
-                  doc_col: str = "doc_id") -> DataFrame:
+                  doc_col: str = "doc_id",
+                  max_vocab: int = DEFAULT_MAX_VOCAB) -> DataFrame:
     """CCNet's head/middle/tail split: per-DOCUMENT perplexity under the
     corpus unigram LM, then tercile bucketing — head = lowest-perplexity
     third (most fluent), tail = highest. The cutoffs are exact corpus
@@ -490,15 +569,15 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text",
         F.col(doc_col).alias("doc_id"),
         F.explode(tokens(norm_text(F.col(text_col)))).alias("token"),
     )
-    uni = toks.groupBy("token").agg(F.count("*").alias("n_t"))
-    totals = uni.agg(F.sum("n_t").alias("n_total"),
-                     F.count("*").alias("vocab"))
+    uni, totals = _bounded_unigrams(
+        toks.select("token"), max_vocab)
     per_doc = (
-        toks.join(uni, "token")
+        toks.join(F.broadcast(uni), "token", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "cost",
-            -F.log((F.col("n_t") + 1) / (F.col("n_total") + F.col("vocab"))),
+            -F.log((F.coalesce(F.col("n_t"), F.col("unk_mean")) + 1)
+                   / (F.col("n_total") + F.col("v_eff"))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.exp(F.avg("cost")), 6).alias("ppl"))

@@ -36,6 +36,7 @@ BNLJ_SCALAR_ATTACH = {
     "kmeans_codebook",    # codebook attach per Lloyd iteration (k rows)
     "line_perplexity",    # corpus (n_total, vocab) LM stats (1 row)
     "ccnet_buckets",      # LM stats + tercile cutoffs (1 row each)
+    "lm_vocab_overflow",  # vocab totals + kept-top-V stats (1 row each)
 }
 
 pytestmark = pytest.mark.skipif(
