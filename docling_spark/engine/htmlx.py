@@ -1914,10 +1914,15 @@ def _heading_rank(items: list[Item], it: Item) -> int:
     return min(6, max(2, it.get("_hlevel", 2)))
 
 
-def extract_html(payload: str) -> tuple[str, list[Item]]:
+def extract_html(payload: str,
+                 infer_furniture: bool = True) -> tuple[str, list[Item]]:
     """payload → (extracted_text, items). The single-document entry point
-    used by the pandas-UDF operator."""
-    ex = HtmlExtractor()
+    used by the pandas-UDF operator. ``infer_furniture`` mirrors the
+    reference backend option (backend_options.py:112, consumed at
+    html_backend.py:570-574): False starts the walk in the BODY layer,
+    so content before the first heading is document content — the
+    setting round-trips our own HTML export of heading-less sources."""
+    ex = HtmlExtractor(infer_furniture=infer_furniture)
     items = ex.extract(payload)
     text = serialize_items(items, layer="body")
     return text, items
