@@ -88,6 +88,30 @@ def test_exclusions_still_parse_and_stay_close() -> None:
         assert same / max(len(b), 1) > 0.9, name
 
 
+def test_marker_lossiness_is_in_the_format_not_the_parser() -> None:
+    """Structural proof for the five exclusions: the markers the md
+    groundtruth shows are ABSENT from the doctags source text itself —
+    e.g. 2206.01062's md reads '- (1) Human Annotation : …' while its
+    doctags list_item carries only 'Human Annotation : …'. The input
+    does not contain the information, so no doctags parser can emit
+    it; the divergence is the DocTags grammar's, byte-for-byte the
+    same in docling-core's own round-trip."""
+    probes = {
+        "2206.01062": ("(1) Human Annotation", "Human Annotation :"),
+        "2203.01017v2": ("a. Red - PDF cells", "Red - PDF cells"),
+        "table_mislabeled_as_picture": (
+            "23. If your country has an institutional legal aid",
+            "If your country has an institutional legal aid"),
+    }
+    by_stem = {p[0].split("/")[-1]: p for p in PAIRS}
+    for stem, (md_marked, bare) in probes.items():
+        _, _, dt, md = by_stem[stem]
+        dtxt = dt.read_text()
+        assert md_marked in md.read_text(), stem
+        assert md_marked not in dtxt, stem      # marker not in input
+        assert bare in dtxt, stem               # but the text is
+
+
 def test_rejects_non_doctags() -> None:
     with pytest.raises(DocTagsError):
         extract_doctags("just some text")

@@ -59,9 +59,50 @@ def test_rejects_non_zip() -> None:
         extract_docx(b"this is not a zip")
 
 
+def test_textbox_dropped_content_is_real_document_content() -> None:
+    """Structural proof (the table_06 standard) that the groundtruth's
+    omission — not our inclusion — is the accident: each of the three
+    texts missing from textbox.docx.md exists in word/document.xml
+    exactly once per mc branch, inside the mc:Choice (DrawingML)
+    txbxContent of a floating textbox — i.e. first-class document
+    content under OOXML markup-compatibility (process Choice, skip
+    Fallback). The reference loses them to transient-lxml-proxy id()
+    reuse in its processed_textbox_elements bookkeeping
+    (msword_backend.py:718-719 stores id(element), :770-773 stores
+    id(tb_element); a fresh xpath proxy allocated at a freed proxy's
+    address spuriously matches), so the drop is a CPython allocator
+    artifact no semantic reimplementation can derive."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    src = (REF / "sources" / "textbox.docx").read_bytes()
+    xml = zipfile.ZipFile(io.BytesIO(src)).read("word/document.xml")
+    root = ET.fromstring(xml)
+    MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+    W = ("{http://schemas.openxmlformats.org/wordprocessingml/2006/"
+         "main}")
+    # collect the full text of every Choice-branch textbox
+    choice_tb_texts = []
+    for alt in root.iter(MC + "AlternateContent"):
+        choice = alt.find(MC + "Choice")
+        if choice is None:
+            continue
+        for tb in choice.iter(W + "txbxContent"):
+            choice_tb_texts.append("".join(
+                t.text or "" for t in tb.iter(W + "t")))
+    gt = (REF / "groundtruth" / "textbox.docx.md").read_text()
+    for needle in ("A report must be submitted within 24 hours",
+                   "Department of Education:",
+                   "The Health Bureau will handle"):
+        assert sum(needle in t for t in choice_tb_texts) == 1, needle
+        assert needle not in gt  # the groundtruth lost real content
+
+
 def test_textbox_superset_of_groundtruth() -> None:
     """textbox.docx: groundtruth plus the four textboxes the reference's
-    id()-reuse dedup drops (see module docstring)."""
+    id()-reuse dedup drops (see module docstring and the structural
+    proof above)."""
     src = (REF / "sources" / "textbox.docx").read_bytes()
     gt = (REF / "groundtruth" / "textbox.docx.md").read_text().strip()
     text, items, metrics = extract_docx(src)

@@ -48,6 +48,34 @@ def build_payload(instance: str, taxdir: str) -> bytes:
     return buf.getvalue()
 
 
+def test_grve_duplicate_tables_are_byte_identical():
+    """The structural proof behind the one normalized groundtruth line:
+    the two 'Schedule of dividends payable' tables in the unescaped
+    instance are BYTE-IDENTICAL (4547 chars each), yet the groundtruth
+    renders their header cells in different orders — no deterministic
+    function of the markup can produce both, so the divergence is the
+    reference's id(tag) visibility-cache artifact, not a parsing
+    difference."""
+    import html
+    import re
+
+    un = html.unescape(
+        (SRC / "grve_10q_htm.xml").read_text(errors="replace"))
+    idx = [m.start() for m in re.finditer(
+        re.escape("Schedule of dividends payable"), un)]
+    assert len(idx) == 2
+
+    def table_at(pos):
+        return un[un.rfind("<table", 0, pos):un.find("</table>", pos) + 8]
+
+    t1, t2 = table_at(idx[0]), table_at(idx[1])
+    assert t1 == t2 and len(t1) > 4000
+    # and the groundtruth nevertheless renders them differently
+    gt = (GT / "grve_10q_htm.xml.md").read_text()
+    swapped, docorder = _GRVE_ARTIFACT
+    assert gt.count(swapped) == 1 and gt.count(docorder) == 1
+
+
 @pytest.mark.parametrize("instance,taxdir", FIXTURES)
 def test_xbrl_md_byte_exact(instance, taxdir):
     from docling_spark.engine.xbrlx import extract_xbrl
