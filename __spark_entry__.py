@@ -1514,6 +1514,28 @@ def q_extract_pdfish_reading_order(spark, sf_dir):
     return _extract_docs(spark, sf_dir, _pdfish_two_col_payload(), "pdfish")
 
 
+def q_debug_svg_pages(spark, sf_dir):
+    """Layout-debug SVG sink (operators/visualize.py, the draw_clusters
+    analog — docling/utils/visualization.py:11) over the synthetic
+    two-column pdfish pages. The SVG string depends only on cell
+    geometry + labels (fixed per payload shape), pinned byte-exact by
+    tests/test_visualize.py; the contract row carries the per-page
+    box count the oracle can reproduce."""
+    from docling_spark.operators.visualize import debug_svg_pages
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _pdfish_two_col_payload().alias("text"))
+    return debug_svg_pages(docs).select("doc_id", "page_no", "n_cells")
+
+
+# every doc's payload has the same 9 cells on one declared page; the
+# conf-0.2 noise cell filters out and the overlapping duplicate dedups,
+# leaving 7 (title + header + footer + 4 body lines)
+ORACLE_DEBUG_SVG = """
+select doc_id, 1 as page_no, 7 as n_cells from documents
+"""
+
+
 ORACLE_PDFISH_READING_ORDER = """
 with t as (
   select doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks from documents
@@ -7491,6 +7513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": q_turn_ordering,
         # pdfish layout path
         "extract_pdfish_reading_order": q_extract_pdfish_reading_order,
+        "debug_svg_pages": q_debug_svg_pages,
         "extract_pdfish_hyphen_merge": q_extract_pdfish_hyphen_merge,
         "extract_items_spans": q_extract_items_spans,
         "extract_vtt_dialogue": q_extract_vtt_dialogue,
@@ -7657,6 +7680,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_format_policy": ORACLE_FORMAT_POLICY,
         "turn_ordering": ORACLE_TURN_ORDERING,
         "extract_pdfish_reading_order": ORACLE_PDFISH_READING_ORDER,
+        "debug_svg_pages": ORACLE_DEBUG_SVG,
         "extract_pdfish_hyphen_merge": ORACLE_PDFISH_HYPHEN,
         "extract_items_spans": ORACLE_ITEMS_SPANS,
         "extract_vtt_dialogue": ORACLE_VTT_DIALOGUE,
