@@ -29,16 +29,18 @@ import urllib.parse
 
 # md/text render from the document's extracted markdown; the rest are
 # item-table serializers (the same sink registry the table job's --to
-# flag uses)
+# flag uses); "chunks" is the chunked-JSONL sink (the reference CLI's
+# --to chunks via HybridChunker, cli/main.py:447-450,596-640)
 _ITEM_FORMATS = ("json", "yaml", "doctags", "itxt", "html",
                  "html_split_page", "doclang", "dclx")
-_ALL_FORMATS = ("md", "text") + _ITEM_FORMATS
+_ALL_FORMATS = ("md", "text") + _ITEM_FORMATS + ("chunks",)
 # html and html_split_page must not share one extension — the second
 # write would silently clobber the first
 _EXTENSIONS = {"md": "md", "text": "txt", "json": "json", "yaml": "yaml",
                "doctags": "doctags.txt", "itxt": "itxt", "html": "html",
                "html_split_page": "split.html", "doclang": "doclang",
-               "dclx": "dclx", "vtt": "vtt"}
+               "dclx": "dclx", "vtt": "vtt",
+               "chunks": "chunks.jsonl"}
 # formats whose string transport is base64 of real bytes — decoded at
 # the file boundary so the on-disk artifact is the actual archive
 _B64_FORMATS = frozenset({"dclx"})
@@ -75,6 +77,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="Spark local[] core count (default: all cores)")
     c.add_argument("--abort-on-error", action="store_true",
                    help="exit non-zero if any document fails")
+    # --to chunks options (the reference's chunk_max_tokens /
+    # chunk_tokenizer, cli/main.py:449-450)
+    c.add_argument("--chunk-max-tokens", type=int, default=128,
+                   help="HybridChunker token budget for --to chunks")
+    c.add_argument("--chunk-tokenizer", default=None,
+                   help="path to a HuggingFace tokenizer.json; counts "
+                        "then come from the from-scratch BPE/WordPiece "
+                        "encoder (functions/bpe.py) for reference "
+                        "chunk-boundary parity (default: whitespace)")
 
     # the reference's `docling convert-remote` twin
     # (docling/cli/remote.py:132): same sources/sinks, but the work runs
@@ -236,6 +247,47 @@ def run_convert(args: argparse.Namespace) -> int:
             # resolved paths), so this join is 1:1
             plan = plan.join(ser, "path", "left")
 
+        # chunked-JSONL sink (the reference CLI's --to chunks,
+        # cli/main.py:596-640): run HybridChunker semantics over the
+        # exploded items and collect per-document chunk records. CLI
+        # batches are file-sized; the records stream per path.
+        chunks_by_path: dict[str, list[dict]] = {}
+        if "chunks" in to_formats:
+            from docling_spark.operators.chunker import hybrid_chunks
+
+            items_df = (
+                extracted.select(F.col("conv_id").alias("path"),
+                                 F.explode("items").alias("it"))
+                .select("path",
+                        F.col("it.item_idx").alias("item_idx"),
+                        F.col("it.label").alias("label"),
+                        F.col("it.level").alias("level"),
+                        F.col("it.text").alias("text"),
+                        F.col("it.content_layer").alias("content_layer"))
+            )
+            ch = hybrid_chunks(
+                items_df, max_tokens=args.chunk_max_tokens,
+                doc_col="path", tokenizer_json=args.chunk_tokenizer,
+                with_provenance=True)
+            for row in ch.toLocalIterator():
+                # the reference's ChunkedDocumentResultItem fields
+                # (datamodel/service/responses.py:146-163): text =
+                # contextualized, raw_text = bare chunk, doc_items =
+                # item self-refs (our flat-table spelling #/items/N)
+                chunks_by_path.setdefault(row["path"], []).append({
+                    "filename": pathlib.Path(row["path"]).stem,
+                    "chunk_index": row["chunk_idx"],
+                    "text": row["contextualized"],
+                    "raw_text": row["chunk_text"],
+                    "num_tokens": row["n_tokens"],
+                    "headings": list(row["headings"] or []),
+                    "captions": [],
+                    "doc_items": [f"#/items/{i}"
+                                  for i in (row["doc_items"] or [])],
+                    "page_numbers": [],
+                    "metadata": {},
+                })
+
         n_ok = n_fail = n_skip = 0
         taken: set[str] = set()
         for row in plan.toLocalIterator():
@@ -253,6 +305,17 @@ def run_convert(args: argparse.Namespace) -> int:
             if row["status"] != "success":
                 continue
             for fmt in to_formats:
+                if fmt == "chunks":
+                    recs = sorted(chunks_by_path.get(row["path"], []),
+                                  key=lambda r: r["chunk_index"])
+                    target = _out_path(out_dir, stem,
+                                       _EXTENSIONS[fmt], taken)
+                    # one JSON record per line, file written even when
+                    # a document yields no chunks (reference behavior)
+                    target.write_text(
+                        "".join(json.dumps(r, ensure_ascii=False) + "\n"
+                                for r in recs), encoding="utf-8")
+                    continue
                 content = (row["extracted_text"]
                            if fmt in ("md", "text") else row[fmt])
                 if content is None:

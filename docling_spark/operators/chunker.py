@@ -192,6 +192,7 @@ def hybrid_chunks(
     merge_peers: bool = True,
     doc_col: str = "doc_id",
     tokenizer_json: "str | dict | None" = None,
+    with_provenance: bool = False,
 ) -> DataFrame:
     """Token-aware hybrid chunking — the docling-core HybridChunker
     pipeline (docling/chunking/__init__.py:7-13, driven by the CLI's
@@ -236,7 +237,11 @@ def hybrid_chunks(
 
     Input: items table (doc, item_idx, label, level?, text,
     content_layer). Output: (doc, chunk_idx, headings array<string>,
-    chunk_text, contextualized, n_tokens).
+    chunk_text, contextualized, n_tokens); with ``with_provenance`` an
+    extra ``doc_items array<bigint>`` column lists the contributing
+    items' ``item_idx`` in order (the ``meta.doc_items`` self-refs of
+    the reference's DocChunk, cli/main.py:632-634) — opt-in so the
+    oracle-pinned default schema never changes.
     """
     import pandas as pd
 
@@ -320,9 +325,11 @@ def hybrid_chunks(
         for pdf in batches:
             out = {doc_col: [], "chunk_idx": [], "headings": [],
                    "chunk_text": [], "contextualized": [], "n_tokens": []}
+            if with_provenance:
+                out["doc_items"] = []
             for doc, its in zip(pdf[doc_col], pdf["its"]):
                 stack: list[tuple[int, str]] = []  # (level, text)
-                chunks: list[tuple[tuple[str, ...], str, int]] = []
+                chunks: list[tuple] = []  # (path, text, ntok, item_ids)
                 for it in its:
                     label = it["label"]
                     text = it["text"]
@@ -333,6 +340,7 @@ def hybrid_chunks(
                             stack.pop()
                         stack.append((lv, text))
                         continue
+                    iid = int(it["item_idx"])
                     path = tuple(t for _, t in stack)
                     head_tok = head_cost(path)
                     avail = max(max_tokens - head_tok, 1)
@@ -341,7 +349,8 @@ def hybrid_chunks(
                              for k, w in enumerate(toks)]
                     total = sum(costs)
                     if total <= avail:
-                        chunks.append((path, " ".join(toks), total))
+                        chunks.append((path, " ".join(toks), total,
+                                       [iid]))
                     else:
                         # greedy windows: grow while the window still
                         # fits; a window always takes >= 1 word. The
@@ -357,21 +366,26 @@ def hybrid_chunks(
                                 cum += costs[e]
                                 e += 1
                             chunks.append(
-                                (path, " ".join(toks[s:e]), cum))
+                                (path, " ".join(toks[s:e]), cum,
+                                 [iid]))
                             s = e
                 if merge_peers:
                     merged: list[list] = []
-                    for path, text, ntok in chunks:
+                    for path, text, ntok, ids in chunks:
                         if merged and merged[-1][0] == path:
                             head_tok = head_cost(path)
                             if merged[-1][2] + sep_cost + ntok \
                                     + head_tok <= max_tokens:
                                 merged[-1][1] += "\n" + text
                                 merged[-1][2] += sep_cost + ntok
+                                # same item split then re-merged: the
+                                # provenance ref appears once
+                                if merged[-1][3][-1] != ids[0]:
+                                    merged[-1][3].extend(ids)
                                 continue
-                        merged.append([path, text, ntok])
+                        merged.append([path, text, ntok, list(ids)])
                     chunks = [tuple(m) for m in merged]
-                for k, (path, text, ntok) in enumerate(chunks):
+                for k, (path, text, ntok, ids) in enumerate(chunks):
                     ctx = "\n".join(list(path) + [text])
                     out[doc_col].append(doc)
                     out["chunk_idx"].append(k)
@@ -379,13 +393,16 @@ def hybrid_chunks(
                     out["chunk_text"].append(text)
                     out["contextualized"].append(ctx)
                     out["n_tokens"].append(ntok + head_cost(path))
+                    if with_provenance:
+                        out["doc_items"].append(list(ids))
             yield pd.DataFrame(out)
 
-    return packed.mapInPandas(
-        run,
-        f"{doc_col} {doc_type}, chunk_idx int, headings array<string>, "
-        "chunk_text string, contextualized string, n_tokens int",
-    )
+    schema = (f"{doc_col} {doc_type}, chunk_idx int, "
+              "headings array<string>, chunk_text string, "
+              "contextualized string, n_tokens int")
+    if with_provenance:
+        schema += ", doc_items array<bigint>"
+    return packed.mapInPandas(run, schema)
 
 
 def chunk_char_spans(chunks: DataFrame, text_col: str = "chunk_text") -> Column:

@@ -129,3 +129,44 @@ def test_convert_remote_roundtrip(tmp_path, spark):
     finally:
         server.shutdown()
         service.shutdown()
+
+
+def test_convert_chunks_sink(tmp_path, spark):
+    """--to chunks writes the reference CLI's chunked-JSONL records
+    (cli/main.py:596-640): per-chunk contextualized text, raw_text,
+    num_tokens, headings, and item provenance refs — with counts from a
+    supplied tokenizer.json driving the boundaries."""
+    import json
+
+    import docling_spark.cli as cli
+    from docling_spark.functions.bpe import Tokenizer
+
+    src = tmp_path / "doc.html"
+    src.write_text("<h1>hello</h1><p>world world world</p>")
+    tok_path = pathlib.Path(__file__).parent / "fixtures" / \
+        "tokenizer_bpe.json"
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "convert", str(src), "--to", "md,chunks",
+            "--chunk-max-tokens", "7",
+            "--chunk-tokenizer", str(tok_path),
+            "--output", str(tmp_path / "out"),
+        ])
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    lines = (tmp_path / "out" / "doc.chunks.jsonl").read_text() \
+        .strip().splitlines()
+    recs = [json.loads(ln) for ln in lines]
+    # fixture-BPE boundaries: 'world world' then 'world' (test_bpe.py)
+    assert [r["raw_text"] for r in recs] == ["world world", "world"]
+    assert recs[0]["filename"] == "doc"
+    assert recs[0]["headings"] == ["hello"]
+    assert recs[0]["text"] == "hello\nworld world"
+    assert recs[0]["doc_items"] and recs[0]["doc_items"][0] \
+        .startswith("#/items/")
+    tok = Tokenizer.from_file(str(tok_path))
+    for r in recs:
+        assert r["num_tokens"] == tok.count(r["text"])
