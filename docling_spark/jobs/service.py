@@ -33,6 +33,13 @@ Multi-source tasks get the documented batch shape
 "status", "processing_time", "num_converted", "num_succeeded",
 "num_failed"}`` (counts per ``ConvertedOutcomeCountsMixin``,
 responses.py:200-204).
+
+Chunk tasks: POST ``/v1/chunk/{hybrid|hierarchical}/source/async``
+(the reference client's chunk submission path, client.py:1288-1292)
+with ``{"sources": [...], "convert_options": {...},
+"chunking_options": {"max_tokens": N, "tokenizer_json": {...}},
+"include_converted_doc": bool}``; the result is the reference's
+``ChunkDocumentResponse`` shape (responses.py:308-311).
 """
 
 from __future__ import annotations
@@ -109,7 +116,11 @@ class JobService:
             if not task_id:
                 continue
             try:
-                result = self._convert(self.tasks[task_id]["request"])
+                req = self.tasks[task_id]["request"]
+                if req.get("_task_kind") == "chunk":
+                    result = self._chunk(req)
+                else:
+                    result = self._convert(req)
                 with self._lock:
                     self.tasks[task_id]["result"] = result
                     self.tasks[task_id]["task_status"] = "success"
@@ -124,12 +135,129 @@ class JobService:
                     old = self._terminal_order.pop(0)
                     self.tasks.pop(old, None)
 
+    def _extract_sources(self, sources: list, opts: dict,
+                         allowed) -> tuple:
+        """(cached extracted DF keyed by batch-index conv_id, names).
+        conv_id = the batch INDEX, not the client-supplied name: two
+        sources sharing a name would cross-multiply the per-format
+        export joins."""
+        import base64 as _b64
+
+        from docling_spark.operators.extract_ops import extract_turns
+
+        pw = tuple(opts.get("pdf_passwords") or ())
+        rows = []
+        names = []
+        for i, s in enumerate(sources):
+            payload = s.get("payload")
+            if s.get("b64"):
+                # travel base64 exactly like binary table payloads —
+                # the engine's sniffers accept the b64 spelling natively
+                payload = payload if isinstance(payload, str) else \
+                    _b64.b64encode(payload).decode("ascii")
+            names.append(s.get("name") or f"doc_{i}")
+            rows.append((str(i), 0, "user", payload,
+                         s.get("tool") or ""))
+        df = self.spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string")
+        extracted = extract_turns(
+            df, pdf_passwords=pw,
+            allowed_formats=frozenset(allowed) if allowed else None
+        ).cache()
+        return extracted, names
+
+    def _chunk(self, body: dict) -> dict:
+        """Chunk-task twin of the reference's
+        POST /v1/chunk/<kind>/source/async (client.py:1264-1292):
+        convert the sources through the same kernel, then run the
+        HybridChunker semantics (operators/chunker.py) over the item
+        table. Result is the reference's ChunkDocumentResponse shape
+        (responses.py:308-311): ``chunks`` =
+        ChunkedDocumentResultItem records, ``documents`` = per-source
+        export results when ``include_converted_doc``,
+        ``processing_time``. kind 'hierarchical' = one chunk per item
+        with heading context (no merge, no token budget); 'hybrid'
+        adds the token-budget split/merge, with
+        ``chunking_options.max_tokens`` and an optional inline
+        ``chunking_options.tokenizer_json`` (HF tokenizer.json dict —
+        counts then come from functions/bpe.py)."""
+        from pyspark.sql import functions as F
+
+        from docling_spark.operators.chunker import hybrid_chunks
+
+        t0 = time.monotonic()
+        sources = body.get("sources") or []
+        if not sources:
+            raise ValueError("no sources")
+        opts = body.get("convert_options") or {}
+        copts = body.get("chunking_options") or {}
+        kind = body.get("_chunker") or copts.get("chunker") or "hybrid"
+        extracted, names = self._extract_sources(
+            sources, opts, opts.get("from_formats"))
+        try:
+            items_df = (
+                extracted.select(F.col("conv_id").alias("uid"),
+                                 F.explode("items").alias("it"))
+                .select("uid",
+                        F.col("it.item_idx").alias("item_idx"),
+                        F.col("it.label").alias("label"),
+                        F.col("it.level").alias("level"),
+                        F.col("it.text").alias("text"),
+                        F.col("it.content_layer")
+                        .alias("content_layer"))
+            )
+            if kind == "hierarchical":
+                ch = hybrid_chunks(items_df, max_tokens=1 << 30,
+                                   merge_peers=False, doc_col="uid",
+                                   with_provenance=True)
+            else:
+                ch = hybrid_chunks(
+                    items_df,
+                    max_tokens=int(copts.get("max_tokens") or 128),
+                    doc_col="uid",
+                    tokenizer_json=copts.get("tokenizer_json"),
+                    with_provenance=True)
+            chunks: list[dict] = []
+            for row in sorted(ch.toLocalIterator(),
+                              key=lambda r: (int(r["uid"]),
+                                             r["chunk_idx"])):
+                chunks.append({
+                    "filename": names[int(row["uid"])],
+                    "chunk_index": row["chunk_idx"],
+                    "text": row["contextualized"],
+                    "raw_text": row["chunk_text"],
+                    "num_tokens": row["n_tokens"],
+                    "headings": list(row["headings"] or []),
+                    "captions": [],
+                    "doc_items": [f"#/items/{i}"
+                                  for i in (row["doc_items"] or [])],
+                    "page_numbers": [],
+                    "metadata": {},
+                })
+            documents: list[dict] = []
+            if body.get("include_converted_doc"):
+                for r in extracted.select(
+                        "conv_id", "status",
+                        "extracted_text").toLocalIterator():
+                    documents.append({
+                        "kind": "ExportResult",
+                        "content": {
+                            "filename": names[int(r["conv_id"])],
+                            "md_content": r["extracted_text"]},
+                        "status": r["status"],
+                        "errors": [],
+                    })
+            return {"chunks": chunks, "documents": documents,
+                    "processing_time": time.monotonic() - t0}
+        finally:
+            extracted.unpersist()
+
     def _convert(self, body: dict) -> dict:
         from pyspark.sql import functions as F
 
         from docling_spark.engine.extract import _HINT_ALIASES, KNOWN_FORMATS
         from docling_spark.operators.export import export_items
-        from docling_spark.operators.extract_ops import extract_turns
 
         t0 = time.monotonic()
         sources = body.get("sources") or []
@@ -151,28 +279,7 @@ class JobService:
             if bad:
                 raise ValueError(
                     f"unknown input format(s): {','.join(bad)}")
-        pw = tuple(opts.get("pdf_passwords") or ())
-        rows = []
-        names = []
-        for i, s in enumerate(sources):
-            payload = s.get("payload")
-            if s.get("b64"):
-                # travel base64 exactly like binary table payloads — the
-                # engine's sniffers accept the b64 spelling natively
-                payload = payload if isinstance(payload, str) else \
-                    base64.b64encode(payload).decode("ascii")
-            names.append(s.get("name") or f"doc_{i}")
-            # conv_id = the batch INDEX, not the client-supplied name:
-            # two sources sharing a name would cross-multiply the
-            # per-format export joins (2 duplicate names x 2 sinks ->
-            # 4 rows mixing one document's md with the other's json)
-            rows.append((str(i), 0, "user", payload, s.get("tool") or ""))
-        df = self.spark.createDataFrame(
-            rows, "conv_id string, turn_idx int, role string, "
-                  "text string, tool string")
-        extracted = extract_turns(
-            df, pdf_passwords=pw,
-            allowed_formats=frozenset(allowed) if allowed else None).cache()
+        extracted, names = self._extract_sources(sources, opts, allowed)
         try:
             plan = extracted.select(
                 F.col("conv_id").alias("uid"), "status", "format",
@@ -247,8 +354,18 @@ def make_handler(service: JobService):
             self.wfile.write(data)
 
         def do_POST(self):
-            if urllib.parse.urlsplit(self.path).path != \
-                    "/v1/convert/source/async":
+            path = urllib.parse.urlsplit(self.path).path
+            kind = None
+            if path.startswith("/v1/chunk/") and \
+                    path.endswith("/source/async"):
+                # the reference client's chunk submission path:
+                # /v1/chunk/<chunker>/source/async (client.py:1288-1292)
+                kind = path.split("/")[3]
+                if kind not in ("hybrid", "hierarchical"):
+                    self._send(404, {"detail": f"unknown chunker "
+                                               f"'{kind}'"})
+                    return
+            elif path != "/v1/convert/source/async":
                 self._send(404, {"detail": "not found"})
                 return
             try:
@@ -257,6 +374,9 @@ def make_handler(service: JobService):
             except (ValueError, json.JSONDecodeError):
                 self._send(400, {"detail": "invalid JSON body"})
                 return
+            if kind is not None:
+                body["_task_kind"] = "chunk"
+                body["_chunker"] = kind
             task_id = service.submit(body)
             self._send(200, {"task_id": task_id,
                              "task_status": "pending"})

@@ -199,3 +199,78 @@ def test_bad_format_options_fail_task(spark):
             assert "unknown" in err and "format" in err
     finally:
         svc.shutdown()
+
+
+def test_chunk_task_api(spark):
+    """POST /v1/chunk/hybrid/source/async → poll → result with the
+    reference's ChunkDocumentResponse shape (responses.py:308-311):
+    chunks records + optional converted documents + processing_time;
+    hierarchical kind = one chunk per item, no budget."""
+    from docling_spark.jobs.service import serve
+
+    server, service = serve(spark)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{host}:{port}"
+    try:
+        resp = _post(f"{base}/v1/chunk/hybrid/source/async", {
+            "sources": [{"name": "a.html",
+                         "payload": "<h1>Head</h1><p>one two three"
+                                    "</p><p>four five</p>",
+                         "tool": "html"}],
+            "chunking_options": {"max_tokens": 5},
+            "include_converted_doc": True,
+        })
+        tid = resp["task_id"]
+        for _ in range(300):
+            _, st = _get(f"{base}/v1/status/poll/{tid}?wait=0.2")
+            if st["task_status"] in ("success", "failure"):
+                break
+            time.sleep(0.05)
+        assert st["task_status"] == "success"
+        code, res = _get(f"{base}/v1/result/{tid}")
+        assert code == 200
+        assert set(res) == {"chunks", "documents", "processing_time"}
+        # budget 5, head cost 1: "one two three"(3)+1 fits alone;
+        # merge with "four five" needs 3+2+1=6 > 5 → two chunks
+        assert [c["raw_text"] for c in res["chunks"]] == [
+            "one two three", "four five"]
+        assert res["chunks"][0]["filename"] == "a.html"
+        assert res["chunks"][0]["headings"] == ["Head"]
+        assert res["chunks"][0]["text"] == "Head\none two three"
+        assert res["chunks"][0]["doc_items"][0].startswith("#/items/")
+        assert res["documents"][0]["content"]["md_content"] \
+            == "# Head\n\none two three\n\nfour five"
+
+        # hierarchical: one chunk per item, never merged
+        resp = _post(f"{base}/v1/chunk/hierarchical/source/async", {
+            "sources": [{"name": "a.html",
+                         "payload": "<h1>Head</h1><p>one two three"
+                                    "</p><p>four five</p>",
+                         "tool": "html"}],
+        })
+        tid = resp["task_id"]
+        for _ in range(300):
+            _, st = _get(f"{base}/v1/status/poll/{tid}")
+            if st["task_status"] in ("success", "failure"):
+                break
+            time.sleep(0.05)
+        code, res = _get(f"{base}/v1/result/{tid}")
+        assert [c["raw_text"] for c in res["chunks"]] == [
+            "one two three", "four five"]
+        assert res["documents"] == []
+
+        # unknown chunker kind → 404 at submission
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(
+            f"{base}/v1/chunk/bogus/source/async", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        service.shutdown()
