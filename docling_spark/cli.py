@@ -77,8 +77,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="Spark local[] core count (default: all cores)")
     c.add_argument("--abort-on-error", action="store_true",
                    help="exit non-zero if any document fails")
-    # --to chunks options (the reference's chunk_max_tokens /
-    # chunk_tokenizer, cli/main.py:449-450)
+    # --to chunks options (the reference's chunker_type /
+    # chunk_max_tokens / chunk_tokenizer, cli/main.py:448-450)
+    c.add_argument("--chunker", default="hybrid",
+                   choices=("hybrid", "hierarchical"),
+                   help="chunker kind for --to chunks: hybrid "
+                        "(token-budget split/merge) or hierarchical "
+                        "(one chunk per item with heading context)")
     c.add_argument("--chunk-max-tokens", type=int, default=128,
                    help="HybridChunker token budget for --to chunks")
     c.add_argument("--chunk-tokenizer", default=None,
@@ -265,10 +270,17 @@ def run_convert(args: argparse.Namespace) -> int:
                         F.col("it.text").alias("text"),
                         F.col("it.content_layer").alias("content_layer"))
             )
-            ch = hybrid_chunks(
-                items_df, max_tokens=args.chunk_max_tokens,
-                doc_col="path", tokenizer_json=args.chunk_tokenizer,
-                with_provenance=True)
+            if args.chunker == "hierarchical":
+                # one chunk per item, heading context only — the
+                # reference's HierarchicalChunker (cli/main.py:471-472)
+                ch = hybrid_chunks(items_df, max_tokens=1 << 30,
+                                   merge_peers=False, doc_col="path",
+                                   with_provenance=True)
+            else:
+                ch = hybrid_chunks(
+                    items_df, max_tokens=args.chunk_max_tokens,
+                    doc_col="path", tokenizer_json=args.chunk_tokenizer,
+                    with_provenance=True)
             for row in ch.toLocalIterator():
                 # the reference's ChunkedDocumentResultItem fields
                 # (datamodel/service/responses.py:146-163): text =

@@ -170,3 +170,31 @@ def test_convert_chunks_sink(tmp_path, spark):
     tok = Tokenizer.from_file(str(tok_path))
     for r in recs:
         assert r["num_tokens"] == tok.count(r["text"])
+
+
+def test_convert_chunks_hierarchical(tmp_path, spark):
+    """--chunker hierarchical = one chunk per item with heading context,
+    never merged or split (the reference's HierarchicalChunker kind)."""
+    import json
+
+    import docling_spark.cli as cli
+
+    src = tmp_path / "doc.html"
+    src.write_text("<h1>H</h1><p>one two three</p><p>four five</p>")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([
+            "convert", str(src), "--to", "chunks",
+            "--chunker", "hierarchical",
+            "--output", str(tmp_path / "out"),
+        ])
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    recs = [json.loads(ln) for ln in
+            (tmp_path / "out" / "doc.chunks.jsonl").read_text()
+            .strip().splitlines()]
+    assert [r["raw_text"] for r in recs] == ["one two three",
+                                             "four five"]
+    assert all(r["headings"] == ["H"] for r in recs)
