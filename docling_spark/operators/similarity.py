@@ -243,19 +243,32 @@ def cosine_pairs_lsh(
     b = banded_lsh_buckets(emb, n_bands, planes_per_band, dim, vec_col, id_col)
     if max_bucket is not None:
         b = cap_vector_buckets(b, max_bucket, ("band", "bucket"), id_col)
-    a = b.select(F.col(id_col).alias("id_a"),
-                 F.col(vec_col).cast("array<double>").alias("va"),
-                 "band", "bucket")
+    # candidate generation and cross-band dedup run on BARE ID PAIRS —
+    # the candidate volume is sum-of-bucket² (measured 48x the vector
+    # count at bench scale; worse at corpus scale), so carrying two
+    # dim-sized double arrays (~1 KB/row at dim=64) through the join
+    # and dedup exchanges multiplies the dominant shuffle by ~60x.
+    # Vectors join back AFTER dedup, keyed by id over the n-row
+    # embedding table (AQE broadcasts it when small).
+    a = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
     c = b.select(F.col(id_col).alias("id_b"),
-                 F.col(vec_col).cast("array<double>").alias("vb"),
                  F.col("band").alias("band_b"),
                  F.col("bucket").alias("bucket_b"))
-    cand = (
+    pairs = (
         a.join(c, (F.col("band") == F.col("band_b"))
                & (F.col("bucket") == F.col("bucket_b"))
                & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v = emb.select(F.col(id_col).alias("_vid"),
+                   F.col(vec_col).cast("array<double>").alias("_v"))
+    cand = (
+        pairs
+        .join(v.select(F.col("_vid").alias("id_a"),
+                       F.col("_v").alias("va")), "id_a")
+        .join(v.select(F.col("_vid").alias("id_b"),
+                       F.col("_v").alias("vb")), "id_b")
     )
     return (
         cand.withColumn("cos", F.round(cosine_fast(F.col("va"), F.col("vb")), 6))
