@@ -211,6 +211,9 @@ def main() -> None:
         "simhash_near_pairs",
         "ccnet_buckets",
         "bloom_dedup_check",
+        # round-5 surface
+        "lm_vocab_overflow",
+        "debug_svg_pages",
     ]
     for name in bench_queries:
         # drop caches persisted by the PREVIOUS query (several queries

@@ -195,3 +195,28 @@ def test_hybrid_chunks_default_unchanged(spark):
                  key=lambda r: r.chunk_idx)
     assert [(r.chunk_text, r.n_tokens) for r in got] == [
         ("a b c\nd e f", 8), ("g h i", 5)]
+
+
+# ------------------------------------------------------- fuzz totality
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_bpe_total_on_arbitrary_text(text):
+    """The byte-level encoder is TOTAL: any unicode text encodes with
+    no exception, count == len(encode), and pretokenization is a
+    partition of the input (concatenation restores it exactly)."""
+    tok = Tokenizer.from_file(str(FIX / "tokenizer_bpe.json"))
+    ids = tok.encode(text)
+    assert tok.count(text) == len(ids)
+    assert "".join(gpt2_pretokenize(text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_wordpiece_total_on_arbitrary_text(text):
+    tok = Tokenizer.from_file(str(FIX / "tokenizer_wordpiece.json"))
+    assert tok.count(text) == len(tok.encode(text))
