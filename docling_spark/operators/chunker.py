@@ -186,6 +186,108 @@ def budget_chunks(
     )
 
 
+def make_counting(tokenizer_spec: "dict | None"):
+    """(head_cost, wcost, sep_cost) — the counting abstraction shared by
+    the batch kernel and the streaming chunker. Additivity (pinned by
+    test_bpe parity tests) lets the scan stay linear: a window's/merge's
+    count is the sum of per-word costs plus a fixed separator cost,
+    never a from-scratch re-encode of the growing chunk. Whitespace mode
+    (spec None) reproduces the oracle-checked legacy behavior
+    bit-for-bit (wcost=1, sep=0)."""
+    if tokenizer_spec is None:
+        def head_cost(path):
+            return sum(len(h.split()) for h in path)
+
+        def wcost(word, first):
+            return 1
+
+        return head_cost, wcost, 0
+
+    from docling_spark.functions.bpe import Tokenizer
+
+    tok = Tokenizer(tokenizer_spec)
+    # byte-level BPE keeps "\n" as its own pretoken (cost 1);
+    # WordPiece's whitespace split erases it (cost 0)
+    sep_cost = tok.count("a\nb") - tok.count("a") - tok.count("b")
+
+    def head_cost(path):
+        # heading block INCLUDING the trailing separator before the
+        # body text, so head_cost + sum(word costs) ==
+        # count(contextualized) exactly
+        if not path:
+            return 0
+        return tok.count("\n".join(list(path) + [""]))
+
+    def wcost(word, first):
+        return tok.count(word if first else " " + word)
+
+    return head_cost, wcost, sep_cost
+
+
+def scan_doc(its, max_tokens: int, merge_peers: bool,
+             head_cost, wcost, sep_cost) -> list:
+    """One document's ordered items → [(heading_path, chunk_text,
+    n_body_tokens, contributing_item_ids)] — the per-document
+    HybridChunker scan (heading stack → oversize split → peer merge)
+    shared by the batch kernel and the streaming chunker. ``its`` rows
+    need ``label``, ``text``, ``level``, ``item_idx`` lookups (Spark
+    struct rows and plain dicts both work)."""
+    import pandas as pd
+
+    stack: list = []  # (level, text)
+    chunks: list = []  # (path, text, ntok, item_ids)
+    for it in its:
+        label = it["label"]
+        text = it["text"]
+        if label in ("title", "section_header"):
+            lv = it["level"]
+            lv = 1 if lv is None or pd.isna(lv) else int(lv)
+            while stack and stack[-1][0] >= lv:
+                stack.pop()
+            stack.append((lv, text))
+            continue
+        iid = int(it["item_idx"])
+        path = tuple(t for _, t in stack)
+        head_tok = head_cost(path)
+        avail = max(max_tokens - head_tok, 1)
+        toks = text.split()
+        costs = [wcost(w, k == 0) for k, w in enumerate(toks)]
+        total = sum(costs)
+        if total <= avail:
+            chunks.append((path, " ".join(toks), total, [iid]))
+        else:
+            # greedy windows: grow while the window still fits; a
+            # window always takes >= 1 word. The window's first word
+            # re-costs as first=True — it loses its leading space when
+            # the window becomes its own chunk text.
+            s = 0
+            while s < len(toks):
+                cum = wcost(toks[s], True)
+                e = s + 1
+                while e < len(toks) and cum + costs[e] <= avail:
+                    cum += costs[e]
+                    e += 1
+                chunks.append((path, " ".join(toks[s:e]), cum, [iid]))
+                s = e
+    if merge_peers:
+        merged: list = []
+        for path, text, ntok, ids in chunks:
+            if merged and merged[-1][0] == path:
+                head_tok = head_cost(path)
+                if merged[-1][2] + sep_cost + ntok \
+                        + head_tok <= max_tokens:
+                    merged[-1][1] += "\n" + text
+                    merged[-1][2] += sep_cost + ntok
+                    # same item split then re-merged: the provenance
+                    # ref appears once
+                    if merged[-1][3][-1] != ids[0]:
+                        merged[-1][3].extend(ids)
+                    continue
+            merged.append([path, text, ntok, list(ids)])
+        chunks = [tuple(m) for m in merged]
+    return chunks
+
+
 def hybrid_chunks(
     items: DataFrame,
     max_tokens: int = 128,
@@ -288,103 +390,16 @@ def hybrid_chunks(
         packed = packed.repartition(par)
 
     def run(batches):
-        # counting abstraction shared by both modes. Additivity (pinned
-        # by test_bpe parity tests) lets the scan stay linear: a
-        # window's/merge's count is the sum of per-word costs plus a
-        # fixed separator cost, never a from-scratch re-encode of the
-        # growing chunk. Whitespace mode reproduces the legacy
-        # oracle-checked behavior bit-for-bit (wcost=1, sep=0).
-        if bc_spec is None:
-            tok = None
-            sep_cost = 0
-
-            def head_cost(path):
-                return sum(len(h.split()) for h in path)
-
-            def wcost(word, first):
-                return 1
-        else:
-            from docling_spark.functions.bpe import Tokenizer
-
-            tok = Tokenizer(bc_spec.value)
-            # byte-level BPE keeps "\n" as its own pretoken (cost 1);
-            # WordPiece's whitespace split erases it (cost 0)
-            sep_cost = tok.count("a\nb") - tok.count("a") - tok.count("b")
-
-            def head_cost(path):
-                # heading block INCLUDING the trailing separator before
-                # the body text, so head_cost + sum(word costs) ==
-                # count(contextualized) exactly
-                if not path:
-                    return 0
-                return tok.count("\n".join(list(path) + [""]))
-
-            def wcost(word, first):
-                return tok.count(word if first else " " + word)
-
+        head_cost, wcost, sep_cost = make_counting(
+            bc_spec.value if bc_spec is not None else None)
         for pdf in batches:
             out = {doc_col: [], "chunk_idx": [], "headings": [],
                    "chunk_text": [], "contextualized": [], "n_tokens": []}
             if with_provenance:
                 out["doc_items"] = []
             for doc, its in zip(pdf[doc_col], pdf["its"]):
-                stack: list[tuple[int, str]] = []  # (level, text)
-                chunks: list[tuple] = []  # (path, text, ntok, item_ids)
-                for it in its:
-                    label = it["label"]
-                    text = it["text"]
-                    if label in ("title", "section_header"):
-                        lv = it["level"]
-                        lv = 1 if lv is None or pd.isna(lv) else int(lv)
-                        while stack and stack[-1][0] >= lv:
-                            stack.pop()
-                        stack.append((lv, text))
-                        continue
-                    iid = int(it["item_idx"])
-                    path = tuple(t for _, t in stack)
-                    head_tok = head_cost(path)
-                    avail = max(max_tokens - head_tok, 1)
-                    toks = text.split()
-                    costs = [wcost(w, k == 0)
-                             for k, w in enumerate(toks)]
-                    total = sum(costs)
-                    if total <= avail:
-                        chunks.append((path, " ".join(toks), total,
-                                       [iid]))
-                    else:
-                        # greedy windows: grow while the window still
-                        # fits; a window always takes >= 1 word. The
-                        # window's first word re-costs as first=True —
-                        # it loses its leading space when the window
-                        # becomes its own chunk text.
-                        s = 0
-                        while s < len(toks):
-                            cum = wcost(toks[s], True)
-                            e = s + 1
-                            while e < len(toks) and \
-                                    cum + costs[e] <= avail:
-                                cum += costs[e]
-                                e += 1
-                            chunks.append(
-                                (path, " ".join(toks[s:e]), cum,
-                                 [iid]))
-                            s = e
-                if merge_peers:
-                    merged: list[list] = []
-                    for path, text, ntok, ids in chunks:
-                        if merged and merged[-1][0] == path:
-                            head_tok = head_cost(path)
-                            if merged[-1][2] + sep_cost + ntok \
-                                    + head_tok <= max_tokens:
-                                merged[-1][1] += "\n" + text
-                                merged[-1][2] += sep_cost + ntok
-                                # same item split then re-merged: the
-                                # provenance ref appears once
-                                if merged[-1][3][-1] != ids[0]:
-                                    merged[-1][3].extend(ids)
-                                continue
-                        merged.append([path, text, ntok, list(ids)])
-                    chunks = [tuple(m) for m in merged]
+                chunks = scan_doc(its, max_tokens, merge_peers,
+                                  head_cost, wcost, sep_cost)
                 for k, (path, text, ntok, ids) in enumerate(chunks):
                     ctx = "\n".join(list(path) + [text])
                     out[doc_col].append(doc)

@@ -138,3 +138,70 @@ def join_streams_within(
     for k in keys:
         out = out.drop(a[k])
     return out
+
+
+def chunk_assembled_stream(
+    assembled: DataFrame,
+    max_tokens: int = 128,
+    merge_peers: bool = True,
+    tokenizer_json: "str | dict | None" = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Streaming chunk sink over assembled conversations — the
+    ingestion-time twin of the batch HybridChunker: each row the
+    stateful assembly operator emits (stateful.assemble_conversations_
+    stream: one ``conversation_text`` per flushed conversation) splits
+    into paragraph items on ``sep`` and runs the SAME per-document scan
+    as operators/chunker.py (``scan_doc`` + ``make_counting``), so a
+    conversation chunked at ingestion is bit-identical to the same
+    conversation chunked in batch.
+
+    Stateless by construction (each input row carries its whole
+    document), so it composes onto any streaming plan with no extra
+    state, watermark, or output-mode constraint; at 10^12-turn scale the
+    chunking cost rides the same Arrow batch as the assembly output.
+    Works identically on batch frames.
+
+    Output: (conv_id, chunk_idx, chunk_text, n_tokens).
+    """
+    import pandas as pd
+
+    from docling_spark.operators.chunker import make_counting, scan_doc
+
+    if tokenizer_json is None:
+        spec = None
+    elif isinstance(tokenizer_json, str):
+        import json as _json
+
+        with open(tokenizer_json, encoding="utf-8") as fh:
+            spec = _json.load(fh)
+    else:
+        spec = tokenizer_json
+    bc = (assembled.sparkSession.sparkContext.broadcast(spec)
+          if spec is not None else None)
+    src = assembled.select("conv_id", "conversation_text")
+
+    def run(batches):
+        head_cost, wcost, sep_cost = make_counting(
+            bc.value if bc is not None else None)
+        for pdf in batches:
+            out = {"conv_id": [], "chunk_idx": [],
+                   "chunk_text": [], "n_tokens": []}
+            for conv, text in zip(pdf["conv_id"],
+                                  pdf["conversation_text"]):
+                paras = [p for p in (text or "").split(sep)
+                         if p.strip()]
+                its = [{"label": "text", "text": p, "level": None,
+                        "item_idx": i} for i, p in enumerate(paras)]
+                for k, (_path, ctext, ntok, _ids) in enumerate(
+                        scan_doc(its, max_tokens, merge_peers,
+                                 head_cost, wcost, sep_cost)):
+                    out["conv_id"].append(conv)
+                    out["chunk_idx"].append(k)
+                    out["chunk_text"].append(ctext)
+                    out["n_tokens"].append(ntok)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run, "conv_id string, chunk_idx int, chunk_text string, "
+             "n_tokens int")

@@ -121,3 +121,56 @@ def test_stream_allowed_formats_policy(spark, tmp_path):
     assert got[2]["status"] == "success"
     assert got[1]["status"] == "skipped"
     assert [e["category"] for e in got[1]["errors"]] == ["policy"]
+
+
+def test_chunk_assembled_stream_matches_batch(spark, tmp_path):
+    """The streaming chunk sink (stateless mapInPandas over assembled
+    conversations) runs as a real streaming query AND produces exactly
+    the rows the identical call produces on the same data as a batch
+    frame — the shared scan_doc kernel guarantees it."""
+    from docling_spark.streaming.stream_extract import (
+        chunk_assembled_stream,
+    )
+
+    rows = [
+        ("c1", "one two three\n\nfour five\n\nsix seven eight nine"),
+        ("c2", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("c3", None),
+    ]
+    schema = "conv_id string, conversation_text string"
+    inp = str(tmp_path / "cin")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(inp)
+
+    batch = chunk_assembled_stream(
+        spark.createDataFrame(rows, schema), max_tokens=5).collect()
+
+    src = spark.readStream.schema(schema).parquet(inp)
+    out = str(tmp_path / "cout")
+    q = (
+        chunk_assembled_stream(src, max_tokens=5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out).collect()
+
+    key = lambda r: (r.conv_id, r.chunk_idx)  # noqa: E731
+    assert sorted(((r.conv_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+                   for r in streamed)) == \
+        sorted(((r.conv_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+                for r in batch))
+    got = {r.conv_id: [] for r in batch}
+    for r in sorted(batch, key=key):
+        got[r.conv_id].append(r.chunk_text)
+    # budget 5: paras of 3+2 merge (3+0sep+2<=5), the 4-word para stays
+    assert got["c1"] == ["one two three\nfour five",
+                         "six seven eight nine"]
+    # an 8-word paragraph splits into 5+3 word windows
+    assert got["c2"] == ["alpha beta gamma delta epsilon",
+                         "zeta eta theta"]
+    assert "c3" not in {r.conv_id for r in batch}
