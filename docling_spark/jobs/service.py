@@ -386,6 +386,11 @@ def make_handler(service: JobService):
             # (client.py:1324-1328) — the query string must not leak
             # into the task-id lookup
             path = urllib.parse.urlsplit(self.path).path
+            if path == "/health":
+                # HealthCheckResponse (responses.py:255-256), probed by
+                # the reference client's health() (client.py:1136-1137)
+                self._send(200, {"status": "ok"})
+                return
             if path.startswith("/v1/status/poll/"):
                 st = service.status(path.rsplit("/", 1)[1])
                 if st is None:

@@ -274,3 +274,17 @@ def test_chunk_task_api(spark):
     finally:
         server.shutdown()
         service.shutdown()
+
+
+def test_health_endpoint(spark):
+    from docling_spark.jobs.service import serve
+
+    server, service = serve(spark)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        code, body = _get(f"http://{host}:{port}/health")
+        assert code == 200 and body == {"status": "ok"}
+    finally:
+        server.shutdown()
+        service.shutdown()
