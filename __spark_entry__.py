@@ -1117,6 +1117,82 @@ from banded group by 1, 2 having count(*) > {max_bucket}
 """
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table —
+    the 4x memory/shuffle/IO reduction feeding ANN at corpus scale
+    (operators/similarity.quantize_embeddings; scale + int codes, all
+    JVM codegen, no shuffle). qvec hashes exactly against the oracle's
+    identical arithmetic."""
+    from docling_spark.operators.similarity import quantize_embeddings
+    from pyspark.sql import functions as F
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    # hash the code array into one comparable column (the driver compare
+    # is column-wise scalar)
+    return q.select(
+        "vec_id", "scale",
+        F.md5(F.concat_ws(",", F.col("qvec"))).alias("qhash"))
+
+
+ORACLE_EMBED_QUANTIZE = """
+with base as (
+  select vec_id, embedding::double[] as v,
+         list_max(list_transform(embedding::double[], x -> abs(x))) as amax
+  from embeddings
+)
+select vec_id,
+       round(case when amax > 0 then amax / 127.0 else 0 end, 9) as scale,
+       md5(list_aggregate(list_transform(
+             case when amax > 0
+                  then list_transform(v, x -> cast(round(x * 127.0 / amax) as int))
+                  else list_transform(v, x -> 0) end,
+             x -> cast(x as varchar)), 'string_agg', ',')) as qhash
+from base
+"""
+
+
+def q_quantized_knn(spark, sf_dir):
+    """Brute-force neighbors over the QUANTIZED codes (cosine is
+    scale-invariant, so scoring runs on int8 codes directly — the scan
+    reads 4x less). Same margin-safe set semantics as embed_knn_of_zero,
+    query = vec 0's own codes."""
+    from docling_spark.operators.similarity import (
+        cosine, quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    codes = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    qv = q.filter(F.col("vec_id") == 0).select(
+        F.transform(F.col("qvec"),
+                    lambda x: x.cast("double")).alias("qv"))
+    return (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id",
+                F.round(cosine(codes, F.col("qv")), 6).alias("score"))
+        .filter(F.col("score") >= 0.28)
+    )
+
+
+ORACLE_QUANTIZED_KNN = """
+with q as (
+  select vec_id,
+         case when list_max(list_transform(embedding::double[], x -> abs(x))) > 0
+              then list_transform(embedding::double[],
+                     x -> cast(cast(round(x * 127.0 /
+                       list_max(list_transform(embedding::double[], y -> abs(y)))) as int) as double))
+              else list_transform(embedding::double[], x -> 0.0) end as codes
+  from embeddings
+)
+select b.vec_id,
+       round(list_cosine_similarity(b.codes, a.codes), 6) as score
+from q b, (select codes from q where vec_id = 0) a
+where b.vec_id != 0
+  and round(list_cosine_similarity(b.codes, a.codes), 6) >= 0.28
+"""
+
+
 def q_embed_knn_of_zero(spark, sf_dir):
     """Neighbors of vec_id 0 above a margin-safe threshold (set semantics —
     no top-k boundary ties across engines)."""
@@ -7643,6 +7719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_chunk_overflow": q_simhash_chunk_overflow,
         # similarity
         "embed_cosine_pairs": q_embed_cosine_pairs,
+        "embed_quantize": q_embed_quantize,
+        "quantized_knn": q_quantized_knn,
         "embed_bucket_overflow": q_embed_bucket_overflow,
         "embed_knn_of_zero": q_embed_knn_of_zero,
         "ann_bucket_pairs": q_ann_bucket_pairs,
@@ -7802,6 +7880,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": ORACLE_SIMHASH_NEAR,
         "simhash_chunk_overflow": _simhash_overflow_oracle(),
         "embed_cosine_pairs": _cosine_pairs_oracle(),
+        "embed_quantize": ORACLE_EMBED_QUANTIZE,
+        "quantized_knn": ORACLE_QUANTIZED_KNN,
         "embed_bucket_overflow": _embed_overflow_oracle(),
         "embed_knn_of_zero": ORACLE_KNN_ZERO,
         "ann_bucket_pairs": _ann_oracle(),

@@ -28,6 +28,7 @@ BNLJ_SCALAR_ATTACH = {
     "dsir_weights",       # source/target distribution totals (1 row each)
     "diversity_sample",   # cluster-size total (1 row)
     "embed_knn_of_zero",  # the fixed query vector (1 row)
+    "quantized_knn",      # the fixed query CODE vector (1 row)
     "ann_topk_batch",     # broadcast hyperplane set (fixed, tiny)
     "ivf_assign",         # IVF codebook (k centroids, k fixed)
     "semantic_dedup",     # codebook attach, same shape as ivf_assign

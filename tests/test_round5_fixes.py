@@ -84,3 +84,52 @@ def test_lm_vocab_overflow_report(spark):
     assert (row.vocab_all, row.vocab_kept, row.dropped_types,
             row.unk_token_count) == (4, 2, 2, 3)
     assert lm_vocab_overflow(docs, max_vocab=16).count() == 0
+
+
+# ---------------------------------------------- int8 embedding quantization
+
+def test_quantize_roundtrip_error_bounded(spark):
+    """Symmetric int8: dequantized values within scale/2 of the
+    original everywhere (half-step rounding bound), zero vectors exact,
+    codes within [-127, 127]."""
+    from docling_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings,
+    )
+
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [3.0, 2.0, -3.0, 1.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    q = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert q[1].scale == 0.0 and q[1].qvec == [0, 0, 0, 0]
+    assert all(-127 <= c <= 127 for r in q.values() for c in r.qvec)
+    assert q[2].qvec == [127, 85, -127, 42]  # round(v*127/3)
+    d = {r.vec_id: r.embedding
+         for r in dequantize_embeddings(quantize_embeddings(emb))
+         .collect()}
+    for vid, orig in rows:
+        scale = q[vid].scale
+        for a, b in zip(orig, d[vid]):
+            # + 1e-7: the emitted scale is rounded to 9 dp, shifting
+            # each reconstructed value by up to 127 * 5e-10
+            assert abs(a - b) <= scale / 2 + 1e-7
+    assert d[1] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_quantized_knn_agrees_with_float_ranking(spark):
+    """Cosine is scale-invariant, so ranking over int8 codes agrees
+    with the float ranking up to quantization noise — exact here by
+    construction (axis-aligned vectors)."""
+    from docling_spark.operators.similarity import (
+        quantize_embeddings, quantized_knn,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.7, 0.7])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    q = quantize_embeddings(emb)
+    qv = q.filter("vec_id = 0").collect()[0].qvec
+    got = quantized_knn(q.filter("vec_id != 0"), qv, topk=2).collect()
+    assert [r.vec_id for r in got] == [1, 3]
