@@ -70,6 +70,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                        help="password to try for encrypted PDFs "
                             "(repeatable)")
         c.add_argument("-v", "--verbose", action="store_true")
+        # --to chunks options (the reference's chunker_type /
+        # chunk_max_tokens / chunk_tokenizer, cli/main.py:448-450);
+        # shared — convert-remote routes them to the service's chunk
+        # task endpoint
+        c.add_argument("--chunker", default="hybrid",
+                       choices=("hybrid", "hierarchical"),
+                       help="chunker kind for --to chunks: hybrid "
+                            "(token-budget split/merge) or hierarchical "
+                            "(one chunk per item with heading context)")
+        c.add_argument("--chunk-max-tokens", type=int, default=128,
+                       help="HybridChunker token budget for --to chunks")
+        c.add_argument("--chunk-tokenizer", default=None,
+                       help="path to a HuggingFace tokenizer.json; "
+                            "counts then come from the from-scratch "
+                            "BPE/WordPiece encoder (functions/bpe.py) "
+                            "for reference chunk-boundary parity "
+                            "(default: whitespace)")
 
     c = sub.add_parser("convert", help="convert files to structured text")
     _common(c)
@@ -77,20 +94,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="Spark local[] core count (default: all cores)")
     c.add_argument("--abort-on-error", action="store_true",
                    help="exit non-zero if any document fails")
-    # --to chunks options (the reference's chunker_type /
-    # chunk_max_tokens / chunk_tokenizer, cli/main.py:448-450)
-    c.add_argument("--chunker", default="hybrid",
-                   choices=("hybrid", "hierarchical"),
-                   help="chunker kind for --to chunks: hybrid "
-                        "(token-budget split/merge) or hierarchical "
-                        "(one chunk per item with heading context)")
-    c.add_argument("--chunk-max-tokens", type=int, default=128,
-                   help="HybridChunker token budget for --to chunks")
-    c.add_argument("--chunk-tokenizer", default=None,
-                   help="path to a HuggingFace tokenizer.json; counts "
-                        "then come from the from-scratch BPE/WordPiece "
-                        "encoder (functions/bpe.py) for reference "
-                        "chunk-boundary parity (default: whitespace)")
 
     # the reference's `docling convert-remote` twin
     # (docling/cli/remote.py:132): same sources/sinks, but the work runs
@@ -379,15 +382,37 @@ def _write_doc_outputs(doc: dict, status: str, out_dir: pathlib.Path,
     return status
 
 
+def _remote_task(base: str, path: str, body: dict, wait: float,
+                 verbose: bool) -> "tuple[str, dict]":
+    """Submit → ?wait= poll → fetch against a docling-spark service:
+    (terminal task_status, result body)."""
+    import time
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{base}{path}", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        task_id = json.loads(resp.read())["task_id"]
+    if verbose:
+        print(f"task {task_id} submitted to {path}")
+    while True:
+        poll = f"{base}/v1/status/poll/{task_id}?wait={wait}"
+        with urllib.request.urlopen(poll) as resp:
+            st = json.loads(resp.read())
+        if st["task_status"] in ("success", "failure"):
+            break
+        time.sleep(wait)
+    with urllib.request.urlopen(f"{base}/v1/result/{task_id}") as resp:
+        return st["task_status"], json.loads(resp.read())
+
+
 def run_convert_remote(args: argparse.Namespace) -> int:
     """The reference's ``convert-remote`` loop (service_client/client.py:
     submit → poll → fetch) as a thin stdlib client over our own service:
-    POST /v1/convert/source/async, GET /v1/status/poll/<id>?wait=,
-    GET /v1/result/<id>, then the same file sinks as local convert."""
-    import time
-    import urllib.error
-    import urllib.request
-
+    POST /v1/convert/source/async (content formats) and/or
+    POST /v1/chunk/<kind>/source/async (``--to chunks``), then the same
+    file sinks as local convert."""
     files = _collect_files(args.sources)
     if not files:
         print("no input files", file=sys.stderr)
@@ -395,6 +420,7 @@ def run_convert_remote(args: argparse.Namespace) -> int:
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     to_formats = args.to_formats.split(",")
+    content_formats = [f for f in to_formats if f != "chunks"]
     base = args.url.rstrip("/")
 
     sources = []
@@ -406,53 +432,69 @@ def run_convert_remote(args: argparse.Namespace) -> int:
                         # b64 flag is for raw-bytes senders only
                         "b64": False,
                         "tool": f.suffix.lstrip(".").lower()})
-    body = {"sources": sources,
-            "options": {"to_formats": to_formats}}
+    options: dict = {}
     if args.from_formats:
-        body["options"]["from_formats"] = args.from_formats.split(",")
+        options["from_formats"] = args.from_formats.split(",")
     if args.password:
-        body["options"]["pdf_passwords"] = args.password
-
-    req = urllib.request.Request(
-        f"{base}/v1/convert/source/async",
-        data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req) as resp:
-        task_id = json.loads(resp.read())["task_id"]
-    if args.verbose:
-        print(f"task {task_id} submitted")
-
-    while True:
-        poll = (f"{base}/v1/status/poll/{task_id}"
-                f"?wait={args.poll_interval}")
-        with urllib.request.urlopen(poll) as resp:
-            st = json.loads(resp.read())
-        if st["task_status"] in ("success", "failure"):
-            break
-        time.sleep(args.poll_interval)
-
-    with urllib.request.urlopen(f"{base}/v1/result/{task_id}") as resp:
-        res = json.loads(resp.read())
-    if st["task_status"] == "failure":
-        print(f"task failed: {res.get('error')}", file=sys.stderr)
-        return 1
+        options["pdf_passwords"] = args.password
 
     taken: set[str] = set()
     n_ok = n_fail = n_skip = 0
-    if "document" in res:  # single-source ConvertDocumentResponse
-        docs = [(res["document"] | {"errors": res.get("errors") or []},
-                 res["status"])]
-    else:
-        docs = [(d, d.get("status")) for d in res.get("documents") or []]
-    for doc, status in docs:
-        s = _write_doc_outputs(doc, status, out_dir, to_formats, taken,
-                               args.verbose)
-        if s == "success":
-            n_ok += 1
-        elif s == "skipped":
-            n_skip += 1
+    if content_formats:
+        status, res = _remote_task(
+            base, "/v1/convert/source/async",
+            {"sources": sources,
+             "options": {**options, "to_formats": content_formats}},
+            args.poll_interval, args.verbose)
+        if status == "failure":
+            print(f"task failed: {res.get('error')}", file=sys.stderr)
+            return 1
+        if "document" in res:  # single-source ConvertDocumentResponse
+            docs = [(res["document"]
+                     | {"errors": res.get("errors") or []},
+                     res["status"])]
         else:
-            n_fail += 1
+            docs = [(d, d.get("status"))
+                    for d in res.get("documents") or []]
+        for doc, st in docs:
+            s = _write_doc_outputs(doc, st, out_dir, content_formats,
+                                   taken, args.verbose)
+            if s == "success":
+                n_ok += 1
+            elif s == "skipped":
+                n_skip += 1
+            else:
+                n_fail += 1
+
+    if "chunks" in to_formats:
+        # route to the service's chunk task endpoint; a file-path
+        # tokenizer embeds inline (the service takes tokenizer_json
+        # as a dict)
+        copts: dict = {"max_tokens": args.chunk_max_tokens}
+        if args.chunk_tokenizer:
+            with open(args.chunk_tokenizer, encoding="utf-8") as fh:
+                copts["tokenizer_json"] = json.load(fh)
+        status, res = _remote_task(
+            base, f"/v1/chunk/{args.chunker}/source/async",
+            {"sources": sources, "convert_options": options,
+             "chunking_options": copts},
+            args.poll_interval, args.verbose)
+        if status == "failure":
+            print(f"chunk task failed: {res.get('error')}",
+                  file=sys.stderr)
+            return 1
+        by_file: dict[str, list[dict]] = {}
+        for rec in res.get("chunks") or []:
+            by_file.setdefault(rec["filename"], []).append(rec)
+        for f in files:
+            recs = sorted(by_file.get(f.name, []),
+                          key=lambda r: r["chunk_index"])
+            target = _out_path(out_dir, f.stem, _EXTENSIONS["chunks"],
+                               taken)
+            target.write_text(
+                "".join(json.dumps(r, ensure_ascii=False) + "\n"
+                        for r in recs), encoding="utf-8")
+
     print(f"converted {n_ok} ok, {n_skip} skipped, {n_fail} failed "
           f"-> {out_dir}")
     return 0 if n_fail == 0 else 1

@@ -198,3 +198,39 @@ def test_convert_chunks_hierarchical(tmp_path, spark):
     assert [r["raw_text"] for r in recs] == ["one two three",
                                              "four five"]
     assert all(r["headings"] == ["H"] for r in recs)
+
+
+def test_convert_remote_chunks(tmp_path, spark):
+    """--to chunks over the wire: convert-remote routes through the
+    service's chunk task endpoint and writes the same chunks.jsonl the
+    local sink writes."""
+    import json
+    import threading
+
+    import docling_spark.cli as cli
+    from docling_spark.jobs.service import serve
+
+    src = tmp_path / "doc.html"
+    src.write_text("<h1>Head</h1><p>one two three</p><p>four five</p>")
+    server, service = serve(spark)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rc = cli.main([
+            "convert-remote", str(src),
+            "--url", f"http://{host}:{port}",
+            "--to", "md,chunks", "--chunk-max-tokens", "5",
+            "--output", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "doc.md").read_text() \
+            == "# Head\n\none two three\n\nfour five"
+        recs = [json.loads(ln) for ln in
+                (tmp_path / "out" / "doc.chunks.jsonl").read_text()
+                .strip().splitlines()]
+        assert [r["raw_text"] for r in recs] == ["one two three",
+                                                 "four five"]
+        assert recs[0]["headings"] == ["Head"]
+    finally:
+        server.shutdown()
+        service.shutdown()
