@@ -186,6 +186,8 @@ class JobService:
 
         from docling_spark.operators.chunker import hybrid_chunks
 
+        from docling_spark.engine.extract import _HINT_ALIASES, KNOWN_FORMATS
+
         t0 = time.monotonic()
         sources = body.get("sources") or []
         if not sources:
@@ -193,8 +195,16 @@ class JobService:
         opts = body.get("convert_options") or {}
         copts = body.get("chunking_options") or {}
         kind = body.get("_chunker") or copts.get("chunker") or "hybrid"
-        extracted, names = self._extract_sources(
-            sources, opts, opts.get("from_formats"))
+        allowed = opts.get("from_formats")
+        if allowed:
+            # same validation as _convert: a typo'd allow-list must
+            # fail the task, not silently SKIP every source
+            known = set(KNOWN_FORMATS) | set(_HINT_ALIASES)
+            bad = [f for f in allowed if f not in known]
+            if bad:
+                raise ValueError(
+                    f"unknown input format(s): {','.join(bad)}")
+        extracted, names = self._extract_sources(sources, opts, allowed)
         try:
             items_df = (
                 extracted.select(F.col("conv_id").alias("uid"),

@@ -288,3 +288,24 @@ def test_health_endpoint(spark):
     finally:
         server.shutdown()
         service.shutdown()
+
+
+def test_chunk_task_validates_from_formats(spark):
+    from docling_spark.jobs.service import JobService
+
+    svc = JobService(spark)
+    try:
+        tid = svc.submit({
+            "_task_kind": "chunk", "_chunker": "hybrid",
+            "sources": [{"name": "a.html", "payload": "<h1>x</h1>",
+                         "tool": "html"}],
+            "convert_options": {"from_formats": ["hmtl"]},
+        })
+        for _ in range(300):
+            if svc.status(tid)["task_status"] in ("success", "failure"):
+                break
+            time.sleep(0.05)
+        assert svc.status(tid)["task_status"] == "failure"
+        assert "unknown" in svc.result(tid)["error"]
+    finally:
+        svc.shutdown()
